@@ -1,0 +1,552 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols._
+import graft.sources.Tables
+
+/** Relational operator inventory (SURVEY §2.2-§2.7).
+  *
+  * Each entry re-expresses a reference capability class Spark-first:
+  * element-wise transforms (map/filter/flatMap -> select/where/explode),
+  * keyed aggregation (keyBy+reduce/sum/min/max/minBy/maxBy -> groupBy.agg),
+  * exchanges (keyBy -> hash shuffle; broadcast -> broadcast join hint), and
+  * the capability-class restorations of SURVEY §2.7 (joins, windows,
+  * grouping sets, set ops, sort/limit, window functions, scalar library).
+  *
+  * Scale notes (100 TB design point):
+  *  - aggregations are partial-aggregated map-side by Catalyst (HashAggregate
+  *    partial -> shuffle on group keys -> final);
+  *  - dimension joins (nation/region/customer) use `broadcast()` explicitly;
+  *  - fact-fact joins shuffle on the join key only after filters, which are
+  *    pushed to the parquet scan (verified via explain: PushedFilters);
+  *  - exact decimal accumulation keeps results partition-count-invariant,
+  *    which is also what makes the DuckDB differential oracle bit-exact.
+  */
+object Relational {
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** revenue = extendedprice * (1 - discount), exact decimal. */
+  private def revenue(price: Column, disc: Column): Column =
+    m2(price) * (lit(1) - r2(disc)).cast("decimal(4,2)")
+  private val revenueSql =
+    "CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - CAST(l_discount AS DECIMAL(4,2)) AS DECIMAL(4,2))"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // TPC-H Q1: the flagship scan+filter+agg (keyed aggregation class).
+    QuerySpec.sqlBacked("q01_tpch_q1",
+      s"""SELECT l_returnflag, l_linestatus,
+         |  sum(l_quantity) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($revenueSql) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum($revenueSql * CAST(1 + CAST(l_tax AS DECIMAL(4,2)) AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
+         |  sum(l_quantity) / count(*) AS avg_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / count(*) AS avg_price,
+         |  CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          toD(sum(m2(col("l_extendedprice")))).as("sum_base_price"),
+          toD(sum(revenue(col("l_extendedprice"), col("l_discount"))))
+            .as("sum_disc_price"),
+          toD(sum(revenue(col("l_extendedprice"), col("l_discount")) *
+            (lit(1) + r2(col("l_tax"))).cast("decimal(4,2)"))).as("sum_charge"),
+          (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+          (toD(sum(m2(col("l_extendedprice")))) / count(lit(1))).as("avg_price"),
+          (toD(sum(r2(col("l_discount")))) / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ------------------------------------------------------------------
+    // map + filter (element-wise transform class): per-row projection.
+    QuerySpec.sqlBacked("q02_filter_project",
+      s"""SELECT l_orderkey, l_linenumber,
+         |  CAST($revenueSql AS DOUBLE) AS net, l_quantity
+         |FROM lineitem
+         |WHERE l_quantity > 40 AND l_shipdate >= TIMESTAMP '1997-01-01'
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 40 &&
+          col("l_shipdate") >= lit("1997-01-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          toD(revenue(col("l_extendedprice"), col("l_discount"))).as("net"),
+          col("l_quantity"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    },
+
+    // ------------------------------------------------------------------
+    // flatMap (1->N) + keyed count: the reference's own WordCount
+    // (flink-examples .../wordcount/WordCount.java) at table scale.
+    QuerySpec.sqlBacked("q03_wordcount",
+      """SELECT word, count(*) AS cnt
+        |FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin) { (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("word"))
+    },
+
+    // ------------------------------------------------------------------
+    // keyBy + running reduce, FINAL state (StreamGroupedReduce.java:35-55
+    // semantics: the last emitted value per key == the keyed fold).
+    QuerySpec.sqlBacked("q04_keyby_reduce",
+      """SELECT user_id, count(*) AS cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("cnt"), toD(sum(m2(col("value")))).as("total"))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // keyBy + running reduce, full EMISSION SEQUENCE (update-mode output:
+    // one row per input, per-key prefix aggregates in arrival order).
+    QuerySpec.sqlBacked("q05_running_reduce",
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS run_cnt,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS run_total
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("run_cnt"),
+          toD(sum(m2(col("value"))).over(w)).as("run_total"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // keyed min/max (ComparableAggregator MIN/MAX class).
+    QuerySpec.sqlBacked("q06_agg_minmax",
+      """SELECT l_returnflag,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // maxBy (whole-row argmax, deterministic first-wins tiebreak).
+    QuerySpec.sqlBacked("q07_maxby",
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+          col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("l_returnflag"))
+    },
+
+    // minBy (argmin, deterministic tiebreak).
+    QuerySpec.sqlBacked("q08_minby",
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice
+        |FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+        |        row_number() OVER (PARTITION BY l_returnflag
+        |          ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber) AS rn
+        |      FROM lineitem)
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_extendedprice").asc, col("l_orderkey"),
+          col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice"), row_number().over(w).as("rn"))
+        .filter(col("rn") === 1).drop("rn")
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // fact-fact equi-join + time-grouped aggregation. At scale: both sides
+    // shuffle on orderkey; the status filter prunes the probe side at scan.
+    QuerySpec.sqlBacked("q09_join_agg",
+      s"""SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+         |  count(*) AS n_items,
+         |  CAST(sum($revenueSql) AS DOUBLE) AS rev
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE o_orderstatus = 'F'
+         |GROUP BY mon ORDER BY mon""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(date_trunc("month", col("o_orderdate")).as("mon"))
+        .agg(count(lit(1)).as("n_items"),
+          toD(sum(revenue(col("l_extendedprice"), col("l_discount")))).as("rev"))
+        .orderBy(col("mon"))
+    },
+
+    // ------------------------------------------------------------------
+    // snowflake dimension join: customer -> nation -> region, both dims
+    // broadcast (no shuffle of the fact side at 100 TB).
+    QuerySpec.sqlBacked("q10_join_dims",
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS total_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          toD(sum(m2(col("c_acctbal")))).as("total_bal"))
+        .orderBy(col("r_name"), col("n_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // left-semi join (EXISTS).
+    QuerySpec.sqlBacked("q11_semi_join",
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // left-anti join (NOT EXISTS).
+    QuerySpec.sqlBacked("q12_anti_join",
+      """SELECT c_mktsegment, count(*) AS n
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    },
+
+    // ------------------------------------------------------------------
+    // left outer join with null-preserving aggregation.
+    QuerySpec.sqlBacked("q13_outer_join",
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        |  coalesce(CAST(sum(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE), 0.0) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          coalesce(toD(sum(d6(col("o_totalprice")))), lit(0.0)).as("total_spent"))
+        .orderBy(col("c_custkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // window function: top-3 orders per customer (rank class, SURVEY §2.7).
+    QuerySpec.sqlBacked("q14_window_rank",
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          row_number().over(w).as("rn"))
+        .filter(col("rn") <= 3)
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
+    // global sort + limit (top-k). At scale Spark plans TakeOrderedAndProject
+    // (per-partition top-k, no full sort shuffle).
+    QuerySpec.sqlBacked("q15_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+
+    // ------------------------------------------------------------------
+    // set operations (SURVEY §2.7): UNION / INTERSECT / EXCEPT (distinct).
+    QuerySpec.sqlBacked("q16_union",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+        .union(c.filter(col("c_acctbal") > 9000).select(col("c_custkey")))
+        .distinct()
+        .orderBy(col("c_custkey"))
+    },
+
+    QuerySpec.sqlBacked("q17_intersect",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      val c = t(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+        .intersect(c.filter(col("c_acctbal") > 5000).select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    },
+
+    QuerySpec.sqlBacked("q18_except",
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+        |EXCEPT
+        |SELECT DISTINCT o_custkey AS c_custkey FROM orders
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE").select(col("c_custkey"))
+        .except(t(s, dir, "orders")
+          .select(col("o_custkey").as("c_custkey")).distinct())
+        .orderBy(col("c_custkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // grouping sets: ROLLUP (SURVEY §2.7).
+    QuerySpec.sqlBacked("q19_rollup",
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // grouping sets: CUBE.
+    QuerySpec.sqlBacked("q20_cube",
+      """SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |GROUP BY CUBE (event_type, day)
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day", date_trunc("day", col("ts")))
+        .cube(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), toD(sum(m2(col("value")))).as("total"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day"))
+    },
+
+    // ------------------------------------------------------------------
+    // manual pivot via conditional aggregation.
+    QuerySpec.sqlBacked("q21_pivot",
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS qty_f,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS qty_o,
+        |  count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS n_f,
+        |  count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS n_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_linestatus") === "F", col("l_quantity")).otherwise(0)).as("qty_f"),
+          sum(when(col("l_linestatus") === "O", col("l_quantity")).otherwise(0)).as("qty_o"),
+          count(when(col("l_linestatus") === "F", lit(1))).as("n_f"),
+          count(when(col("l_linestatus") === "O", lit(1))).as("n_o"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // scalar string function library (SURVEY §2.7).
+    QuerySpec.sqlBacked("q22_string_funcs",
+      """SELECT p_partkey, upper(p_brand) AS br, length(p_name) AS len,
+        |  substring(p_name, 1, 12) AS pre,
+        |  replace(p_type, ' ', '_') AS typ,
+        |  concat(p_brand, '#', CAST(p_size AS VARCHAR)) AS tag
+        |FROM part ORDER BY p_partkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"), upper(col("p_brand")).as("br"),
+          length(col("p_name")).as("len"),
+          substring(col("p_name"), 1, 12).as("pre"),
+          regexp_replace(col("p_type"), " ", "_").as("typ"),
+          concat(col("p_brand"), lit("#"), col("p_size").cast("string")).as("tag"))
+        .orderBy(col("p_partkey"))
+    },
+
+    // scalar date/time function library.
+    QuerySpec.sqlBacked("q23_date_funcs",
+      """SELECT o_orderkey, year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  day(o_orderdate) AS d,
+        |  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS mon,
+        |  date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          date_trunc("month", col("o_orderdate")).as("mon"),
+          datediff(col("o_orderdate"), lit("1995-01-01")).as("days_since"))
+        .orderBy(col("o_orderkey"))
+    },
+
+    // JSON extraction (props is a JSON string).
+    QuerySpec.sqlBacked("q24_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  count(*) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
+    },
+
+    // CASE WHEN classification.
+    QuerySpec.sqlBacked("q25_case_when",
+      """SELECT CASE WHEN value < 10 THEN 'low'
+        |            WHEN value < 100 THEN 'mid'
+        |            ELSE 'high' END AS bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM events GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("bucket",
+          when(col("value") < 10, "low")
+            .when(col("value") < 100, "mid").otherwise("high"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), toD(sum(m2(col("value")))).as("total"))
+        .orderBy(col("bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // event-time tumbling window (SURVEY §2.7 windows class; batch form of
+    // groupBy(window($"ts", "6 hours"))).
+    QuerySpec.sqlBacked("q26_window_tumbling",
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |GROUP BY w_start, event_type
+        |ORDER BY w_start, event_type""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours").getField("start").as("w_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), toD(sum(m2(col("value")))).as("total"))
+        .orderBy(col("w_start"), col("event_type"))
+    },
+
+    // sliding window (6h window, 3h slide): each event lands in 2 windows.
+    QuerySpec.sqlBacked("q27_window_sliding",
+      """SELECT w_start, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM (SELECT value,
+        |        unnest([time_bucket(INTERVAL '3 hours', ts),
+        |                time_bucket(INTERVAL '3 hours', ts) - INTERVAL '3 hours'])
+        |          AS w_start
+        |      FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events))
+        |GROUP BY w_start ORDER BY w_start""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "6 hours", "3 hours")
+          .getField("start").as("w_start"))
+        .agg(count(lit(1)).as("n"), toD(sum(m2(col("value")))).as("total"))
+        .orderBy(col("w_start"))
+    },
+
+    // session window (30 min gap) via gaps-and-islands; deterministic
+    // tiebreak (ts, event_id). Mirrors session_window() semantics for
+    // session_start = min(ts).
+    QuerySpec.sqlBacked("q28_window_session",
+      """WITH x AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), y AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM x)
+        |SELECT user_id, sid, min(ts) AS s_start, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, sid""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(wRun))
+        .groupBy(col("user_id"), col("sid"))
+        .agg(min(col("ts")).as("s_start"), count(lit(1)).as("n"),
+          toD(sum(m2(col("value")))).as("total"))
+        .orderBy(col("user_id"), col("sid"))
+    },
+
+    // ------------------------------------------------------------------
+    // distinct (exact dedup of a projection).
+    QuerySpec.sqlBacked("q29_distinct",
+      """SELECT DISTINCT event_type, user_id % 10 AS cohort
+        |FROM events ORDER BY event_type, cohort""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), (col("user_id") % 10).as("cohort"))
+        .distinct()
+        .orderBy(col("event_type"), col("cohort"))
+    },
+
+    // ------------------------------------------------------------------
+    // multi-way join: revenue by nation (TPC-H Q5 shape).
+    QuerySpec.sqlBacked("q30_tpch_q5ish",
+      s"""SELECT n_name, CAST(sum($revenueSql) AS DOUBLE) AS revenue
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |  AND c_nationkey = s_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(toD(sum(revenue(col("l_extendedprice"), col("l_discount"))))
+          .as("revenue"))
+        .orderBy(col("n_name"))
+    }
+  )
+}
