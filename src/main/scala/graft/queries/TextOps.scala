@@ -1,0 +1,146 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text-analysis operators over the `documents` table (north-star
+  * extension class): language ID (n-gram/stopword heuristic), quality
+  * scoring, token counting, and document fingerprinting.
+  *
+  * Every formula is written with engine-portable arithmetic (length/replace
+  * counting, double division, md5) so the DuckDB oracle is bit-exact.
+  * Scale note: all of these are embarrassingly parallel per-row projections
+  * — no shuffle at all; at 100 TB they run at scan speed and stay inside
+  * WholeStageCodegen.
+  */
+object TextOps {
+
+  /** occurrences of `pat` in padded text, as an expression string usable in
+    * both engines (portable: length/replace only). */
+  private def occSql(pat: String): String =
+    s"(length(padded) - length(replace(padded, '$pat', ''))) / ${pat.length}"
+
+  private val langScores = Seq(
+    "en" -> Seq(" the ", " a "),
+    "de" -> Seq(" der ", " die ", " und "),
+    "fr" -> Seq(" le ", " la ", " et "),
+    "es" -> Seq(" el ", " los ", " y ")
+  )
+
+  private val scoreCols: String = langScores.map { case (lang, pats) =>
+    pats.map(occSql).mkString(" + ") + s" AS s_$lang"
+  }.mkString(",\n  ")
+
+  // Deterministic argmax with fixed tiebreak order en > de > fr > es > zh.
+  private val predCase: String =
+    """CASE
+      | WHEN s_en > 0 AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      | WHEN s_de > 0 AND s_de >= s_fr AND s_de >= s_es THEN 'de'
+      | WHEN s_fr > 0 AND s_fr >= s_es THEN 'fr'
+      | WHEN s_es > 0 THEN 'es'
+      | ELSE 'zh' END""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // Language ID via stopword-occurrence scoring (pure projection).
+    QuerySpec.sqlBacked("q31_text_langid",
+      s"""SELECT doc_id, $predCase AS pred,
+         |  CASE WHEN $predCase = lang THEN 1 ELSE 0 END AS hit
+         |FROM (SELECT doc_id, lang, $scoreCols
+         |      FROM (SELECT doc_id, lang, ' ' || text || ' ' AS padded
+         |            FROM documents))
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .select(Seq(col("doc_id"), col("lang")) ++ langScores.map {
+          case (lang, pats) =>
+            expr(pats.map(occSql).mkString(" + ")).as(s"s_$lang")
+        }: _*)
+        .withColumn("pred", expr(predCase))
+        .withColumn("hit", when(col("pred") === col("lang"), 1).otherwise(0))
+        .select(col("doc_id"), col("pred"), col("hit"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Quality scoring: token count, mean word length, stopword ratio,
+    // composite score — all double arithmetic in identical op order.
+    QuerySpec.sqlBacked("q32_text_quality",
+      """SELECT doc_id, n_tok,
+        |  length(replace(text, ' ', '')) / n_tok AS avg_wlen,
+        |  n_stop / n_tok AS stop_ratio,
+        |  0.5 * (n_stop / n_tok) + 0.5 * least(n_tok / 100, 1) AS score
+        |FROM (SELECT doc_id, text,
+        |        len(string_split(text, ' ')) AS n_tok,
+        |        (length(' '||text||' ') - length(replace(' '||text||' ', ' the ', ''))) / 5
+        |          + (length(' '||text||' ') - length(replace(' '||text||' ', ' a ', ''))) / 3
+        |          AS n_stop
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("n_tok", size(split(col("text"), " ")))
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .withColumn("n_stop",
+          expr(s"${occSql(" the ")} + ${occSql(" a ")}"))
+        .select(col("doc_id"), col("n_tok"),
+          (length(regexp_replace(col("text"), " ", "")) / col("n_tok")).as("avg_wlen"),
+          (col("n_stop") / col("n_tok")).as("stop_ratio"),
+          (lit(0.5) * (col("n_stop") / col("n_tok")) +
+            lit(0.5) * least(col("n_tok") / lit(100), lit(1))).as("score"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Token counting: whitespace tokens, alnum regex tokens, and BPE-ish
+    // fixed-width subword pieces.
+    QuerySpec.sqlBacked("q33_text_tokens",
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_alnum,
+        |  len(regexp_extract_all(text, '[a-z0-9]{1,4}')) AS n_subtok
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]+"), lit(0))).as("n_alnum"),
+          size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))).as("n_subtok"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Document fingerprinting: md5 of whitespace-normalized text, plus
+    // min/max word-3-gram shingle hashes (winnowing-style extrema).
+    QuerySpec.sqlBacked("q34_text_fingerprint",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)-1),
+        |      i -> md5(ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) AS h
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 3)
+        |SELECT d.doc_id,
+        |  md5(lower(trim(regexp_replace(text, ' +', ' ')))) AS fp,
+        |  x.min_sh, x.max_sh
+        |FROM documents d
+        |JOIN (SELECT doc_id, min(h) AS min_sh, max(h) AS max_sh
+        |      FROM sh GROUP BY doc_id) x ON d.doc_id = x.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val sh = docs
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(ws)-3), i -> md5(concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))"))
+          .as("h"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("h")).as("min_sh"), max(col("h")).as("max_sh"))
+      docs
+        .select(col("doc_id"),
+          md5(lower(trim(regexp_replace(col("text"), " +", " ")))).as("fp"))
+        .join(sh, "doc_id")
+        .select(col("doc_id"), col("fp"), col("min_sh"), col("max_sh"))
+        .orderBy(col("doc_id"))
+    }
+  )
+}
