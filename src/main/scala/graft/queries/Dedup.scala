@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deduplication operators over `documents` / `embeddings` (north-star
+  * extension class): exact hash-dedup, n-gram Jaccard, MinHash+LSH banding,
+  * SimHash, and embedding-cosine near-dup.
+  *
+  * Everything is expressed with engine-portable primitives (md5, substr,
+  * integer bit arithmetic, left-fold array aggregation) so each operator has
+  * a bit-exact DuckDB oracle. DuckDB's `list_sum` is a plain left fold, so
+  * Spark's `aggregate(..., 0D, (acc,v) -> acc+v)` reproduces double sums
+  * bit-identically (verified empirically at sf0.01).
+  *
+  * Scale design (100 TB):
+  *  - signatures (minhash / simhash / fingerprints) are pure per-row
+  *    projections — no shuffle, embarrassingly parallel, WholeStageCodegen;
+  *  - candidate generation joins on *bands/blocks/buckets*, never all-pairs:
+  *    cost is sum over buckets of |bucket|^2 instead of n^2. Band width (r)
+  *    tunes the precision/recall threshold: P(match) = 1-(1-s^r)^b;
+  *  - only the exact re-verification (Jaccard / hamming / cosine) touches
+  *    candidate pairs, and it runs after the band-join has pruned;
+  *  - the all-pairs variants (q36, q39) exist as exact baselines: q36 joins
+  *    on shared shingles (already sub-quadratic on natural text), q39 is the
+  *    brute-force oracle for the LSH path in Similarity.scala.
+  */
+object Dedup {
+  private val K = 16 // minhash signature length
+  private val B = 4  // bands (r = K/B = 4 rows per band)
+
+  /** doc_id + distinct word-3-gram shingles (pure projection). */
+  private def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), expr(
+        """array_distinct(transform(sequence(0, size(ws)-3),
+          |  i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))""".stripMargin)
+        .as("sh"))
+
+  private val shingledSql =
+    """SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+      |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
+      |FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+      |WHERE len(ws) >= 3""".stripMargin
+
+  /** Exact left-fold dot product over the 64-dim float embeddings, with
+    * per-element double casts so both engines fold identical doubles. */
+  private def dot(a: String, b: String): Column = expr(
+    s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
+       |  (acc, i) -> acc + CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))""".stripMargin)
+
+  private def dotSql(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // Exact dedup: hash-groupBy on whitespace-normalized content. One
+    // shuffle on the fingerprint; map-side partial aggregation makes this
+    // scan-bound at 100 TB.
+    QuerySpec.sqlBacked("q35_dedup_exact",
+      """SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY fp ORDER BY keep_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(md5(lower(trim(col("text")))).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy(col("keep_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact n-gram Jaccard near-dup: candidate pairs share >=1 shingle
+    // (inverted-index join, sub-quadratic on natural text), then
+    // |A∩B| / (|A|+|B|-|A∩B|) >= 0.5.
+    QuerySpec.sqlBacked("q36_dedup_jaccard",
+      s"""WITH base AS ($shingledSql),
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM base),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+         |         max(a.n) AS na, max(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) AS jac
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val ex = shingled(s, dir)
+        .select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
+      val a = ex.select(col("doc_id").as("a_id"), col("n").as("na"), col("s"))
+      val b = ex.select(col("doc_id").as("b_id"), col("n").as("nb"), col("s"))
+      a.join(b, a("s") === b("s") && col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(count(lit(1)).as("inter"), max(col("na")).as("na"),
+          max(col("nb")).as("nb"))
+        .select(col("a_id"), col("b_id"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+        .filter(col("jac") >= 0.5)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // MinHash + LSH banding: K=16 string-min signatures (min over md5 of
+    // salted shingles ≙ a random permutation per salt), B=4 bands of r=4.
+    // Candidates = pairs agreeing on any full band; estimated Jaccard =
+    // fraction of matching signature slots. Finds exactly the true
+    // near-dup pairs at sf0.01 (validated against q36).
+    QuerySpec.sqlBacked("q37_dedup_minhash", {
+      val sigs = (0 until K).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS s$i").mkString(", ")
+      val sigArr = (0 until K).map(i => s"s$i").mkString("[", ",", "]")
+      val bands = (0 until B).map(j =>
+        s"md5(s${4*j}||s${4*j+1}||s${4*j+2}||s${4*j+3}) AS b$j").mkString(", ")
+      s"""WITH base AS ($shingledSql),
+         |sig AS (SELECT doc_id, $sigs FROM base),
+         |sig2 AS (SELECT doc_id, $sigArr AS sig, $bands FROM sig),
+         |band AS (SELECT doc_id, sig, j, [b0,b1,b2,b3][j+1] AS bh
+         |         FROM sig2, unnest([0,1,2,3]) AS t(j)),
+         |cand AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |         any_value(a.sig) AS sa, any_value(b.sig) AS sb
+         |  FROM band a JOIN band b ON a.j = b.j AND a.bh = b.bh
+         |    AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(list_sum(list_transform(range(1, ${K+1}),
+         |    i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) AS DOUBLE)/$K
+         |    AS est_jac
+         |FROM cand ORDER BY a_id, b_id""".stripMargin
+    }) { (s, dir) =>
+      val sigCols = (0 until K).map(i =>
+        expr(s"array_min(transform(sh, s -> md5(concat('$i:', s))))").as(s"s$i"))
+      val sig = shingled(s, dir).select(col("doc_id") +: sigCols: _*)
+      val bandArr = (0 until B).map(j =>
+        md5(concat((4*j until 4*j+4).map(i => col(s"s$i")): _*)))
+      val band = sig
+        .select(col("doc_id"),
+          array((0 until K).map(i => col(s"s$i")): _*).as("sig"),
+          posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
+      val a = band.select(col("doc_id").as("a_id"), col("sig").as("sa"),
+        col("j"), col("bh"))
+      val b = band.select(col("doc_id").as("b_id"), col("sig").as("sb"),
+        col("j"), col("bh"))
+      a.join(b, a("j") === b("j") && a("bh") === b("bh") &&
+          col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(any_value(col("sa")).as("sa"), any_value(col("sb")).as("sb"))
+        .select(col("a_id"), col("b_id"), expr(
+          s"CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE)/$K")
+          .as("est_jac"))
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // SimHash: 64-bit bag-of-words fingerprint (per-bit majority vote of
+    // token-hash bits, bits read from md5 hex nibbles so both engines see
+    // identical hash bits). Candidates via 4x16-bit block LSH, verified
+    // with exact hamming distance <= 2.
+    QuerySpec.sqlBacked("q38_dedup_simhash", {
+      // NB: DuckDB's concat_ws stringifies a list argument ("[1, 0, …]")
+      // instead of joining its elements — array_to_string is the join.
+      val fp = """array_to_string(list_transform(range(0, 64), k ->
+        |  CASE WHEN list_sum(list_transform(hs, h ->
+        |    2*((strpos('0123456789abcdef', substr(h, k//4+1, 1)) - 1)
+        |       >> (k%4) & 1) - 1)) > 0
+        |  THEN '1' ELSE '0' END), '')""".stripMargin
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+         |  FROM documents),
+         |fps AS (SELECT doc_id, $fp AS fp FROM toks),
+         |blocks AS (SELECT doc_id, fp, j, substr(fp, 16*j+1, 16) AS blk
+         |           FROM fps, unnest([0,1,2,3]) AS t(j)),
+         |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+         |           any_value(a.fp) AS fa, any_value(b.fp) AS fb
+         |         FROM blocks a JOIN blocks b ON a.j = b.j AND a.blk = b.blk
+         |           AND a.doc_id < b.doc_id
+         |         GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id, hamming FROM (
+         |  SELECT a_id, b_id, list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN substr(fa,i,1) = substr(fb,i,1) THEN 0 ELSE 1 END))
+         |    AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin
+    }) { (s, dir) =>
+      val fps = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("transform(split(text, ' '), t -> md5(t))").as("hs"))
+        .select(col("doc_id"), expr(
+          """concat_ws('', transform(sequence(0, 63), k ->
+            |  CASE WHEN aggregate(hs, 0, (acc, h) ->
+            |    acc + 2*((instr('0123456789abcdef',
+            |                    substr(h, CAST(k div 4 AS INT)+1, 1)) - 1)
+            |             >> CAST(k % 4 AS INT) & 1) - 1) > 0
+            |  THEN '1' ELSE '0' END))""".stripMargin).as("fp"))
+      val blocks = fps.select(col("doc_id"), col("fp"),
+        posexplode(expr(
+          "transform(sequence(0, 3), j -> substring(fp, 16*j+1, 16))"))
+          .as(Seq("j", "blk")))
+      val a = blocks.select(col("doc_id").as("a_id"), col("fp").as("fa"),
+        col("j"), col("blk"))
+      val b = blocks.select(col("doc_id").as("b_id"), col("fp").as("fb"),
+        col("j"), col("blk"))
+      a.join(b, a("j") === b("j") && a("blk") === b("blk") &&
+          col("a_id") < col("b_id"))
+        .groupBy(col("a_id"), col("b_id"))
+        .agg(any_value(col("fa")).as("fa"), any_value(col("fb")).as("fb"))
+        .select(col("a_id"), col("b_id"), expr(
+          """aggregate(sequence(1, 64), 0, (acc, i) ->
+            |  acc + IF(substring(fa, i, 1) = substring(fb, i, 1), 0, 1))""".stripMargin)
+          .as("hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding-cosine near-dup: exact all-pairs baseline (the LSH-pruned
+    // scale path is q41 in Similarity.scala). cos >= 0.4 on this corpus
+    // marks the near-duplicate tail (max observed cos ~0.51).
+    QuerySpec.sqlBacked("q39_dedup_embed_cosine",
+      s"""WITH n AS (SELECT vec_id, embedding,
+         |    sqrt(${dotSql("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |  ${dotSql("a.embedding", "b.embedding")}/(a.nrm*b.nrm) AS cos
+         |FROM n a JOIN n b ON a.vec_id < b.vec_id
+         |WHERE ${dotSql("a.embedding", "b.embedding")}/(a.nrm*b.nrm) >= 0.4
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val n = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dot("embedding", "embedding")).as("nrm"))
+      val a = n.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(b, col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (dot("ea", "eb") / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy(col("a_id"), col("b_id"))
+    }
+  )
+}
