@@ -47,14 +47,11 @@ object Dedup {
       |FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
       |WHERE len(ws) >= 3""".stripMargin
 
-  /** Exact left-fold dot product over the 64-dim float embeddings, with
-    * per-element double casts so both engines fold identical doubles. */
-  private def dot(a: String, b: String): Column = expr(
-    s"""aggregate(sequence(0, 63), CAST(0 AS DOUBLE),
-       |  (acc, i) -> acc + CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))""".stripMargin)
+  /** Exact left-fold dot product (shared with Similarity). */
+  private def dot(a: String, b: String): Column = graft.functions.Vectors.dot(a, b)
 
   private def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    graft.functions.Vectors.dotSql(a, b)
 
   val specs: Seq[QuerySpec] = Seq(
 

@@ -1,0 +1,185 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (north-star extension class). Three escalating strategies:
+  *
+  *  - q40 brute-force: exact cosine top-k, the correctness baseline.
+  *  - q41 LSH: signed-random-projection bucketing — only same-bucket pairs
+  *    are scored. The hyperplanes are deterministic (md5-derived +-1
+  *    weights, [[Vectors.srpBit]]) so the DuckDB oracle is bit-exact.
+  *  - q42 IVF: the table's `label` column is the inverted-list partition;
+  *    centroid = per-dim exact-decimal SUM per label (cosine is
+  *    scale-invariant, so sum ≙ mean but order-independent across
+  *    partitionings — see graft.functions.Cols on why decimal). Query →
+  *    nearest centroid (nprobe=1) → exact search inside that list only.
+  *
+  * Scale design (100 TB): the query set and the centroid table are tiny and
+  * broadcast; scoring is a per-row projection over the corpus scan. LSH/IVF
+  * prune the scan to one bucket/list per query — the classic sub-linear ANN
+  * path. The final top-k window partitions by q_id, which is fine for
+  * few-query serving; a million-query batch join would instead aggregate
+  * per (q_id) with a bounded heap — noted here, not needed for the gate.
+  * The reference engine has no vector search at all (SURVEY §1.3).
+  */
+object Similarity {
+  private val K = 5 // neighbors per query
+
+  /** Query set: every 50th vector (10 queries at the 500-row test SFs). */
+  private val isQuery = "vec_id % 50 = 0"
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sqrt(Vectors.dot("embedding", "embedding")).as("nrm"))
+
+  private val corpusSql =
+    s"""SELECT vec_id, embedding, label,
+       |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm
+       |FROM embeddings""".stripMargin
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // Brute-force exact cosine top-k: broadcast the 10-row query side
+    // against the corpus scan, score every pair, window top-k per query.
+    QuerySpec.sqlBacked("q40_knn_brute",
+      s"""WITH n AS ($corpusSql)
+         |SELECT q_id, nb_id, rn, cos FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+         |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
+         |               c.vec_id) AS rn
+         |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |  WHERE q.$isQuery)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val n = corpus(s, dir)
+      val q = broadcast(n.filter(expr(isQuery))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn")))
+      val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("nb_id"))
+      q.join(c, col("q_id") =!= col("nb_id"))
+        .select(col("q_id"), col("nb_id"),
+          (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("q_id"), col("nb_id"), col("rn"), col("cos"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
+    // LSH-bucketed ANN: 4 signed-random-projection bits → 16 buckets;
+    // score only same-bucket pairs (candidate set ~1/16 of the corpus per
+    // query at uniform spread). Equi-join on the bucket key — a hash
+    // join, not a cross join, so it scales.
+    QuerySpec.sqlBacked("q41_knn_lsh", {
+      val bitsSql = (0 until 4)
+        .map(j => s"(${Vectors.srpBitSql("embedding", j)})::VARCHAR")
+        .mkString(" || ")
+      s"""WITH n AS ($corpusSql),
+         |b AS (SELECT vec_id, embedding, nrm, $bitsSql AS bkt FROM n)
+         |SELECT q_id, nb_id, rn, cos FROM (
+         |  SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+         |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
+         |               c.vec_id) AS rn
+         |  FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |  WHERE q.$isQuery)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      val bkt = concat((0 until 4)
+        .map(j => Vectors.srpBit("embedding", j).cast("string")): _*)
+      val b = corpus(s, dir).withColumn("bkt", bkt)
+      val q = broadcast(b.filter(expr(isQuery))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("bkt")))
+      val c = b.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("bkt").as("cbkt"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("nb_id"))
+      q.join(c, col("bkt") === col("cbkt") && col("q_id") =!= col("nb_id"))
+        .select(col("q_id"), col("nb_id"),
+          (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("q_id"), col("nb_id"), col("rn"), col("cos"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
+    // IVF: label = inverted list. Exact-decimal per-dim sums make the
+    // centroids order-independent; cosine's scale invariance makes the
+    // un-normalized sum rank identically to the mean. nprobe=1.
+    QuerySpec.sqlBacked("q42_knn_ivf", {
+      val cSumsSql = (0 until Vectors.Dim)
+        .map(i => s"CAST(sum(CAST(embedding[${i + 1}] AS DECIMAL(18,6))) AS DOUBLE) AS c$i")
+        .mkString(", ")
+      val cArrSql = (0 until Vectors.Dim).map(i => s"c$i").mkString("[", ",", "]")
+      s"""WITH n AS ($corpusSql),
+         |cent AS (SELECT label, $cSumsSql FROM embeddings GROUP BY label),
+         |cent2 AS (SELECT label, $cArrSql AS ce,
+         |    sqrt(${Vectors.dotSql(s"$cArrSql", s"$cArrSql")}) AS cn FROM cent),
+         |probe AS (SELECT q_id, plabel FROM (
+         |    SELECT q.vec_id AS q_id, t.label AS plabel,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${Vectors.dotSql("q.embedding", "t.ce")}/(q.nrm*t.cn) DESC,
+         |                 t.label) AS crn
+         |    FROM n q, cent2 t WHERE q.$isQuery)
+         |  WHERE crn = 1)
+         |SELECT q_id, nb_id, rn, cos FROM (
+         |  SELECT p.q_id, c.vec_id AS nb_id,
+         |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos,
+         |    row_number() OVER (PARTITION BY p.q_id
+         |      ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
+         |               c.vec_id) AS rn
+         |  FROM probe p JOIN n q ON q.vec_id = p.q_id
+         |  JOIN n c ON c.label = p.plabel AND c.vec_id <> p.q_id)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val cSums = (0 until Vectors.Dim).map(i =>
+        sum(expr(s"CAST(embedding[$i] AS DECIMAL(18,6))")).cast("double").as(s"c$i"))
+      val cent = emb.groupBy(col("label")).agg(cSums.head, cSums.tail: _*)
+        .select(col("label"),
+          array((0 until Vectors.Dim).map(i => col(s"c$i")): _*).as("ce"))
+        .select(col("label"), col("ce"),
+          sqrt(Vectors.dot("ce", "ce")).as("cn"))
+      val n = corpus(s, dir)
+      val q = n.filter(expr(isQuery))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      // probe: nearest centroid per query (both sides tiny; broadcast)
+      val wc = Window.partitionBy(col("q_id"))
+        .orderBy(col("ccos").desc, col("label"))
+      val probe = q.crossJoin(broadcast(cent))
+        .select(col("q_id"), col("qe"), col("qn"), col("label"),
+          (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("ccos"))
+        .withColumn("crn", row_number().over(wc))
+        .filter(col("crn") === 1)
+        .select(col("q_id"), col("qe"), col("qn"), col("label").as("plabel"))
+      val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce2"),
+        col("nrm").as("cn2"), col("label"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("nb_id"))
+      broadcast(probe)
+        .join(c, col("label") === col("plabel") && col("q_id") =!= col("nb_id"))
+        .select(col("q_id"), col("nb_id"),
+          (Vectors.dot("qe", "ce2") / (col("qn") * col("cn2"))).as("cos"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("q_id"), col("nb_id"), col("rn"), col("cos"))
+        .orderBy(col("q_id"), col("rn"))
+    }
+  )
+}
