@@ -1,0 +1,194 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** DataStream-flavored facade over Spark Datasets — the reference's public
+  * API surface (SURVEY §2.1–2.5) re-expressed Spark-first.
+  *
+  * Reference shape: `DataStream<T>` = lazy transformation DAG over an
+  * unbounded stream (`streaming/api/datastream/DataStream.java:42-56` in
+  * /root/reference). Here the DAG is the Dataset logical plan: `map/flatMap/
+  * filter` declare Catalyst nodes, chaining/fusion is WholeStageCodegen, the
+  * shuffle behind `keyBy` is `HashPartitioning` — none of the reference's
+  * runtime layers (StreamGraph/JobGraph/MiniCluster/mailbox, SURVEY §3) are
+  * reimplemented because Spark provides them.
+  *
+  * The same facade fronts bounded (batch `Dataset`) and unbounded
+  * (Structured Streaming) plans — `isStreaming` on the underlying Dataset
+  * decides how terminal ops execute, mirroring how the reference runs its
+  * one API over finite `fromElements` and infinite `addSource` inputs.
+  */
+final class GStream[T](val ds: Dataset[T]) {
+
+  /** 1→1 transform ≙ DataStream.map (DataStream.java:136-146). */
+  def map[R: Encoder](f: T => R): GStream[R] = new GStream(ds.map(f))
+
+  /** 1→N transform ≙ DataStream.flatMap (DataStream.java:148-159). */
+  def flatMap[R: Encoder](f: T => IterableOnce[R]): GStream[R] =
+    new GStream(ds.flatMap(f(_).iterator))
+
+  /** Predicate keep/drop ≙ DataStream.filter (DataStream.java:161-180). */
+  def filter(p: T => Boolean): GStream[T] = new GStream(ds.filter(p))
+
+  /** Hash-repartition by a key function ≙ keyBy (KeyedStream.java:61-88).
+    * Keys are functions, not columns, exactly like the reference's
+    * KeySelector (SURVEY §1.4); Spark's HashPartitioning replaces the
+    * murmur key-group scheme — no 128-group indirection is replicated
+    * because Spark state rescales per shuffle partition. */
+  def keyBy[K: Encoder](f: T => K)(implicit et: Encoder[T]): KeyedGStream[K, T] =
+    new KeyedGStream(ds, ds.groupByKey(f), f)
+
+  /** ≙ DataStream.union — same-type stream merge (SURVEY §2.7). */
+  def union(other: GStream[T]): GStream[T] = new GStream(ds.union(other.ds))
+
+  /** Round-robin redistribution ≙ rebalance (RebalancePartitioner.java). */
+  def rebalance(n: Int): GStream[T] = new GStream(ds.repartition(n))
+
+  /** ≙ SingleOutputStreamOperator.setParallelism — in Spark, parallelism
+    * is the partition count of the stage. */
+  def setParallelism(n: Int): GStream[T] = rebalance(n)
+
+  /** ≙ print() sink (PrintSinkFunction.java:40-86): batch → show all rows;
+    * streaming → console sink per microbatch. */
+  def print(): Unit =
+    if (ds.isStreaming)
+      ds.writeStream.format("console").outputMode(OutputMode.Append).start()
+    else ds.show(Int.MaxValue, truncate = false)
+
+  /** ≙ addSink(SinkFunction): per-element terminal callback
+    * (SinkFunction.java:31-79). Batch foreach; for streaming use
+    * `toDataset.writeStream.foreach(ForeachWriter)`. */
+  def addSink(f: T => Unit): Unit = ds.foreach(f(_))
+
+  /** Escape hatch ≙ DataStream.transform (DataStream.java:225-284): attach
+    * arbitrary per-partition logic. Catalyst sees an opaque node, so use
+    * only where declarative ops genuinely can't express the semantics. */
+  def transform[R: Encoder](f: Iterator[T] => Iterator[R]): GStream[R] =
+    new GStream(ds.mapPartitions(f))
+
+  def toDataset: Dataset[T] = ds
+}
+
+/** Keyed stream ≙ KeyedStream<T,K> (KeyedStream.java:42-88): gates keyed
+  * state + keyed aggregation. Wraps KeyValueGroupedDataset.
+  */
+final class KeyedGStream[K, T](
+    private val input: Dataset[T],
+    val grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, T],
+    val keyFn: T => K)(implicit ek: Encoder[K], et: Encoder[T]) {
+
+  /** Keyed reduce with the reference's semantics
+    * (StreamGroupedReduce.java:35-55): fold each record into per-key state
+    * and emit the updated aggregate *per input record* (update-mode
+    * changelog output).
+    *
+    * Batch: only the final per-key value is observable downstream in the
+    * reference too (its sinks see the last update win), so this delegates
+    * to `reduceGroups` — a partial-aggregating, shuffle-once plan.
+    *
+    * Streaming: `flatMapGroupsWithState` in Update mode with a per-key
+    * `ValueState` (`GroupState[T]`), emitting every intermediate fold —
+    * one output per input record, in arrival order within the group, the
+    * exact emission sequence of the reference (SURVEY §7.4). */
+  def reduce(f: (T, T) => T): GStream[T] =
+    if (input.isStreaming) {
+      val step = (_: K, it: Iterator[T], state: GroupState[T]) => {
+        var acc = state.getOption
+        val out = it.map { v =>
+          acc = Some(acc.fold(v)(f(_, v)))
+          state.update(acc.get)
+          acc.get
+        }
+        out
+      }
+      new GStream(grouped.flatMapGroupsWithState(
+        OutputMode.Update, GroupStateTimeout.NoTimeout)(step))
+    } else {
+      new GStream(grouped.reduceGroups(f).map(_._2))
+    }
+
+  /** Running sum over a numeric projection ≙ KeyedStream sum machinery
+    * (SumAggregator.java / SumFunction.java, dead code in the reference —
+    * SURVEY §2.3 — restored here). Selector functions replace the
+    * reflective FieldAccessor: `sumBy(_.f1)((a,b) => copy)` composes with
+    * [[reduce]] so the update-mode semantics carry over. */
+  def sumBy(merge: (T, T) => T): GStream[T] = reduce(merge)
+
+  /** ≙ ComparableAggregator MIN/MINBY: keep the element whose projection
+    * is smallest (minBy keeps the whole record, like the reference). */
+  def minBy[C: Ordering](sel: T => C): GStream[T] =
+    reduce((a, b) => if (Ordering[C].lteq(sel(a), sel(b))) a else b)
+
+  /** ≙ ComparableAggregator MAX/MAXBY. */
+  def maxBy[C: Ordering](sel: T => C): GStream[T] =
+    reduce((a, b) => if (Ordering[C].gteq(sel(a), sel(b))) a else b)
+
+  /** ≙ KeyedProcessFunction (KeyedProcessFunction.java:52-125): per-record
+    * processing with per-key ValueState and a timer. Spark mapping: keyed
+    * state = `GroupState[S]`, processing-time timer = `GroupStateTimeout.
+    * ProcessingTimeTimeout` — `onTimer` fires when the key times out, the
+    * same callback contract as the reference's timer service
+    * (InternalTimerServiceImpl.java:183-201).
+    *
+    * Streaming-only (the reference's process functions are inherently
+    * stateful-streaming; batch callers use map/mapPartitions). */
+  def process[S: Encoder, O: Encoder](pf: KeyedProcess[K, T, S, O]): GStream[O] = {
+    val step = (key: K, it: Iterator[T], state: GroupState[S]) => {
+      if (state.hasTimedOut) {
+        val out = pf.onTimer(key, Ctx(state))
+        state.remove()
+        out.iterator
+      } else {
+        val out = it.flatMap(v => pf.processElement(key, v, Ctx(state)))
+        out
+      }
+    }
+    new GStream(grouped.flatMapGroupsWithState(
+      OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(step))
+  }
+}
+
+/** Mutable per-key state + timer handle passed to [[KeyedProcess]] — the
+  * facade's `ValueState` + `TimerService` (ValueState.java, TimerService.
+  * java:39-59). */
+final case class Ctx[S](gs: GroupState[S]) {
+  def value: Option[S] = gs.getOption
+  def update(s: S): Unit = gs.update(s)
+  def clear(): Unit = gs.remove()
+  /** Register a processing-time timer `delayMs` from now (per key; the
+    * latest registration wins, like re-registering in the reference). */
+  def registerTimer(delayMs: Long): Unit =
+    gs.setTimeoutDuration(delayMs)
+}
+
+/** User contract ≙ KeyedProcessFunction<K,I,O>. */
+trait KeyedProcess[K, I, S, O] extends Serializable {
+  def processElement(key: K, value: I, ctx: Ctx[S]): IterableOnce[O]
+  /** Fired when the key's processing-time timer expires. */
+  def onTimer(key: K, ctx: Ctx[S]): IterableOnce[O] = Nil
+}
+
+/** ≙ StreamExecutionEnvironment (SURVEY §2.1): source construction. */
+final class StreamEnv(val spark: SparkSession) {
+  import spark.implicits._
+
+  /** Bounded source from elements ≙ env.fromElements
+    * (StreamExecutionEnvironment.java:159-174). */
+  def fromElements[T: Encoder](xs: T*): GStream[T] =
+    new GStream(spark.createDataset(xs))
+
+  /** ≙ env.fromCollection (StreamExecutionEnvironment.java:176-187). */
+  def fromCollection[T: Encoder](xs: Seq[T]): GStream[T] =
+    new GStream(spark.createDataset(xs))
+
+  /** Unbounded source ≙ env.addSource(SourceFunction): tests feed a
+    * MemoryStream; production sources are `spark.readStream` formats. */
+  def fromDataset[T](ds: Dataset[T]): GStream[T] = new GStream(ds)
+}
+
+object StreamEnv {
+  def apply(spark: SparkSession): StreamEnv = new StreamEnv(spark)
+  implicit def tuple2Encoder[A: Encoder, B: Encoder]: Encoder[(A, B)] =
+    Encoders.tuple(implicitly[Encoder[A]], implicitly[Encoder[B]])
+}

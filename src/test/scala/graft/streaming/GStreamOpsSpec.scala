@@ -1,0 +1,88 @@
+package graft.streaming
+
+import graft.SparkSpec
+
+/** Per-operator unit tests for the facade (SURVEY §2.2–2.4) plus the
+  * SURVEY §5.2 properties — permutation invariance of keyed reduce for
+  * commutative-associative functions, and repartitioning invariance —
+  * checked over seeded random samples (the scalatest-scalacheck bridge
+  * artifact is not in the offline cache, so no Gen/forAll).
+  */
+class GStreamOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def env = StreamEnv(spark)
+
+  test("map: 1-to-1 transform") {
+    assert(env.fromElements(1, 2, 3).map(_ * 2).toDataset.collect().sorted
+      .sameElements(Array(2, 4, 6)))
+  }
+
+  test("flatMap: 1-to-N via iterator") {
+    assert(env.fromElements("a b", "c").flatMap(_.split(" "))
+      .toDataset.collect().sorted.sameElements(Array("a", "b", "c")))
+  }
+
+  test("filter: predicate keep") {
+    assert(env.fromElements(1, 2, 3, 4).filter(_ % 2 == 0)
+      .toDataset.collect().sorted.sameElements(Array(2, 4)))
+  }
+
+  test("union: same-type merge keeps duplicates") {
+    val a = env.fromElements(1, 2)
+    val b = env.fromElements(2, 3)
+    assert(a.union(b).toDataset.collect().sorted.sameElements(Array(1, 2, 2, 3)))
+  }
+
+  test("rebalance: repartition preserves data") {
+    val s = env.fromCollection((1 to 100).toList)
+    val r = s.rebalance(7)
+    assert(r.toDataset.rdd.getNumPartitions == 7)
+    assert(r.toDataset.collect().sorted.toSeq == (1 to 100).toSeq)
+  }
+
+  test("transform escape hatch: per-partition logic") {
+    val out = env.fromCollection((1 to 10).toList).rebalance(2)
+      .transform(it => Iterator.single(it.sum))
+      .toDataset.collect()
+    assert(out.sum == 55)
+  }
+
+  test("keyBy + minBy/maxBy keep the full record like the reference") {
+    val data = Seq(("a", 3, "x"), ("a", 1, "y"), ("b", 2, "z"))
+    val mins = env.fromCollection(data).keyBy(_._1)
+      .minBy(_._2).toDataset.collect().toSet
+    assert(mins == Set(("a", 1, "y"), ("b", 2, "z")))
+    val maxs = env.fromCollection(data).keyBy(_._1)
+      .maxBy(_._2).toDataset.collect().toSet
+    assert(maxs == Set(("a", 3, "x"), ("b", 2, "z")))
+  }
+
+  test("property: keyed reduce is permutation-invariant for comm-assoc fns") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val data0 = List.fill(40)(
+        (s"k${rnd.nextInt(3)}", rnd.nextInt(201) - 100))
+      val expected = data0.groupBy(_._1).map { case (k, vs) =>
+        (k, vs.map(_._2).sum)
+      }.toSet
+      val got = env.fromCollection(data0).keyBy(_._1)
+        .reduce((a, b) => (a._1, a._2 + b._2)).toDataset.collect().toSet
+      assert(got == expected)
+      val shuffled = rnd.shuffle(data0)
+      val got2 = env.fromCollection(shuffled).keyBy(_._1)
+        .reduce((a, b) => (a._1, a._2 + b._2)).toDataset.collect().toSet
+      assert(got2 == expected)
+    }
+  }
+
+  test("property: results independent of partition count") {
+    val data = (1 to 200).map(i => (s"k${i % 7}", i))
+    val expected = data.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+    for (n <- Seq(1, 3, 16)) {
+      val got = env.fromCollection(data).rebalance(n).keyBy(_._1)
+        .maxBy(_._2).toDataset.collect().map(t => t._1 -> t._2).toMap
+      assert(got == expected)
+    }
+  }
+}
