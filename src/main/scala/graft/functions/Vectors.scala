@@ -15,24 +15,54 @@ import org.apache.spark.sql.functions.expr
 object Vectors {
   val Dim = 64 // embeddings table: embedding FLOAT[64] (FIXTURES.md)
 
-  /** Exact dot product: left fold over double-cast elements. */
+  /** Exact dot product, unrolled into a 64-term left-associated sum: the
+    * same accumulation order as a left fold (so bit-identical to the
+    * DuckDB twin), but straight-line arithmetic that stays inside
+    * WholeStageCodegen — ~20x faster than an interpreted `aggregate`
+    * higher-order lambda on the all-pairs paths (q39/q40). */
   def dot(a: String, b: String): Column = expr(
-    s"""aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE),
-       |  (acc, i) -> acc + CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))""".stripMargin)
+    (0 until Dim)
+      .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")"))
 
-  /** DuckDB twin of [[dot]] (list_sum of a list_transform is a left fold;
-    * DuckDB lists are 1-indexed, Spark arrays 0-indexed). */
+  /** DuckDB twin of [[dot]] — identical term order, left-assoc `+`
+    * (DuckDB lists are 1-indexed, Spark arrays 0-indexed). The outer
+    * parens matter: callers embed this string in `.../(x*y)` contexts,
+    * where an unparenthesized chain would bind only its last term. */
   def dotSql(a: String, b: String): String =
-    s"list_sum(list_transform(range(1, ${Dim + 1}), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+    (1 to Dim)
+      .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("(", " + ", ")")
 
-  /** Signed random projection bit j: sign of <v, h_j> where hyperplane h_j
-    * has deterministic pseudo-random +-1 weights derived from md5("j:i")'s
-    * first hex nibble parity. Portable: identical hashes in both engines. */
+  /** JVM twin of [[dot]]: identical left-to-right double accumulation, so
+    * bit-exact vs the SQL/oracle chains. For hot all-pairs loops where
+    * codegen bails out on 64-term expression trees (q39): a while-loop is
+    * ~500x faster than interpreted Catalyst expression evaluation. */
+  def dotJvm(a: Array[Float], b: Array[Float]): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < Dim) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** +-1 weight of hyperplane j at dim i: parity of md5("j:i")'s first hex
+    * nibble. Precomputed driver-side for the Spark plan (the md5 of a
+    * constant is a constant); the DuckDB oracle computes the same value
+    * inline, so both engines use identical hyperplanes. */
+  private def srpWeight(j: Int, i: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$i".getBytes("UTF-8"))
+    val nib = (h(0) >> 4) & 0xf // value of the first hex char
+    2 * ((nib + 1) % 2) - 1     // instr('0123...f', c) = nib+1
+  }
+
+  /** Signed random projection bit j: sign of <v, h_j>, unrolled with
+    * literal weights (codegen-friendly; same left-assoc accumulation order
+    * as the oracle's fold). */
   def srpBit(v: String, j: Int): Column = expr(
-    s"""IF(aggregate(sequence(0, ${Dim - 1}), CAST(0 AS DOUBLE),
-       |  (acc, i) -> acc + CAST($v[i] AS DOUBLE) *
-       |    (2 * (instr('0123456789abcdef', substr(md5(concat('$j:', i)), 1, 1)) % 2) - 1))
-       |  >= 0, 1, 0)""".stripMargin)
+    "IF(" + (0 until Dim)
+      .map(i => s"CAST($v[$i] AS DOUBLE) * ${srpWeight(j, i)}")
+      .mkString(" + ") + " >= 0, 1, 0)")
 
   def srpBitSql(v: String, j: Int): String =
     s"""CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),

@@ -185,16 +185,27 @@ object Dedup {
          |  FROM cand)
          |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
-      val fps = Tables(s, dir, "documents")
-        .select(col("doc_id"),
-          expr("transform(split(text, ' '), t -> md5(t))").as("hs"))
+      // Majority votes are exact integer sums -> order-independent, so the
+      // Spark plan is free to restructure: compute each DISTINCT token's
+      // 64 signed bits once (vocabulary << corpus), broadcast-join them
+      // back, and fold per-doc elementwise. Turns 64 md5-nibble extracts
+      // per (doc, token) into 64 per vocab entry + cheap int adds.
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val vocab = toks.select(col("tok")).distinct()
+        .withColumn("sb", expr(
+          """transform(sequence(0, 63), k ->
+            |  2*((instr('0123456789abcdef',
+            |            substr(md5(tok), CAST(k div 4 AS INT)+1, 1)) - 1)
+            |     >> CAST(k % 4 AS INT) & 1) - 1)""".stripMargin))
+      val fps = toks.join(broadcast(vocab), "tok")
+        .groupBy(col("doc_id"))
+        .agg(collect_list(col("sb")).as("bs"))
         .select(col("doc_id"), expr(
-          """concat_ws('', transform(sequence(0, 63), k ->
-            |  CASE WHEN aggregate(hs, 0, (acc, h) ->
-            |    acc + 2*((instr('0123456789abcdef',
-            |                    substr(h, CAST(k div 4 AS INT)+1, 1)) - 1)
-            |             >> CAST(k % 4 AS INT) & 1) - 1) > 0
-            |  THEN '1' ELSE '0' END))""".stripMargin).as("fp"))
+          """concat_ws('', transform(
+            |  aggregate(bs, array_repeat(0, 64),
+            |    (acc, b) -> zip_with(acc, b, (x, y) -> x + y)),
+            |  s -> IF(s > 0, '1', '0')))""".stripMargin).as("fp"))
       val blocks = fps.select(col("doc_id"), col("fp"),
         posexplode(expr(
           "transform(sequence(0, 3), j -> substring(fp, 16*j+1, 16))"))
@@ -228,17 +239,38 @@ object Dedup {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")}/(a.nrm*b.nrm) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val n = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          sqrt(dot("embedding", "embedding")).as("nrm"))
-      val a = n.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
-        col("nrm").as("na"))
-      val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
-        col("nrm").as("nb"))
-      a.join(b, col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          (dot("ea", "eb") / (col("na") * col("nb"))).as("cos"))
-        .filter(col("cos") >= 0.4)
+      // Typed broadcast + while-loop scoring instead of a declarative
+      // cross join: the 64-term cos expression lands in the BNLJ join
+      // condition, blows past codegen's method limits, and the whole
+      // stage falls back to interpreted expression trees (~35us/pair).
+      // The JVM loop (Vectors.dotJvm, identical accumulation order) is
+      // ~500x faster. One corpus copy is broadcast — the same memory
+      // shape a BroadcastNestedLoopJoin would use; all-pairs is the
+      // exact small-corpus baseline, the 100 TB path is q41's LSH.
+      import s.implicits._
+      val emb = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .as[(Long, Array[Float])]
+      val corpus = emb.collect().sortBy(_._1)
+      val norms = corpus.map { case (_, v) =>
+        math.sqrt(graft.functions.Vectors.dotJvm(v, v)) }
+      val bc = s.sparkContext.broadcast((corpus, norms))
+      emb.repartition(s.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val (cs, ns) = bc.value
+          it.flatMap { case (aId, av) =>
+            val na = math.sqrt(graft.functions.Vectors.dotJvm(av, av))
+            Iterator.range(0, cs.length).flatMap { i =>
+              val (bId, bv) = cs(i)
+              if (aId < bId) {
+                val c = graft.functions.Vectors.dotJvm(av, bv) / (na * ns(i))
+                if (c >= 0.4) Iterator.single((aId, bId, c))
+                else Iterator.empty
+              } else Iterator.empty
+            }
+          }
+        }
+        .toDF("a_id", "b_id", "cos")
         .orderBy(col("a_id"), col("b_id"))
     }
   )
