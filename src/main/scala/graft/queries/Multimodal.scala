@@ -1,0 +1,122 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column operators (north-star extension class): treat
+  * image/audio/video payloads as opaque `binary` columns with typed
+  * metadata, and run decode / frame-sample / feature-extract as
+  * distributed per-partition operators.
+  *
+  * The test corpus has no real media, so the payload is synthesized
+  * deterministically (`cast(text AS binary)` ≙ DuckDB `encode(text)`) and
+  * the decode step is a clearly-marked deterministic fake ([[FakeDecoder]]);
+  * the Spark-side plumbing — binary schema, metadata projection, frame
+  * slicing, fixed-shape feature batches via mapPartitions — is real and is
+  * what a production pipeline would keep, swapping only the decoder body.
+  *
+  * Scale design (100 TB): every operator here is a per-row projection or
+  * per-partition map over the payload scan — no shuffle; parquet stores
+  * binary columns page-compressed, and column pruning means metadata-only
+  * queries never read payload bytes. Cross-engine parity runs over
+  * `hex(payload)` because DuckDB's substring/md5 are VARCHAR-only.
+  */
+object Multimodal {
+
+  /** Deterministic fake decoder — stands in for an image/audio codec
+    * (libs not present in this container). Produces a fixed-shape
+    * "feature" row per payload: 8 doubles, each the sum of one stripe of
+    * payload bytes, plus fake width/height parsed from the first bytes.
+    * Deterministic in the payload alone, so results are partition- and
+    * retry-invariant. */
+  object FakeDecoder extends Serializable {
+    val FeatureDim = 8
+    def decode(payload: Array[Byte]): (Int, Int, Array[Double]) = {
+      val w = 1 + (payload.headOption.getOrElse(0: Byte) & 0x7f)
+      val h = 1 + (payload.drop(1).headOption.getOrElse(0: Byte) & 0x7f)
+      val feat = new Array[Double](FeatureDim)
+      var i = 0
+      while (i < payload.length) {
+        feat(i % FeatureDim) += (payload(i) & 0xff).toDouble
+        i += 1
+      }
+      (w, h, feat)
+    }
+  }
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // Typed metadata over opaque payloads: size, magic bytes, kind
+    // classification, frame count at a fixed 32-byte frame stride.
+    // Column pruning keeps this scan payload-free in a real layout where
+    // metadata is stored alongside the blob.
+    QuerySpec.sqlBacked("q43_mm_metadata",
+      """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |  substr(hex(encode(text)), 1, 8) AS magic,
+        |  CASE WHEN octet_length(encode(text)) >= 400 THEN 'video'
+        |       WHEN octet_length(encode(text)) >= 200 THEN 'audio'
+        |       ELSE 'image' END AS kind,
+        |  CAST(ceil(octet_length(encode(text)) / 32.0) AS BIGINT) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          substring(hex(col("payload")), 1, 8).as("magic"),
+          when(octet_length(col("payload")) >= 400, "video")
+            .when(octet_length(col("payload")) >= 200, "audio")
+            .otherwise("image").as("kind"),
+          ceil(octet_length(col("payload")) / 32.0).cast("long").as("n_frames"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Frame sampling: cut the payload into 32-byte frames (64 hex chars),
+    // keep every 4th frame, fingerprint each — the video-keyframe-sample
+    // shape. Pure projection; explodes to one row per sampled frame.
+    QuerySpec.sqlBacked("q44_mm_framesample",
+      """SELECT doc_id, frame_no, md5(frame) AS frame_fp FROM (
+        |  SELECT doc_id, 4*(j-1) AS frame_no,
+        |    substr(hx, 256*(j-1)+1, 64) AS frame
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |    unnest(range(1, 1 + CAST(ceil(len(hx)/256.0) AS BIGINT))) AS t(j))
+        |WHERE len(frame) > 0 ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+        .select(col("doc_id"), expr(
+          """posexplode(transform(
+            |  sequence(1, CAST(ceil(length(hx)/256.0) AS INT)),
+            |  j -> substring(hx, 256*(j-1)+1, 64)))""".stripMargin)
+          .as(Seq("p", "frame")))
+        .select(col("doc_id"), (col("p") * 4).cast("long").as("frame_no"),
+          md5(col("frame")).as("frame_fp"), col("frame"))
+        .filter(length(col("frame")) > 0)
+        .select(col("doc_id"), col("frame_no"), col("frame_fp"))
+        .orderBy(col("doc_id"), col("frame_no"))
+    },
+
+    // ------------------------------------------------------------------
+    // Batch decode: per-partition typed map through the (stub) codec into
+    // fixed-shape feature rows. No SQL-expressible oracle (the decoder is
+    // imperative) -> rows-only gate; the scalatest spec checks shape and
+    // determinism. At scale this is the mapInPandas/mapPartitions slot a
+    // real decoder plugs into; partition count bounds codec parallelism.
+    QuerySpec.rowsOnly("q45_mm_decode") { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val (w, h, feat) = FakeDecoder.decode(payload)
+            (id, w, h, feat)
+          }
+        }
+        .toDF("doc_id", "width", "height", "features")
+        .orderBy(col("doc_id"))
+    }
+  )
+}
