@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Bounded file sources/sinks (SURVEY §2.1): the reference ships only the
+  * `InputFormat`/`OutputFormat` *interfaces* with no concrete format
+  * (`flink-core/.../api/common/io/InputFormat.java`, Dead row); Spark's
+  * DataSource v2 supplies parquet/csv/json/text with vectorized reads,
+  * predicate pushdown, and partitioned layouts. This facade standardizes
+  * options so round-trips are lossless (csv keeps headers + explicit null
+  * marker; json/parquet are schema-carrying).
+  *
+  * Scale note: `write` partitions by the dataframe's partitioning — at
+  * 100 TB, call `df.repartition(n)` (or partitionBy on a key column)
+  * first so file counts and sizes stay sane; readers parallelize per
+  * file split either way.
+  */
+object IO {
+  def readParquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def readCsv(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").option("nullValue", "\\N")
+      .option("inferSchema", "true").csv(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("header", "true").option("nullValue", "\\N").csv(path)
+
+  def readJson(s: SparkSession, path: String): DataFrame =
+    s.read.json(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def readText(s: SparkSession, path: String): DataFrame =
+    s.read.text(path)
+}
