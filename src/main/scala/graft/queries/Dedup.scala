@@ -31,9 +31,14 @@ object Dedup {
   private val K = 16 // minhash signature length
   private val B = 4  // bands (r = K/B = 4 rows per band)
 
-  /** doc_id + distinct word-3-gram shingles (pure projection). */
+  /** doc_id + distinct word-3-gram shingles (pure projection). The scan
+    * is repartitioned first: the test corpus is one small parquet file =
+    * one input split, which would serialize all shingling onto a single
+    * task; at 100 TB the input arrives pre-split and the repartition is
+    * a cheap no-op-sized shuffle. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= 3)
       .select(col("doc_id"), expr(
@@ -191,6 +196,7 @@ object Dedup {
       // back, and fold per-doc elementwise. Turns 64 md5-nibble extracts
       // per (doc, token) into 64 per vocab entry + cheap int adds.
       val toks = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val vocab = toks.select(col("tok")).distinct()
         .withColumn("sb", expr(
