@@ -39,6 +39,37 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("label"),
         sqrt(Vectors.dot("embedding", "embedding")).as("nrm"))
 
+  /** Score candidate pairs with the typed JVM loop ([[Vectors.dotJvm]],
+    * identical accumulation order to the SQL chain — bit-exact vs the
+    * oracle). Candidate *generation* stays declarative (broadcast /
+    * bucket / list equi-joins); only per-pair scoring drops to typed code
+    * because 64-term expression trees fall off the codegen path and cost
+    * ~35us/pair interpreted. Input needs columns
+    * (q_id, nb_id, qe, ce, qn, cn); returns (q_id, nb_id, cos). */
+  private def scoreTyped(pairs: DataFrame): DataFrame = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs
+      .select(col("q_id"), col("nb_id"), col("qe"), col("ce"),
+        col("qn"), col("cn"))
+      .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
+      .mapPartitions(_.map { case (qi, ni, qe, ce, qn, cn) =>
+        (qi, ni, Vectors.dotJvm(qe, ce) / (qn * cn))
+      })
+      .toDF("q_id", "nb_id", "cos")
+  }
+
+  /** Top-K per query by cosine with deterministic id tiebreak. */
+  private def topK(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nb_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("nb_id"), col("rn"), col("cos"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   private val corpusSql =
     s"""SELECT vec_id, embedding, label,
        |  sqrt(${Vectors.dotSql("embedding", "embedding")}) AS nrm
@@ -66,15 +97,7 @@ object Similarity {
           col("nrm").as("qn")))
       val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
         col("nrm").as("cn"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("nb_id"))
-      q.join(c, col("q_id") =!= col("nb_id"))
-        .select(col("q_id"), col("nb_id"),
-          (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
-        .select(col("q_id"), col("nb_id"), col("rn"), col("cos"))
-        .orderBy(col("q_id"), col("rn"))
+      topK(scoreTyped(q.join(c, col("q_id") =!= col("nb_id"))))
     },
 
     // ------------------------------------------------------------------
@@ -106,15 +129,8 @@ object Similarity {
           col("nrm").as("qn"), col("bkt")))
       val c = b.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("bkt").as("cbkt"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("nb_id"))
-      q.join(c, col("bkt") === col("cbkt") && col("q_id") =!= col("nb_id"))
-        .select(col("q_id"), col("nb_id"),
-          (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
-        .select(col("q_id"), col("nb_id"), col("rn"), col("cos"))
-        .orderBy(col("q_id"), col("rn"))
+      topK(scoreTyped(q.join(c,
+        col("bkt") === col("cbkt") && col("q_id") =!= col("nb_id"))))
     },
 
     // ------------------------------------------------------------------
@@ -168,18 +184,10 @@ object Similarity {
         .withColumn("crn", row_number().over(wc))
         .filter(col("crn") === 1)
         .select(col("q_id"), col("qe"), col("qn"), col("label").as("plabel"))
-      val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce2"),
-        col("nrm").as("cn2"), col("label"))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("nb_id"))
-      broadcast(probe)
-        .join(c, col("label") === col("plabel") && col("q_id") =!= col("nb_id"))
-        .select(col("q_id"), col("nb_id"),
-          (Vectors.dot("qe", "ce2") / (col("qn") * col("cn2"))).as("cos"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= K)
-        .select(col("q_id"), col("nb_id"), col("rn"), col("cos"))
-        .orderBy(col("q_id"), col("rn"))
+      val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
+        col("nrm").as("cn"), col("label"))
+      topK(scoreTyped(broadcast(probe).join(c,
+        col("label") === col("plabel") && col("q_id") =!= col("nb_id"))))
     }
   )
 }
