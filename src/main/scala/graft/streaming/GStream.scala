@@ -42,6 +42,20 @@ final class GStream[T](val ds: Dataset[T]) {
   /** ≙ DataStream.union — same-type stream merge (SURVEY §2.7). */
   def union(other: GStream[T]): GStream[T] = new GStream(ds.union(other.ds))
 
+  /** ≙ connect + CoMapFunction (cut from the reference, SURVEY §2.7):
+    * two differently-typed streams mapped into one output type, then
+    * merged. Spark has no binary operator node for this; mapping each
+    * side and unioning is plan-equivalent (both sides stay narrow). */
+  def connect[B](other: GStream[B]): ConnectedGStreams[T, B] =
+    new ConnectedGStreams(ds, other.ds)
+
+  /** ≙ event-time enablement: assign watermarked event time to a field
+    * (the reference's collectWithTimestamp/emitWatermark path is a no-op
+    * stub — StreamSourceContexts.java:74-93; Structured Streaming's
+    * `withWatermark` restores it). */
+  def withWatermark(eventTimeCol: String, delay: String): GStream[T] =
+    new GStream(ds.withWatermark(eventTimeCol, delay))
+
   /** Round-robin redistribution ≙ rebalance (RebalancePartitioner.java). */
   def rebalance(n: Int): GStream[T] = new GStream(ds.repartition(n))
 
@@ -126,14 +140,19 @@ final class KeyedGStream[K, T](
 
   /** ≙ KeyedProcessFunction (KeyedProcessFunction.java:52-125): per-record
     * processing with per-key ValueState and a timer. Spark mapping: keyed
-    * state = `GroupState[S]`, processing-time timer = `GroupStateTimeout.
-    * ProcessingTimeTimeout` — `onTimer` fires when the key times out, the
-    * same callback contract as the reference's timer service
-    * (InternalTimerServiceImpl.java:183-201).
+    * state = `GroupState[S]`; processing-time timer = `GroupStateTimeout.
+    * ProcessingTimeTimeout`, event-time timer = `EventTimeTimeout` (input
+    * must carry a watermark — [[GStream.withWatermark]]) — `onTimer`
+    * fires when the key times out, the same callback contract as the
+    * reference's timer service (InternalTimerServiceImpl.java:183-216:
+    * onProcessingTime / advanceWatermark).
     *
     * Streaming-only (the reference's process functions are inherently
     * stateful-streaming; batch callers use map/mapPartitions). */
-  def process[S: Encoder, O: Encoder](pf: KeyedProcess[K, T, S, O]): GStream[O] = {
+  def process[S: Encoder, O: Encoder](
+      pf: KeyedProcess[K, T, S, O],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
+      : GStream[O] = {
     val step = (key: K, it: Iterator[T], state: GroupState[S]) => {
       if (state.hasTimedOut) {
         val out = pf.onTimer(key, Ctx(state))
@@ -144,8 +163,7 @@ final class KeyedGStream[K, T](
         out
       }
     }
-    new GStream(grouped.flatMapGroupsWithState(
-      OutputMode.Update, GroupStateTimeout.ProcessingTimeTimeout)(step))
+    new GStream(grouped.flatMapGroupsWithState(OutputMode.Update, timeout)(step))
   }
 }
 
@@ -157,9 +175,30 @@ final case class Ctx[S](gs: GroupState[S]) {
   def update(s: S): Unit = gs.update(s)
   def clear(): Unit = gs.remove()
   /** Register a processing-time timer `delayMs` from now (per key; the
-    * latest registration wins, like re-registering in the reference). */
+    * latest registration wins, like re-registering in the reference).
+    * Requires the enclosing process() to use ProcessingTimeTimeout. */
   def registerTimer(delayMs: Long): Unit =
     gs.setTimeoutDuration(delayMs)
+  /** Register an event-time timer at `tsMillis`: fires when the stream's
+    * watermark passes it (≙ registerEventTimeTimer,
+    * InternalTimerServiceImpl.java:169/206-216). Requires
+    * EventTimeTimeout + a watermarked input. */
+  def registerEventTimer(tsMillis: Long): Unit =
+    gs.setTimeoutTimestamp(tsMillis)
+  /** Current event-time watermark (ms), 0 before the first advance. */
+  def currentWatermark: Long = gs.getCurrentWatermarkMs()
+}
+
+/** Two connected streams pending a co-map (≙ ConnectedStreams +
+  * CoMapFunction/CoFlatMapFunction, cut — SURVEY §2.7). */
+final class ConnectedGStreams[A, B](
+    private val a: org.apache.spark.sql.Dataset[A],
+    private val b: org.apache.spark.sql.Dataset[B]) {
+  def map[R: Encoder](fa: A => R, fb: B => R): GStream[R] =
+    new GStream(a.map(fa).union(b.map(fb)))
+  def flatMap[R: Encoder](fa: A => IterableOnce[R],
+      fb: B => IterableOnce[R]): GStream[R] =
+    new GStream(a.flatMap(fa(_).iterator).union(b.flatMap(fb(_).iterator)))
 }
 
 /** User contract ≙ KeyedProcessFunction<K,I,O>. */
