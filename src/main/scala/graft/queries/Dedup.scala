@@ -58,6 +58,42 @@ object Dedup {
   private def dotSql(a: String, b: String): String =
     graft.functions.Vectors.dotSql(a, b)
 
+  /** DuckDB simhash fingerprint (shared by q38/q46). NB: DuckDB's
+    * concat_ws stringifies a list argument ("[1, 0, …]") instead of
+    * joining its elements — array_to_string is the join. Expects a
+    * relation exposing `hs` = per-token md5 list. */
+  private val fpSql = """array_to_string(list_transform(range(0, 64), k ->
+    |  CASE WHEN list_sum(list_transform(hs, h ->
+    |    2*((strpos('0123456789abcdef', substr(h, k//4+1, 1)) - 1)
+    |       >> (k%4) & 1) - 1)) > 0
+    |  THEN '1' ELSE '0' END), '')""".stripMargin
+
+  /** Spark simhash fingerprints (doc_id, fp). Majority votes are exact
+    * integer sums -> order-independent, so the Spark plan restructures
+    * freely: compute each DISTINCT token's 64 signed bits once
+    * (vocabulary << corpus), broadcast-join them back, and fold per-doc
+    * elementwise. Turns 64 md5-nibble extracts per (doc, token) into 64
+    * per vocab entry + cheap int adds. */
+  private def simhashFps(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism) // single-file scan
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.select(col("tok")).distinct()
+      .withColumn("sb", expr(
+        """transform(sequence(0, 63), k ->
+          |  2*((instr('0123456789abcdef',
+          |            substr(md5(tok), CAST(k div 4 AS INT)+1, 1)) - 1)
+          |     >> CAST(k % 4 AS INT) & 1) - 1)""".stripMargin))
+    toks.join(broadcast(vocab), "tok")
+      .groupBy(col("doc_id"))
+      .agg(collect_list(col("sb")).as("bs"))
+      .select(col("doc_id"), expr(
+        """concat_ws('', transform(
+          |  aggregate(bs, array_repeat(0, 64),
+          |    (acc, b) -> zip_with(acc, b, (x, y) -> x + y)),
+          |  s -> IF(s > 0, '1', '0')))""".stripMargin).as("fp"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -165,17 +201,10 @@ object Dedup {
     // identical hash bits). Candidates via 4x16-bit block LSH, verified
     // with exact hamming distance <= 2.
     QuerySpec.sqlBacked("q38_dedup_simhash", {
-      // NB: DuckDB's concat_ws stringifies a list argument ("[1, 0, …]")
-      // instead of joining its elements — array_to_string is the join.
-      val fp = """array_to_string(list_transform(range(0, 64), k ->
-        |  CASE WHEN list_sum(list_transform(hs, h ->
-        |    2*((strpos('0123456789abcdef', substr(h, k//4+1, 1)) - 1)
-        |       >> (k%4) & 1) - 1)) > 0
-        |  THEN '1' ELSE '0' END), '')""".stripMargin
       s"""WITH toks AS (SELECT doc_id,
          |    list_transform(string_split(text, ' '), t -> md5(t)) AS hs
          |  FROM documents),
-         |fps AS (SELECT doc_id, $fp AS fp FROM toks),
+         |fps AS (SELECT doc_id, $fpSql AS fp FROM toks),
          |blocks AS (SELECT doc_id, fp, j, substr(fp, 16*j+1, 16) AS blk
          |           FROM fps, unnest([0,1,2,3]) AS t(j)),
          |cand AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
@@ -190,29 +219,7 @@ object Dedup {
          |  FROM cand)
          |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
-      // Majority votes are exact integer sums -> order-independent, so the
-      // Spark plan is free to restructure: compute each DISTINCT token's
-      // 64 signed bits once (vocabulary << corpus), broadcast-join them
-      // back, and fold per-doc elementwise. Turns 64 md5-nibble extracts
-      // per (doc, token) into 64 per vocab entry + cheap int adds.
-      val toks = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism) // single-file scan
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      val vocab = toks.select(col("tok")).distinct()
-        .withColumn("sb", expr(
-          """transform(sequence(0, 63), k ->
-            |  2*((instr('0123456789abcdef',
-            |            substr(md5(tok), CAST(k div 4 AS INT)+1, 1)) - 1)
-            |     >> CAST(k % 4 AS INT) & 1) - 1)""".stripMargin))
-      val fps = toks.join(broadcast(vocab), "tok")
-        .groupBy(col("doc_id"))
-        .agg(collect_list(col("sb")).as("bs"))
-        .select(col("doc_id"), expr(
-          """concat_ws('', transform(
-            |  aggregate(bs, array_repeat(0, 64),
-            |    (acc, b) -> zip_with(acc, b, (x, y) -> x + y)),
-            |  s -> IF(s > 0, '1', '0')))""".stripMargin).as("fp"))
-      val blocks = fps.select(col("doc_id"), col("fp"),
+      val blocks = simhashFps(s, dir).select(col("doc_id"), col("fp"),
         posexplode(expr(
           "transform(sequence(0, 3), j -> substring(fp, 16*j+1, 16))"))
           .as(Seq("j", "blk")))
@@ -278,6 +285,39 @@ object Dedup {
         }
         .toDF("a_id", "b_id", "cos")
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Canonical selection — the step after candidate detection in a real
+    // dedup pipeline: cluster by identical simhash fingerprint, keep the
+    // longest document per cluster (doc_id tiebreak), report how many
+    // near-dups were dropped. One window over the fp partitioning; at
+    // 100 TB fp is the shuffle key and clusters are tiny, so no skew.
+    QuerySpec.sqlBacked("q46_dedup_keep_best",
+      s"""WITH toks AS (SELECT doc_id, text,
+         |    list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+         |  FROM documents),
+         |fps AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+         |          $fpSql AS fp FROM toks),
+         |ranked AS (SELECT doc_id, fp, n_tok,
+         |    row_number() OVER (PARTITION BY fp ORDER BY n_tok DESC, doc_id)
+         |      AS rn,
+         |    count(*) OVER (PARTITION BY fp) AS sz
+         |  FROM fps)
+         |SELECT fp, doc_id AS keep_id, n_tok, sz - 1 AS n_dropped
+         |FROM ranked WHERE rn = 1 ORDER BY fp""".stripMargin) { (s, dir) =>
+      val nTok = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n_tok"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+      val wr = w.orderBy(col("n_tok").desc, col("doc_id"))
+      simhashFps(s, dir)
+        .join(nTok, "doc_id")
+        .withColumn("rn", row_number().over(wr))
+        .withColumn("sz", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("fp"), col("doc_id").as("keep_id"), col("n_tok"),
+          (col("sz") - 1).as("n_dropped"))
+        .orderBy(col("fp"))
     }
   )
 }

@@ -547,6 +547,31 @@ object Relational {
         .agg(toD(sum(revenue(col("l_extendedprice"), col("l_discount"))))
           .as("revenue"))
         .orderBy(col("n_name"))
+    },
+
+    // ------------------------------------------------------------------
+    // array functions: per-order sorted quantity vectors + element access
+    // (collect_list/sort_array/size/element_at/array_contains ≙ DuckDB
+    // list()/list_sort/len/[i]/list_contains). Sorting after collection
+    // makes the nondeterministic collect order canonical in both engines.
+    QuerySpec.sqlBacked("q47_array_funcs",
+      """SELECT l_orderkey,
+        |  list_sort(list(l_quantity)) AS qtys,
+        |  len(list(l_quantity)) AS n,
+        |  list_sort(list(l_quantity))[1] AS q_first,
+        |  list_sort(list(l_quantity))[-1] AS q_last,
+        |  list_contains(list(l_quantity), 10.0) AS has10
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin) {
+      (s, dir) =>
+        t(s, dir, "lineitem")
+          .groupBy(col("l_orderkey"))
+          .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
+          .select(col("l_orderkey"), col("qtys"),
+            size(col("qtys")).cast("long").as("n"),
+            element_at(col("qtys"), 1).as("q_first"),
+            element_at(col("qtys"), -1).as("q_last"),
+            array_contains(col("qtys"), 10.0).as("has10"))
+          .orderBy(col("l_orderkey"))
     }
   )
 }
