@@ -81,6 +81,33 @@ final class GStream[T](val ds: Dataset[T]) {
   def transform[R: Encoder](f: Iterator[T] => Iterator[R]): GStream[R] =
     new GStream(ds.mapPartitions(f))
 
+  /** ≙ RichMapFunction lifecycle (RichFunction.open/close,
+    * `api/common/functions/AbstractRichFunction.java`): `open` runs once
+    * per partition before the first record (connection setup, model
+    * load), `close` after the last. Spark-first shape: a mapPartitions
+    * whose setup cost amortizes across the partition — the same reason
+    * the reference scopes rich lifecycle per subtask, not per record. */
+  def mapRich[C, R: Encoder](open: () => C)(f: (C, T) => R)(
+      close: C => Unit = (_: C) => ()): GStream[R] =
+    new GStream(ds.mapPartitions { it =>
+      val ctx = open()
+      new Iterator[R] {
+        def hasNext: Boolean = {
+          val h = it.hasNext
+          if (!h) close(ctx)
+          h
+        }
+        def next(): R = f(ctx, it.next())
+      }
+    })
+
+  /** ≙ side outputs (OutputTag, Plumbing — SURVEY §2.6): Spark has no
+    * in-band side channel, so the facade codifies the standard two-filter
+    * fan-out — both branches share the scan (and, cached, the upstream
+    * computation). Returns (matching, rest). */
+  def sideOutput(pred: T => Boolean): (GStream[T], GStream[T]) =
+    (new GStream(ds.filter(pred)), new GStream(ds.filter((t: T) => !pred(t))))
+
   def toDataset: Dataset[T] = ds
 }
 
