@@ -15,15 +15,15 @@ import org.apache.spark.sql.functions.expr
 object Vectors {
   val Dim = 64 // embeddings table: embedding FLOAT[64] (FIXTURES.md)
 
-  /** Exact dot product, unrolled into a 64-term left-associated sum: the
-    * same accumulation order as a left fold (so bit-identical to the
-    * DuckDB twin), but straight-line arithmetic that stays inside
-    * WholeStageCodegen — ~20x faster than an interpreted `aggregate`
-    * higher-order lambda on the all-pairs paths (q39/q40). */
-  def dot(a: String, b: String): Column = expr(
-    (0 until Dim)
-      .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
-      .mkString("(", " + ", ")"))
+  /** Exact dot product as a native Catalyst expression
+    * ([[graft.plans.DotProduct]]): one compact node with a codegen'd
+    * loop, left-to-right accumulation — bit-identical to [[dotSql]]'s
+    * fold while keeping vector-scoring plans inside WholeStageCodegen
+    * (an unrolled 64-term SQL sum blows past codegen method limits and
+    * drops whole stages to interpreted eval). */
+  def dot(a: String, b: String): Column =
+    graft.plans.DotProduct(org.apache.spark.sql.functions.col(a),
+      org.apache.spark.sql.functions.col(b))
 
   /** DuckDB twin of [[dot]] — identical term order, left-assoc `+`
     * (DuckDB lists are 1-indexed, Spark arrays 0-indexed). The outer
@@ -56,13 +56,15 @@ object Vectors {
     2 * ((nib + 1) % 2) - 1     // instr('0123...f', c) = nib+1
   }
 
-  /** Signed random projection bit j: sign of <v, h_j>, unrolled with
-    * literal weights (codegen-friendly; same left-assoc accumulation order
-    * as the oracle's fold). */
-  def srpBit(v: String, j: Int): Column = expr(
-    "IF(" + (0 until Dim)
-      .map(i => s"CAST($v[$i] AS DOUBLE) * ${srpWeight(j, i)}")
-      .mkString(" + ") + " >= 0, 1, 0)")
+  /** Signed random projection bit j: sign of <v, h_j> with the hyperplane
+    * as a literal float array through the native dot product (weights are
+    * +-1, exactly representable; same left-assoc accumulation order as
+    * the oracle's fold). */
+  def srpBit(v: String, j: Int): Column = {
+    import org.apache.spark.sql.functions.{col, typedlit, when}
+    val w = typedlit((0 until Dim).map(i => srpWeight(j, i).toFloat).toArray)
+    when(graft.plans.DotProduct(col(v), w) >= 0, 1).otherwise(0)
+  }
 
   def srpBitSql(v: String, j: Int): String =
     s"""CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),

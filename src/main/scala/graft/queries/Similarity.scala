@@ -39,25 +39,13 @@ object Similarity {
       .select(col("vec_id"), col("embedding"), col("label"),
         sqrt(Vectors.dot("embedding", "embedding")).as("nrm"))
 
-  /** Score candidate pairs with the typed JVM loop ([[Vectors.dotJvm]],
-    * identical accumulation order to the SQL chain — bit-exact vs the
-    * oracle). Candidate *generation* stays declarative (broadcast /
-    * bucket / list equi-joins); only per-pair scoring drops to typed code
-    * because 64-term expression trees fall off the codegen path and cost
-    * ~35us/pair interpreted. Input needs columns
-    * (q_id, nb_id, qe, ce, qn, cn); returns (q_id, nb_id, cos). */
-  private def scoreTyped(pairs: DataFrame): DataFrame = {
-    val s = pairs.sparkSession
-    import s.implicits._
-    pairs
-      .select(col("q_id"), col("nb_id"), col("qe"), col("ce"),
-        col("qn"), col("cn"))
-      .as[(Long, Long, Array[Float], Array[Float], Double, Double)]
-      .mapPartitions(_.map { case (qi, ni, qe, ce, qn, cn) =>
-        (qi, ni, Vectors.dotJvm(qe, ce) / (qn * cn))
-      })
-      .toDF("q_id", "nb_id", "cos")
-  }
+  /** Score candidate pairs declaratively through the native DotProduct
+    * expression (graft.plans.DotProduct — codegen'd loop, bit-exact vs
+    * the oracle's fold). Input needs columns (q_id, nb_id, qe, ce, qn,
+    * cn); returns (q_id, nb_id, cos). */
+  private def scoreTyped(pairs: DataFrame): DataFrame =
+    pairs.select(col("q_id"), col("nb_id"),
+      (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
 
   /** Top-K per query by cosine with deterministic id tiebreak. */
   private def topK(scored: DataFrame): DataFrame = {
