@@ -127,9 +127,14 @@ object Dedup {
          |FROM pairs
          |WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      // persist: both self-join branches consume `ex`; uncached, Spark
+      // recomputes the scan+shingle+explode pipeline twice (measured 4x
+      // slower). Same play at 100 TB — materialize a twice-read shuffle
+      // input instead of recomputing it.
       val ex = shingled(s, dir)
         .select(col("doc_id"), size(col("sh")).as("n"),
           explode(col("sh")).as("s"))
+        .persist()
       val a = ex.select(col("doc_id").as("a_id"), col("n").as("na"), col("s"))
       val b = ex.select(col("doc_id").as("b_id"), col("n").as("nb"), col("s"))
       a.join(b, a("s") === b("s") && col("a_id") < col("b_id"))
@@ -181,6 +186,7 @@ object Dedup {
         .select(col("doc_id"),
           array((0 until K).map(i => col(s"s$i")): _*).as("sig"),
           posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
+        .persist() // self-joined below; see q36 note
       val a = band.select(col("doc_id").as("a_id"), col("sig").as("sa"),
         col("j"), col("bh"))
       val b = band.select(col("doc_id").as("b_id"), col("sig").as("sb"),
@@ -223,6 +229,7 @@ object Dedup {
         posexplode(expr(
           "transform(sequence(0, 3), j -> substring(fp, 16*j+1, 16))"))
           .as(Seq("j", "blk")))
+        .persist() // self-joined below; see q36 note
       val a = blocks.select(col("doc_id").as("a_id"), col("fp").as("fa"),
         col("j"), col("blk"))
       val b = blocks.select(col("doc_id").as("b_id"), col("fp").as("fb"),
