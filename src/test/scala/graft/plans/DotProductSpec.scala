@@ -48,6 +48,15 @@ class DotProductSpec extends SparkSpec {
     assert(short.select(DotProduct(col("x"), col("y"))).head.getDouble(0) == 3.0)
   }
 
+  test("registers as a SQL function") {
+    DotProduct.register(spark)
+    val got = spark.sql(
+      """SELECT graft_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)),
+        |                 array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d""".stripMargin)
+      .head.getDouble(0)
+    assert(got == 11.0)
+  }
+
   test("keeps a knn-shaped plan inside WholeStageCodegen") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val n = e.select(col("vec_id"), col("embedding"),

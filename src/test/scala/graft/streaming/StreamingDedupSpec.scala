@@ -1,0 +1,56 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Streaming ingest patterns for a training-data pipeline: stateful
+  * streaming dedup (the streaming face of q35) and stream-static dim
+  * enrichment (the broadcast-state analogue — SURVEY §2.7 broadcast row).
+  */
+class StreamingDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming exact dedup drops repeats across microbatches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val deduped = in.toDF().toDF("ts", "fp")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("fp"))
+    val q = deduped.writeStream.format("memory").queryName("dd_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      def ts(s: String) = Timestamp.valueOf(s)
+      in.addData((ts("2024-01-01 00:00:01"), "docA"),
+        (ts("2024-01-01 00:00:02"), "docB"),
+        (ts("2024-01-01 00:00:03"), "docA")) // dup within batch
+      q.processAllAvailable()
+      in.addData((ts("2024-01-01 00:00:04"), "docA")) // dup across batches
+      in.addData((ts("2024-01-01 00:00:05"), "docC"))
+      q.processAllAvailable()
+      val fps = spark.table("dd_out").select("fp").as[String].collect().sorted
+      assert(fps.sameElements(Array("docA", "docB", "docC")))
+    } finally q.stop()
+  }
+
+  test("stream-static join enriches events with a dimension table") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1, "gold"), (2, "silver")).toDF("uid", "tier")
+    val in = MemoryStream[(Int, Double)]
+    val enriched = in.toDF().toDF("uid", "amount")
+      .join(broadcast(dim), "uid") // static side broadcast to every batch
+      .select(col("uid"), col("tier"), col("amount"))
+    val q = enriched.writeStream.format("memory").queryName("enr_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((1, 10.0), (2, 5.0), (3, 1.0)) // uid 3 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enr_out").as[(Int, String, Double)].collect().toSet
+      assert(rows == Set((1, "gold", 10.0), (2, "silver", 5.0)))
+    } finally q.stop()
+  }
+}
