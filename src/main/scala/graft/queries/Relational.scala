@@ -572,6 +572,29 @@ object Relational {
             element_at(col("qtys"), -1).as("q_last"),
             array_contains(col("qtys"), 10.0).as("has10"))
           .orderBy(col("l_orderkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // Skew-safe two-phase aggregation: l_returnflag has 3 distinct values,
+    // so a naive groupBy lands 600k rows on 3 reducers. Salting fans the
+    // partial aggregation across 16x more tasks; the final merge combines
+    // 48 tiny partials. Decimal sums are order-independent, so the result
+    // is bit-identical to the direct groupBy the oracle runs — the point:
+    // the PLAN is skew-proof at 100 TB while the VALUES never change.
+    QuerySpec.sqlBacked("q48_skew_salted_agg",
+      """SELECT l_returnflag, CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+        val salted = t(s, dir, "lineitem")
+          .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+          .groupBy(col("l_returnflag"), col("salt"))
+          .agg(sum(m2(col("l_quantity"))).as("psum"),
+            count(lit(1)).as("pn"))
+        salted
+          .groupBy(col("l_returnflag"))
+          .agg(toD(sum(col("psum"))).as("sum_qty"), sum(col("pn")).as("n"))
+          .orderBy(col("l_returnflag"))
     }
   )
 }

@@ -39,6 +39,9 @@ object SparkSpec {
       // delta commits on local[n] (commit blocks forever awaiting the
       // checksum-write future); plain checkpoint files are fine for tests.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // static conf; needed by specs that saveAsTable (bucketing)
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft_warehouse").toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
