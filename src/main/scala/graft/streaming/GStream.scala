@@ -176,6 +176,18 @@ final class KeyedGStream[K, T](
     *
     * Streaming-only (the reference's process functions are inherently
     * stateful-streaming; batch callers use map/mapPartitions). */
+  /** Modern stateful-processing path ≙ the same KeyedProcessFunction
+    * surface on Spark 4's transformWithState: ValueState/ListState/
+    * MapState handles, multiple named timers per key, native TTL —
+    * a 1:1 match for the reference's state+timer plumbing (SURVEY §2.6).
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`). */
+  def transformWithState[O: Encoder](
+      processor: org.apache.spark.sql.streaming.StatefulProcessor[K, T, O],
+      timeMode: org.apache.spark.sql.streaming.TimeMode,
+      outputMode: OutputMode): GStream[O] =
+    new GStream(grouped.transformWithState(processor, timeMode, outputMode))
+
   def process[S: Encoder, O: Encoder](
       pf: KeyedProcess[K, T, S, O],
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)
