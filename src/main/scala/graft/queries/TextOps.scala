@@ -141,6 +141,47 @@ object TextOps {
         .join(sh, "doc_id")
         .select(col("doc_id"), col("fp"), col("min_sh"), col("max_sh"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Polynomial rolling hash (Rabin-Karp) fingerprinting: a whole-doc
+    // hash plus winnowing-style extrema/cardinality over all 8-char-gram
+    // hashes. Exact 64-bit modular arithmetic (base 31, mod 1e9+7) in
+    // identical fold order, so bit-equal across engines (DuckDB's
+    // list_reduce seeds with the first element ≙ Spark aggregate with
+    // slice+explicit init). Pure projection — scan-bound at 100 TB.
+    QuerySpec.sqlBacked("q49_text_rollhash",
+      """SELECT doc_id,
+        |  list_reduce(codes, (a, b) -> (a*31 + b) % 1000000007) AS h,
+        |  list_min(gs) AS g_min, list_max(gs) AS g_max,
+        |  len(list_distinct(gs)) AS n_distinct
+        |FROM (
+        |  SELECT doc_id, codes,
+        |    list_transform(range(1, len(codes) - 6),
+        |      i -> list_reduce(codes[i:i+7], (a, b) -> (a*31 + b) % 1000000007)) AS gs
+        |  FROM (SELECT doc_id,
+        |          list_transform(string_split(text, ''),
+        |            c -> CAST(ascii(c) AS BIGINT)) AS codes
+        |        FROM documents)
+        |  WHERE len(codes) >= 8)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan
+        .select(col("doc_id"),
+          expr("transform(split(text, ''), c -> CAST(ascii(c) AS BIGINT))")
+            .as("codes"))
+        .filter(size(col("codes")) >= 8)
+        .select(col("doc_id"), col("codes"), expr(
+          """transform(sequence(1, size(codes) - 7), i ->
+            |  aggregate(slice(codes, i + 1, 7), codes[i - 1],
+            |    (a, b) -> (a*31 + b) % 1000000007))""".stripMargin).as("gs"))
+        .select(col("doc_id"),
+          expr("""aggregate(slice(codes, 2, size(codes) - 1), codes[0],
+                 |  (a, b) -> (a*31 + b) % 1000000007)""".stripMargin).as("h"),
+          array_min(col("gs")).as("g_min"),
+          array_max(col("gs")).as("g_max"),
+          size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))
     }
   )
 }
