@@ -1,0 +1,76 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Dataset profiling, approximate sketches, and sampling — the
+  * inspect-before-train operators of a data pipeline.
+  *
+  * q50 sketches are approximate by design (HLL++ / KLL-style quantiles),
+  * so no bit-exact oracle exists — the driver records a rows-only check
+  * and ProfilingSpec bounds the error against exact answers. q51
+  * stratified sampling is seeded-deterministic within Spark but not
+  * reproducible in DuckDB -> rows-only + spec. q52 is exact and
+  * oracle-backed.
+  *
+  * Scale notes: sketches are the 100 TB path for distinct counts and
+  * quantiles (fixed-size state, one pass, mergeable partials — no
+  * shuffle of raw values); sampleBy pushes the coin-flip into the scan
+  * (no shuffle at all); the profile query is one pass of hash aggs.
+  */
+object Profiling {
+
+  val specs: Seq[QuerySpec] = Seq(
+
+    // ------------------------------------------------------------------
+    // Approximate sketches per return flag: HLL++ distinct orders and
+    // quantile estimates over the price distribution.
+    QuerySpec.rowsOnly("q50_approx_sketch") { (s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
+          percentile_approx(col("l_extendedprice"),
+            array(lit(0.5), lit(0.95)), lit(10000)).as("price_q50_q95"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // Seeded stratified sampling by return flag: 20%/50%/80% per stratum
+    // — the class-balancing primitive for training-set construction.
+    QuerySpec.rowsOnly("q51_sample_stratified") { (s, dir) =>
+      val fractions = Map("A" -> 0.2, "N" -> 0.5, "R" -> 0.8)
+      Tables(s, dir, "lineitem")
+        .stat.sampleBy("l_returnflag", fractions, seed = 42L)
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_sampled"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact single-pass data profile of lineitem's core columns.
+    QuerySpec.sqlBacked("q52_profile",
+      """SELECT count(*) AS n_rows,
+        |  count(DISTINCT l_orderkey) AS n_orders,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship
+        |FROM lineitem""".stripMargin) { (s, dir) =>
+      import graft.functions.Cols
+      Tables(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        sum(when(col("l_returnflag").isNull, 1).otherwise(0)).as("null_flags"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        Cols.toD(sum(Cols.m2(col("l_quantity")))).as("sum_qty"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"))
+    }
+  )
+}
