@@ -161,13 +161,17 @@ object Relational {
         |          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
         |      FROM lineitem)
         |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
-          col("l_linenumber"))
+      // argmax as a struct-max aggregation, not a row_number window: the
+      // window sorts all rows into one reducer per key (3 keys = maximal
+      // skew at 100 TB); struct-max is a partial-aggregable single pass.
+      // Negated tiebreak fields make MAX prefer the smallest ids.
       t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), row_number().over(w).as("rn"))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy(col("l_returnflag"))
+        .agg(max(struct(col("l_extendedprice").as("p"),
+          (-col("l_orderkey")).as("nk"),
+          (-col("l_linenumber")).as("nl"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.nk")).as("l_orderkey"),
+          (-col("m.nl")).as("l_linenumber"), col("m.p").as("l_extendedprice"))
         .orderBy(col("l_returnflag"))
     },
 
@@ -179,13 +183,15 @@ object Relational {
         |          ORDER BY l_extendedprice ASC, l_orderkey, l_linenumber) AS rn
         |      FROM lineitem)
         |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("l_returnflag"))
-        .orderBy(col("l_extendedprice").asc, col("l_orderkey"),
-          col("l_linenumber"))
+      // argmin via struct-min (see q07's note on window-skew avoidance);
+      // ascending tiebreaks align with MIN directly.
       t(s, dir, "lineitem")
-        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
-          col("l_extendedprice"), row_number().over(w).as("rn"))
-        .filter(col("rn") === 1).drop("rn")
+        .groupBy(col("l_returnflag"))
+        .agg(min(struct(col("l_extendedprice").as("p"),
+          col("l_orderkey").as("k"),
+          col("l_linenumber").as("l"))).as("m"))
+        .select(col("l_returnflag"), col("m.k").as("l_orderkey"),
+          col("m.l").as("l_linenumber"), col("m.p").as("l_extendedprice"))
         .orderBy(col("l_returnflag"))
     },
 
