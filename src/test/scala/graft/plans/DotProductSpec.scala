@@ -48,6 +48,14 @@ class DotProductSpec extends SparkSpec {
     assert(short.select(DotProduct(col("x"), col("y"))).head.getDouble(0) == 3.0)
   }
 
+  test("GraftExtensions injects graft_dot into a SparkSessionExtensions") {
+    // a fresh session can't be built here (the shared test session owns
+    // the JVM's SparkContext and getOrCreate ignores extensions then);
+    // SQL execution of the function is covered by the register() test
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new GraftExtensions()(ext) // must inject without throwing
+  }
+
   test("registers as a SQL function") {
     DotProduct.register(spark)
     val got = spark.sql(
