@@ -601,6 +601,67 @@ object Relational {
           .groupBy(col("l_returnflag"))
           .agg(toD(sum(col("psum"))).as("sum_qty"), sum(col("pn")).as("n"))
           .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // Scalar subquery: orders above the mean price. The threshold is the
+    // cross-multiplied exact-decimal form (price*n > sum) so the boundary
+    // is bit-exact in both engines (a double mean would make borderline
+    // rows engine-dependent). Catalyst turns the scalar subqueries into
+    // broadcast scalar values — one pass over orders plus the tiny agg.
+    QuerySpec.sqlBacked("q53_scalar_subquery",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT count(*) FROM orders)
+        |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE CAST(o_totalprice AS DECIMAL(12,2)) * (SELECT count(*) FROM orders)
+              |      > (SELECT sum(CAST(o_totalprice AS DECIMAL(12,2))) FROM orders)
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Correlated EXISTS / NOT EXISTS: Catalyst decorrelates into semi/anti
+    // joins (explain shows LeftSemi/LeftAnti on o_custkey = c_custkey).
+    QuerySpec.sqlBacked("q54_exists_correlated",
+      """SELECT c_custkey, c_name,
+        |  EXISTS (SELECT 1 FROM orders o
+        |          WHERE o.o_custkey = c.c_custkey
+        |            AND o.o_orderstatus = 'F') AS has_f
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""SELECT c_custkey, c_name,
+              |  EXISTS (SELECT 1 FROM orders o
+              |          WHERE o.o_custkey = c.c_custkey
+              |            AND o.o_orderstatus = 'F') AS has_f
+              |FROM customer c
+              |WHERE EXISTS (SELECT 1 FROM orders o
+              |              WHERE o.o_custkey = c.c_custkey)
+              |ORDER BY c_custkey""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Lateral correlated subquery: top-2 orders per customer — the
+    // per-group top-k join shape (decorrelated to a ranked window).
+    QuerySpec.sqlBacked("q55_lateral_topn",
+      """SELECT c_custkey, o_orderkey, o_totalprice
+        |FROM customer c, LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+        |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin) {
+      (s, dir) =>
+        Tables.registerAll(s, dir)
+        s.sql("""SELECT c_custkey, o_orderkey, o_totalprice
+                |FROM customer c, LATERAL (
+                |  SELECT o_orderkey, o_totalprice FROM orders o
+                |  WHERE o.o_custkey = c.c_custkey
+                |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
+                |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
     }
   )
 }
