@@ -176,6 +176,32 @@ object Similarity {
         col("nrm").as("cn"), col("label"))
       topK(scoreTyped(broadcast(probe).join(c,
         col("label") === col("plabel") && col("q_id") =!= col("nb_id"))))
+    },
+
+    // ------------------------------------------------------------------
+    // Symmetric int8 quantization for embedding storage: per-vector scale
+    // = max |v|, q = round(127 * v / scale). Pure projection (4x storage
+    // cut before writing a vector corpus); the dequantization error bound
+    // is scale/254 per element. floor(x + 0.5) keeps both engines on
+    // identical round-half-up semantics.
+    QuerySpec.sqlBacked("q43b_quantize_int8", {
+      val mx = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
+      s"""SELECT vec_id, scale,
+         |  list_transform(embedding,
+         |    v -> CAST(floor(127.0 * CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+         |FROM (SELECT vec_id, embedding, $mx AS scale FROM embeddings)
+         |WHERE scale > 0 ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), expr(
+          "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))")
+          .as("scale"))
+        .filter(col("scale") > 0)
+        .select(col("vec_id"), col("scale"), expr(
+          """transform(embedding,
+            |  v -> CAST(floor(127.0 * CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))""".stripMargin)
+          .as("q"))
+        .orderBy(col("vec_id"))
     }
   )
 }
