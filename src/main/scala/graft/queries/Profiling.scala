@@ -71,6 +71,35 @@ object Profiling {
         Cols.toD(sum(Cols.m2(col("l_quantity")))).as("sum_qty"),
         min(col("l_shipdate")).as("first_ship"),
         max(col("l_shipdate")).as("last_ship"))
+    },
+
+    // ------------------------------------------------------------------
+    // Deterministic hash-based train/val/test split (~80/10/10): the
+    // assignment depends only on doc_id (stable across reruns, engines,
+    // partitionings — what leakage-free splits require), via md5's first
+    // nibble: 0-12 -> train, 13 -> val, 14-15 -> test. Pure projection.
+    QuerySpec.sqlBacked("q56_train_test_split",
+      """SELECT split, count(*) AS n, min(doc_id) AS first_id
+        |FROM (SELECT doc_id,
+        |        CASE WHEN nib <= 12 THEN 'train'
+        |             WHEN nib = 13 THEN 'val' ELSE 'test' END AS split
+        |      FROM (SELECT doc_id,
+        |              strpos('0123456789abcdef',
+        |                     substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+        |                AS nib
+        |            FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          (instr(lit("0123456789abcdef"),
+            substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"))
+        .select(col("doc_id"),
+          when(col("nib") <= 12, "train")
+            .when(col("nib") === 13, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
+        .orderBy(col("split"))
     }
   )
 }
