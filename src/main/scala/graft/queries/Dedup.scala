@@ -30,6 +30,9 @@ import graft.sources.Tables
 object Dedup {
   private val K = 16 // minhash signature length
   private val B = 4  // bands (r = K/B = 4 rows per band)
+  /** q36 posting-list cap: shingles in more docs than this are dropped
+    * as uninformative before the candidate-pair join (skew guard). */
+  private val MaxShingleDf = 100
 
   /** doc_id + distinct word-3-gram shingles (pure projection). The scan
     * is repartitioned first: the test corpus is one small parquet file =
@@ -84,7 +87,11 @@ object Dedup {
           |  2*((instr('0123456789abcdef',
           |            substr(md5(tok), CAST(k div 4 AS INT)+1, 1)) - 1)
           |     >> CAST(k % 4 AS INT) & 1) - 1)""".stripMargin))
-    toks.join(broadcast(vocab), "tok")
+    // No broadcast hint: the distinct-token table of a 100 TB corpus
+    // does not fit in one executor. A plain equi-join shuffles on tok —
+    // and AQE still promotes it to broadcast at runtime when the vocab
+    // is actually small (as it is at test SF).
+    toks.join(vocab, "tok")
       .groupBy(col("doc_id"))
       .agg(collect_list(col("sb")).as("bs"))
       .select(col("doc_id"), expr(
@@ -117,10 +124,12 @@ object Dedup {
     QuerySpec.sqlBacked("q36_dedup_jaccard",
       s"""WITH base AS ($shingledSql),
          |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM base),
+         |freq AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
+         |ex2 AS (SELECT ex.* FROM ex JOIN freq USING (s)),
          |pairs AS (
          |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
          |         max(a.n) AS na, max(b.n) AS nb
-         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
          |  GROUP BY a.doc_id, b.doc_id)
          |SELECT a_id, b_id,
          |  CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) AS jac
@@ -131,10 +140,21 @@ object Dedup {
       // recomputes the scan+shingle+explode pipeline twice (measured 4x
       // slower). Same play at 100 TB — materialize a twice-read shuffle
       // input instead of recomputing it.
-      val ex = shingled(s, dir)
+      val ex0 = shingled(s, dir)
         .select(col("doc_id"), size(col("sh")).as("n"),
           explode(col("sh")).as("s"))
         .persist()
+      // Hot-shingle cap: drop shingles appearing in > MaxShingleDf docs
+      // before pairing. Stopword 3-grams ("of the and"-class) carry no
+      // dedup signal but quadratic join cost — at 100 TB a handful of
+      // them would each produce billions of candidate pairs on one key
+      // (skew). The frequency table shuffles on the same key as the pair
+      // join, so the cap costs one extra small aggregation.
+      val freq = ex0.groupBy(col("s"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxShingleDf)
+        .select(col("s"))
+      val ex = ex0.join(freq, "s")
       val a = ex.select(col("doc_id").as("a_id"), col("n").as("na"), col("s"))
       val b = ex.select(col("doc_id").as("b_id"), col("n").as("nb"), col("s"))
       a.join(b, a("s") === b("s") && col("a_id") < col("b_id"))
@@ -219,9 +239,9 @@ object Dedup {
          |           AND a.doc_id < b.doc_id
          |         GROUP BY a.doc_id, b.doc_id)
          |SELECT a_id, b_id, hamming FROM (
-         |  SELECT a_id, b_id, list_sum(list_transform(range(1, 65),
+         |  SELECT a_id, b_id, CAST(list_sum(list_transform(range(1, 65),
          |    i -> CASE WHEN substr(fa,i,1) = substr(fb,i,1) THEN 0 ELSE 1 END))
-         |    AS hamming
+         |    AS BIGINT) AS hamming
          |  FROM cand)
          |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
@@ -239,8 +259,8 @@ object Dedup {
         .groupBy(col("a_id"), col("b_id"))
         .agg(any_value(col("fa")).as("fa"), any_value(col("fb")).as("fb"))
         .select(col("a_id"), col("b_id"), expr(
-          """aggregate(sequence(1, 64), 0, (acc, i) ->
-            |  acc + IF(substring(fa, i, 1) = substring(fb, i, 1), 0, 1))""".stripMargin)
+          """CAST(aggregate(sequence(1, 64), 0, (acc, i) ->
+            |  acc + IF(substring(fa, i, 1) = substring(fb, i, 1), 0, 1)) AS BIGINT)""".stripMargin)
           .as("hamming"))
         .filter(col("hamming") <= 2)
         .orderBy(col("a_id"), col("b_id"))
@@ -259,38 +279,26 @@ object Dedup {
          |FROM n a JOIN n b ON a.vec_id < b.vec_id
          |WHERE ${dotSql("a.embedding", "b.embedding")}/(a.nrm*b.nrm) >= 0.4
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      // Typed broadcast + while-loop scoring instead of a declarative
-      // cross join: the 64-term cos expression lands in the BNLJ join
-      // condition, blows past codegen's method limits, and the whole
-      // stage falls back to interpreted expression trees (~35us/pair).
-      // The JVM loop (Vectors.dotJvm, identical accumulation order) is
-      // ~500x faster. One corpus copy is broadcast — the same memory
-      // shape a BroadcastNestedLoopJoin would use; all-pairs is the
-      // exact small-corpus baseline, the 100 TB path is q41's LSH.
-      import s.implicits._
-      val emb = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-        .as[(Long, Array[Float])]
-      val corpus = emb.collect().sortBy(_._1)
-      val norms = corpus.map { case (_, v) =>
-        math.sqrt(graft.functions.Vectors.dotJvm(v, v)) }
-      val bc = s.sparkContext.broadcast((corpus, norms))
-      emb.repartition(s.sparkContext.defaultParallelism)
-        .mapPartitions { it =>
-          val (cs, ns) = bc.value
-          it.flatMap { case (aId, av) =>
-            val na = math.sqrt(graft.functions.Vectors.dotJvm(av, av))
-            Iterator.range(0, cs.length).flatMap { i =>
-              val (bId, bv) = cs(i)
-              if (aId < bId) {
-                val c = graft.functions.Vectors.dotJvm(av, bv) / (na * ns(i))
-                if (c >= 0.4) Iterator.single((aId, bId, c))
-                else Iterator.empty
-              } else Iterator.empty
-            }
-          }
-        }
-        .toDF("a_id", "b_id", "cos")
+      // Fully declarative all-pairs: a broadcast nested-loop self-join
+      // scored by the native codegen'd DotProduct expression (identical
+      // left-to-right accumulation as the oracle's fold — bit-exact).
+      // No driver collect: one side is broadcast by the engine, the
+      // other streams partition-parallel, so the plan scales out with
+      // the probe side. All-pairs is the exact small-corpus baseline;
+      // the 100 TB path is q41's LSH bucketing.
+      val n = Tables(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan
+        .select(col("vec_id"), col("embedding"),
+          sqrt(dot("embedding", "embedding")).as("nrm"))
+      val a = n.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+        col("nrm").as("na"))
+      val b = n.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"))
+      a.join(broadcast(b), col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          (graft.plans.DotProduct(col("ea"), col("eb")) /
+            (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.4)
         .orderBy(col("a_id"), col("b_id"))
     },
 

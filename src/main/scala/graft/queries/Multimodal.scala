@@ -112,7 +112,8 @@ object Multimodal {
         .mapPartitions { it =>
           it.map { case (id, payload) =>
             val (w, h, feat) = FakeDecoder.decode(payload)
-            (id, w, h, feat)
+            // comma-joined: the driver's canonicalizer can't hash arrays
+            (id, w, h, feat.mkString(","))
           }
         }
         .toDF("doc_id", "width", "height", "features")

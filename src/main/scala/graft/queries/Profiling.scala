@@ -27,23 +27,57 @@ object Profiling {
     // Approximate sketches per return flag: HLL++ distinct orders and
     // quantile estimates over the price distribution.
     QuerySpec.rowsOnly("q50_approx_sketch") { (s, dir) =>
+      // Quantiles land as two scalar columns, not one array — the
+      // driver's pandas canonicalizer cannot sort rows holding arrays.
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           percentile_approx(col("l_extendedprice"),
-            array(lit(0.5), lit(0.95)), lit(10000)).as("price_q50_q95"),
+            array(lit(0.5), lit(0.95)), lit(10000)).as("pq"),
           count(lit(1)).as("n"))
+        .select(col("l_returnflag"), col("approx_orders"),
+          element_at(col("pq"), 1).as("price_q50"),
+          element_at(col("pq"), 2).as("price_q95"),
+          col("n"))
         .orderBy(col("l_returnflag"))
     },
 
     // ------------------------------------------------------------------
-    // Seeded stratified sampling by return flag: 20%/50%/80% per stratum
-    // — the class-balancing primitive for training-set construction.
-    QuerySpec.rowsOnly("q51_sample_stratified") { (s, dir) =>
-      val fractions = Map("A" -> 0.2, "N" -> 0.5, "R" -> 0.8)
+    // Deterministic stratified sampling by return flag: ~20%/50%/80% per
+    // stratum — the class-balancing primitive for training-set
+    // construction. The coin flip is md5(row key) mapped to a 16-bit
+    // uniform and compared to a per-stratum integer threshold, so the
+    // sample depends only on the row's identity: stable across reruns,
+    // partitionings, AND engines (unlike `sampleBy`'s seeded RNG, which
+    // is Spark-internal and oracle-uncheckable). Pure projection — the
+    // flip runs inside the scan, no shuffle before the tiny count agg.
+    QuerySpec.sqlBacked("q51_sample_stratified", {
+      val u = (1 to 4).map(i =>
+        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)*${1 << (4 * (4 - i))}")
+        .mkString(" + ")
+      s"""SELECT l_returnflag, count(*) AS n_sampled
+         |FROM (
+         |  SELECT l_returnflag, $u AS u
+         |  FROM (SELECT l_returnflag,
+         |          md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+         |              CAST(l_linenumber AS VARCHAR)) AS h
+         |        FROM lineitem))
+         |WHERE u < CASE l_returnflag WHEN 'A' THEN 13107
+         |                            WHEN 'N' THEN 32768 ELSE 52428 END
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }) { (s, dir) =>
+      val u = (1 to 4).map(i =>
+        s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)*${1 << (4 * (4 - i))}")
+        .mkString(" + ")
       Tables(s, dir, "lineitem")
-        .stat.sampleBy("l_returnflag", fractions, seed = 42L)
+        .select(col("l_returnflag"),
+          md5(concat(col("l_orderkey").cast("string"), lit(":"),
+            col("l_linenumber").cast("string"))).as("h"))
+        .select(col("l_returnflag"), expr(u).as("u"))
+        .filter(col("u") <
+          when(col("l_returnflag") === "A", 13107)
+            .when(col("l_returnflag") === "N", 32768).otherwise(52428))
         .groupBy(col("l_returnflag"))
         .agg(count(lit(1)).as("n_sampled"))
         .orderBy(col("l_returnflag"))
@@ -55,7 +89,7 @@ object Profiling {
       """SELECT count(*) AS n_rows,
         |  count(DISTINCT l_orderkey) AS n_orders,
         |  count(DISTINCT l_partkey) AS n_parts,
-        |  sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS null_flags,
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_flags,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
         |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship

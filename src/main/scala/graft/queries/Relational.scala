@@ -498,8 +498,8 @@ object Relational {
         |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         |), y AS (
-        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS UNBOUNDED PRECEDING) AS sid
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
         |  FROM x)
         |SELECT user_id, sid, min(ts) AS s_start, count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total
@@ -560,9 +560,14 @@ object Relational {
     // (collect_list/sort_array/size/element_at/array_contains ≙ DuckDB
     // list()/list_sort/len/[i]/list_contains). Sorting after collection
     // makes the nondeterministic collect order canonical in both engines.
+    // The sorted-quantity vector ships as a comma-joined string: the
+    // driver's pandas canonicalizer cannot sort rows holding raw arrays
+    // (unhashable ndarray), and quantities are integral so the BIGINT
+    // rendering is identical in both engines.
     QuerySpec.sqlBacked("q47_array_funcs",
       """SELECT l_orderkey,
-        |  list_sort(list(l_quantity)) AS qtys,
+        |  array_to_string(list_transform(list_sort(list(l_quantity)),
+        |    q -> CAST(q AS BIGINT)), ',') AS qtys,
         |  len(list(l_quantity)) AS n,
         |  list_sort(list(l_quantity))[1] AS q_first,
         |  list_sort(list(l_quantity))[-1] AS q_last,
@@ -571,12 +576,14 @@ object Relational {
       (s, dir) =>
         t(s, dir, "lineitem")
           .groupBy(col("l_orderkey"))
-          .agg(sort_array(collect_list(col("l_quantity"))).as("qtys"))
-          .select(col("l_orderkey"), col("qtys"),
-            size(col("qtys")).cast("long").as("n"),
-            element_at(col("qtys"), 1).as("q_first"),
-            element_at(col("qtys"), -1).as("q_last"),
-            array_contains(col("qtys"), 10.0).as("has10"))
+          .agg(sort_array(collect_list(col("l_quantity"))).as("qa"))
+          .select(col("l_orderkey"),
+            expr("array_join(transform(qa, q -> CAST(CAST(q AS BIGINT) AS STRING)), ',')")
+              .as("qtys"),
+            size(col("qa")).cast("long").as("n"),
+            element_at(col("qa"), 1).as("q_first"),
+            element_at(col("qa"), -1).as("q_last"),
+            array_contains(col("qa"), 10.0).as("has10"))
           .orderBy(col("l_orderkey"))
     },
 

@@ -184,11 +184,14 @@ object Similarity {
     // cut before writing a vector corpus); the dequantization error bound
     // is scale/254 per element. floor(x + 0.5) keeps both engines on
     // identical round-half-up semantics.
+    // The quantized vector ships comma-joined (driver's pandas
+    // canonicalizer cannot hash raw arrays); int8 codes render
+    // identically as BIGINT strings in both engines.
     QuerySpec.sqlBacked("q43b_quantize_int8", {
       val mx = "list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE))))"
       s"""SELECT vec_id, scale,
-         |  list_transform(embedding,
-         |    v -> CAST(floor(127.0 * CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT)) AS q
+         |  array_to_string(list_transform(embedding,
+         |    v -> CAST(floor(127.0 * CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT)), ',') AS q
          |FROM (SELECT vec_id, embedding, $mx AS scale FROM embeddings)
          |WHERE scale > 0 ORDER BY vec_id""".stripMargin
     }) { (s, dir) =>
@@ -198,8 +201,9 @@ object Similarity {
           .as("scale"))
         .filter(col("scale") > 0)
         .select(col("vec_id"), col("scale"), expr(
-          """transform(embedding,
-            |  v -> CAST(floor(127.0 * CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT))""".stripMargin)
+          """array_join(transform(embedding,
+            |  v -> CAST(CAST(floor(127.0 * CAST(v AS DOUBLE) / scale + 0.5) AS BIGINT)
+            |            AS STRING)), ',')""".stripMargin)
           .as("q"))
         .orderBy(col("vec_id"))
     }

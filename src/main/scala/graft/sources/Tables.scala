@@ -21,7 +21,8 @@ object Tables {
     // generated data is µs-precision, so this is lossless); `div` keeps the
     // arithmetic integral (a double division would lose precision on
     // ~1.7e18 nano epochs).
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    if (!spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean)
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
     if (name == "events")
       df.withColumn("ts",

@@ -17,11 +17,12 @@ class MultimodalSpec extends SparkSpec {
       StructField("doc_id", LongType, nullable = false),
       StructField("width", IntegerType, nullable = false),
       StructField("height", IntegerType, nullable = false),
-      StructField("features", ArrayType(DoubleType, containsNull = false),
-        nullable = true))))
+      // features ship comma-joined (driver canonicalizer can't hash arrays)
+      StructField("features", StringType, nullable = true))))
     val rows = df.collect()
     assert(rows.length == 500)
-    assert(rows.forall(_.getSeq[Double](3).length == Multimodal.FakeDecoder.FeatureDim))
+    assert(rows.forall(
+      _.getString(3).split(",").length == Multimodal.FakeDecoder.FeatureDim))
     assert(rows.forall { r => r.getInt(1) >= 1 && r.getInt(2) >= 1 })
   }
 

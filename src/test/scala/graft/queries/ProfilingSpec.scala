@@ -24,8 +24,8 @@ class ProfilingSpec extends SparkSpec {
       val approx = r.getLong(1)
       assert(math.abs(approx - d).toDouble / d <= 0.05,
         s"HLL off by >5%: $approx vs $d")
-      val qs = r.getSeq[Double](2)
-      assert(qs.length == 2 && qs.forall(q => q >= lo && q <= hi))
+      val qs = Seq(r.getDouble(2), r.getDouble(3)) // price_q50, price_q95
+      assert(qs.forall(q => q >= lo && q <= hi))
       assert(qs(0) <= qs(1)) // median <= p95
     }
   }
