@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only scratch main: time one named query and dump its formatted
+  * plan. Usage: runMain graft.Probe <queryName> <sfDir> [explain] */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    if (name == "fps") {
+      (1 to 2).foreach { i =>
+        var t0 = System.nanoTime()
+        val df = graft.queries.Dedup.simhashFps(spark, sfDir)
+        val n1 = df.count()
+        println(f"PROBE fps-aqe run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n1 rows)")
+        t0 = System.nanoTime()
+        val ck = graft.queries.Dedup.simhashFps(spark, sfDir).localCheckpoint()
+        println(f"PROBE fps-ckpt run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+      spark.stop(); return
+    }
+    if (name == "sql") {
+      graft.sources.Tables.registerAll(spark, sfDir)
+      val sql = args(2)
+      spark.sql(sql).count() // warmup
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        val n = spark.sql(sql).count()
+        println(f"PROBE sql run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+      }
+      spark.stop(); return
+    }
+    val fn = SparkEntry.queries(name)
+    if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
+    // warmup + 2 timed runs
+    fn(spark, sfDir).count(); spark.catalog.clearCache()
+    (1 to 2).foreach { i =>
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      val t1 = System.nanoTime()
+      val n = df.count()
+      val t2 = System.nanoTime()
+      println(f"PROBE $name run$i: build ${(t1 - t0) / 1e9}%.2f s + " +
+        f"count ${(t2 - t1) / 1e9}%.2f s ($n rows)")
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}

@@ -34,6 +34,14 @@ object Dedup {
     * as uninformative before the candidate-pair join (skew guard). */
   private val MaxShingleDf = 100
 
+  /** SQL emitting every ordered pair (ds[i], ds[j]), i < j, from a
+    * doc-sorted posting list `ds` — the bucket-local pair expansion
+    * shared by q36/q37/q38 candidate generation. */
+  private val pairsOf =
+    """flatten(transform(sequence(0, size(ds)-2), i ->
+      |  transform(sequence(i+1, size(ds)-1),
+      |    j -> struct(ds[i] AS a, ds[j] AS b))))""".stripMargin
+
   /** doc_id + distinct word-3-gram shingles (pure projection). The scan
     * is repartitioned first: the test corpus is one small parquet file =
     * one input split, which would serialize all shingling onto a single
@@ -77,28 +85,36 @@ object Dedup {
     * (vocabulary << corpus), broadcast-join them back, and fold per-doc
     * elementwise. Turns 64 md5-nibble extracts per (doc, token) into 64
     * per vocab entry + cheap int adds. */
-  private def simhashFps(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def simhashFps(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism) // single-file scan
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    // Bit k (0..63) = bit (k%4) of hex nibble (k div 4). The expansion
+    // iterates the md5's 16 chars via split — referencing the hash ONCE:
+    // a per-bit substr(md5(tok), k div 4, 1) formulation would inline
+    // the md5 into the lambda (CollapseProject) and recompute it 64
+    // times per vocab row (measured: dominated the whole query).
     val vocab = toks.select(col("tok")).distinct()
       .withColumn("sb", expr(
-        """transform(sequence(0, 63), k ->
-          |  2*((instr('0123456789abcdef',
-          |            substr(md5(tok), CAST(k div 4 AS INT)+1, 1)) - 1)
-          |     >> CAST(k % 4 AS INT) & 1) - 1)""".stripMargin))
+        """flatten(transform(split(md5(tok), ''), c ->
+          |  transform(sequence(0, 3), b ->
+          |    2*((instr('0123456789abcdef', c) - 1) >> b & 1) - 1)))""".stripMargin))
     // No broadcast hint: the distinct-token table of a 100 TB corpus
     // does not fit in one executor. A plain equi-join shuffles on tok —
     // and AQE still promotes it to broadcast at runtime when the vocab
     // is actually small (as it is at test SF).
+    //
+    // The 64 per-bit majority votes are 64 declarative sum() aggregates
+    // (not collect_list + array fold): sums combine map-side, so the
+    // per-doc shuffle carries 64 longs instead of every token's 64-int
+    // bit array, and the plan stays in partial aggregation at any scale.
     toks.join(vocab, "tok")
       .groupBy(col("doc_id"))
-      .agg(collect_list(col("sb")).as("bs"))
-      .select(col("doc_id"), expr(
-        """concat_ws('', transform(
-          |  aggregate(bs, array_repeat(0, 64),
-          |    (acc, b) -> zip_with(acc, b, (x, y) -> x + y)),
-          |  s -> IF(s > 0, '1', '0')))""".stripMargin).as("fp"))
+      .agg(sum(col("sb").getItem(0)).as("s0"),
+        (1 until 64).map(k => sum(col("sb").getItem(k)).as(s"s$k")): _*)
+      .select(col("doc_id"),
+        concat((0 until 64).map(k =>
+          when(col(s"s$k") > 0, "1").otherwise("0")): _*).as("fp"))
   }
 
   val specs: Seq[QuerySpec] = Seq(
@@ -136,31 +152,38 @@ object Dedup {
          |FROM pairs
          |WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      // persist: both self-join branches consume `ex`; uncached, Spark
-      // recomputes the scan+shingle+explode pipeline twice (measured 4x
-      // slower). Same play at 100 TB — materialize a twice-read shuffle
-      // input instead of recomputing it.
-      val ex0 = shingled(s, dir)
-        .select(col("doc_id"), size(col("sh")).as("n"),
-          explode(col("sh")).as("s"))
-        .persist()
-      // Hot-shingle cap: drop shingles appearing in > MaxShingleDf docs
-      // before pairing. Stopword 3-grams ("of the and"-class) carry no
-      // dedup signal but quadratic join cost — at 100 TB a handful of
-      // them would each produce billions of candidate pairs on one key
-      // (skew). The frequency table shuffles on the same key as the pair
-      // join, so the cap costs one extra small aggregation.
-      val freq = ex0.groupBy(col("s"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") <= MaxShingleDf)
-        .select(col("s"))
-      val ex = ex0.join(freq, "s")
-      val a = ex.select(col("doc_id").as("a_id"), col("n").as("na"), col("s"))
-      val b = ex.select(col("doc_id").as("b_id"), col("n").as("nb"), col("s"))
-      a.join(b, a("s") === b("s") && col("a_id") < col("b_id"))
+      // Posting-list pair generation instead of an inverted-index
+      // self-join: group the exploded (shingle, doc) index once, emit
+      // ordered pairs from each posting list, count shared shingles.
+      // One shuffle on the shingle key + one on the pair key — the
+      // self-join formulation shuffled the same index twice.
+      //
+      // Posting lists hold ONLY doc_ids: collecting (doc_id, n) structs
+      // instead was measured 3x slower end-to-end (generic-object agg
+      // buffers + interpreted struct-array sorts). The per-doc shingle
+      // count joins back per-side AFTER pair aggregation. No broadcast
+      // hint on the (doc_id, n) relation — it is sized by the corpus's
+      // doc count, unbounded at 100 TB; AQE still promotes the join to
+      // broadcast at runtime when it is actually small (as at test SF).
+      //
+      // The size cap doubles as the hot-shingle skew guard: stopword
+      // 3-grams ("of the and"-class) carry no dedup signal but
+      // quadratic pair cost — at 100 TB each would emit billions of
+      // candidate pairs from one key.
+      val base = shingled(s, dir).persist() // read twice: lens + index
+      val lens = base.select(col("doc_id"), size(col("sh")).as("n"))
+      val pairs = base
+        .select(col("doc_id"), explode(col("sh")).as("s"))
+        .groupBy(col("s"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, MaxShingleDf))
+        .select(explode(expr(pairsOf)).as("p"))
+        .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
         .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("inter"), max(col("na")).as("na"),
-          max(col("nb")).as("nb"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(lens.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+        .join(lens.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
         .select(col("a_id"), col("b_id"),
           (col("inter").cast("double") /
             (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
@@ -202,19 +225,24 @@ object Dedup {
       val sig = shingled(s, dir).select(col("doc_id") +: sigCols: _*)
       val bandArr = (0 until B).map(j =>
         md5(concat((4*j until 4*j+4).map(i => col(s"s$i")): _*)))
-      val band = sig
-        .select(col("doc_id"),
-          array((0 until K).map(i => col(s"s$i")): _*).as("sig"),
-          posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
-        .persist() // self-joined below; see q36 note
-      val a = band.select(col("doc_id").as("a_id"), col("sig").as("sa"),
-        col("j"), col("bh"))
-      val b = band.select(col("doc_id").as("b_id"), col("sig").as("sb"),
-        col("j"), col("bh"))
-      a.join(b, a("j") === b("j") && a("bh") === b("bh") &&
-          col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(any_value(col("sa")).as("sa"), any_value(col("sb")).as("sb"))
+      // Posting-list pair generation per (band, hash) bucket — one
+      // shuffle on the bucket key, doc_ids only in the lists (see q36);
+      // signatures join back per-side after pair dedup. The signature
+      // table is persisted: it feeds both the band index and the two
+      // re-join sides, and the 16 md5-min folds are the dominant cost.
+      val sigp = sig.persist()
+      val sigArr = sigp.select(col("doc_id"),
+        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+      sigp
+        .select(col("doc_id"), posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
+        .groupBy(col("j"), col("bh"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(pairsOf)).as("p"))
+        .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+        .distinct()
+        .join(sigArr.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+        .join(sigArr.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
         .select(col("a_id"), col("b_id"), expr(
           s"CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE)/$K")
           .as("est_jac"))
@@ -245,22 +273,40 @@ object Dedup {
          |  FROM cand)
          |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
-      val blocks = simhashFps(s, dir).select(col("doc_id"), col("fp"),
+      // Posting-list pair generation per (block-index, block) bucket —
+      // one shuffle on the bucket key, doc_ids only in the lists (see
+      // q36); fingerprints join back per-side after pair dedup. The
+      // fingerprint table is materialized eagerly (localCheckpoint):
+      // it feeds the block index and both re-join sides, computing it
+      // is the dominant cost, and — unlike persist() — the checkpoint
+      // job still runs with AQE (a lazily-cached plan re-executes the
+      // vocab join without runtime broadcast promotion).
+      val fps = simhashFps(s, dir).localCheckpoint()
+      // Bit-pack each fingerprint into two 32-bit halves once per doc:
+      // hamming distance is then bit_count(xor) — two codegen'd integer
+      // ops per candidate pair. The naive per-character fold (64-step
+      // `aggregate` with two substrings per step) is an interpreted
+      // higher-order function costing ~40us per pair — measured 6 s over
+      // the candidate set at sf0.1, 50x this formulation.
+      val packed = fps.select(col("doc_id"), col("fp"),
+        expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)").as("h2"))
+      fps.select(col("doc_id"),
         posexplode(expr(
           "transform(sequence(0, 3), j -> substring(fp, 16*j+1, 16))"))
           .as(Seq("j", "blk")))
-        .persist() // self-joined below; see q36 note
-      val a = blocks.select(col("doc_id").as("a_id"), col("fp").as("fa"),
-        col("j"), col("blk"))
-      val b = blocks.select(col("doc_id").as("b_id"), col("fp").as("fb"),
-        col("j"), col("blk"))
-      a.join(b, a("j") === b("j") && a("blk") === b("blk") &&
-          col("a_id") < col("b_id"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(any_value(col("fa")).as("fa"), any_value(col("fb")).as("fb"))
+        .groupBy(col("j"), col("blk"))
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(expr(pairsOf)).as("p"))
+        .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+        .distinct()
+        .join(packed.select(col("doc_id").as("a_id"), col("h1").as("a1"),
+          col("h2").as("a2")), "a_id")
+        .join(packed.select(col("doc_id").as("b_id"), col("h1").as("b1"),
+          col("h2").as("b2")), "b_id")
         .select(col("a_id"), col("b_id"), expr(
-          """CAST(aggregate(sequence(1, 64), 0, (acc, i) ->
-            |  acc + IF(substring(fa, i, 1) = substring(fb, i, 1), 0, 1)) AS BIGINT)""".stripMargin)
+          "CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS BIGINT)")
           .as("hamming"))
         .filter(col("hamming") <= 2)
         .orderBy(col("a_id"), col("b_id"))

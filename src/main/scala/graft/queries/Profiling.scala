@@ -52,29 +52,25 @@ object Profiling {
     // partitionings, AND engines (unlike `sampleBy`'s seeded RNG, which
     // is Spark-internal and oracle-uncheckable). Pure projection — the
     // flip runs inside the scan, no shuffle before the tiny count agg.
-    QuerySpec.sqlBacked("q51_sample_stratified", {
-      val u = (1 to 4).map(i =>
-        s"(strpos('0123456789abcdef', substr(h, $i, 1)) - 1)*${1 << (4 * (4 - i))}")
-        .mkString(" + ")
-      s"""SELECT l_returnflag, count(*) AS n_sampled
-         |FROM (
-         |  SELECT l_returnflag, $u AS u
-         |  FROM (SELECT l_returnflag,
-         |          md5(CAST(l_orderkey AS VARCHAR) || ':' ||
-         |              CAST(l_linenumber AS VARCHAR)) AS h
-         |        FROM lineitem))
-         |WHERE u < CASE l_returnflag WHEN 'A' THEN 13107
-         |                            WHEN 'N' THEN 32768 ELSE 52428 END
-         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
-    }) { (s, dir) =>
-      val u = (1 to 4).map(i =>
-        s"(instr('0123456789abcdef', substring(h, $i, 1)) - 1)*${1 << (4 * (4 - i))}")
-        .mkString(" + ")
+    // The 16-bit uniform is parsed from the hash's first 4 hex chars in
+    // ONE expression (Spark conv / DuckDB 0x-cast): a nibble-by-nibble
+    // sum would reference the md5 alias 4 times, and CollapseProject
+    // inlines aliases — recomputing the md5 per reference (measured 4x).
+    QuerySpec.sqlBacked("q51_sample_stratified",
+      """SELECT l_returnflag, count(*) AS n_sampled
+        |FROM (
+        |  SELECT l_returnflag,
+        |    CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || ':' ||
+        |          CAST(l_linenumber AS VARCHAR)), 1, 4)) AS INTEGER) AS u
+        |  FROM lineitem)
+        |WHERE u < CASE l_returnflag WHEN 'A' THEN 13107
+        |                            WHEN 'N' THEN 32768 ELSE 52428 END
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
       Tables(s, dir, "lineitem")
         .select(col("l_returnflag"),
-          md5(concat(col("l_orderkey").cast("string"), lit(":"),
-            col("l_linenumber").cast("string"))).as("h"))
-        .select(col("l_returnflag"), expr(u).as("u"))
+          conv(substring(md5(concat(col("l_orderkey").cast("string"),
+            lit(":"), col("l_linenumber").cast("string"))), 1, 4), 16, 10)
+            .cast("int").as("u"))
         .filter(col("u") <
           when(col("l_returnflag") === "A", 13107)
             .when(col("l_returnflag") === "N", 32768).otherwise(52428))
