@@ -16,5 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_rollhash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "graft_rollhash"),
+      (args: Seq[Expression]) => RollingHash(args(0))))
   }
 }

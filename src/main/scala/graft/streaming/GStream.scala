@@ -56,6 +56,42 @@ final class GStream[T](val ds: Dataset[T]) {
   def withWatermark(eventTimeCol: String, delay: String): GStream[T] =
     new GStream(ds.withWatermark(eventTimeCol, delay))
 
+  /** ≙ SingleOutputStreamOperator.name (SingleOutputStreamOperator.
+    * java:37): attach a display name to the operator. Spark-first shape:
+    * a SubqueryAlias plan node — visible in explain()/UI, a no-op for
+    * execution, exactly the reference's "names show in logs/UI" role. */
+  def name(n: String): GStream[T] = new GStream(ds.alias(n))
+
+  /** Explicit-Encoder escape hatch ≙ map(f, TypeInformation)
+    * (DataStream.java:144): for types the implicit derivation can't
+    * reach (the reference's MissingTypeInfo path). Distinct name — an
+    * overload of [[map]] erases to the same signature. */
+  def mapTyped[R](f: T => R, enc: Encoder[R]): GStream[R] =
+    new GStream(ds.map(f)(enc))
+
+  /** Explicit-Encoder flatMap ≙ flatMap(f, TypeInformation). */
+  def flatMapTyped[R](f: T => IterableOnce[R], enc: Encoder[R]): GStream[R] =
+    new GStream(ds.flatMap(f(_).iterator)(enc))
+
+  /** ≙ partitionCustom(Partitioner, keySelector) (DataStream.java /
+    * api/common/functions/Partitioner.java — dead code in the reference:
+    * no caller survives the prune). Spark's declarative engine does not
+    * expose slot-level placement, so this drops to the RDD layer: the
+    * user function picks the exact partition index per record.
+    * Batch-only (an RDD round-trip; streaming plans should use
+    * [[keyBy]]/[[rebalance]], as all live reference code does). */
+  def partitionCustom(pf: (T, Int) => Int, n: Int)(
+      implicit et: Encoder[T]): GStream[T] = {
+    val part = new org.apache.spark.Partitioner {
+      def numPartitions: Int = n
+      def getPartition(key: Any): Int =
+        ((key.asInstanceOf[Int] % n) + n) % n
+    }
+    implicit val ct: scala.reflect.ClassTag[T] = et.clsTag
+    val rdd = ds.rdd.map(t => (pf(t, n), t)).partitionBy(part).values
+    new GStream(ds.sparkSession.createDataset(rdd))
+  }
+
   /** Round-robin redistribution ≙ rebalance (RebalancePartitioner.java). */
   def rebalance(n: Int): GStream[T] = new GStream(ds.repartition(n))
 
@@ -247,6 +283,27 @@ trait KeyedProcess[K, I, S, O] extends Serializable {
   def onTimer(key: K, ctx: Ctx[S]): IterableOnce[O] = Nil
 }
 
+/** User contract ≙ SourceFunction<T> (source/SourceFunction.java:29-36
+  * in the reference): `run(ctx)` loops emitting records until it returns
+  * or `cancel()` flips the implementation's running flag. */
+trait SourceFunction[T] extends Serializable {
+  def run(ctx: SourceContext[T]): Unit
+  def cancel(): Unit
+}
+
+/** ≙ SourceFunction.SourceContext: the emit surface handed to `run`.
+  * `collectWithTimestamp`/`emitWatermark` mirror the reference's API; in
+  * the reference both are no-op stubs end-to-end
+  * (StreamSourceContexts.java:74-93), and here event time is assigned
+  * declaratively downstream via [[GStream.withWatermark]], so the
+  * timestamp variant simply emits (the record carries its own time
+  * field) and watermarks are engine-managed. */
+trait SourceContext[T] {
+  def collect(t: T): Unit
+  def collectWithTimestamp(t: T, ts: Long): Unit = collect(t)
+  def emitWatermark(wm: Long): Unit = ()
+}
+
 /** ≙ StreamExecutionEnvironment (SURVEY §2.1): source construction. */
 final class StreamEnv(val spark: SparkSession) {
   import spark.implicits._
@@ -260,6 +317,28 @@ final class StreamEnv(val spark: SparkSession) {
   def fromCollection[T: Encoder](xs: Seq[T]): GStream[T] =
     new GStream(spark.createDataset(xs))
 
+  /** Unbounded source ≙ env.addSource(SourceFunction)
+    * (StreamExecutionEnvironment.java:189-199): runs the reference's
+    * run-loop contract on a driver daemon thread feeding a MemoryStream
+    * — each `ctx.collect` lands in the next micro-batch. The driver
+    * thread IS the reference's source task (its sources are also
+    * single-threaded per subtask); production-scale sources should be
+    * DataSource v2 `readStream` formats instead, which parallelize
+    * across executors. Returns the unbounded stream; stop the loop via
+    * the function's own `cancel()`, exactly the reference's shutdown
+    * path (StreamSource.java cancel()). */
+  def addSource[T: Encoder](fn: SourceFunction[T]): GStream[T] = {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[T]
+    val ctx = new SourceContext[T] {
+      def collect(t: T): Unit = mem.addData(t)
+    }
+    val th = new Thread(() => fn.run(ctx), s"graft-source-${fn.getClass.getSimpleName}")
+    th.setDaemon(true)
+    th.start()
+    new GStream(mem.toDS())
+  }
+
   /** Unbounded source ≙ env.addSource(SourceFunction): tests feed a
     * MemoryStream; production sources are `spark.readStream` formats. */
   def fromDataset[T](ds: Dataset[T]): GStream[T] = new GStream(ds)
@@ -269,4 +348,12 @@ object StreamEnv {
   def apply(spark: SparkSession): StreamEnv = new StreamEnv(spark)
   implicit def tuple2Encoder[A: Encoder, B: Encoder]: Encoder[(A, B)] =
     Encoders.tuple(implicitly[Encoder[A]], implicitly[Encoder[B]])
+  /** ≙ EitherTypeInfo (flink-core .../typeutils/EitherTypeInfo.java):
+    * sealed-ADT encoding for Either-typed streams. Spark has no product
+    * encoder for sealed hierarchies, so this is the kryo-serialized
+    * escape hatch — fine for map/filter pipelines (opaque binary
+    * column), not for columnar ops on the payload (project to a tuple
+    * first, as the reference's own docs advise for performance). */
+  implicit def eitherEncoder[L, R]: Encoder[Either[L, R]] =
+    Encoders.kryo[Either[L, R]]
 }

@@ -85,4 +85,44 @@ class GStreamOpsSpec extends SparkSpec {
       assert(got == expected)
     }
   }
+
+  test("name() tags the plan and is a no-op for results") {
+    val named = env.fromElements(1, 2, 3).name("my_source")
+    assert(named.toDataset.queryExecution.analyzed.toString
+      .contains("my_source"))
+    assert(named.map(_ * 2).toDataset.collect().sorted.toSeq == Seq(2, 4, 6))
+  }
+
+  test("explicit-Encoder map/flatMap overloads (TypeInformation path)") {
+    import org.apache.spark.sql.Encoders
+    val out = env.fromElements("a", "bb")
+      .mapTyped((s: String) => s.length, Encoders.scalaInt)
+      .toDataset.collect().sorted.toSeq
+    assert(out == Seq(1, 2))
+    val out2 = env.fromElements("x y", "z")
+      .flatMapTyped((s: String) => s.split(" ").toSeq, Encoders.STRING)
+      .toDataset.collect().sorted.toSeq
+    assert(out2 == Seq("x", "y", "z"))
+  }
+
+  test("partitionCustom places each record in the chosen partition") {
+    val data = (1 to 40).toList
+    val gs = env.fromCollection(data).partitionCustom((t, n) => t % n, 4)
+    val byPartition = gs.toDataset.rdd
+      .mapPartitionsWithIndex((i, it) => it.map(v => (i, v)))
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byPartition.keySet == Set(0, 1, 2, 3))
+    for ((pid, vs) <- byPartition) assert(vs.forall(_ % 4 == pid))
+    assert(byPartition.values.map(_.size).sum == 40)
+  }
+
+  test("Either-typed stream via the sealed-ADT encoder") {
+    import StreamEnv.eitherEncoder
+    val xs: Seq[Either[String, Int]] = Seq(Left("a"), Right(1), Right(2))
+    val out = env.fromCollection(xs)
+      .filter(_.isRight)
+      .mapTyped((e: Either[String, Int]) => e.toOption.get, org.apache.spark.sql.Encoders.scalaInt)
+      .toDataset.collect().sorted.toSeq
+    assert(out == Seq(1, 2))
+  }
 }
