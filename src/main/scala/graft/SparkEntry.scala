@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{Dedup, Multimodal, Profiling, QuerySpec, Relational, Similarity, TextOps}
+import graft.queries.{Dedup, Multimodal, Profiling, QuerySpec, Relational, Similarity, Temporal, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ object SparkEntry {
   /** Full inventory (order preserved for stable reporting). */
   def allSpecs: Seq[QuerySpec] =
     Relational.specs ++ TextOps.specs ++ Dedup.specs ++ Similarity.specs ++
-      Multimodal.specs ++ Profiling.specs
+      Multimodal.specs ++ Profiling.specs ++ Temporal.specs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Brute-force differential checks for the temporal join operators on
+  * synthetic data (the value gate for q57/q58 is the DuckDB oracle; this
+  * spec pins the operator semantics independent of the corpus). */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(7)
+  // (key, tsUs, id): colliding windows, multiple keys, unique (key, ts)
+  private val leftRows = List.tabulate(120)(i =>
+    (i % 5, (rnd.nextInt(2000) * 2 + 1).toLong, 1000 + i)).distinct
+  private val rightRows = List.tabulate(150)(i =>
+    (i % 5, (rnd.nextInt(2000) * 2).toLong, 2000 + i))
+    .groupBy(t => (t._1, t._2)).map(_._2.head).toList // unique (key, ts)
+
+  private def leftDf = leftRows.toDF("k", "us", "lid")
+    .select(col("k"), timestamp_micros(col("us")).as("t"), col("lid"))
+  private def rightDf = rightRows.toDF("k", "us", "rid")
+    .select(col("k"), timestamp_micros(col("us")).as("t"), col("rid"))
+
+  test("asof matches per-row brute force, including no-match nulls") {
+    val got = TemporalJoins.asof(leftDf, rightDf, "k", "t", Seq("rid"))
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getInt(0) -> (if (r.isNullAt(1)) None else Some(r.getInt(1))))
+      .toMap
+    val expect = leftRows.map { case (k, us, lid) =>
+      val cands = rightRows.filter(r => r._1 == k && r._2 <= us)
+      lid -> (if (cands.isEmpty) None else Some(cands.maxBy(_._2)._3))
+    }.toMap
+    assert(got == expect)
+  }
+
+  test("range join emits every in-window pair exactly once") {
+    val (lo, hi) = (-300L, 500L)
+    val got = TemporalJoins.range(leftDf,
+        rightDf.withColumnRenamed("rid", "b_rid"), "k", "t",
+        lo, hi, Seq("b_rid"))
+      .select(col("lid"), col("b_rid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toList
+    val expect = for {
+      (k, us, lid) <- leftRows
+      (rk, rus, rid) <- rightRows
+      if rk == k && rus >= us + lo && rus <= us + hi
+    } yield (lid, rid)
+    assert(got.sorted == expect.sorted) // exact multiset: no dups, no misses
+  }
+
+  test("asof is partition-count invariant") {
+    val base = TemporalJoins.asof(leftDf, rightDf, "k", "t", Seq("rid"))
+      .collect().map(_.toSeq).toSet
+    val repart = TemporalJoins.asof(leftDf.repartition(7),
+        rightDf.repartition(3), "k", "t", Seq("rid"))
+      .collect().map(_.toSeq).toSet
+    assert(base == repart)
+  }
+}
