@@ -206,6 +206,44 @@ object Similarity {
             |            AS STRING)), ',')""".stripMargin)
           .as("q"))
         .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Mean-pooled per-label centroid, one row per (label, dim): the
+    // embedding-aggregation primitive (class prototypes, cluster
+    // centers, pooled doc representations). Elements are fixed to
+    // integer micro-units first (floor(x*1e6 + 0.5) — round-half-up,
+    // the proven q43b convention; a float->DECIMAL cast is NOT
+    // engine-identical), summed exactly as BIGINT (order-independent
+    // across partitionings), and the mean is ONE double division at the
+    // end — bit-identical in both engines. Output stays scalar
+    // (label, n, dim, m): doubles must not be stringified engine-side
+    // (rendering differs), and the exploded shape keeps the oracle
+    // comparable. Scale: one shuffle, 64 partial-aggregating sums,
+    // |labels| x 64 output rows.
+    QuerySpec.sqlBacked("q60_label_centroids", {
+      val sums = (0 until Vectors.Dim)
+        .map(i => s"sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS s$i")
+        .mkString(", ")
+      val arr = (0 until Vectors.Dim).map(i => s"s$i").mkString("[", ",", "]")
+      s"""WITH c AS (SELECT label, count(*) AS n, $sums
+         |           FROM embeddings GROUP BY label)
+         |SELECT label, n, j AS dim,
+         |  CAST($arr[j+1] AS DOUBLE) / (1000000.0 * n) AS m
+         |FROM c, unnest(range(0, ${Vectors.Dim})) AS t(j)
+         |ORDER BY label, dim""".stripMargin
+    }) { (s, dir) =>
+      val sums = (0 until Vectors.Dim).map(i =>
+        sum(expr(s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .as(s"s$i"))
+      Tables(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n"), sums: _*)
+        .select(col("label"), col("n"),
+          posexplode(array((0 until Vectors.Dim).map(i =>
+            col(s"s$i").cast("double") / (lit(1000000.0) * col("n"))): _*))
+            .as(Seq("dim", "m")))
+        .orderBy(col("label"), col("dim"))
     }
   )
 }

@@ -179,6 +179,43 @@ object TextOps {
           col("r.g_min").as("g_min"), col("r.g_max").as("g_max"),
           col("r.n_distinct").as("n_distinct"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // TF-IDF-style top term per document: the term with the highest
+    // in-doc frequency, tiebroken toward the most distinctive (lowest
+    // document frequency) then lexicographically — an integer-exact
+    // ranking (no float idf), so the oracle is bit-exact. Scale: tf is
+    // one shuffle on (doc, tok) with map-side combine, df one shuffle on
+    // tok; the df join shuffles on tok and the final argmax is a window
+    // keyed by doc_id — every key is either bounded (doc) or capped by
+    // vocabulary size.
+    QuerySpec.sqlBacked("q59_tfidf_top_term",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+        |ranked AS (
+        |  SELECT doc_id, tok AS term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tok) AS rn
+        |  FROM tf JOIN df USING (tok))
+        |SELECT doc_id, term, tf, df FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("tok"))
+      tf.join(df, "tok")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("tok").as("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"))
     }
   )
 }
