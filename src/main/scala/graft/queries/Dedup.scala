@@ -81,41 +81,33 @@ object Dedup {
 
   /** Spark simhash fingerprints (doc_id, fp). Majority votes are exact
     * integer sums -> order-independent, so the Spark plan restructures
-    * freely: compute each DISTINCT token's 64 signed bits once
-    * (vocabulary << corpus), broadcast-join them back, and fold per-doc
-    * elementwise. Turns 64 md5-nibble extracts per (doc, token) into 64
-    * per vocab entry + cheap int adds. */
-  private[graft] def simhashFps(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables(s, dir, "documents")
+    * freely. Shape: expand each token occurrence's md5 into 64 signed
+    * bits in the scan (bit k (0..63) = bit (k%4) of hex nibble
+    * (k div 4); the expansion iterates the md5's 16 chars via split,
+    * referencing the hash ONCE — a per-bit substr(md5(tok),...)
+    * formulation would inline the md5 into the lambda via
+    * CollapseProject and recompute it 64 times per row), then 64
+    * declarative sum() aggregates per doc. Sums combine map-side, so
+    * the only shuffle carries 64 longs per doc. A vocab-dedup variant
+    * (distinct tokens -> join back) trades this for two extra shuffles
+    * (distinct + join) to save recomputing md5 per occurrence — it
+    * measured slower here and its payoff at scale depends on the
+    * token-repetition ratio, so the shuffle-free form wins. */
+  private[graft] def simhashFps(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism) // single-file scan
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-    // Bit k (0..63) = bit (k%4) of hex nibble (k div 4). The expansion
-    // iterates the md5's 16 chars via split — referencing the hash ONCE:
-    // a per-bit substr(md5(tok), k div 4, 1) formulation would inline
-    // the md5 into the lambda (CollapseProject) and recompute it 64
-    // times per vocab row (measured: dominated the whole query).
-    val vocab = toks.select(col("tok")).distinct()
-      .withColumn("sb", expr(
+      .select(col("doc_id"), expr(
         """flatten(transform(split(md5(tok), ''), c ->
           |  transform(sequence(0, 3), b ->
-          |    2*((instr('0123456789abcdef', c) - 1) >> b & 1) - 1)))""".stripMargin))
-    // No broadcast hint: the distinct-token table of a 100 TB corpus
-    // does not fit in one executor. A plain equi-join shuffles on tok —
-    // and AQE still promotes it to broadcast at runtime when the vocab
-    // is actually small (as it is at test SF).
-    //
-    // The 64 per-bit majority votes are 64 declarative sum() aggregates
-    // (not collect_list + array fold): sums combine map-side, so the
-    // per-doc shuffle carries 64 longs instead of every token's 64-int
-    // bit array, and the plan stays in partial aggregation at any scale.
-    toks.join(vocab, "tok")
+          |    2*((instr('0123456789abcdef', c) - 1) >> b & 1) - 1)))""".stripMargin)
+        .as("sb"))
       .groupBy(col("doc_id"))
       .agg(sum(col("sb").getItem(0)).as("s0"),
         (1 until 64).map(k => sum(col("sb").getItem(k)).as(s"s$k")): _*)
       .select(col("doc_id"),
         concat((0 until 64).map(k =>
           when(col(s"s$k") > 0, "1").otherwise("0")): _*).as("fp"))
-  }
 
   val specs: Seq[QuerySpec] = Seq(
 

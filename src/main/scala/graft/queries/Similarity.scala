@@ -122,12 +122,14 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
-    // IVF: label = inverted list. Exact-decimal per-dim sums make the
-    // centroids order-independent; cosine's scale invariance makes the
-    // un-normalized sum rank identically to the mean. nprobe=1.
+    // IVF: label = inverted list. Exact integer micro-unit sums
+    // (floor(x*1e6+0.5), the q43b/q60 convention — engine-identical,
+    // unlike float->DECIMAL casts, and faster than decimal aggregation)
+    // make the centroids order-independent; cosine's scale invariance
+    // makes the un-normalized sum rank identically to the mean. nprobe=1.
     QuerySpec.sqlBacked("q42_knn_ivf", {
       val cSumsSql = (0 until Vectors.Dim)
-        .map(i => s"CAST(sum(CAST(embedding[${i + 1}] AS DECIMAL(18,6))) AS DOUBLE) AS c$i")
+        .map(i => s"CAST(sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) AS c$i")
         .mkString(", ")
       val cArrSql = (0 until Vectors.Dim).map(i => s"c$i").mkString("[", ",", "]")
       s"""WITH n AS ($corpusSql),
@@ -153,7 +155,8 @@ object Similarity {
     }) { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       val cSums = (0 until Vectors.Dim).map(i =>
-        sum(expr(s"CAST(embedding[$i] AS DECIMAL(18,6))")).cast("double").as(s"c$i"))
+        sum(expr(s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+          .cast("double").as(s"c$i"))
       val cent = emb.groupBy(col("label")).agg(cSums.head, cSums.tail: _*)
         .select(col("label"),
           array((0 until Vectors.Dim).map(i => col(s"c$i")): _*).as("ce"))
