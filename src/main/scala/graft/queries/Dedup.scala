@@ -79,35 +79,19 @@ object Dedup {
     |       >> (k%4) & 1) - 1)) > 0
     |  THEN '1' ELSE '0' END), '')""".stripMargin
 
-  /** Spark simhash fingerprints (doc_id, fp). Majority votes are exact
-    * integer sums -> order-independent, so the Spark plan restructures
-    * freely. Shape: expand each token occurrence's md5 into 64 signed
-    * bits in the scan (bit k (0..63) = bit (k%4) of hex nibble
-    * (k div 4); the expansion iterates the md5's 16 chars via split,
-    * referencing the hash ONCE — a per-bit substr(md5(tok),...)
-    * formulation would inline the md5 into the lambda via
-    * CollapseProject and recompute it 64 times per row), then 64
-    * declarative sum() aggregates per doc. Sums combine map-side, so
-    * the only shuffle carries 64 longs per doc. A vocab-dedup variant
-    * (distinct tokens -> join back) trades this for two extra shuffles
-    * (distinct + join) to save recomputing md5 per occurrence — it
-    * measured slower here and its payoff at scale depends on the
-    * token-repetition ratio, so the shuffle-free form wins. */
+  /** Spark simhash fingerprints (doc_id, fp) via the native
+    * [[graft.plans.SimHashAgg]] aggregate: one md5 + 64 int adds per
+    * token occurrence, map-side combining, one shuffle carrying 64 ints
+    * per doc — bit-identical to [[fpSql]] (SimHashAggSpec proves parity
+    * against the portable SQL formulation). Earlier shapes and their
+    * measured costs (interpreted bit-expansion lambdas, vocab-dedup
+    * join variant) are in the git log. */
   private[graft] def simhashFps(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism) // single-file scan
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .select(col("doc_id"), expr(
-        """flatten(transform(split(md5(tok), ''), c ->
-          |  transform(sequence(0, 3), b ->
-          |    2*((instr('0123456789abcdef', c) - 1) >> b & 1) - 1)))""".stripMargin)
-        .as("sb"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("sb").getItem(0)).as("s0"),
-        (1 until 64).map(k => sum(col("sb").getItem(k)).as(s"s$k")): _*)
-      .select(col("doc_id"),
-        concat((0 until 64).map(k =>
-          when(col(s"s$k") > 0, "1").otherwise("0")): _*).as("fp"))
+      .agg(graft.plans.SimHashAgg(col("tok")).as("fp"))
 
   val specs: Seq[QuerySpec] = Seq(
 
