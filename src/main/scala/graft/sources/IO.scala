@@ -38,4 +38,17 @@ object IO {
 
   def readText(s: SparkSession, path: String): DataFrame =
     s.read.text(path)
+
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  /** Hive-style partitioned layout (`path/col=value/part-*.parquet`):
+    * the 100 TB directory shape — readers prune entire partitions from
+    * the listing when a filter hits `cols` (PartitionFilters in the
+    * scan, no file I/O at all for pruned values). */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
 }

@@ -224,6 +224,17 @@ final class KeyedGStream[K, T](
       outputMode: OutputMode): GStream[O] =
     new GStream(grouped.transformWithState(processor, timeMode, outputMode))
 
+  /** ≙ coGroup (cut from the reference's prune — full Flink's
+    * DataStream.coGroup): per-key combination of two keyed streams with
+    * access to BOTH full groups. Spark-first: KeyValueGroupedDataset
+    * .cogroup — one co-partitioned shuffle of each side on the shared
+    * key, no materialized join product. Batch-shaped (group iterators
+    * are bounded); streams should use interval joins or process(). */
+  def cogroup[U, R: Encoder](other: KeyedGStream[K, U])(
+      f: (K, Iterator[T], Iterator[U]) => IterableOnce[R]): GStream[R] =
+    new GStream(grouped.cogroup(other.grouped)(
+      (k, as, bs) => f(k, as, bs).iterator))
+
   def process[S: Encoder, O: Encoder](
       pf: KeyedProcess[K, T, S, O],
       timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)

@@ -116,6 +116,17 @@ class GStreamOpsSpec extends SparkSpec {
     assert(byPartition.values.map(_.size).sum == 40)
   }
 
+  test("cogroup combines both full groups per key") {
+    val orders = env.fromCollection(Seq((1, "o1"), (1, "o2"), (2, "o3")))
+      .keyBy(_._1)
+    val pays = env.fromCollection(Seq((1, 10.0), (2, 20.0), (2, 5.0), (3, 1.0)))
+      .keyBy(_._1)
+    val out = orders.cogroup(pays) { (k, os, ps) =>
+      Seq((k, os.size, ps.map(_._2).sum))
+    }.toDataset.collect().toSet
+    assert(out == Set((1, 2, 10.0), (2, 1, 25.0), (3, 0, 1.0)))
+  }
+
   test("Either-typed stream via the sealed-ADT encoder") {
     import StreamEnv.eitherEncoder
     val xs: Seq[Either[String, Int]] = Seq(Left("a"), Right(1), Right(2))

@@ -41,6 +41,46 @@ class SourcesSinksSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("orc round-trip and hive-partitioned write with partition pruning") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("b", 3, 30.0))
+      .toDF("k", "id", "v")
+    val orcDir = Files.createTempDirectory("graft_orc").toString + "/t"
+    graft.sources.IO.writeOrc(df, orcDir)
+    assert(graft.sources.IO.readOrc(spark, orcDir).collect().length == 3)
+
+    val partDir = Files.createTempDirectory("graft_part").toString + "/t"
+    graft.sources.IO.writePartitioned(df, partDir, "k")
+    val back = graft.sources.IO.readParquet(spark, partDir)
+    assert(back.collect().length == 3)
+    // filter on the partition column must prune at the scan, not post-read:
+    // the parquet scan's PartitionFilters must carry the k predicate
+    val pruned = back.filter(col("k") === "a")
+    val plan = pruned.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+    assert(pf.exists(_.contains("(k")), s"no partition filter on k in:\n$plan")
+    assert(pruned.count() == 2)
+  }
+
+  test("stream-static enrichment join: every record picks up its dim row") {
+    import org.apache.spark.sql.functions.broadcast
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((0, "bronze"), (1, "silver")).toDF("uid", "tier")
+    val in = MemoryStream[(Int, Double)]
+    val q = in.toDS().toDF("uid", "v")
+      .join(broadcast(dim), "uid") // static side broadcast per micro-batch
+      .writeStream.format("memory").queryName("enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((0, 1.5), (1, 2.5), (0, 3.5), (7, 9.9)) // 7 has no dim row
+      q.processAllAvailable()
+      val rows = spark.table("enrich").collect()
+        .map(r => (r.getInt(0), r.getDouble(1), r.getString(2))).toSet
+      assert(rows == Set((0, 1.5, "bronze"), (0, 3.5, "bronze"),
+        (1, 2.5, "silver")))
+    } finally q.stop()
+  }
+
   test("ForeachWriter sink: per-element invoke with open/close lifecycle") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Int]
