@@ -209,12 +209,15 @@ object TextOps {
         .agg(count(lit(1)).as("tf"))
       val df = toks.groupBy(col("tok"))
         .agg(countDistinct(col("doc_id")).as("df"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-        .orderBy(col("tf").desc, col("df").asc, col("tok"))
+      // argmax via min(struct(-tf, df, term)): lexicographic struct
+      // ordering encodes (tf DESC, df ASC, term ASC) and aggregates with
+      // map-side partials — no per-doc window sort.
       tf.join(df, "tok")
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("doc_id"), col("tok").as("term"), col("tf"), col("df"))
+        .groupBy(col("doc_id"))
+        .agg(min(struct((-col("tf")).as("ntf"), col("df"),
+          col("tok").as("term"))).as("m"))
+        .select(col("doc_id"), col("m.term").as("term"),
+          (-col("m.ntf")).as("tf"), col("m.df").as("df"))
         .orderBy(col("doc_id"))
     }
   )
