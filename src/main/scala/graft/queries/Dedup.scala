@@ -325,6 +325,53 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // Benchmark decontamination: which training documents share an
+    // 8-token gram with any test-split document (the q56 hash split) —
+    // the leakage check run before training on scraped corpora. Grams
+    // are md5-keyed; candidate generation is the same inverted-index
+    // equi-join as the dedup family (8-gram document frequency is tiny,
+    // so no hot-key cap is needed). At 100 TB the gram index would be
+    // materialized once and reused across both sides instead of
+    // recomputing per branch.
+    QuerySpec.sqlBacked("q63_decontaminate",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, nib,
+        |    unnest(list_distinct(list_transform(range(1, len(ws)-6),
+        |      i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+        |  FROM w WHERE len(ws) >= 8),
+        |tr AS (SELECT doc_id, g FROM g WHERE nib <= 12),
+        |te AS (SELECT doc_id, g FROM g WHERE nib >= 14)
+        |SELECT tr.doc_id AS train_id, count(DISTINCT tr.g) AS n_shared,
+        |       count(DISTINCT te.doc_id) AS n_test_docs
+        |FROM tr JOIN te ON tr.g = te.g
+        |GROUP BY tr.doc_id ORDER BY train_id""".stripMargin) { (s, dir) =>
+      val g = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"),
+          (instr(lit("0123456789abcdef"),
+            substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"))
+        .filter(size(col("ws")) >= 8)
+        .select(col("doc_id"), col("nib"), explode(expr(
+          """array_distinct(transform(sequence(0, size(ws)-8),
+            |  i -> md5(concat_ws(' ', slice(ws, i+1, 8)))))""".stripMargin))
+          .as("g"))
+      val tr = g.filter(col("nib") <= 12)
+        .select(col("doc_id").as("train_id"), col("g"))
+      val te = g.filter(col("nib") >= 14)
+        .select(col("doc_id").as("test_id"), col("g"))
+      tr.join(te, "g")
+        .groupBy(col("train_id"))
+        .agg(countDistinct(col("g")).as("n_shared"),
+          countDistinct(col("test_id")).as("n_test_docs"))
+        .orderBy(col("train_id"))
+    },
+
+    // ------------------------------------------------------------------
     // Canonical selection — the step after candidate detection in a real
     // dedup pipeline: cluster by identical simhash fingerprint, keep the
     // longest document per cluster (doc_id tiebreak), report how many

@@ -66,6 +66,31 @@ object Temporal {
         .groupBy(col("event_id"))
         .agg(count(lit(1)).as("n_near"))
         .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Top-3 orders per customer via the bounded-heap TopKAgg aggregate
+    // ([[graft.plans.TopKAgg]]): at most k rows per group cross the
+    // shuffle, vs a ranking window's full per-group sort — the scale
+    // path for top-k on skewed keys. DESC price is encoded by struct
+    // ordering with the negated orderkey as ascending tiebreak. The
+    // oracle states the same semantics as the window formulation.
+    QuerySpec.sqlBacked("q64_topk_per_key",
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(graft.plans.TopKAgg(
+          struct(col("o_totalprice").as("p"),
+            (-col("o_orderkey")).as("nk")), 3).as("top"))
+        .select(col("o_custkey"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("o_custkey"), (col("i") + 1).cast("long").as("rn"),
+          (-col("t.nk")).as("o_orderkey"), col("t.p").as("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
     }
   )
 }

@@ -219,6 +219,68 @@ object TextOps {
         .select(col("doc_id"), col("m.term").as("term"),
           (-col("m.ntf")).as("tf"), col("m.df").as("df"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Document chunking: fixed 50-token windows with 10-token overlap
+    // (stride 40) — the context-window preparation step of a training /
+    // RAG pipeline. One row per chunk with its token count and content
+    // fingerprint. Pure projection (transform + posexplode), scan-bound;
+    // chunk boundaries depend only on the document, so the split is
+    // partition- and retry-stable.
+    QuerySpec.sqlBacked("q61_doc_chunks",
+      """SELECT doc_id, j AS chunk_id,
+        |  len(ws[40*j+1 : 40*j+50]) AS n_tok,
+        |  md5(array_to_string(ws[40*j+1 : 40*j+50], ' ')) AS chunk_fp
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |  unnest(range(0, CAST(ceil(greatest(len(ws) - 10, 1) / 40.0) AS BIGINT)))
+        |    AS t(j)
+        |ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), posexplode(expr(
+          """transform(
+            |  sequence(0, CAST(ceil(greatest(size(ws) - 10, 1) / 40.0) AS INT) - 1),
+            |  j -> slice(ws, 40*j + 1, 50))""".stripMargin))
+          .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_tok"),
+          md5(array_join(col("chunk"), " ")).as("chunk_fp"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Repetition ratio (Gopher-style quality rule): fraction of a doc's
+    // word-3-grams that are repeats of an earlier 3-gram. High ratio =
+    // boilerplate/spam; training pipelines threshold on it. Counts are
+    // exact integers; the one double division at the end is
+    // engine-deterministic. Pure projection.
+    QuerySpec.sqlBacked("q62_repetition",
+      """SELECT doc_id, n_total, n_distinct,
+        |  1.0 - CAST(n_distinct AS DOUBLE)/n_total AS dup_ratio
+        |FROM (
+        |  SELECT doc_id, len(gs) AS n_total,
+        |    len(list_distinct(gs)) AS n_distinct
+        |  FROM (SELECT doc_id, list_transform(range(1, len(ws)-1),
+        |          i -> ws[i]||' '||ws[i+1]||' '||ws[i+2]) AS gs
+        |        FROM (SELECT doc_id, string_split(text,' ') AS ws
+        |              FROM documents)
+        |        WHERE len(ws) >= 3))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 3)
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, size(ws)-3),
+            |  i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))""".stripMargin)
+          .as("gs"))
+        .select(col("doc_id"),
+          size(col("gs")).cast("long").as("n_total"),
+          size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
+        .select(col("doc_id"), col("n_total"), col("n_distinct"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
+            .as("dup_ratio"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -12,6 +12,12 @@ object bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Interpreted ordering for a DataType (StructType.interpretedOrdering
+    * is private[sql]) — used by graft.plans.TopKAgg's bounded heap. */
+  def orderingFor(dt: org.apache.spark.sql.types.DataType): Ordering[Any] =
+    org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
+      .asInstanceOf[Ordering[Any]]
+
   /** Register an expression builder as a SQL temp function on a session
     * (FunctionRegistry is private[sql]); lets `spark.sql` text call
     * native graft expressions like `graft_dot`. */
