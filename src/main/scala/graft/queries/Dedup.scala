@@ -42,20 +42,19 @@ object Dedup {
       |  transform(sequence(i+1, size(ds)-1),
       |    j -> struct(ds[i] AS a, ds[j] AS b))))""".stripMargin
 
-  /** doc_id + distinct word-3-gram shingles (pure projection). The scan
-    * is repartitioned first: the test corpus is one small parquet file =
-    * one input split, which would serialize all shingling onto a single
-    * task; at 100 TB the input arrives pre-split and the repartition is
-    * a cheap no-op-sized shuffle. */
+  /** doc_id + distinct word-3-gram shingles via the native
+    * [[graft.plans.WordShingles]] expression (one pass, no interpreted
+    * transform lambdas — WordShinglesSpec proves parity with the SQL
+    * formulation). The scan is repartitioned first: the test corpus is
+    * one small parquet file = one input split, which would serialize
+    * all shingling onto a single task; at 100 TB the input arrives
+    * pre-split and the repartition is a cheap no-op-sized shuffle. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), expr(
-        """array_distinct(transform(sequence(0, size(ws)-3),
-          |  i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))""".stripMargin)
-        .as("sh"))
+      .select(col("doc_id"),
+        graft.plans.WordShingles(col("text"), 3, distinct = true).as("sh"))
+      .filter(size(col("sh")) > 0)
 
   private val shingledSql =
     """SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
@@ -352,14 +351,12 @@ object Dedup {
         |GROUP BY tr.doc_id ORDER BY train_id""".stripMargin) { (s, dir) =>
       val g = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"), split(col("text"), " ").as("ws"),
+        .select(col("doc_id"),
+          graft.plans.WordShingles(col("text"), 8, distinct = true).as("g8"),
           (instr(lit("0123456789abcdef"),
             substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"))
-        .filter(size(col("ws")) >= 8)
-        .select(col("doc_id"), col("nib"), explode(expr(
-          """array_distinct(transform(sequence(0, size(ws)-8),
-            |  i -> md5(concat_ws(' ', slice(ws, i+1, 8)))))""".stripMargin))
-          .as("g"))
+        .select(col("doc_id"), col("nib"), explode(col("g8")).as("g8s"))
+        .select(col("doc_id"), col("nib"), md5(col("g8s")).as("g"))
       val tr = g.filter(col("nib") <= 12)
         .select(col("doc_id").as("train_id"), col("g"))
       val te = g.filter(col("nib") >= 14)

@@ -128,11 +128,10 @@ object TextOps {
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val sh = docs
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(ws)-3), i -> md5(concat(ws[i], ' ', ws[i+1], ' ', ws[i+2])))"))
-          .as("h"))
+        .select(col("doc_id"),
+          explode(graft.plans.WordShingles(col("text"), 3, distinct = false))
+            .as("s3"))
+        .select(col("doc_id"), md5(col("s3")).as("h"))
         .groupBy(col("doc_id"))
         .agg(min(col("h")).as("min_sh"), max(col("h")).as("max_sh"))
       docs
@@ -268,12 +267,9 @@ object TextOps {
         |        WHERE len(ws) >= 3))
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       Tables(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("ws"))
-        .filter(size(col("ws")) >= 3)
-        .select(col("doc_id"), expr(
-          """transform(sequence(0, size(ws)-3),
-            |  i -> concat(ws[i], ' ', ws[i+1], ' ', ws[i+2]))""".stripMargin)
-          .as("gs"))
+        .select(col("doc_id"),
+          graft.plans.WordShingles(col("text"), 3, distinct = false).as("gs"))
+        .filter(size(col("gs")) > 0)
         .select(col("doc_id"),
           size(col("gs")).cast("long").as("n_total"),
           size(array_distinct(col("gs"))).cast("long").as("n_distinct"))
