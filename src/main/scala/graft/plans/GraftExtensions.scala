@@ -20,5 +20,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_rollhash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rollhash"),
       (args: Seq[Expression]) => RollingHash(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[WordShingles].getName, "graft_shingles"),
+      (args: Seq[Expression]) => WordShingles(args(0),
+        foldInt(args(1), "graft_shingles k"),
+        foldBool(args(2), "graft_shingles distinct"))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
+      (args: Seq[Expression]) => SimHashAgg(args(0)).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
+      (args: Seq[Expression]) => TopKAgg(args(0),
+        foldInt(args(1), "graft_topk k")).toAggregateExpression()))
+  }
+
+  private def foldInt(e: Expression, what: String): Int = e.eval() match {
+    case i: Int => i
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def foldBool(e: Expression, what: String): Boolean = e.eval() match {
+    case b: Boolean => b
+    case other => throw new IllegalArgumentException(
+      s"$what must be a boolean literal, got $other")
   }
 }
