@@ -195,19 +195,19 @@ object Dedup {
          |    AS est_jac
          |FROM cand ORDER BY a_id, b_id""".stripMargin
     }) { (s, dir) =>
-      val sigCols = (0 until K).map(i =>
-        expr(s"array_min(transform(sh, s -> md5(concat('$i:', s))))").as(s"s$i"))
-      val sig = shingled(s, dir).select(col("doc_id") +: sigCols: _*)
+      // Signatures via the native MinHashSig expression (one pass over
+      // the shingles computing all K minima — the SQL formulation walks
+      // the array K times through interpreted lambdas; MinHashSigSpec
+      // proves byte parity). Persisted DIRECTLY above the expression:
+      // band/slot derivations reference the sig array several times,
+      // and without the materialization boundary CollapseProject would
+      // inline — and recompute — the signature per reference.
+      val sigp = shingled(s, dir)
+        .select(col("doc_id"), graft.plans.MinHashSig(col("sh"), K).as("sig"))
+        .persist()
       val bandArr = (0 until B).map(j =>
-        md5(concat((4*j until 4*j+4).map(i => col(s"s$i")): _*)))
-      // Posting-list pair generation per (band, hash) bucket — one
-      // shuffle on the bucket key, doc_ids only in the lists (see q36);
-      // signatures join back per-side after pair dedup. The signature
-      // table is persisted: it feeds both the band index and the two
-      // re-join sides, and the 16 md5-min folds are the dominant cost.
-      val sigp = sig.persist()
-      val sigArr = sigp.select(col("doc_id"),
-        array((0 until K).map(i => col(s"s$i")): _*).as("sig"))
+        md5(concat((4 * j until 4 * j + 4).map(i => col("sig").getItem(i)): _*)))
+      val sigArr = sigp.select(col("doc_id"), col("sig"))
       sigp
         .select(col("doc_id"), posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
         .groupBy(col("j"), col("bh"))
