@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components by iterative minimum-label
+  * propagation — the clustering step between near-duplicate PAIRS and
+  * canonical-document selection in a dedup pipeline (pairs say "a~b";
+  * training-set construction needs whole components).
+  *
+  * Each node starts labeled with itself; every iteration each node
+  * takes the min of its own label and its neighbors' labels; fixpoint
+  * = components labeled by their minimum member. Convergence needs at
+  * most the graph diameter's iterations (near-dup graphs are
+  * small-diameter clusters, so a handful); the driver only coordinates
+  * — each step is a join + aggregate over the edge set, the same
+  * shuffle shape at any scale (this is the Pregel/GraphX CC algorithm
+  * expressed relationally). Lineage is truncated per iteration
+  * (localCheckpoint) so plans don't grow with the iteration count.
+  */
+object ConnectedComponents {
+
+  /** edges: two-column DataFrame of undirected pairs (u, v). Returns
+    * (node, cluster_id) for every node appearing in an edge, cluster_id
+    * = the component's minimum node id. */
+  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val u = edges.columns(0)
+    val v = edges.columns(1)
+    val sym = edges.select(col(u).as("src"), col(v).as("dst"))
+      .union(edges.select(col(v).as("src"), col(u).as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // each node's new label: min over itself and all neighbors
+      val prop = sym.join(labels, sym("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.join(
+          labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels.select(col("node"), col("label").as("cluster_id"))
+  }
+}

@@ -42,6 +42,48 @@ object Dedup {
       |  transform(sequence(i+1, size(ds)-1),
       |    j -> struct(ds[i] AS a, ds[j] AS b))))""".stripMargin
 
+  /** Exact Jaccard >= 0.5 near-dup pairs (a_id, b_id, jac) — the q36
+    * pipeline, shared with q65's clustering. */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir).persist() // read twice: lens + index
+    val lens = base.select(col("doc_id"), size(col("sh")).as("n"))
+    val pairs = base
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, MaxShingleDf))
+      .select(explode(expr(pairsOf)).as("p"))
+      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(lens.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(lens.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .filter(col("jac") >= 0.5)
+  }
+
+  /** DuckDB CTE chain producing the same jp(a_id, b_id, jac) relation —
+    * q36's oracle body, shared with q65's recursive clustering oracle.
+    * Lazy: interpolates shingledSql, which is declared further down. */
+  private lazy val jaccardPairsCtes =
+    s"""base AS ($shingledSql),
+       |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM base),
+       |freq AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |ex2 AS (SELECT ex.* FROM ex JOIN freq USING (s)),
+       |pairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+       |         max(a.n) AS na, max(b.n) AS nb
+       |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |jp AS (
+       |  SELECT a_id, b_id,
+       |    CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) AS jac
+       |  FROM pairs
+       |  WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5)""".stripMargin
+
   /** doc_id + distinct word-3-gram shingles via the native
     * [[graft.plans.WordShingles]] expression (one pass, no interpreted
     * transform lambdas — WordShinglesSpec proves parity with the SQL
@@ -113,20 +155,8 @@ object Dedup {
     // (inverted-index join, sub-quadratic on natural text), then
     // |A∩B| / (|A|+|B|-|A∩B|) >= 0.5.
     QuerySpec.sqlBacked("q36_dedup_jaccard",
-      s"""WITH base AS ($shingledSql),
-         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM base),
-         |freq AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
-         |ex2 AS (SELECT ex.* FROM ex JOIN freq USING (s)),
-         |pairs AS (
-         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
-         |         max(a.n) AS na, max(b.n) AS nb
-         |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
-         |  GROUP BY a.doc_id, b.doc_id)
-         |SELECT a_id, b_id,
-         |  CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) AS jac
-         |FROM pairs
-         |WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5
-         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      s"""WITH $jaccardPairsCtes
+         |SELECT a_id, b_id, jac FROM jp ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       // Posting-list pair generation instead of an inverted-index
       // self-join: group the exploded (shingle, doc) index once, emit
       // ordered pairs from each posting list, count shared shingles.
@@ -145,25 +175,7 @@ object Dedup {
       // 3-grams ("of the and"-class) carry no dedup signal but
       // quadratic pair cost — at 100 TB each would emit billions of
       // candidate pairs from one key.
-      val base = shingled(s, dir).persist() // read twice: lens + index
-      val lens = base.select(col("doc_id"), size(col("sh")).as("n"))
-      val pairs = base
-        .select(col("doc_id"), explode(col("sh")).as("s"))
-        .groupBy(col("s"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, MaxShingleDf))
-        .select(explode(expr(pairsOf)).as("p"))
-        .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
-        .groupBy(col("a_id"), col("b_id"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(lens.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-        .join(lens.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-        .select(col("a_id"), col("b_id"),
-          (col("inter").cast("double") /
-            (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
-        .filter(col("jac") >= 0.5)
-        .orderBy(col("a_id"), col("b_id"))
+      jaccardPairs(s, dir).orderBy(col("a_id"), col("b_id"))
     },
 
     // ------------------------------------------------------------------
@@ -366,6 +378,32 @@ object Dedup {
         .agg(countDistinct(col("g")).as("n_shared"),
           countDistinct(col("test_id")).as("n_test_docs"))
         .orderBy(col("train_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Duplicate-cluster formation: connected components over the q36
+    // near-dup pairs ([[graft.operators.ConnectedComponents]], iterative
+    // min-label propagation — the Pregel CC shape expressed
+    // relationally). Pairs only say "a~b"; training-set dedup needs
+    // whole components so one canonical doc survives per CLUSTER, not
+    // per pair. The oracle computes the same components by recursive
+    // min-reachability (tractable at oracle scale; the iterative form
+    // is the one that scales).
+    QuerySpec.sqlBacked("q65_dup_clusters",
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
+         |e AS (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u)
+         |SELECT n AS doc_id, min(m) AS cluster_id
+         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      graft.operators.ConnectedComponents
+        .run(jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
+        .select(col("node").as("doc_id"), col("cluster_id"))
+        .orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------------------
