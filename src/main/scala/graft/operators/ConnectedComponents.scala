@@ -26,27 +26,39 @@ object ConnectedComponents {
   def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val u = edges.columns(0)
     val v = edges.columns(1)
-    val sym = edges.select(col(u).as("src"), col(v).as("dst"))
+    val sym0 = edges.select(col(u).as("src"), col(v).as("dst"))
       .union(edges.select(col(v).as("src"), col(u).as("dst")))
       .distinct()
       .localCheckpoint()
+    // Size the loop's parallelism to the graph, not the session default:
+    // iterating a 1k-edge candidate graph through 32-way shuffles spends
+    // more on task scheduling than on work, while a billion-edge graph
+    // gets the full session parallelism (~1M edges per partition).
+    val n = sym0.count()
+    val parts = math.max(1, math.min(
+      edges.sparkSession.sparkContext.defaultParallelism,
+      (n / 1000000L).toInt + 1))
+    val sym = sym0.coalesce(parts).localCheckpoint()
     var labels = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint()
+      .coalesce(parts).localCheckpoint()
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // each node's new label: min over itself and all neighbors
+      // each node's new label: min over itself and all neighbors; the
+      // previous label rides along so convergence is read off the same
+      // materialization instead of a separate join
       val prop = sym.join(labels, sym("src") === labels("node"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.union(prop)
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast(labels.schema("label").dataType).as("old"))
+      val next = labels.select(col("node"), col("label"),
+          col("label").as("old"))
+        .union(prop)
         .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint()
-      val changed = next.join(
-          labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+        .agg(min(col("label")).as("label"), min(col("old")).as("old"))
+        .coalesce(parts).localCheckpoint()
+      val changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
     }

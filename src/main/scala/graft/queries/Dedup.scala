@@ -407,6 +407,45 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // End-to-end dedup resolution: per q65 cluster, keep the longest
+    // member (doc_id tiebreak) — candidates (q36) -> clusters (q65) ->
+    // one canonical survivor. Argmax is a partial-aggregating struct
+    // min, the n_chars column comes from the table (no text rescan for
+    // lengths), and the only shuffle beyond clustering is one tiny
+    // aggregate keyed by cluster.
+    QuerySpec.sqlBacked("q66_canonical_keep",
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
+         |e AS (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
+         |         FROM reach GROUP BY n)
+         |SELECT cluster_id, doc_id AS keep_id, n_members FROM (
+         |  SELECT cluster_id, doc_id,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY n_chars DESC, doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY cluster_id) AS n_members
+         |  FROM comp JOIN documents USING (doc_id))
+         |WHERE rn = 1 ORDER BY cluster_id""".stripMargin) { (s, dir) =>
+      val comp = graft.operators.ConnectedComponents
+        .run(jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      comp
+        .join(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(min(struct((-col("n_chars")).as("nn"), col("doc_id").as("id")))
+          .as("m"), count(lit(1)).as("n_members"))
+        .select(col("cluster_id"), col("m.id").as("keep_id"),
+          col("n_members"))
+        .orderBy(col("cluster_id"))
+    },
+
+    // ------------------------------------------------------------------
     // Canonical selection — the step after candidate detection in a real
     // dedup pipeline: cluster by identical simhash fingerprint, keep the
     // longest document per cluster (doc_id tiebreak), report how many
