@@ -277,6 +277,57 @@ object TextOps {
           (lit(1.0) - col("n_distinct").cast("double") / col("n_total"))
             .as("dup_ratio"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Composed quality gate — the keep/drop decision a corpus pipeline
+    // ships, combining three Gopher-style rules: word-count bounds,
+    // mean word length bounds, and the q62 repetition cap. All counts
+    // are integers (mean word length = non-space chars / words, exact
+    // on the single-spaced corpus); the two double divisions are single
+    // operations, so the verdict and reasons are engine-exact. One
+    // scan, pure projection.
+    QuerySpec.sqlBacked("q67_quality_gate",
+      """SELECT doc_id, n_words, mean_wl, dup_ratio,
+        |  (r_len || r_wl || r_rep = '') AS pass,
+        |  r_len || r_wl || r_rep AS fail_reasons
+        |FROM (
+        |  SELECT doc_id, n_words, mean_wl, dup_ratio,
+        |    CASE WHEN n_words BETWEEN 20 AND 1000 THEN '' ELSE '[len]' END AS r_len,
+        |    CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN '' ELSE '[wordlen]' END AS r_wl,
+        |    CASE WHEN dup_ratio <= 0.2 THEN '' ELSE '[repeat]' END AS r_rep
+        |  FROM (
+        |    SELECT doc_id, len(ws) AS n_words,
+        |      CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mean_wl,
+        |      1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)/len(gs) AS dup_ratio
+        |    FROM (SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |            list_transform(range(1, len(string_split(text, ' '))-1),
+        |              i -> string_split(text, ' ')[i] || ' ' ||
+        |                   string_split(text, ' ')[i+1] || ' ' ||
+        |                   string_split(text, ' ')[i+2]) AS gs
+        |          FROM documents)
+        |    WHERE len(gs) > 0))
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          split(col("text"), " ").as("ws"),
+          graft.plans.WordShingles(col("text"), 3, distinct = false).as("gs"))
+        .filter(size(col("gs")) > 0)
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          ((length(col("text")) - (size(col("ws")) - 1)).cast("double") /
+            size(col("ws"))).as("mean_wl"),
+          (lit(1.0) - size(array_distinct(col("gs"))).cast("double") /
+            size(col("gs"))).as("dup_ratio"))
+        .select(col("doc_id"), col("n_words"), col("mean_wl"), col("dup_ratio"),
+          when(col("n_words").between(20, 1000), "").otherwise("[len]").as("r_len"),
+          when(col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0, "")
+            .otherwise("[wordlen]").as("r_wl"),
+          when(col("dup_ratio") <= 0.2, "").otherwise("[repeat]").as("r_rep"))
+        .select(col("doc_id"), col("n_words"), col("mean_wl"), col("dup_ratio"),
+          (concat(col("r_len"), col("r_wl"), col("r_rep")) === "").as("pass"),
+          concat(col("r_len"), col("r_wl"), col("r_rep")).as("fail_reasons"))
+        .orderBy(col("doc_id"))
     }
   )
 }
