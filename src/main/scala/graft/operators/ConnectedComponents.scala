@@ -39,8 +39,13 @@ object ConnectedComponents {
       edges.sparkSession.sparkContext.defaultParallelism,
       (n / 1000000L).toInt + 1))
     val sym = sym0.coalesce(parts).localCheckpoint()
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // 1-hop initialization: start from min(self, neighbors) instead of
+    // self — folds the first propagation into the init aggregate and
+    // saves one full iteration (near-dup graphs are mostly cliques, so
+    // this alone is often already the fixpoint).
+    var labels = sym.groupBy(col("src").as("node"))
+      .agg(min(col("dst")).as("nmin"))
+      .select(col("node"), least(col("node"), col("nmin")).as("label"))
       .coalesce(parts).localCheckpoint()
     var iter = 0
     var converged = false
