@@ -34,14 +34,6 @@ object Dedup {
     * as uninformative before the candidate-pair join (skew guard). */
   private val MaxShingleDf = 100
 
-  /** SQL emitting every ordered pair (ds[i], ds[j]), i < j, from a
-    * doc-sorted posting list `ds` — the bucket-local pair expansion
-    * shared by q36/q37/q38 candidate generation. */
-  private val pairsOf =
-    """flatten(transform(sequence(0, size(ds)-2), i ->
-      |  transform(sequence(i+1, size(ds)-1),
-      |    j -> struct(ds[i] AS a, ds[j] AS b))))""".stripMargin
-
   /** Exact Jaccard >= 0.5 near-dup pairs (a_id, b_id, jac) — the q36
     * pipeline, shared with q65's clustering. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
@@ -52,8 +44,10 @@ object Dedup {
       .groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")).between(2, MaxShingleDf))
-      .select(explode(expr(pairsOf)).as("p"))
-      .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+      // streaming pair generation (graft.plans.PostingPairs): no
+      // materialized O(|bucket|^2) nested array before the explode
+      .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+      .select(col("a").as("a_id"), col("b").as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
     pairs
@@ -225,8 +219,8 @@ object Dedup {
         .groupBy(col("j"), col("bh"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")) >= 2)
-        .select(explode(expr(pairsOf)).as("p"))
-        .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+        .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+        .select(col("a").as("a_id"), col("b").as("b_id"))
         .distinct()
         .join(sigArr.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
         .join(sigArr.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
@@ -285,8 +279,8 @@ object Dedup {
         .groupBy(col("j"), col("blk"))
         .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .filter(size(col("ds")) >= 2)
-        .select(explode(expr(pairsOf)).as("p"))
-        .select(col("p.a").as("a_id"), col("p.b").as("b_id"))
+        .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+        .select(col("a").as("a_id"), col("b").as("b_id"))
         .distinct()
         .join(packed.select(col("doc_id").as("a_id"), col("h1").as("a1"),
           col("h2").as("a2")), "a_id")
