@@ -18,9 +18,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // clearCache after every run: query builders persist() intermediates
-    // (q36/q37/q38); leaving them cached would both leak memory across
-    // the 57-query sweep and let the timed pass reuse the warmup's cache.
+    // clearCache after every run: several query builders persist()
+    // shared intermediates (q36/q37/q63/q65/q66); leaving them cached
+    // would both leak memory across the sweep and let the timed pass
+    // reuse the warmup's cache.
     ordered.foreach { case (_, fn) =>
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       spark.catalog.clearCache()

@@ -21,7 +21,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release any persist() the query builder made (q36/q37/q38)
+      // release any persist() the query builder made (q36/q37/q63/q65/q66)
       spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -22,8 +22,13 @@ object ConnectedComponents {
 
   /** edges: two-column DataFrame of undirected pairs (u, v). Returns
     * (node, cluster_id) for every node appearing in an edge, cluster_id
-    * = the component's minimum node id. */
-  def run(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    * = the component's minimum node id. Throws if the propagation has
+    * not reached a fixpoint within `maxIter` iterations (label
+    * propagation needs ~diameter steps; silently returning would split
+    * components with no signal). Superseded per-iteration checkpoints
+    * are reclaimed by the context cleaner once their references drop
+    * out of scope each loop turn. */
+  def run(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     val u = edges.columns(0)
     val v = edges.columns(1)
     val sym0 = edges.select(col(u).as("src"), col(v).as("dst"))
@@ -67,6 +72,9 @@ object ConnectedComponents {
       converged = changed == 0
       iter += 1
     }
+    if (!converged) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter iterations " +
+        "(graph diameter exceeds the bound); raise maxIter")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 }

@@ -34,27 +34,33 @@ object TemporalJoins {
     * Mechanics: union both sides tagged (right=0, left=1), then
     * last(payload, ignoreNulls) over a (key)-partitioned window ordered
     * by (ts, tag) — the tag makes a right row at the exact left ts sort
-    * first, implementing <=. */
+    * first, implementing <=. The payload travels as ONE struct so every
+    * output column comes from the SAME right row: per-column last()
+    * would skip over a null field in the newest row and stitch together
+    * values from different rows (and a right row whose payload fields
+    * are all null would be skipped entirely). */
   def asof(left: DataFrame, right: DataFrame, key: String, ts: String,
       rightPayload: Seq[String]): DataFrame = {
     val lCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val rpType = org.apache.spark.sql.types.StructType(
+      rightPayload.map(p => right.schema(p)))
     val l = left.select(
-      Seq(col(key), col(ts), lit(1).as("_tag")) ++ lCols.map(col) ++
-        rightPayload.map(p =>
-          lit(null).cast(right.schema(p).dataType).as(p)): _*)
+      Seq(col(key), col(ts), lit(1).as("_tag")) ++ lCols.map(col) :+
+        lit(null).cast(rpType).as("_rp"): _*)
     val r = right.select(
       Seq(col(key), col(ts), lit(0).as("_tag")) ++
-        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        rightPayload.map(col): _*)
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(rightPayload.map(col): _*).as("_rp"): _*)
     val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.union(r)
       .select(
-        Seq(col(key), col(ts), col("_tag")) ++ lCols.map(col) ++
-          rightPayload.map(p =>
-            last(col(p), ignoreNulls = true).over(w).as(p)): _*)
+        Seq(col(key), col(ts), col("_tag")) ++ lCols.map(col) :+
+          last(col("_rp"), ignoreNulls = true).over(w).as("_rp"): _*)
       .filter(col("_tag") === 1)
-      .drop("_tag")
+      .select(
+        Seq(col(key), col(ts)) ++ lCols.map(col) ++
+          rightPayload.map(p => col("_rp").getField(p).as(p)): _*)
   }
 
   /** Bounded range (interval) join: every (left, right) pair sharing

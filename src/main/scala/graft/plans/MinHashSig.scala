@@ -29,6 +29,12 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
+  // An empty shingle array yields null (no minimum exists), so the
+  // expression is nullable regardless of the child's nullability, and
+  // generated code must propagate the null flag itself — nullSafeCodeGen
+  // alone only handles null INPUTS.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "graft_minhash_sig"
 
   override def nullSafeEval(input: Any): Any =
@@ -37,7 +43,9 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val obj = ctx.addReferenceObj("minHashSig", MinHashSig,
       "graft.plans.MinHashSig$")
-    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $obj.compute($c, $k);")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = $obj.compute($c, $k);
+         |${ev.isNull} = ${ev.value} == null;""".stripMargin)
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

@@ -257,11 +257,9 @@ object Dedup {
       // Posting-list pair generation per (block-index, block) bucket —
       // one shuffle on the bucket key, doc_ids only in the lists (see
       // q36); fingerprints join back per-side after pair dedup. The
-      // fingerprint table is materialized eagerly (localCheckpoint):
-      // it feeds the block index and both re-join sides, computing it
-      // is the dominant cost, and — unlike persist() — the checkpoint
-      // job still runs with AQE (a lazily-cached plan re-executes the
-      // vocab join without runtime broadcast promotion).
+      // fingerprint table is materialized eagerly (localCheckpoint): it
+      // feeds the block index and both re-join sides, and computing it
+      // (the SimHashAgg pass over every token) is the dominant cost.
       val fps = simhashFps(s, dir).localCheckpoint()
       // Bit-pack each fingerprint into two 32-bit halves once per doc:
       // hamming distance is then bit_count(xor) — two codegen'd integer
@@ -355,6 +353,9 @@ object Dedup {
         |       count(DISTINCT te.doc_id) AS n_test_docs
         |FROM tr JOIN te ON tr.g = te.g
         |GROUP BY tr.doc_id ORDER BY train_id""".stripMargin) { (s, dir) =>
+      // persist: tr and te below are two filters over this shared gram
+      // index; unmaterialized, the scan + shingling + md5 pipeline runs
+      // twice (the same trap jaccardPairs avoids with its base persist)
       val g = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
@@ -363,6 +364,7 @@ object Dedup {
             substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"))
         .select(col("doc_id"), col("nib"), explode(col("g8")).as("g8s"))
         .select(col("doc_id"), col("nib"), md5(col("g8s")).as("g"))
+        .persist()
       val tr = g.filter(col("nib") <= 12)
         .select(col("doc_id").as("train_id"), col("g"))
       val te = g.filter(col("nib") >= 14)

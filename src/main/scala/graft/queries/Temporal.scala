@@ -57,9 +57,8 @@ object Temporal {
         |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin) { (s, dir) =>
       val ev = Tables(s, dir, "events")
         .select(col("event_id"), col("user_id"), col("ts"))
-      val other = ev.select(col("user_id").as("_ru"), col("ts").as("_rts"),
+      val other = ev.select(col("user_id"), col("ts"),
         col("event_id").as("b_id"))
-        .withColumnRenamed("_ru", "user_id").withColumnRenamed("_rts", "ts")
       TemporalJoins.range(ev, other, "user_id", "ts",
           -15L * 60 * 1000000, 15L * 60 * 1000000, Seq("b_id"))
         .filter(col("b_id") =!= col("event_id"))

@@ -50,6 +50,23 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.sorted == expect.sorted) // exact multiset: no dups, no misses
   }
 
+  test("asof with a null payload field: all columns come from ONE row") {
+    // the newest right row has rid2 = null; a per-column last() would
+    // stitch rid2 from the older row onto rid from the newer — the
+    // struct-payload formulation must return exactly the newest row
+    val right = Seq(
+      (1, 1L, Some(10), Some(100)),
+      (1, 2L, Some(11), None: Option[Int])
+    ).toDF("k", "us", "rid", "rid2")
+      .select(col("k"), timestamp_micros(col("us")).as("t"),
+        col("rid"), col("rid2"))
+    val left = Seq((1, 3L, 77)).toDF("k", "us", "lid")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("lid"))
+    val out = TemporalJoins.asof(left, right, "k", "t", Seq("rid", "rid2"))
+      .select(col("lid"), col("rid"), col("rid2")).head()
+    assert(out.getInt(0) == 77 && out.getInt(1) == 11 && out.isNullAt(2))
+  }
+
   test("asof is partition-count invariant") {
     val base = TemporalJoins.asof(leftDf, rightDf, "k", "t", Seq("rid"))
       .collect().map(_.toSeq).toSet
