@@ -38,12 +38,18 @@ case class DotProduct(left: Expression, right: Expression)
       s"graft_dot expects array<float|double> inputs, got $other")
   }
 
+  // cached: interpreted eval must not re-derive types per row
+  @transient private lazy val leftIsFloat = elemIsFloat(left)
+  @transient private lazy val rightIsFloat = elemIsFloat(right)
+
+  // Mismatched lengths truncate to the shorter side (spec-pinned):
+  // a partial sum over the common prefix, like zip_with semantics.
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
-    val lf = elemIsFloat(left)
-    val rf = elemIsFloat(right)
+    val lf = leftIsFloat
+    val rf = rightIsFloat
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -27,6 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         foldInt(args(1), "graft_shingles k"),
         foldBool(args(2), "graft_shingles distinct"))))
     ext.injectFunction((
+      FunctionIdentifier("graft_minhash"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
+      (args: Seq[Expression]) => MinHashSig(args(0),
+        foldInt(args(1), "graft_minhash k"))))
+    ext.injectFunction((
       FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHashAgg].getName, "graft_simhash"),
       (args: Seq[Expression]) => SimHashAgg(args(0)).toAggregateExpression()))

@@ -1,6 +1,5 @@
 package graft.plans
 
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -53,47 +52,49 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 }
 
 object MinHashSig {
-  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-  private val hex = "0123456789abcdef".toCharArray
-
   /** Shared by interpreted eval and generated code. Returns null for an
     * empty shingle array (no minimum exists — mirrors array_min on an
-    * empty array being null-ish; callers filter empties first). */
+    * empty array being null-ish; callers filter empties first).
+    *
+    * Hot-path shape: shingle bytes are extracted once (not once per
+    * slot), minima are tracked as raw digest bytes compared
+    * unsigned-lexicographically (identical ordering to the lowercase
+    * hex text), and only the K winners are hex-rendered. */
   def compute(shingles: ArrayData, k: Int): GenericArrayData = {
     val n = shingles.numElements()
     if (n == 0) return null
-    val digest = md5.get()
-    val mins = new Array[String](k)
+    val digest = Digests.md5()
+    val bytes = new Array[Array[Byte]](n)
+    var j = 0
+    while (j < n) { bytes(j) = shingles.getUTF8String(j).getBytes; j += 1 }
+    val mins = new Array[Any](k)
     var i = 0
     while (i < k) {
       val salt = (i.toString + ":").getBytes("UTF-8")
-      var best: String = null
-      var j = 0
+      var best: Array[Byte] = null
+      j = 0
       while (j < n) {
         digest.reset()
         digest.update(salt)
-        digest.update(shingles.getUTF8String(j).getBytes)
+        digest.update(bytes(j))
         val d = digest.digest()
-        val sb = new Array[Char](32)
-        var b = 0
-        while (b < 16) {
-          sb(2 * b) = hex((d(b) >> 4) & 0xf)
-          sb(2 * b + 1) = hex(d(b) & 0xf)
-          b += 1
-        }
-        val h = new String(sb)
-        if (best == null || h.compareTo(best) < 0) best = h
+        if (best == null || Digests.compareUnsigned(d, best) < 0) best = d
         j += 1
       }
-      mins(i) = best
+      mins(i) = UTF8String.fromString(Digests.toHex(best))
       i += 1
     }
-    new GenericArrayData(mins.map(m => UTF8String.fromString(m): Any))
+    new GenericArrayData(mins)
   }
 
   /** Column-API entry point. */
   def apply(c: Column, k: Int): Column =
     org.apache.spark.sql.graft.bridge.column(MinHashSig(
       org.apache.spark.sql.graft.bridge.expression(c), k))
+
+  /** Make `graft_minhash(sh, k)` callable from SQL text on this session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.graft.bridge.registerFunction(spark, "graft_minhash",
+      args => MinHashSig(args(0),
+        args(1).eval().asInstanceOf[Int]))
 }

@@ -22,6 +22,18 @@ import org.apache.spark.sql.types._
 case class PostingPairs(child: Expression)
     extends Generator with CodegenFallback {
 
+  // Fail at analysis, not mid-task: the generator reads ids via
+  // toLongArray, which would silently turn null elements into 0L.
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft PostingPairs expects array<bigint> without nulls, got $other")
+    }
+
   override def children: Seq[Expression] = Seq(child)
 
   override def elementSchema: StructType = StructType(Seq(

@@ -1,7 +1,6 @@
 package graft.plans
 
 import java.nio.ByteBuffer
-import java.security.MessageDigest
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
@@ -45,8 +44,7 @@ case class SimHashAgg(
   override def update(buf: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      val digest = SimHashAgg.md5.get()
-      digest.reset()
+      val digest = Digests.md5()
       val bytes = v.asInstanceOf[UTF8String].getBytes
       val d = digest.digest(bytes)
       var k = 0
@@ -99,9 +97,6 @@ case class SimHashAgg(
 }
 
 object SimHashAgg {
-  private val md5 = ThreadLocal.withInitial[MessageDigest](() =>
-    MessageDigest.getInstance("MD5"))
-
   /** Column-API entry point (aggregate function). */
   def apply(c: Column): Column =
     org.apache.spark.sql.graft.bridge.column(
