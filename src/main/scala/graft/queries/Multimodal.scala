@@ -99,6 +99,34 @@ object Multimodal {
     },
 
     // ------------------------------------------------------------------
+    // Resize/downsample: fixed-size thumbnail by byte-stride sampling —
+    // 16 evenly-strided payload bytes (clamped at the tail) rendered as
+    // hex, the stand-in for an image resize kernel with the same
+    // pipeline shape (pure projection over the payload scan, fixed
+    // output size regardless of input size). Deterministic in the
+    // payload alone; a real codec would swap in at the same slot.
+    QuerySpec.sqlBacked("q68_mm_resize",
+      """SELECT doc_id, n_bytes, stride,
+        |  array_to_string(list_transform(range(0, 16),
+        |    i -> substr(hx, 2*least(i*stride + 1, n_bytes) - 1, 2)), '') AS thumb
+        |FROM (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |    octet_length(encode(text)) AS n_bytes,
+        |    CAST(ceil(octet_length(encode(text)) / 16.0) AS BIGINT) AS stride
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
+          octet_length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .withColumn("stride", ceil(col("n_bytes") / 16.0).cast("long"))
+        .select(col("doc_id"), col("n_bytes"), col("stride"), expr(
+          """concat_ws('', transform(sequence(0, 15),
+            |  i -> substring(hx, CAST(2*least(i*stride + 1, n_bytes) - 1 AS INT), 2)))""".stripMargin)
+          .as("thumb"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // Batch decode: per-partition typed map through the (stub) codec into
     // fixed-shape feature rows. No SQL-expressible oracle (the decoder is
     // imperative) -> rows-only gate; the scalatest spec checks shape and
