@@ -100,10 +100,13 @@ final class GStream[T](val ds: Dataset[T]) {
   def setParallelism(n: Int): GStream[T] = rebalance(n)
 
   /** ≙ print() sink (PrintSinkFunction.java:40-86): batch → show all rows;
-    * streaming → console sink per microbatch. */
+    * streaming → console sink per microbatch. Update mode: the facade's
+    * keyed operators (reduce/minBy/maxBy/process) emit update-mode
+    * changelogs, which an Append-mode sink would reject at start();
+    * Update is also valid for plain projections. */
   def print(): Unit =
     if (ds.isStreaming)
-      ds.writeStream.format("console").outputMode(OutputMode.Append).start()
+      ds.writeStream.format("console").outputMode(OutputMode.Update).start()
     else ds.show(Int.MaxValue, truncate = false)
 
   /** ≙ addSink(SinkFunction): per-element terminal callback
@@ -127,10 +130,20 @@ final class GStream[T](val ds: Dataset[T]) {
       close: C => Unit = (_: C) => ()): GStream[R] =
     new GStream(ds.mapPartitions { it =>
       val ctx = open()
+      // close exactly once, and also on partial consumption / failure:
+      // the task completion listener covers limit()/take()/exceptions,
+      // the once-flag makes repeated hasNext probes after exhaustion
+      // safe. (A val closure, not a local def: a def would lift to a
+      // GStream method and drag non-serializable `this` into the task.)
+      val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val closeOnce: () => Unit =
+        () => if (closed.compareAndSet(false, true)) close(ctx)
+      Option(org.apache.spark.TaskContext.get())
+        .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
       new Iterator[R] {
         def hasNext: Boolean = {
           val h = it.hasNext
-          if (!h) close(ctx)
+          if (!h) closeOnce()
           h
         }
         def next(): R = f(ctx, it.next())
@@ -185,11 +198,12 @@ final class KeyedGStream[K, T](
       new GStream(grouped.reduceGroups(f).map(_._2))
     }
 
-  /** Running sum over a numeric projection ≙ KeyedStream sum machinery
-    * (SumAggregator.java / SumFunction.java, dead code in the reference —
-    * SURVEY §2.3 — restored here). Selector functions replace the
-    * reflective FieldAccessor: `sumBy(_.f1)((a,b) => copy)` composes with
-    * [[reduce]] so the update-mode semantics carry over. */
+  /** Running sum ≙ KeyedStream sum machinery (SumAggregator.java /
+    * SumFunction.java, dead code in the reference — SURVEY §2.3 —
+    * restored here). The caller supplies the merge that adds the summed
+    * field and carries the record (replacing the reference's reflective
+    * FieldAccessor): `sumBy((a, b) => a.copy(n = a.n + b.n))`. Delegates
+    * to [[reduce]], so the update-mode emission semantics carry over. */
   def sumBy(merge: (T, T) => T): GStream[T] = reduce(merge)
 
   /** ≙ ComparableAggregator MIN/MINBY: keep the element whose projection
@@ -241,8 +255,13 @@ final class KeyedGStream[K, T](
       : GStream[O] = {
     val step = (key: K, it: Iterator[T], state: GroupState[S]) => {
       if (state.hasTimedOut) {
-        val out = pf.onTimer(key, Ctx(state))
-        state.remove()
+        // materialize BEFORE any state op so a lazy onTimer iterator
+        // still sees the state it read; then clear the key ONLY if the
+        // callback left it untouched — the reference's contract lets
+        // onTimer keep state and re-arm its timer (periodic flush).
+        val ctx = Ctx(state)
+        val out = pf.onTimer(key, ctx).iterator.toVector
+        if (!ctx.touched) state.remove()
         out.iterator
       } else {
         val out = it.flatMap(v => pf.processElement(key, v, Ctx(state)))
@@ -257,20 +276,27 @@ final class KeyedGStream[K, T](
   * facade's `ValueState` + `TimerService` (ValueState.java, TimerService.
   * java:39-59). */
 final case class Ctx[S](gs: GroupState[S]) {
+  /** Whether the user callback mutated state or re-armed a timer —
+    * read by process()'s onTimer path to decide default cleanup. */
+  private[streaming] var touched: Boolean = false
   def value: Option[S] = gs.getOption
-  def update(s: S): Unit = gs.update(s)
-  def clear(): Unit = gs.remove()
+  def update(s: S): Unit = { touched = true; gs.update(s) }
+  def clear(): Unit = { touched = true; gs.remove() }
   /** Register a processing-time timer `delayMs` from now (per key; the
     * latest registration wins, like re-registering in the reference).
     * Requires the enclosing process() to use ProcessingTimeTimeout. */
-  def registerTimer(delayMs: Long): Unit =
+  def registerTimer(delayMs: Long): Unit = {
+    touched = true
     gs.setTimeoutDuration(delayMs)
+  }
   /** Register an event-time timer at `tsMillis`: fires when the stream's
     * watermark passes it (≙ registerEventTimeTimer,
     * InternalTimerServiceImpl.java:169/206-216). Requires
     * EventTimeTimeout + a watermarked input. */
-  def registerEventTimer(tsMillis: Long): Unit =
+  def registerEventTimer(tsMillis: Long): Unit = {
+    touched = true
     gs.setTimeoutTimestamp(tsMillis)
+  }
   /** Current event-time watermark (ms), 0 before the first advance. */
   def currentWatermark: Long = gs.getCurrentWatermarkMs()
 }
@@ -346,6 +372,14 @@ final class StreamEnv(val spark: SparkSession) {
     }
     val th = new Thread(() => fn.run(ctx), s"graft-source-${fn.getClass.getSimpleName}")
     th.setDaemon(true)
+    // a crashing source must be LOUD: the query itself keeps running on
+    // an idle MemoryStream, so without this the only symptom of a
+    // run() exception would be silence (the reference fails the job;
+    // Structured Streaming has no external poison-pill for a source)
+    th.setUncaughtExceptionHandler((t, e) => {
+      System.err.println(s"[graft] SourceFunction thread ${t.getName} died: $e")
+      e.printStackTrace()
+    })
     th.start()
     new GStream(mem.toDS())
   }

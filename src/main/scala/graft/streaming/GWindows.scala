@@ -19,21 +19,30 @@ import org.apache.spark.sql.functions.{col, session_window, window}
   * watermark.
   */
 object GWindows {
+  private def checkAggs(aggs: Seq[Column]): Unit =
+    require(aggs.nonEmpty, "GWindows needs at least one aggregation column")
+
   /** Tumbling windows ≙ TumblingProcessing/EventTimeWindows.of(size). */
   def tumbling(df: DataFrame, timeCol: String, size: String,
-      keys: Seq[String], aggs: Seq[Column]): DataFrame =
+      keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    checkAggs(aggs)
     df.groupBy(window(col(timeCol), size) +: keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Sliding windows ≙ SlidingWindows.of(size, slide). */
   def sliding(df: DataFrame, timeCol: String, size: String, slide: String,
-      keys: Seq[String], aggs: Seq[Column]): DataFrame =
+      keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    checkAggs(aggs)
     df.groupBy(window(col(timeCol), size, slide) +: keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
 
   /** Session windows ≙ EventTimeSessionWindows.withGap(gap). */
   def session(df: DataFrame, timeCol: String, gap: String,
-      keys: Seq[String], aggs: Seq[Column]): DataFrame =
+      keys: Seq[String], aggs: Seq[Column]): DataFrame = {
+    checkAggs(aggs)
     df.groupBy(session_window(col(timeCol), gap) +: keys.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
 }

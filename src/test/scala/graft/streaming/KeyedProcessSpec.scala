@@ -70,4 +70,37 @@ class KeyedProcessSpec extends SparkSpec {
       assert(rows == Set(("a", 3)))
     } finally q.stop()
   }
+
+  test("onTimer may keep state and re-arm: the periodic-flush pattern") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    // onTimer emits a tick, increments state, re-arms the timer: the
+    // facade must NOT wipe the key after a callback that touched state
+    // (the reference's timer contract allows periodic timers)
+    val proc = new KeyedProcess[String, (String, Int), Int, (String, Int)] {
+      def processElement(key: String, v: (String, Int), ctx: Ctx[Int]) = {
+        ctx.update(v._2)
+        ctx.registerTimer(300)
+        Nil
+      }
+      override def onTimer(key: String, ctx: Ctx[Int]) = {
+        val n = ctx.value.getOrElse(0)
+        ctx.update(n + 1)
+        ctx.registerTimer(300) // re-arm
+        Seq((key, n))
+      }
+    }
+    val out = StreamEnv(spark).fromDataset(in.toDS())
+      .keyBy(_._1).process(proc).toDataset
+    val q = out.writeStream.format("memory").queryName("kp_rearm")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(("a", 7))
+      // at least two ticks prove the re-armed timer fired again AND the
+      // state survived the first onTimer (7 then 8, not 7 then 0/1)
+      val rows = awaitTable("kp_rearm")(_.length >= 2)
+        .map(r => (r.getString(0), r.getInt(1))).sortBy(_._2)
+      assert(rows.take(2).toSeq == Seq(("a", 7), ("a", 8)))
+    } finally q.stop()
+  }
 }
