@@ -9,13 +9,7 @@ object Probe {
     val name = args(0)
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = Sessions.local(cpus)
     if (name == "fps") {
       (1 to 2).foreach { i =>
         var t0 = System.nanoTime()
@@ -42,12 +36,12 @@ object Probe {
     val fn = SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     // warmup + 2 timed runs
-    fn(spark, sfDir).count(); spark.catalog.clearCache()
+    Sessions.runFully(fn(spark, sfDir)); spark.catalog.clearCache()
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val t1 = System.nanoTime()
-      val n = df.count()
+      val n = Sessions.runFully(df)
       val t2 = System.nanoTime()
       println(f"PROBE $name run$i: build ${(t1 - t0) / 1e9}%.2f s + " +
         f"count ${(t2 - t1) / 1e9}%.2f s ($n rows)")

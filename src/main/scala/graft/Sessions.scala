@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Shared session construction + full-plan execution for the harness
+  * mains (Verify / Bench / Probe) — one place for local-mode config. */
+object Sessions {
+  def local(cpus: String): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+
+  /** Execute the query's FULL physical plan and return the row count.
+    * `df.count()` would instead plan Aggregate(count(1)) over the
+    * query, letting the optimizer prune unreferenced projections and
+    * final sorts — a projection-heavy operator would be "benchmarked"
+    * as a bare scan. toRdd runs the executed plan as written. */
+  def runFully(df: DataFrame): Long = {
+    val rdd = df.queryExecution.toRdd
+    rdd.mapPartitions(it => Iterator.single(it.size.toLong)).fold(0L)(_ + _)
+  }
+}

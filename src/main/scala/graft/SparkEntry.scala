@@ -12,9 +12,16 @@ import graft.queries.{Dedup, Multimodal, Profiling, QuerySpec, Relational, Simil
   */
 object SparkEntry {
   /** Full inventory (order preserved for stable reporting). */
-  def allSpecs: Seq[QuerySpec] =
-    Relational.specs ++ TextOps.specs ++ Dedup.specs ++ Similarity.specs ++
-      Multimodal.specs ++ Profiling.specs ++ Temporal.specs
+  def allSpecs: Seq[QuerySpec] = {
+    val specs =
+      Relational.specs ++ TextOps.specs ++ Dedup.specs ++ Similarity.specs ++
+        Multimodal.specs ++ Profiling.specs ++ Temporal.specs
+    // a duplicated name would silently shadow a query through .toMap
+    require(specs.map(_.name).distinct.size == specs.size,
+      "duplicate query name in the inventory: " +
+        specs.groupBy(_.name).filter(_._2.size > 1).keys.mkString(", "))
+    specs
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

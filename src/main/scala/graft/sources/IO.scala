@@ -7,8 +7,9 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * (`flink-core/.../api/common/io/InputFormat.java`, Dead row); Spark's
   * DataSource v2 supplies parquet/csv/json/text with vectorized reads,
   * predicate pushdown, and partitioned layouts. This facade standardizes
-  * options so round-trips are lossless (csv keeps headers + explicit null
-  * marker; json/parquet are schema-carrying).
+  * options (csv keeps headers + an explicit null marker; json/parquet/orc
+  * are schema-carrying; csv round-trips losslessly via the
+  * explicit-schema read overload).
   *
   * Scale note: `write` partitions by the dataframe's partitioning — at
   * 100 TB, call `df.repartition(n)` (or partitionBy on a key column)
@@ -22,9 +23,19 @@ object IO {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Schema-inferring CSV read: convenient, but inference retypes
+    * columns ("007" comes back as an int) and rescans the files — for
+    * a lossless round-trip pass the writer's schema explicitly. */
   def readCsv(s: SparkSession, path: String): DataFrame =
     s.read.option("header", "true").option("nullValue", "\\N")
       .option("inferSchema", "true").csv(path)
+
+  /** Exact-schema CSV read — the lossless round-trip counterpart of
+    * [[writeCsv]]. */
+  def readCsv(s: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    s.read.option("header", "true").option("nullValue", "\\N")
+      .schema(schema).csv(path)
 
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite)
