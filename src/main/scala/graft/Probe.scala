@@ -25,10 +25,10 @@ object Probe {
     if (name == "sql") {
       graft.sources.Tables.registerAll(spark, sfDir)
       val sql = args(2)
-      spark.sql(sql).count() // warmup
+      Sessions.runFully(spark.sql(sql)) // warmup
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        val n = spark.sql(sql).count()
+        val n = Sessions.runFully(spark.sql(sql))
         println(f"PROBE sql run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
       }
       spark.stop(); return
