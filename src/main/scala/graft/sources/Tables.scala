@@ -31,7 +31,22 @@ object Tables {
     else df
   }
 
-  /** Register every table as a temp view (for spark.sql-driven tests). */
+  // Last dir registered per session. registerAll is called by every
+  // SQL-mode query builder (q53-q55), so without memoization a bench or
+  // verify sweep re-reads all 10 parquet footers and re-plans 10 views on
+  // every invocation — ~5s of pure registration overhead per query at
+  // sf0.1. Weak keys let stopped test sessions be collected.
+  private val registered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+
+  /** Register every table as a temp view (for spark.sql-driven tests).
+    * Idempotent per (session, dir): repeat calls with the same dir are
+    * free; a different dir re-registers (views point at one dir at a time).
+    */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    if (registered.get(spark) != dir) {
+      all.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+      registered.put(spark, dir)
+    }
 }
