@@ -34,10 +34,26 @@ object Dedup {
     * as uninformative before the candidate-pair join (skew guard). */
   private val MaxShingleDf = 100
 
+  /** Scoped scratch cache: persist the shared intermediates, materialize
+    * `body` eagerly (localCheckpoint — so the scratch is consumed HERE,
+    * not lazily after release), then unpersist. Cache lifetime stays
+    * inside the builder: a session running q36→q37→q63→q65→q66 back to
+    * back accumulates no CacheManager entries (round-2 review item —
+    * previously callers had to clearCache()). The checkpoint blocks of
+    * the small result are reclaimed by the context cleaner once the
+    * caller drops the result, the same contract ConnectedComponents'
+    * per-iteration checkpoints rely on. */
+  private def withScratch(scratch: DataFrame*)(body: => DataFrame): DataFrame = {
+    scratch.foreach(_.persist())
+    try body.localCheckpoint()
+    finally scratch.foreach(_.unpersist(blocking = true))
+  }
+
   /** Exact Jaccard >= 0.5 near-dup pairs (a_id, b_id, jac) — the q36
     * pipeline, shared with q65's clustering. */
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = shingled(s, dir).persist() // read twice: lens + index
+    val base = shingled(s, dir) // read twice: lens + index
+    withScratch(base) {
     val lens = base.select(col("doc_id"), size(col("sh")).as("n"))
     val pairs = base
       .select(col("doc_id"), explode(col("sh")).as("s"))
@@ -57,6 +73,7 @@ object Dedup {
         (col("inter").cast("double") /
           (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
       .filter(col("jac") >= 0.5)
+    }
   }
 
   /** DuckDB CTE chain producing the same jp(a_id, b_id, jac) relation —
@@ -97,6 +114,27 @@ object Dedup {
       |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
       |FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
       |WHERE len(ws) >= 3""".stripMargin
+
+  /** Max rows the q39 exact all-pairs baseline will broadcast.
+    * Overridable per session via `graft.allPairs.maxRows`. */
+  private[graft] val AllPairsMaxRowsKey = "graft.allPairs.maxRows"
+  private val AllPairsMaxRowsDefault = 100000L
+
+  /** Fail-loud gate for the exact all-pairs baseline: the broadcast side
+    * must be bounded, or the operator cannot run at scale AT ALL (the
+    * broadcast would not fit, and even if it did the cartesian is
+    * O(n^2)). Refusing loudly — the same posture ConnectedComponents
+    * takes on non-convergence — beats silently shipping a plan that
+    * falls over at 100 TB. The count() is parquet-metadata-cheap. */
+  private def requireAllPairsSmall(s: SparkSession, side: DataFrame): Unit = {
+    val max = s.conf.get(AllPairsMaxRowsKey, AllPairsMaxRowsDefault.toString).toLong
+    val n = side.count()
+    require(n <= max,
+      s"q39 exact all-pairs baseline refuses to broadcast $n rows " +
+        s"(limit $max, conf $AllPairsMaxRowsKey). This operator is the " +
+        "small-corpus oracle; for large corpora use the LSH-bucketed " +
+        "path (q41_knn_lsh / Similarity.scala).")
+  }
 
   /** Exact left-fold dot product (shared with Similarity). */
   private def dot(a: String, b: String): Column = graft.functions.Vectors.dot(a, b)
@@ -204,30 +242,32 @@ object Dedup {
       // Signatures via the native MinHashSig expression (one pass over
       // the shingles computing all K minima — the SQL formulation walks
       // the array K times through interpreted lambdas; MinHashSigSpec
-      // proves byte parity). Persisted DIRECTLY above the expression:
-      // band/slot derivations reference the sig array several times,
-      // and without the materialization boundary CollapseProject would
-      // inline — and recompute — the signature per reference.
+      // proves byte parity). Cached (withScratch) DIRECTLY above the
+      // expression: band/slot derivations reference the sig array
+      // several times, and without the materialization boundary
+      // CollapseProject would inline — and recompute — the signature
+      // per reference.
       val sigp = shingled(s, dir)
         .select(col("doc_id"), graft.plans.MinHashSig(col("sh"), K).as("sig"))
-        .persist()
-      val bandArr = (0 until B).map(j =>
-        md5(concat((4 * j until 4 * j + 4).map(i => col("sig").getItem(i)): _*)))
-      val sigArr = sigp.select(col("doc_id"), col("sig"))
-      sigp
-        .select(col("doc_id"), posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
-        .groupBy(col("j"), col("bh"))
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
-        .select(col("a").as("a_id"), col("b").as("b_id"))
-        .distinct()
-        .join(sigArr.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
-        .join(sigArr.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
-        .select(col("a_id"), col("b_id"), expr(
-          s"CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE)/$K")
-          .as("est_jac"))
-        .orderBy(col("a_id"), col("b_id"))
+      withScratch(sigp) {
+        val bandArr = (0 until B).map(j =>
+          md5(concat((4 * j until 4 * j + 4).map(i => col("sig").getItem(i)): _*)))
+        val sigArr = sigp.select(col("doc_id"), col("sig"))
+        sigp
+          .select(col("doc_id"), posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
+          .groupBy(col("j"), col("bh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+          .select(col("a").as("a_id"), col("b").as("b_id"))
+          .distinct()
+          .join(sigArr.select(col("doc_id").as("a_id"), col("sig").as("sa")), "a_id")
+          .join(sigArr.select(col("doc_id").as("b_id"), col("sig").as("sb")), "b_id")
+          .select(col("a_id"), col("b_id"), expr(
+            s"CAST(size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) AS DOUBLE)/$K")
+            .as("est_jac"))
+          .orderBy(col("a_id"), col("b_id"))
+      }
     },
 
     // ------------------------------------------------------------------
@@ -311,7 +351,9 @@ object Dedup {
       // other streams partition-parallel, so the plan scales out with
       // the probe side. All-pairs is the exact small-corpus baseline;
       // the 100 TB path is q41's LSH bucketing.
-      val n = Tables(s, dir, "embeddings")
+      val emb = Tables(s, dir, "embeddings")
+      requireAllPairsSmall(s, emb) // fail loud instead of broadcasting unbounded
+      val n = emb
         .repartition(s.sparkContext.defaultParallelism) // single-file scan
         .select(col("vec_id"), col("embedding"),
           sqrt(dot("embedding", "embedding")).as("nrm"))
@@ -353,9 +395,9 @@ object Dedup {
         |       count(DISTINCT te.doc_id) AS n_test_docs
         |FROM tr JOIN te ON tr.g = te.g
         |GROUP BY tr.doc_id ORDER BY train_id""".stripMargin) { (s, dir) =>
-      // persist: tr and te below are two filters over this shared gram
-      // index; unmaterialized, the scan + shingling + md5 pipeline runs
-      // twice (the same trap jaccardPairs avoids with its base persist)
+      // scratch-cached: tr and te below are two filters over this shared
+      // gram index; unmaterialized, the scan + shingling + md5 pipeline
+      // runs twice (the same trap jaccardPairs avoids with its base cache)
       val g = Tables(s, dir, "documents")
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"),
@@ -364,16 +406,17 @@ object Dedup {
             substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"))
         .select(col("doc_id"), col("nib"), explode(col("g8")).as("g8s"))
         .select(col("doc_id"), col("nib"), md5(col("g8s")).as("g"))
-        .persist()
-      val tr = g.filter(col("nib") <= 12)
-        .select(col("doc_id").as("train_id"), col("g"))
-      val te = g.filter(col("nib") >= 14)
-        .select(col("doc_id").as("test_id"), col("g"))
-      tr.join(te, "g")
-        .groupBy(col("train_id"))
-        .agg(countDistinct(col("g")).as("n_shared"),
-          countDistinct(col("test_id")).as("n_test_docs"))
-        .orderBy(col("train_id"))
+      withScratch(g) {
+        val tr = g.filter(col("nib") <= 12)
+          .select(col("doc_id").as("train_id"), col("g"))
+        val te = g.filter(col("nib") >= 14)
+          .select(col("doc_id").as("test_id"), col("g"))
+        tr.join(te, "g")
+          .groupBy(col("train_id"))
+          .agg(countDistinct(col("g")).as("n_shared"),
+            countDistinct(col("test_id")).as("n_test_docs"))
+          .orderBy(col("train_id"))
+      }
     },
 
     // ------------------------------------------------------------------

@@ -18,6 +18,14 @@ object bridge {
     org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(dt)
       .asInstanceOf[Ordering[Any]]
 
+  /** Whether the session's CacheManager holds any cached-plan entries
+    * (sharedState is private[sql]). Used by CacheHygieneSpec to prove
+    * query builders release their scratch persist()s — a CacheManager
+    * entry, unlike a checkpoint block, is never reclaimed by GC. */
+  def cacheIsEmpty(spark: org.apache.spark.sql.SparkSession): Boolean =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sharedState.cacheManager.isEmpty
+
   /** Register an expression builder as a SQL temp function on a session
     * (FunctionRegistry is private[sql]); lets `spark.sql` text call
     * native graft expressions like `graft_dot`. */
