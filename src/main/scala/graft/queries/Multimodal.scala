@@ -128,11 +128,27 @@ object Multimodal {
 
     // ------------------------------------------------------------------
     // Batch decode: per-partition typed map through the (stub) codec into
-    // fixed-shape feature rows. No SQL-expressible oracle (the decoder is
-    // imperative) -> rows-only gate; the scalatest spec checks shape and
-    // determinism. At scale this is the mapInPandas/mapPartitions slot a
-    // real decoder plugs into; partition count bounds codec parallelism.
-    QuerySpec.rowsOnly("q45_mm_decode") { (s, dir) =>
+    // fixed-shape feature rows. The decoder is imperative (mapPartitions —
+    // the slot a real codec plugs into; partition count bounds codec
+    // parallelism), but its arithmetic is deterministic byte sums, so the
+    // oracle reproduces it over hex(encode(text)) and the query IS
+    // hash-gated. Stripe sums are integers by construction (sums of byte
+    // values), shipped as BIGINTs: exact cross-engine text, no
+    // double-formatting divergence.
+    QuerySpec.sqlBacked("q45_mm_decode",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id,
+        |  1 + (CAST(('0x' || substr(hx, 1, 2)) AS INTEGER) & 127) AS width,
+        |  1 + (CASE WHEN n >= 2
+        |            THEN CAST(('0x' || substr(hx, 3, 2)) AS INTEGER) & 127
+        |            ELSE 0 END) AS height,
+        |  array_to_string(list_transform(range(0, 8), k ->
+        |    CAST(coalesce(list_sum(list_transform(range(0, (n - k + 7) // 8),
+        |      j -> CAST(('0x' || substr(hx, 2*(k + 8*j) + 1, 2)) AS INTEGER))),
+        |      0) AS BIGINT)), ',') AS features
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
       Tables(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
@@ -140,8 +156,9 @@ object Multimodal {
         .mapPartitions { it =>
           it.map { case (id, payload) =>
             val (w, h, feat) = FakeDecoder.decode(payload)
-            // comma-joined: the driver's canonicalizer can't hash arrays
-            (id, w, h, feat.mkString(","))
+            // comma-joined: the driver's canonicalizer can't hash arrays;
+            // stripe sums are whole numbers, so longs are lossless
+            (id, w, h, feat.map(_.toLong).mkString(","))
           }
         }
         .toDF("doc_id", "width", "height", "features")
