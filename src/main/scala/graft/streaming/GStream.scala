@@ -19,7 +19,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * decides how terminal ops execute, mirroring how the reference runs its
   * one API over finite `fromElements` and infinite `addSource` inputs.
   */
-final class GStream[T](val ds: Dataset[T]) {
+final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
+
+  /** ≙ SingleOutputStreamOperator.setBufferTimeout (SingleOutputStream
+    * Operator.java:102; default 100 ms, StreamExecutionEnvironment.
+    * java:41,61) — the reference's latency/throughput knob: how long an
+    * output buffer may sit before flushing downstream. Spark's
+    * micro-batch analogue is the trigger interval, so the value recorded
+    * here becomes `Trigger.ProcessingTime(ms)` on queries this facade
+    * starts ([[print]]/[[addSink]]); -1 restores the engine default
+    * (run batches as fast as they fill — the reference's timeout=0
+    * spirit). Like the reference it applies to THIS operator handle,
+    * not globally. */
+  def setBufferTimeout(ms: Long): GStream[T] = new GStream(ds, ms)
+
+  private def triggered(w: org.apache.spark.sql.streaming.DataStreamWriter[T])
+      : org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    if (bufferTimeoutMs >= 0)
+      w.trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime(bufferTimeoutMs))
+    else w
 
   /** 1→1 transform ≙ DataStream.map (DataStream.java:136-146). */
   def map[R: Encoder](f: T => R): GStream[R] = new GStream(ds.map(f))
@@ -106,13 +125,55 @@ final class GStream[T](val ds: Dataset[T]) {
     * Update is also valid for plain projections. */
   def print(): Unit =
     if (ds.isStreaming)
-      ds.writeStream.format("console").outputMode(OutputMode.Update).start()
+      triggered(ds.writeStream.format("console").outputMode(OutputMode.Update))
+        .start()
     else ds.show(Int.MaxValue, truncate = false)
 
+  /** ≙ print(sinkIdentifier) (DataStream.java:201): prefix every printed
+    * record with the identifier. Like the reference's PrintSinkFunction
+    * the line is emitted from the task that produced it (per-subtask
+    * stdout), not routed through the driver. */
+  def print(sinkIdentifier: String): Unit = {
+    val prefix = sinkIdentifier + "> "
+    if (ds.isStreaming) {
+      triggered(ds.writeStream.outputMode(OutputMode.Update)
+        .foreach(new org.apache.spark.sql.ForeachWriter[T] {
+          def open(partitionId: Long, epochId: Long): Boolean = true
+          // System.out directly: resolved per call, so redirection
+          // (tests, containers capturing task stdout) is honored
+          def process(value: T): Unit = System.out.println(prefix + value)
+          def close(errorOrNull: Throwable): Unit = ()
+        })).start()
+    } else ds.foreach((t: T) => System.out.println(prefix + t))
+  }
+
   /** ≙ addSink(SinkFunction): per-element terminal callback
-    * (SinkFunction.java:31-79). Batch foreach; for streaming use
-    * `toDataset.writeStream.foreach(ForeachWriter)`. */
+    * (SinkFunction.java:31-79). Batch foreach; streaming callers use the
+    * [[addSink(writer:* ForeachWriter overload]]. */
   def addSink(f: T => Unit): Unit = ds.foreach(f(_))
+
+  /** ≙ addSink(RichSinkFunction) with open/invoke/close lifecycle
+    * (SinkFunction.java + AbstractRichFunction): Spark's ForeachWriter
+    * IS that contract (open per partition/epoch, process per record,
+    * close with the failure cause). Streaming → a started foreach-sink
+    * query (returned for await/stop); batch → the same writer driven
+    * once per partition, Flink-batch-style. */
+  def addSink(writer: org.apache.spark.sql.ForeachWriter[T])
+      : Option[org.apache.spark.sql.streaming.StreamingQuery] =
+    if (ds.isStreaming)
+      Some(triggered(ds.writeStream.outputMode(OutputMode.Update)
+        .foreach(writer)).start())
+    else {
+      ds.foreachPartition { (it: Iterator[T]) =>
+        val pid = Option(org.apache.spark.TaskContext.get())
+          .map(_.partitionId()).getOrElse(0)
+        if (writer.open(pid.toLong, 0L)) {
+          try { it.foreach(writer.process); writer.close(null) }
+          catch { case e: Throwable => writer.close(e); throw e }
+        } else writer.close(null)
+      }
+      None
+    }
 
   /** Escape hatch ≙ DataStream.transform (DataStream.java:225-284): attach
     * arbitrary per-partition logic. Catalyst sees an opaque node, so use
@@ -382,6 +443,23 @@ final class StreamEnv(val spark: SparkSession) {
     })
     th.start()
     new GStream(mem.toDS())
+  }
+
+  /** Executor-parallel unbounded source ≙ env.addSource(
+    * ParallelSourceFunction) with setParallelism(n) (SURVEY §2.1's
+    * production mapping; ref `StreamExecutionEnvironment.java:189-199`):
+    * a DataSource-v2 MicroBatchStream whose per-partition offset ranges
+    * are read by one executor task each — scales out, replays
+    * deterministically (exactly-once), unlike the driver-thread
+    * [[addSource]] adapter. */
+  def addParallelSource[T: Encoder](
+      fn: graft.sources.ParallelSourceFunction[T]): GStream[T] = {
+    val id = graft.sources.PartitionedSource
+      .register(fn, implicitly[Encoder[T]])
+    new GStream(spark.readStream
+      .format(classOf[graft.sources.PartitionedSourceProvider].getName)
+      .option(graft.sources.PartitionedSource.IdKey, id)
+      .load().as[T])
   }
 
   /** Unbounded source ≙ env.addSource(SourceFunction): tests feed a

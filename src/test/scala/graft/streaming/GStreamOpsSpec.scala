@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import graft.SparkSpec
 
 /** Per-operator unit tests for the facade (SURVEY §2.2–2.4) plus the
@@ -127,6 +129,52 @@ class GStreamOpsSpec extends SparkSpec {
     assert(out == Set((1, 2, 10.0), (2, 1, 25.0), (3, 0, 1.0)))
   }
 
+  test("print(sinkIdentifier) prefixes every record") {
+    val buf = new java.io.ByteArrayOutputStream()
+    val orig = System.out
+    System.setOut(new java.io.PrintStream(buf, true))
+    try env.fromElements(1, 2, 3).print("tag")
+    finally System.setOut(orig)
+    val lines = buf.toString.linesIterator.filter(_.startsWith("tag> ")).toSeq
+    assert(lines.sorted == Seq("tag> 1", "tag> 2", "tag> 3"))
+  }
+
+  test("addSink(ForeachWriter): open/process/close lifecycle on batch") {
+    GStreamOpsSpec.sunk.clear()
+    GStreamOpsSpec.opened.set(0)
+    GStreamOpsSpec.closed.set(0)
+    val out = env.fromCollection((1 to 10).toList).rebalance(2)
+      .addSink(new org.apache.spark.sql.ForeachWriter[Int] {
+        def open(partitionId: Long, epochId: Long): Boolean =
+          { GStreamOpsSpec.opened.incrementAndGet(); true }
+        def process(v: Int): Unit = GStreamOpsSpec.sunk.add(v)
+        def close(e: Throwable): Unit = GStreamOpsSpec.closed.incrementAndGet()
+      })
+    assert(out.isEmpty) // batch: no streaming query handle
+    assert(GStreamOpsSpec.sunk.size == 10)
+    assert(GStreamOpsSpec.opened.get == 2 && GStreamOpsSpec.closed.get == 2)
+  }
+
+  test("addSink(ForeachWriter) + setBufferTimeout on a streaming source") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    GStreamOpsSpec.sunk.clear()
+    val gs = new GStream(mem.toDS()).setBufferTimeout(10)
+    assert(gs.bufferTimeoutMs == 10) // survives the copy
+    val q = gs.addSink(new org.apache.spark.sql.ForeachWriter[Int] {
+        def open(partitionId: Long, epochId: Long): Boolean = true
+        def process(v: Int): Unit = GStreamOpsSpec.sunk.add(v)
+        def close(e: Throwable): Unit = ()
+      }).get
+    try {
+      mem.addData(7, 8)
+      val deadline = System.currentTimeMillis() + 30000
+      while (GStreamOpsSpec.sunk.size < 2 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(GStreamOpsSpec.sunk.asScala.toSet == Set(7, 8))
+    } finally q.stop()
+  }
+
   test("Either-typed stream via the sealed-ADT encoder") {
     import StreamEnv.eitherEncoder
     val xs: Seq[Either[String, Int]] = Seq(Left("a"), Right(1), Right(2))
@@ -136,4 +184,13 @@ class GStreamOpsSpec extends SparkSpec {
       .toDataset.collect().sorted.toSeq
     assert(out == Seq(1, 2))
   }
+}
+
+/** Static sink state for ForeachWriter tests — writers serialize into
+  * tasks, so mutation must go through a JVM-global (local-mode tests
+  * share the JVM). */
+object GStreamOpsSpec {
+  val sunk = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  val opened = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closed = new java.util.concurrent.atomic.AtomicInteger(0)
 }
