@@ -33,6 +33,19 @@ object Probe {
       }
       spark.stop(); return
     }
+    if (name == "suite") {
+      // time several queries in one JVM: runMain graft.Probe suite <dir> q36_x,q37_y
+      val names = args(2).split(",").toSeq
+      names.foreach { qn =>
+        val fn = SparkEntry.queries(qn)
+        Sessions.runFully(fn(spark, sfDir)); spark.catalog.clearCache() // warmup
+        val t0 = System.nanoTime()
+        val n = Sessions.runFully(fn(spark, sfDir))
+        println(f"PROBE $qn: ${(System.nanoTime() - t0) / 1e9}%.2f s ($n rows)")
+        spark.catalog.clearCache()
+      }
+      spark.stop(); return
+    }
     val fn = SparkEntry.queries(name)
     if (args.contains("explain")) fn(spark, sfDir).explain("formatted")
     // warmup + 2 timed runs
