@@ -211,6 +211,33 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
       }
     })
 
+  /** ≙ DataStream.iterate (cut from the pruned reference; full Flink
+    * feeds records back through the loop until none re-enter). Spark's
+    * DAG engine has no cyclic dataflow, so the facade offers the batch
+    * fixed-point shape — repeatedly apply `step` until `converged` says
+    * stop (or `maxIter` is hit, loudly, the ConnectedComponents
+    * posture), truncating lineage every round so plans don't grow with
+    * the iteration count. This is the pattern the repo's own iterative
+    * operator (graft.operators.ConnectedComponents) uses, exposed on
+    * the facade. Batch-only: streaming iteration needs a feedback edge
+    * Structured Streaming does not have.
+    *
+    * @param converged (previous, next) => stop? — called once per round */
+  def iterate(maxIter: Int)(step: GStream[T] => GStream[T])(
+      converged: (GStream[T], GStream[T]) => Boolean): GStream[T] = {
+    require(!ds.isStreaming, "iterate is batch-only (no feedback edge in SS)")
+    var cur = new GStream(ds.localCheckpoint())
+    var it = 0
+    while (it < maxIter) {
+      val next = new GStream(step(cur).ds.localCheckpoint())
+      if (converged(cur, next)) return next
+      cur = next
+      it += 1
+    }
+    throw new IllegalStateException(
+      s"iterate did not converge within $maxIter rounds; raise maxIter")
+  }
+
   /** ≙ side outputs (OutputTag, Plumbing — SURVEY §2.6): Spark has no
     * in-band side channel, so the facade codifies the standard two-filter
     * fan-out — both branches share the scan (and, cached, the upstream

@@ -129,6 +129,25 @@ class GStreamOpsSpec extends SparkSpec {
     assert(out == Set((1, 2, 10.0), (2, 1, 25.0), (3, 0, 1.0)))
   }
 
+  test("iterate: fixed-point loop converges and bounds rounds") {
+    // collatz-flavored: halve evens, fix odds at 1 via min — converges to
+    // all-ones; the convergence probe compares round sums
+    val out = env.fromCollection(Seq(8, 5, 12, 1))
+      .map(n => if (n % 2 == 0) n else 1)
+      .iterate(maxIter = 10) { s =>
+        s.map(n => if (n % 2 == 0) n / 2 else 1)
+      } { (prev, next) =>
+        prev.toDataset.collect().sum == next.toDataset.collect().sum
+      }
+      .toDataset.collect().toSeq
+    assert(out == Seq(1, 1, 1, 1))
+    // non-convergence is loud, not silent
+    val e = intercept[IllegalStateException] {
+      env.fromCollection(Seq(1)).iterate(3)(s => s.map(_ + 1))((_, _) => false)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("print(sinkIdentifier) prefixes every record") {
     val buf = new java.io.ByteArrayOutputStream()
     val orig = System.out
