@@ -136,6 +136,20 @@ object Dedup {
         "path (q41_knn_lsh / Similarity.scala).")
   }
 
+  /** Distinct-8-gram inverted index (doc_id, nib, g) shared by q63's
+    * contamination report and q70's cleaned-corpus emission: one gram
+    * row per (doc, distinct 8-token window), `nib` = the q56 split
+    * nibble, `g` = the gram's md5 key. */
+  private def gramIndex(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        graft.plans.WordShingles(col("text"), 8, distinct = true).as("g8"),
+        (instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"))
+      .select(col("doc_id"), col("nib"), explode(col("g8")).as("g8s"))
+      .select(col("doc_id"), col("nib"), md5(col("g8s")).as("g"))
+
   /** Exact left-fold dot product (shared with Similarity). */
   private def dot(a: String, b: String): Column = graft.functions.Vectors.dot(a, b)
 
@@ -398,14 +412,7 @@ object Dedup {
       // scratch-cached: tr and te below are two filters over this shared
       // gram index; unmaterialized, the scan + shingling + md5 pipeline
       // runs twice (the same trap jaccardPairs avoids with its base cache)
-      val g = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("doc_id"),
-          graft.plans.WordShingles(col("text"), 8, distinct = true).as("g8"),
-          (instr(lit("0123456789abcdef"),
-            substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"))
-        .select(col("doc_id"), col("nib"), explode(col("g8")).as("g8s"))
-        .select(col("doc_id"), col("nib"), md5(col("g8s")).as("g"))
+      val g = gramIndex(s, dir)
       withScratch(g) {
         val tr = g.filter(col("nib") <= 12)
           .select(col("doc_id").as("train_id"), col("g"))
@@ -417,6 +424,79 @@ object Dedup {
             countDistinct(col("test_id")).as("n_test_docs"))
           .orderBy(col("train_id"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Decontamination end to end: EMIT the cleaned training corpus — the
+    // q56 train split minus every document q63-style gram sharing marks
+    // as contaminated (the step a pipeline actually ships; q63 is its
+    // report). Anti-join on doc_id: one shuffle beyond the gram join,
+    // output is the training table itself. Documents too short to carry
+    // an 8-gram cannot leak and are kept.
+    QuerySpec.sqlBacked("q70_decontaminated_corpus",
+      s"""WITH w AS (
+         |  SELECT doc_id, n_chars, string_split(text, ' ') AS ws,
+         |    strpos('0123456789abcdef',
+         |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+         |  FROM documents),
+         |g AS (
+         |  SELECT doc_id, nib,
+         |    unnest(list_distinct(list_transform(range(1, len(ws)-6),
+         |      i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+         |  FROM w WHERE len(ws) >= 8),
+         |bad AS (
+         |  SELECT DISTINCT tr.doc_id
+         |  FROM (SELECT doc_id, g FROM g WHERE nib <= 12) tr
+         |  JOIN (SELECT g FROM g WHERE nib >= 14) te USING (g))
+         |SELECT doc_id, n_chars FROM w
+         |WHERE nib <= 12 AND doc_id NOT IN (SELECT doc_id FROM bad)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val g = gramIndex(s, dir)
+      withScratch(g) {
+        val bad = g.filter(col("nib") <= 12).select(col("doc_id"), col("g"))
+          .join(g.filter(col("nib") >= 14).select(col("g")), "g")
+          .select(col("doc_id")).distinct()
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("n_chars"),
+            (instr(lit("0123456789abcdef"),
+              substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"))
+          .filter(col("nib") <= 12)
+          .join(bad, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("n_chars"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // Repeated-passage detection (exact substring dedup, the Lee et al.
+    // "Deduplicating Training Data" shape at 8-token granularity):
+    // every 8-token window position, grouped by fingerprint, reporting
+    // passages present in >= 2 distinct documents with occurrence
+    // counts. One shuffle keyed by the passage fingerprint; at 100 TB
+    // the group-by key is the fp (near-uniform md5 spread, no skew) and
+    // map-side partials keep the shuffle at one record per (task, fp).
+    QuerySpec.sqlBacked("q69_repeated_passages",
+      """WITH g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws)-6),
+        |    i -> md5(array_to_string(ws[i:i+7], ' ')))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+        |  WHERE len(ws) >= 8)
+        |SELECT g AS passage_fp, count(DISTINCT doc_id) AS n_docs,
+        |       count(*) AS n_occurrences, min(doc_id) AS first_doc
+        |FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY passage_fp""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism) // single-file scan
+        .select(col("doc_id"),
+          graft.plans.WordShingles(col("text"), 8, distinct = false).as("g8"))
+        .select(col("doc_id"), explode(col("g8")).as("g8s"))
+        .select(col("doc_id"), md5(col("g8s")).as("passage_fp"))
+        .groupBy(col("passage_fp"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("passage_fp"))
     },
 
     // ------------------------------------------------------------------
