@@ -13,10 +13,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // clearCache after every run: several query builders persist()
-    // shared intermediates (q36/q37/q63/q65/q66); leaving them cached
-    // would both leak memory across the sweep and let the timed pass
-    // reuse the warmup's cache.
+    // clearCache after every run: query builders release their own
+    // scratch caches (Dedup.withScratch, CacheHygieneSpec), so this is
+    // belt-and-braces against any FUTURE builder that persists without
+    // the scoped helper — the timed pass must never reuse warmup state.
     ordered.foreach { case (_, fn) =>
       try Sessions.runFully(fn(spark, sfDir)) catch { case _: Throwable => () }
       spark.catalog.clearCache()

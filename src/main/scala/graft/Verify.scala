@@ -42,7 +42,8 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // release any persist() the query builder made (q36/q37/q63/q65/q66)
+      // builders release their own scratch caches (Dedup.withScratch);
+      // this guards against future builders that persist without it
       spark.catalog.clearCache()
     }
     spark.stop()

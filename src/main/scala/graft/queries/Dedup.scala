@@ -44,9 +44,18 @@ object Dedup {
     * caller drops the result, the same contract ConnectedComponents'
     * per-iteration checkpoints rely on. */
   private def withScratch(scratch: DataFrame*)(body: => DataFrame): DataFrame = {
-    scratch.foreach(_.persist())
-    try body.localCheckpoint()
-    finally scratch.foreach(_.unpersist(blocking = true))
+    // dev-introspection escape (graft.lazyScratch sysprop, set by Probe's
+    // explain mode): return the UNmaterialized plan so explain() shows
+    // the real operator tree instead of a checkpoint scan. Leaks the
+    // scratch persists by design — never set it in a real run.
+    if (sys.props.contains("graft.lazyScratch")) {
+      scratch.foreach(_.persist())
+      body
+    } else {
+      scratch.foreach(_.persist())
+      try body.localCheckpoint()
+      finally scratch.foreach(_.unpersist(blocking = true))
+    }
   }
 
   /** Exact Jaccard >= 0.5 near-dup pairs (a_id, b_id, jac) — the q36

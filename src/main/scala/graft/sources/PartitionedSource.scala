@@ -40,8 +40,10 @@ trait ParallelSourceFunction[T] extends Serializable {
 
 /** Driver-side registry wiring user source functions (closures — not
   * representable as DataSource option strings) to the provider the
-  * `readStream.format(...)` lookup instantiates reflectively. Entries are
-  * bounded by the number of `addParallelSource` calls in the session. */
+  * `readStream.format(...)` lookup instantiates reflectively. An entry
+  * lives from `addParallelSource` until the consuming query stops
+  * (`MicroBatchStream.stop` evicts it), so user closures are not pinned
+  * for the session's lifetime. */
 object PartitionedSource {
   val IdKey = "graft.source.id"
   private val registry =
@@ -63,18 +65,24 @@ object PartitionedSource {
   }
 
   private[sources] def lookup(options: CaseInsensitiveStringMap)
-      : (ParallelSourceFunction[_], ExpressionEncoder[_]) = {
-    val id = options.get(IdKey)
+      : (String, ParallelSourceFunction[_], ExpressionEncoder[_]) = {
+    val id = options.get(IdKey) // null when the option is absent
+    require(id != null,
+      s"missing required option $IdKey — use StreamEnv.addParallelSource")
     val e = registry.get(id)
-    require(e != null, s"no registered graft source for $IdKey=$id")
-    e
+    require(e != null, s"no registered graft source for $IdKey=$id " +
+      "(sources register per session via StreamEnv.addParallelSource; " +
+      "a stopped query's entry is evicted — re-add the source to restart)")
+    (id, e._1, e._2)
   }
+
+  private[sources] def deregister(id: String): Unit = registry.remove(id)
 }
 
 /** DataSource-v2 provider: `spark.readStream.format(<this class>)`. */
 final class PartitionedSourceProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    PartitionedSource.lookup(options)._2.schema
+    PartitionedSource.lookup(options)._3.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -94,8 +102,8 @@ private final class PartitionedSourceTable(
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
-          val (fn, enc) = PartitionedSource.lookup(options)
-          new PartitionedMicroBatchStream(fn, enc)
+          val (id, fn, enc) = PartitionedSource.lookup(options)
+          new PartitionedMicroBatchStream(id, fn, enc)
         }
       }
     }
@@ -108,13 +116,16 @@ private final case class TickOffset(v: Long) extends Offset {
 }
 
 private final class PartitionedMicroBatchStream(
-    fn: ParallelSourceFunction[_], enc: ExpressionEncoder[_])
+    id: String, fn: ParallelSourceFunction[_], enc: ExpressionEncoder[_])
     extends MicroBatchStream {
   override def initialOffset(): Offset = TickOffset(0L)
   override def latestOffset(): Offset = TickOffset(fn.latestOffset())
   override def deserializeOffset(json: String): Offset = TickOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  // a stopped source is done (Flink semantics): evict the registry entry
+  // so the user function/encoder aren't pinned for the session's
+  // lifetime; restarting requires a fresh addParallelSource
+  override def stop(): Unit = PartitionedSource.deregister(id)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[TickOffset].v

@@ -29,8 +29,9 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
     * here becomes `Trigger.ProcessingTime(ms)` on queries this facade
     * starts ([[print]]/[[addSink]]); -1 restores the engine default
     * (run batches as fast as they fill — the reference's timeout=0
-    * spirit). Like the reference it applies to THIS operator handle,
-    * not globally. */
+    * spirit). The setting travels through downstream transformations
+    * (map/filter/keyBy/…) to whichever facade sink ends the chain —
+    * chaining must not silently drop a latency setting. */
   def setBufferTimeout(ms: Long): GStream[T] = new GStream(ds, ms)
 
   private def triggered(w: org.apache.spark.sql.streaming.DataStreamWriter[T])
@@ -40,15 +41,21 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
         .ProcessingTime(bufferTimeoutMs))
     else w
 
+  /** Derived stream: the transformation result CARRIES this handle's
+    * buffer timeout — chaining map/filter/... between setBufferTimeout
+    * and the sink must not silently drop the latency setting. */
+  private def derive[R](d: Dataset[R]): GStream[R] =
+    new GStream(d, bufferTimeoutMs)
+
   /** 1→1 transform ≙ DataStream.map (DataStream.java:136-146). */
-  def map[R: Encoder](f: T => R): GStream[R] = new GStream(ds.map(f))
+  def map[R: Encoder](f: T => R): GStream[R] = derive(ds.map(f))
 
   /** 1→N transform ≙ DataStream.flatMap (DataStream.java:148-159). */
   def flatMap[R: Encoder](f: T => IterableOnce[R]): GStream[R] =
-    new GStream(ds.flatMap(f(_).iterator))
+    derive(ds.flatMap(f(_).iterator))
 
   /** Predicate keep/drop ≙ DataStream.filter (DataStream.java:161-180). */
-  def filter(p: T => Boolean): GStream[T] = new GStream(ds.filter(p))
+  def filter(p: T => Boolean): GStream[T] = derive(ds.filter(p))
 
   /** Hash-repartition by a key function ≙ keyBy (KeyedStream.java:61-88).
     * Keys are functions, not columns, exactly like the reference's
@@ -56,41 +63,41 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
     * murmur key-group scheme — no 128-group indirection is replicated
     * because Spark state rescales per shuffle partition. */
   def keyBy[K: Encoder](f: T => K)(implicit et: Encoder[T]): KeyedGStream[K, T] =
-    new KeyedGStream(ds, ds.groupByKey(f), f)
+    new KeyedGStream(ds, ds.groupByKey(f), f, bufferTimeoutMs)
 
   /** ≙ DataStream.union — same-type stream merge (SURVEY §2.7). */
-  def union(other: GStream[T]): GStream[T] = new GStream(ds.union(other.ds))
+  def union(other: GStream[T]): GStream[T] = derive(ds.union(other.ds))
 
   /** ≙ connect + CoMapFunction (cut from the reference, SURVEY §2.7):
     * two differently-typed streams mapped into one output type, then
     * merged. Spark has no binary operator node for this; mapping each
     * side and unioning is plan-equivalent (both sides stay narrow). */
   def connect[B](other: GStream[B]): ConnectedGStreams[T, B] =
-    new ConnectedGStreams(ds, other.ds)
+    new ConnectedGStreams(ds, other.ds, bufferTimeoutMs)
 
   /** ≙ event-time enablement: assign watermarked event time to a field
     * (the reference's collectWithTimestamp/emitWatermark path is a no-op
     * stub — StreamSourceContexts.java:74-93; Structured Streaming's
     * `withWatermark` restores it). */
   def withWatermark(eventTimeCol: String, delay: String): GStream[T] =
-    new GStream(ds.withWatermark(eventTimeCol, delay))
+    derive(ds.withWatermark(eventTimeCol, delay))
 
   /** ≙ SingleOutputStreamOperator.name (SingleOutputStreamOperator.
     * java:37): attach a display name to the operator. Spark-first shape:
     * a SubqueryAlias plan node — visible in explain()/UI, a no-op for
     * execution, exactly the reference's "names show in logs/UI" role. */
-  def name(n: String): GStream[T] = new GStream(ds.alias(n))
+  def name(n: String): GStream[T] = derive(ds.alias(n))
 
   /** Explicit-Encoder escape hatch ≙ map(f, TypeInformation)
     * (DataStream.java:144): for types the implicit derivation can't
     * reach (the reference's MissingTypeInfo path). Distinct name — an
     * overload of [[map]] erases to the same signature. */
   def mapTyped[R](f: T => R, enc: Encoder[R]): GStream[R] =
-    new GStream(ds.map(f)(enc))
+    derive(ds.map(f)(enc))
 
   /** Explicit-Encoder flatMap ≙ flatMap(f, TypeInformation). */
   def flatMapTyped[R](f: T => IterableOnce[R], enc: Encoder[R]): GStream[R] =
-    new GStream(ds.flatMap(f(_).iterator)(enc))
+    derive(ds.flatMap(f(_).iterator)(enc))
 
   /** ≙ partitionCustom(Partitioner, keySelector) (DataStream.java /
     * api/common/functions/Partitioner.java — dead code in the reference:
@@ -108,11 +115,11 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
     }
     implicit val ct: scala.reflect.ClassTag[T] = et.clsTag
     val rdd = ds.rdd.map(t => (pf(t, n), t)).partitionBy(part).values
-    new GStream(ds.sparkSession.createDataset(rdd))
+    derive(ds.sparkSession.createDataset(rdd))
   }
 
   /** Round-robin redistribution ≙ rebalance (RebalancePartitioner.java). */
-  def rebalance(n: Int): GStream[T] = new GStream(ds.repartition(n))
+  def rebalance(n: Int): GStream[T] = derive(ds.repartition(n))
 
   /** ≙ SingleOutputStreamOperator.setParallelism — in Spark, parallelism
     * is the partition count of the stage. */
@@ -168,8 +175,11 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
         val pid = Option(org.apache.spark.TaskContext.get())
           .map(_.partitionId()).getOrElse(0)
         if (writer.open(pid.toLong, 0L)) {
-          try { it.foreach(writer.process); writer.close(null) }
+          // exactly one close per open: a close(null) that itself throws
+          // must not be followed by a second close(e) from the catch
+          try it.foreach(writer.process)
           catch { case e: Throwable => writer.close(e); throw e }
+          writer.close(null)
         } else writer.close(null)
       }
       None
@@ -179,7 +189,7 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
     * arbitrary per-partition logic. Catalyst sees an opaque node, so use
     * only where declarative ops genuinely can't express the semantics. */
   def transform[R: Encoder](f: Iterator[T] => Iterator[R]): GStream[R] =
-    new GStream(ds.mapPartitions(f))
+    derive(ds.mapPartitions(f))
 
   /** ≙ RichMapFunction lifecycle (RichFunction.open/close,
     * `api/common/functions/AbstractRichFunction.java`): `open` runs once
@@ -189,7 +199,7 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
     * the reference scopes rich lifecycle per subtask, not per record. */
   def mapRich[C, R: Encoder](open: () => C)(f: (C, T) => R)(
       close: C => Unit = (_: C) => ()): GStream[R] =
-    new GStream(ds.mapPartitions { it =>
+    derive(ds.mapPartitions { it =>
       val ctx = open()
       // close exactly once, and also on partial consumption / failure:
       // the task completion listener covers limit()/take()/exceptions,
@@ -226,10 +236,10 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
   def iterate(maxIter: Int)(step: GStream[T] => GStream[T])(
       converged: (GStream[T], GStream[T]) => Boolean): GStream[T] = {
     require(!ds.isStreaming, "iterate is batch-only (no feedback edge in SS)")
-    var cur = new GStream(ds.localCheckpoint())
+    var cur = derive(ds.localCheckpoint())
     var it = 0
     while (it < maxIter) {
-      val next = new GStream(step(cur).ds.localCheckpoint())
+      val next = derive(step(cur).ds.localCheckpoint())
       if (converged(cur, next)) return next
       cur = next
       it += 1
@@ -243,7 +253,7 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
     * fan-out — both branches share the scan (and, cached, the upstream
     * computation). Returns (matching, rest). */
   def sideOutput(pred: T => Boolean): (GStream[T], GStream[T]) =
-    (new GStream(ds.filter(pred)), new GStream(ds.filter((t: T) => !pred(t))))
+    (derive(ds.filter(pred)), derive(ds.filter((t: T) => !pred(t))))
 
   def toDataset: Dataset[T] = ds
 }
@@ -254,7 +264,12 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
 final class KeyedGStream[K, T](
     private val input: Dataset[T],
     val grouped: org.apache.spark.sql.KeyValueGroupedDataset[K, T],
-    val keyFn: T => K)(implicit ek: Encoder[K], et: Encoder[T]) {
+    val keyFn: T => K,
+    val bufferTimeoutMs: Long = -1L)(implicit ek: Encoder[K], et: Encoder[T]) {
+
+  // results keep carrying the upstream setBufferTimeout through keyBy
+  private def derive[R](d: Dataset[R]): GStream[R] =
+    new GStream(d, bufferTimeoutMs)
 
   /** Keyed reduce with the reference's semantics
     * (StreamGroupedReduce.java:35-55): fold each record into per-key state
@@ -280,10 +295,10 @@ final class KeyedGStream[K, T](
         }
         out
       }
-      new GStream(grouped.flatMapGroupsWithState(
+      derive(grouped.flatMapGroupsWithState(
         OutputMode.Update, GroupStateTimeout.NoTimeout)(step))
     } else {
-      new GStream(grouped.reduceGroups(f).map(_._2))
+      derive(grouped.reduceGroups(f).map(_._2))
     }
 
   /** Running sum ≙ KeyedStream sum machinery (SumAggregator.java /
@@ -324,7 +339,7 @@ final class KeyedGStream[K, T](
       processor: org.apache.spark.sql.streaming.StatefulProcessor[K, T, O],
       timeMode: org.apache.spark.sql.streaming.TimeMode,
       outputMode: OutputMode): GStream[O] =
-    new GStream(grouped.transformWithState(processor, timeMode, outputMode))
+    derive(grouped.transformWithState(processor, timeMode, outputMode))
 
   /** ≙ coGroup (cut from the reference's prune — full Flink's
     * DataStream.coGroup): per-key combination of two keyed streams with
@@ -334,7 +349,7 @@ final class KeyedGStream[K, T](
     * are bounded); streams should use interval joins or process(). */
   def cogroup[U, R: Encoder](other: KeyedGStream[K, U])(
       f: (K, Iterator[T], Iterator[U]) => IterableOnce[R]): GStream[R] =
-    new GStream(grouped.cogroup(other.grouped)(
+    derive(grouped.cogroup(other.grouped)(
       (k, as, bs) => f(k, as, bs).iterator))
 
   def process[S: Encoder, O: Encoder](
@@ -356,7 +371,7 @@ final class KeyedGStream[K, T](
         out
       }
     }
-    new GStream(grouped.flatMapGroupsWithState(OutputMode.Update, timeout)(step))
+    derive(grouped.flatMapGroupsWithState(OutputMode.Update, timeout)(step))
   }
 }
 
@@ -393,12 +408,14 @@ final case class Ctx[S](gs: GroupState[S]) {
   * CoMapFunction/CoFlatMapFunction, cut — SURVEY §2.7). */
 final class ConnectedGStreams[A, B](
     private val a: org.apache.spark.sql.Dataset[A],
-    private val b: org.apache.spark.sql.Dataset[B]) {
+    private val b: org.apache.spark.sql.Dataset[B],
+    private val bufferTimeoutMs: Long = -1L) {
   def map[R: Encoder](fa: A => R, fb: B => R): GStream[R] =
-    new GStream(a.map(fa).union(b.map(fb)))
+    new GStream(a.map(fa).union(b.map(fb)), bufferTimeoutMs)
   def flatMap[R: Encoder](fa: A => IterableOnce[R],
       fb: B => IterableOnce[R]): GStream[R] =
-    new GStream(a.flatMap(fa(_).iterator).union(b.flatMap(fb(_).iterator)))
+    new GStream(a.flatMap(fa(_).iterator).union(b.flatMap(fb(_).iterator)),
+      bufferTimeoutMs)
 }
 
 /** User contract ≙ KeyedProcessFunction<K,I,O>. */

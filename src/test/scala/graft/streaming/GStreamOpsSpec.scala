@@ -179,7 +179,10 @@ class GStreamOpsSpec extends SparkSpec {
     val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
     GStreamOpsSpec.sunk.clear()
     val gs = new GStream(mem.toDS()).setBufferTimeout(10)
-    assert(gs.bufferTimeoutMs == 10) // survives the copy
+      .map(_ + 0).filter(_ => true) // the knob must survive chaining
+    assert(gs.bufferTimeoutMs == 10)
+    assert(env.fromElements(1).setBufferTimeout(7)
+      .keyBy(identity).maxBy(identity).bufferTimeoutMs == 7) // and keyBy
     val q = gs.addSink(new org.apache.spark.sql.ForeachWriter[Int] {
         def open(partitionId: Long, epochId: Long): Boolean = true
         def process(v: Int): Unit = GStreamOpsSpec.sunk.add(v)
