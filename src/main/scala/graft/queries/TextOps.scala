@@ -249,6 +249,43 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // Sequence packing (concat-and-cut): documents concatenated in
+    // doc_id order within each source shard, contexts cut every 512
+    // tokens, each doc assigned to the bin its first token lands in —
+    // the context-window packing step of LLM training-data prep.
+    // Per-bin occupancy report. One shuffle keyed by source; the
+    // running offset is a per-source window cumsum, so parallelism =
+    // shard count — exactly how packing distributes at 100 TB (pack
+    // within shards; a global pack order would serialize the corpus).
+    QuerySpec.sqlBacked("q71_sequence_packing",
+      """WITH t AS (SELECT source, doc_id,
+        |        len(string_split(text, ' ')) AS n_tok FROM documents),
+        |c AS (SELECT source, doc_id, n_tok,
+        |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |                         ROWS UNBOUNDED PRECEDING) AS end_off
+        |      FROM t)
+        |SELECT source, (end_off - n_tok) // 512 AS bin_id,
+        |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, bin_id
+        |ORDER BY source, bin_id""".stripMargin) { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("end_off", sum(col("n_tok")).over(w))
+        .select(col("source"), col("doc_id"), col("n_tok"),
+          expr("(end_off - n_tok) div 512").as("bin_id"))
+        .groupBy(col("source"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source"), col("bin_id"))
+    },
+
+    // ------------------------------------------------------------------
     // Repetition ratio (Gopher-style quality rule): fraction of a doc's
     // word-3-grams that are repeats of an earlier 3-gram. High ratio =
     // boilerplate/spam; training pipelines threshold on it. Counts are
