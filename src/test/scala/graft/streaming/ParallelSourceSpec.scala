@@ -49,6 +49,17 @@ class ParallelSourceSpec extends SparkSpec {
           s"out-of-order arrival: $arrived")
       }
     } finally q.stop()
+    // stop() evicts the registry entry (user closures are not pinned for
+    // the session); restarting needs a fresh addParallelSource, and the
+    // stale handle fails with a diagnostic, not an NPE
+    val e = intercept[Exception] {
+      StreamEnv(spark).fromDataset(
+        spark.readStream
+          .format(classOf[graft.sources.PartitionedSourceProvider].getName)
+          .option(graft.sources.PartitionedSource.IdKey, "gone").load()
+          .as[(Int, Long)]).toDataset
+    }
+    assert(e.getMessage.contains("no registered graft source"))
   }
 }
 
