@@ -264,7 +264,7 @@ object TextOps {
         |        sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
         |                         ROWS UNBOUNDED PRECEDING) AS end_off
         |      FROM t)
-        |SELECT source, (end_off - n_tok) // 512 AS bin_id,
+        |SELECT source, CAST((end_off - n_tok) // 512 AS BIGINT) AS bin_id,
         |       count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
         |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
         |FROM c GROUP BY source, bin_id
