@@ -104,6 +104,21 @@ object Dedup {
        |  FROM pairs
        |  WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5)""".stripMargin
 
+  /** q75's oracle CTE chain: same candidate generation as
+    * [[jaccardPairsCtes]], scored as one-sided containment per
+    * direction (single double division each — engine-exact). */
+  private lazy val jaccardContainmentCtes =
+    s"""base AS ($shingledSql),
+       |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM base),
+       |freq AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
+       |ex2 AS (SELECT ex.* FROM ex JOIN freq USING (s)),
+       |cpairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       |    CAST(count(*) AS DOUBLE)/CAST(max(a.n) AS DOUBLE) AS c_ab,
+       |    CAST(count(*) AS DOUBLE)/CAST(max(b.n) AS DOUBLE) AS c_ba
+       |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
   /** doc_id + distinct word-3-gram shingles via the native
     * [[graft.plans.WordShingles]] expression (one pass, no interpreted
     * transform lambdas — WordShinglesSpec proves parity with the SQL
@@ -604,6 +619,88 @@ object Dedup {
         .select(col("fp"), col("doc_id").as("keep_id"), col("n_tok"),
           (col("sz") - 1).as("n_dropped"))
         .orderBy(col("fp"))
+    },
+
+    // ------------------------------------------------------------------
+    // Decontamination, bloom-prefiltered — the 100 TB execution of q63's
+    // semantics. The test split's grams are folded into a ~1 MB bloom
+    // filter (fixed-size mergeable partials, built by ONE tiny scalar
+    // subquery and bound once as a constant), and the TRAIN side — the
+    // 100 TB side — is probed at the scan: clean grams die in the
+    // projection and never reach the shuffle. A bloom has no false
+    // negatives, so the exact confirm join over the surviving sliver
+    // returns exactly the unfiltered join's answer; false positives
+    // only cost a few extra probe rows. Native
+    // BloomFilterAggregate/MightContain (codegen'd, internal to Spark's
+    // runtime row-filtering) exposed via [[graft.functions.Blooms]].
+    QuerySpec.sqlBacked("q72_decontaminate_bloom",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, nib,
+        |    unnest(list_distinct(list_transform(range(1, len(ws)-6),
+        |      i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+        |  FROM w WHERE len(ws) >= 8),
+        |tr AS (SELECT doc_id, g FROM g WHERE nib <= 12),
+        |te AS (SELECT DISTINCT g FROM g WHERE nib >= 14)
+        |SELECT tr.doc_id AS train_id, count(*) AS n_shared
+        |FROM tr JOIN te USING (g)
+        |GROUP BY train_id ORDER BY train_id""".stripMargin) { (s, dir) =>
+      graft.functions.Blooms.register(s)
+      val g = gramIndex(s, dir)
+      withScratch(g) {
+        g.createOrReplaceTempView("graft_q72_grams")
+        s.sql("""
+          |WITH tr AS (SELECT doc_id, g FROM graft_q72_grams WHERE nib <= 12),
+          |     te AS (SELECT DISTINCT g FROM graft_q72_grams WHERE nib >= 14),
+          |     cand AS (
+          |       SELECT doc_id, g FROM tr
+          |       WHERE graft_bloom_contains(
+          |         (SELECT graft_bloom_agg(xxhash64(g), 1048576L) FROM te),
+          |         xxhash64(g)))
+          |SELECT doc_id AS train_id, count(*) AS n_shared
+          |FROM cand JOIN te USING (g)
+          |GROUP BY doc_id ORDER BY train_id""".stripMargin)
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // Containment near-dup (one-sided overlap): C(a->b) = |sh(a) n
+    // sh(b)| / |sh(a)|. Jaccard misses a short document embedded
+    // verbatim in a much longer one (the union term swamps the
+    // intersection); containment is the standard detector for that
+    // quote/subset case. Same posting-list candidate generation as q36
+    // — candidates and intersection counts are shared machinery — then
+    // each ordered pair is scored by ITS OWN length. Emitted where
+    // either direction >= 0.9 with both directions reported.
+    QuerySpec.sqlBacked("q75_dedup_containment",
+      s"""WITH $jaccardContainmentCtes
+         |SELECT a_id, b_id, c_ab, c_ba FROM cpairs
+         |WHERE c_ab >= 0.9 OR c_ba >= 0.9
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val base = shingled(s, dir)
+      withScratch(base) {
+        val lens = base.select(col("doc_id"), size(col("sh")).as("n"))
+        base
+          .select(col("doc_id"), explode(col("sh")).as("s"))
+          .groupBy(col("s"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")).between(2, MaxShingleDf))
+          .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+          .select(col("a").as("a_id"), col("b").as("b_id"))
+          .groupBy(col("a_id"), col("b_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(lens.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+          .join(lens.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            (col("inter").cast("double") / col("na").cast("double")).as("c_ab"),
+            (col("inter").cast("double") / col("nb").cast("double")).as("c_ba"))
+          .filter(col("c_ab") >= 0.9 || col("c_ba") >= 0.9)
+          .orderBy(col("a_id"), col("b_id"))
+      }
     }
   )
 }
