@@ -90,6 +90,85 @@ object Temporal {
         .select(col("o_custkey"), (col("i") + 1).cast("long").as("rn"),
           (-col("t.nk")).as("o_orderkey"), col("t.p").as("o_totalprice"))
         .orderBy(col("o_custkey"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
+    // Batch sessionization: per-user sessions cut at >30 min of
+    // inactivity — the gap-and-island pattern (new-session flags via
+    // lag, running sum numbers the islands), then one aggregate per
+    // session. ONE shuffle keyed by user_id; parallelism = users, and
+    // every comparison is integer microseconds so the session cuts are
+    // engine-exact. (The streaming twin is GWindows.session / q28; this
+    // is the batch/backfill form a pipeline runs over history.)
+    QuerySpec.sqlBacked("q76_sessionize",
+      """WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |           FROM events),
+        |s AS (SELECT user_id, event_id, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                  > 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, event_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sess_no
+        |      FROM s)
+        |SELECT user_id, CAST(sess_no AS BIGINT) AS session_id,
+        |       count(*) AS n_events, min(ts) AS start_ts, max(ts) AS end_ts,
+        |       CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT)
+        |         AS duration_us
+        |FROM c GROUP BY user_id, sess_no
+        |ORDER BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val prev = lag(col("ts"), 1).over(wOrd)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("brk",
+          when(prev.isNull ||
+            unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        .select(col("user_id"), col("sess_no").cast("long").as("session_id"),
+          col("n_events"), col("start_ts"), col("end_ts"),
+          (unix_micros(col("end_ts")) - unix_micros(col("start_ts")))
+            .as("duration_us"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Event-type transition counts (first-order Markov matrix): for
+    // each user's time-ordered stream, count (event_type -> next
+    // event_type) bigrams across the corpus — the funnel/behavior-model
+    // input. lead() over the same per-user shuffle as q76, then one
+    // tiny aggregate on the (from, to) pair.
+    QuerySpec.sqlBacked("q77_transitions",
+      """WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |           FROM events),
+        |p AS (SELECT event_type,
+        |        lead(event_type) OVER (PARTITION BY user_id
+        |                               ORDER BY ts, event_id) AS next_type
+        |      FROM e)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM p WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type
+        |ORDER BY event_type, next_type""".stripMargin) { (s, dir) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(wOrd))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("next_type"))
     }
   )
 }

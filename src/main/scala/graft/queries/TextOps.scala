@@ -365,6 +365,68 @@ object TextOps {
           (concat(col("r_len"), col("r_wl"), col("r_rep")) === "").as("pass"),
           concat(col("r_len"), col("r_wl"), col("r_rep")).as("fail_reasons"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Global sequence-id assignment: every document gets a contiguous
+    // 0-based ordinal in (source, doc_id) order — shard naming /
+    // curriculum ordering. The declarative formulation (row_number with
+    // no PARTITION BY) collapses onto one task; the operator
+    // ([[graft.operators.GlobalIndex]]) keeps the sort distributed:
+    // range-shuffle sort, then per-partition counts prefix-summed on
+    // the driver (#partitions longs, not rows) stamp offset + local
+    // position with no second shuffle.
+    QuerySpec.sqlBacked("q73_global_index",
+      """SELECT CAST(row_number() OVER (ORDER BY source, doc_id) - 1
+        |         AS BIGINT) AS seq_id,
+        |       doc_id, source
+        |FROM documents ORDER BY seq_id""".stripMargin) { (s, dir) =>
+      graft.operators.GlobalIndex.assign(
+          Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq(col("source"), col("doc_id")))
+        .select(col("seq_id"), col("doc_id"), col("source"))
+        .orderBy(col("seq_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Vocabulary statistics (Zipf head): top-30 tokens by corpus
+    // frequency with rank and cumulative coverage of all token
+    // occurrences. Scale shape: one count-by-token aggregate (map-side
+    // partials), a bounded top-k (TakeOrderedAndProject — only k rows
+    // reach the driver side of the sort), the total as a broadcast
+    // one-row aggregate, and the cumulative window runs over 30 rows.
+    // A full-vocab ranking window would shuffle millions of tokens to
+    // one task; bounding to the head keeps every stage scan-sized.
+    QuerySpec.sqlBacked("q74_vocab_zipf",
+      """WITH tf AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS n FROM tf GROUP BY tok),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cnt),
+        |top AS (SELECT tok, n FROM cnt ORDER BY n DESC, tok LIMIT 30)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, tok) AS BIGINT)
+        |         AS rank,
+        |       tok, CAST(n AS BIGINT) AS n,
+        |       CAST(sum(n) OVER (ORDER BY n DESC, tok
+        |                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+        |         / total AS coverage
+        |FROM top, tot ORDER BY rank""".stripMargin) { (s, dir) =>
+      val cnt = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val top = cnt.orderBy(col("n").desc, col("tok")).limit(30)
+      val tot = cnt.agg(sum(col("n")).as("total"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("tok"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      top.crossJoin(broadcast(tot))
+        .select(row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("tok"))).cast("long").as("rank"),
+          col("tok"), col("n"),
+          (sum(col("n")).over(w).cast("double") / col("total"))
+            .as("coverage"))
+        .orderBy(col("rank"))
     }
   )
 }
