@@ -143,6 +143,82 @@ object Profiling {
         .groupBy(col("split"))
         .agg(count(lit(1)).as("n"), min(col("doc_id")).as("first_id"))
         .orderBy(col("split"))
+    },
+
+    // ------------------------------------------------------------------
+    // Fixed-size per-stratum sample: EXACTLY min(5, |stratum|) docs per
+    // (source, lang), chosen uniformly yet reproducibly — order every
+    // stratum by a per-doc hash (descending: TopKAgg is a max-heap,
+    // keeping the k LARGEST as q64 does) and take the first 5. q51
+    // samples a RATE (binomial sizes); eval sets and ablations need
+    // exact counts. Executed with the bounded-heap
+    // [[graft.plans.TopKAgg]]: at most k rows per stratum cross the
+    // shuffle, vs a ranking window's full per-stratum sort — same scale
+    // shape as q64.
+    QuerySpec.sqlBacked("q78_sample_fixed_k",
+      """SELECT source, lang, rk, doc_id FROM (
+        |  SELECT source, lang, doc_id,
+        |    CAST(row_number() OVER (PARTITION BY source, lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)) DESC, doc_id DESC
+        |      ) AS BIGINT) AS rk
+        |  FROM documents)
+        |WHERE rk <= 5 ORDER BY source, lang, rk""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("source"), col("lang"), col("doc_id"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .groupBy(col("source"), col("lang"))
+        .agg(graft.plans.TopKAgg(
+          struct(col("h"), col("doc_id").as("id")), 5).as("top"))
+        .select(col("source"), col("lang"),
+          posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("source"), col("lang"),
+          (col("i") + 1).cast("long").as("rk"), col("t.id").as("doc_id"))
+        .orderBy(col("source"), col("lang"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
+    // Corpus mixing with oversampling: each source gets a mixing rate
+    // (high-quality sources ABOVE 1.0 — repeated across epochs — low
+    // ones below), and every doc is emitted floor(rate) times plus one
+    // more with probability frac(rate), decided by the same md5-uniform
+    // as q51 so the materialized mixture is reproducible. Pure
+    // projection + explode(sequence(...)): no shuffle, no driver
+    // randomness; the emitted epoch index feeds downstream shuffling.
+    QuerySpec.sqlBacked("q79_corpus_mix",
+      """SELECT source, count(*) AS n_emitted,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM (
+        |  SELECT source, doc_id, unnest(range(0,
+        |    CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 1 ELSE 0 END
+        |    + CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+        |                      1, 4)) AS INTEGER)
+        |        < CASE source WHEN 'src0' THEN 32768
+        |                      WHEN 'src1' THEN 16384 ELSE 13107 END
+        |      THEN 1 ELSE 0 END)) AS epoch
+        |  FROM documents)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      // rates: src0 2.5x, src1 1.25x, others 0.2x (16-bit thresholds
+      // 32768/16384/13107 = .5/.25/.2 fractional parts)
+      val copies =
+        when(col("source") === "src0", 2)
+          .when(col("source") === "src1", 1).otherwise(0) +
+        when(conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+          .cast("int") <
+          when(col("source") === "src0", 32768)
+            .when(col("source") === "src1", 16384).otherwise(13107), 1)
+          .otherwise(0)
+      Tables(s, dir, "documents")
+        .select(col("source"), col("doc_id"), copies.as("nc"))
+        // nc = 0 must vanish; Spark's sequence(0, -1) yields a
+        // DESCENDING [0,-1] (DuckDB's range(0,0) is empty), so guard
+        // before exploding rather than relying on an empty sequence
+        .filter(col("nc") > 0)
+        .select(col("source"), col("doc_id"),
+          explode(sequence(lit(0), col("nc") - 1)).as("epoch"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_emitted"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .orderBy(col("source"))
     }
   )
 }
