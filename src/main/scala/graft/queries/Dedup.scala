@@ -652,17 +652,26 @@ object Dedup {
       graft.functions.Blooms.register(s)
       val g = gramIndex(s, dir)
       withScratch(g) {
-        g.createOrReplaceTempView("graft_q72_grams")
+        // Materialize the SMALL side once: the scalar subquery building
+        // the bloom executes as its own job BEFORE the main query, and
+        // Spark also infers the might_contain predicate onto the test
+        // side of the confirm join — left lazy, each of those re-ran
+        // the whole gram pipeline (measured 3.8 s vs 1.1 s for q63 at
+        // sf0.1). Checkpointing te pins it to its real size.
+        val te = g.filter(col("nib") >= 14).select(col("g")).distinct()
+          .localCheckpoint()
+        te.createOrReplaceTempView("graft_q72_te")
+        g.filter(col("nib") <= 12).select(col("doc_id"), col("g"))
+          .createOrReplaceTempView("graft_q72_tr")
         s.sql("""
-          |WITH tr AS (SELECT doc_id, g FROM graft_q72_grams WHERE nib <= 12),
-          |     te AS (SELECT DISTINCT g FROM graft_q72_grams WHERE nib >= 14),
-          |     cand AS (
-          |       SELECT doc_id, g FROM tr
-          |       WHERE graft_bloom_contains(
-          |         (SELECT graft_bloom_agg(xxhash64(g), 1048576L) FROM te),
-          |         xxhash64(g)))
+          |WITH cand AS (
+          |  SELECT doc_id, g FROM graft_q72_tr
+          |  WHERE graft_bloom_contains(
+          |    (SELECT graft_bloom_agg(xxhash64(g), 262144L)
+          |     FROM graft_q72_te),
+          |    xxhash64(g)))
           |SELECT doc_id AS train_id, count(*) AS n_shared
-          |FROM cand JOIN te USING (g)
+          |FROM cand JOIN graft_q72_te USING (g)
           |GROUP BY doc_id ORDER BY train_id""".stripMargin)
       }
     },
