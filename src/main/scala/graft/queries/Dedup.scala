@@ -650,30 +650,31 @@ object Dedup {
         |FROM tr JOIN te USING (g)
         |GROUP BY train_id ORDER BY train_id""".stripMargin) { (s, dir) =>
       graft.functions.Blooms.register(s)
-      val g = gramIndex(s, dir)
-      withScratch(g) {
-        // Materialize the SMALL side once: the scalar subquery building
-        // the bloom executes as its own job BEFORE the main query, and
-        // Spark also infers the might_contain predicate onto the test
-        // side of the confirm join — left lazy, each of those re-ran
-        // the whole gram pipeline (measured 3.8 s vs 1.1 s for q63 at
-        // sf0.1). Checkpointing te pins it to its real size.
-        val te = g.filter(col("nib") >= 14).select(col("g")).distinct()
-          .localCheckpoint()
-        te.createOrReplaceTempView("graft_q72_te")
-        g.filter(col("nib") <= 12).select(col("doc_id"), col("g"))
-          .createOrReplaceTempView("graft_q72_tr")
-        s.sql("""
-          |WITH cand AS (
-          |  SELECT doc_id, g FROM graft_q72_tr
-          |  WHERE graft_bloom_contains(
-          |    (SELECT graft_bloom_agg(xxhash64(g), 262144L)
-          |     FROM graft_q72_te),
-          |    xxhash64(g)))
-          |SELECT doc_id AS train_id, count(*) AS n_shared
-          |FROM cand JOIN graft_q72_te USING (g)
-          |GROUP BY doc_id ORDER BY train_id""".stripMargin)
-      }
+      // NO shared gram cache here, unlike q63: its two branches feed one
+      // job, where the persist pays for itself; q72's te side must
+      // materialize FIRST (the scalar subquery runs before the main
+      // query), and building the 2.3M-row string cache costs more than
+      // one recompute pass (measured 8.7 s vs 4.2 s at 10x sf0.1).
+      // Left lazy, the nib-filters push below the shingling instead:
+      // the te job shingles only its 2/16 of the corpus, checkpointed
+      // at its real (small) size, and the train side is shingled
+      // exactly once, fused with the bloom probe in the main job.
+      val te = gramIndex(s, dir).filter(col("nib") >= 14)
+        .select(col("g")).distinct().localCheckpoint()
+      te.createOrReplaceTempView("graft_q72_te")
+      gramIndex(s, dir).filter(col("nib") <= 12)
+        .select(col("doc_id"), col("g"))
+        .createOrReplaceTempView("graft_q72_tr")
+      s.sql("""
+        |WITH cand AS (
+        |  SELECT doc_id, g FROM graft_q72_tr
+        |  WHERE graft_bloom_contains(
+        |    (SELECT graft_bloom_agg(xxhash64(g), 262144L)
+        |     FROM graft_q72_te),
+        |    xxhash64(g)))
+        |SELECT doc_id AS train_id, count(*) AS n_shared
+        |FROM cand JOIN graft_q72_te USING (g)
+        |GROUP BY doc_id ORDER BY train_id""".stripMargin)
     },
 
     // ------------------------------------------------------------------
