@@ -711,6 +711,121 @@ object Dedup {
           .filter(col("c_ab") >= 0.9 || col("c_ba") >= 0.9)
           .orderBy(col("a_id"), col("b_id"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental-ingest dedup — the daily shape of a corpus pipeline:
+    // a NEW batch (the q56 test nibbles, 2/16) is admitted against the
+    // EXISTING corpus (14/16), never batch-vs-batch: each batch doc is
+    // 'exact_dup' (content fingerprint already present), 'near_dup'
+    // (shares a minhash band with an existing doc and >= 8/16 signature
+    // slots agree, q37's threshold), or 'new'. Asymmetric band join:
+    // the existing side's band index is what a production pipeline
+    // would keep materialized between ingests; per-ingest cost scales
+    // with the BATCH, not the corpus.
+    QuerySpec.sqlBacked("q80_incremental_ingest", {
+      val sigs = (0 until K).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS s$i").mkString(", ")
+      val sigArr = (0 until K).map(i => s"s$i").mkString("[", ",", "]")
+      val bands = (0 until B).map(j =>
+        s"md5(s${4*j}||s${4*j+1}||s${4*j+2}||s${4*j+3}) AS b$j").mkString(", ")
+      s"""WITH nibs AS (SELECT doc_id, text,
+         |    strpos('0123456789abcdef',
+         |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib,
+         |    md5(lower(trim(text))) AS fp FROM documents),
+         |base AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
+         |      i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
+         |  FROM (SELECT doc_id, string_split(text,' ') AS ws FROM documents)
+         |  WHERE len(ws) >= 3),
+         |sig AS (SELECT doc_id, $sigs FROM base),
+         |sig2 AS (SELECT doc_id, $sigArr AS sig, $bands FROM sig),
+         |band AS (SELECT s.doc_id, nib, sig, j, [b0,b1,b2,b3][j+1] AS bh
+         |         FROM sig2 s JOIN nibs USING (doc_id),
+         |              unnest([0,1,2,3]) AS t(j)),
+         |pair AS (SELECT a.doc_id AS bid, b.doc_id AS eid,
+         |           any_value(a.sig) AS sa, any_value(b.sig) AS sb
+         |         FROM band a JOIN band b ON a.j = b.j AND a.bh = b.bh
+         |         WHERE a.nib >= 14 AND b.nib <= 13
+         |         GROUP BY a.doc_id, b.doc_id),
+         |near AS (SELECT DISTINCT bid FROM pair
+         |         WHERE list_sum(list_transform(range(1, ${K+1}),
+         |           i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END)) >= 8),
+         |exdup AS (SELECT DISTINCT b.doc_id FROM nibs b
+         |          JOIN nibs e ON b.fp = e.fp
+         |          WHERE b.nib >= 14 AND e.nib <= 13)
+         |SELECT doc_id,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM exdup) THEN 'exact_dup'
+         |       WHEN doc_id IN (SELECT bid FROM near) THEN 'near_dup'
+         |       ELSE 'new' END AS status
+         |FROM nibs WHERE nib >= 14 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val nib = (instr(lit("0123456789abcdef"),
+        substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib")
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), nib,
+          md5(lower(trim(col("text")))).as("fp"))
+      val sigp = shingled(s, dir)
+        .join(docs.select(col("doc_id"), col("nib")), "doc_id")
+        .select(col("doc_id"), col("nib"),
+          graft.plans.MinHashSig(col("sh"), K).as("sig"))
+      withScratch(sigp) {
+        val bandArr = (0 until B).map(j =>
+          md5(concat((4 * j until 4 * j + 4).map(i => col("sig").getItem(i)): _*)))
+        val bands = sigp.select(col("doc_id"), col("nib"), col("sig"),
+          posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
+        val near = bands.filter(col("nib") >= 14)
+          .select(col("doc_id").as("bid"), col("sig").as("sa"),
+            col("j"), col("bh"))
+          .join(bands.filter(col("nib") <= 13)
+            .select(col("doc_id").as("eid"), col("sig").as("sb"),
+              col("j"), col("bh")), Seq("j", "bh"))
+          .groupBy(col("bid"), col("eid"))
+          .agg(first(col("sa")).as("sa"), first(col("sb")).as("sb"))
+          .filter(expr("size(filter(zip_with(sa, sb, (x, y) -> x = y), v -> v)) >= 8"))
+          .select(col("bid").as("doc_id")).distinct()
+        val exdup = docs.filter(col("nib") >= 14)
+          .select(col("doc_id"), col("fp"))
+          .join(docs.filter(col("nib") <= 13).select(col("fp")), Seq("fp"),
+            "left_semi")
+          .select(col("doc_id"))
+        docs.filter(col("nib") >= 14).select(col("doc_id"))
+          .join(exdup.withColumn("ex", lit(1)), Seq("doc_id"), "left")
+          .join(near.withColumn("nr", lit(1)), Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("ex").isNotNull, "exact_dup")
+              .when(col("nr").isNotNull, "near_dup")
+              .otherwise("new").as("status"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // Edit-distance verification of near-dup candidates: the cheap
+    // set-based detector (q36 Jaccard) proposes, an O(len^2)
+    // Levenshtein pass confirms — run ONLY on the candidate sliver, the
+    // production ordering for expensive pairwise scoring (running
+    // Levenshtein all-pairs is quadratic twice over). lev and both
+    // lengths are integers; the similarity is one double division.
+    QuerySpec.sqlBacked("q81_dedup_editdist",
+      s"""WITH $jaccardPairsCtes,
+         |t AS (SELECT doc_id, text FROM documents)
+         |SELECT a_id, b_id, jac,
+         |  levenshtein(ta.text, tb.text) AS lev,
+         |  1.0 - CAST(levenshtein(ta.text, tb.text) AS DOUBLE)
+         |        / greatest(length(ta.text), length(tb.text)) AS sim
+         |FROM jp JOIN t ta ON jp.a_id = ta.doc_id
+         |        JOIN t tb ON jp.b_id = tb.doc_id
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val t = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      jaccardPairs(s, dir)
+        .join(t.select(col("doc_id").as("a_id"), col("text").as("ta")), "a_id")
+        .join(t.select(col("doc_id").as("b_id"), col("text").as("tb")), "b_id")
+        .select(col("a_id"), col("b_id"), col("jac"),
+          levenshtein(col("ta"), col("tb")).as("lev"),
+          (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb")))).as("sim"))
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 }

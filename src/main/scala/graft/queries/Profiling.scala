@@ -219,6 +219,31 @@ object Profiling {
         .agg(count(lit(1)).as("n_emitted"),
           countDistinct(col("doc_id")).as("n_docs"))
         .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // Exact per-group percentiles (p50/p95/p99 of event value by type):
+    // the tail-latency / outlier profile. Spark's `percentile` is the
+    // EXACT linear-interpolated quantile (DuckDB twin: quantile_cont) —
+    // right when group cardinality is bounded (5 event types here; the
+    // per-group sort is the cost). For unbounded groups or
+    // whole-dataset quantiles at 100 TB, q50's approx_percentile
+    // (fixed-state mergeable sketch) is the scale path — this is the
+    // exact complement, same pairing as q40 (exact) vs q41/q42 (LSH).
+    QuerySpec.sqlBacked("q82_exact_percentiles",
+      """SELECT event_type, count(*) AS n,
+        |  quantile_cont(value, 0.5) AS p50,
+        |  quantile_cont(value, 0.95) AS p95,
+        |  quantile_cont(value, 0.99) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) {
+      (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          percentile(col("value"), lit(0.5)).as("p50"),
+          percentile(col("value"), lit(0.95)).as("p95"),
+          percentile(col("value"), lit(0.99)).as("p99"))
+        .orderBy(col("event_type"))
     }
   )
 }
