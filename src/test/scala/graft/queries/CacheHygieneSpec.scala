@@ -19,9 +19,11 @@ class CacheHygieneSpec extends SparkSpec {
 
   test("dedup builders leave no CacheManager entries behind") {
     assume(bridge.cacheIsEmpty(spark)) // a dirty fixture would mask a leak
-    // the five cache-using queries, in one shared session, no clearCache
+    // every cache-using query, in one shared session, no clearCache
     for (q <- Seq("q36_dedup_jaccard", "q37_dedup_minhash",
-        "q63_decontaminate", "q65_dup_clusters", "q66_canonical_keep")) {
+        "q63_decontaminate", "q65_dup_clusters", "q66_canonical_keep",
+        "q75_dedup_containment", "q80_incremental_ingest",
+        "q81_dedup_editdist")) {
       assert(run(q) >= 0)
       assert(bridge.cacheIsEmpty(spark), s"$q leaked a cached plan")
     }
