@@ -29,8 +29,8 @@ object Vectors {
     * (DuckDB lists are 1-indexed, Spark arrays 0-indexed). The outer
     * parens matter: callers embed this string in `.../(x*y)` contexts,
     * where an unparenthesized chain would bind only its last term. */
-  def dotSql(a: String, b: String): String =
-    (1 to Dim)
+  def dotSql(a: String, b: String, dim: Int = Dim): String =
+    (1 to dim)
       .map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
       .mkString("(", " + ", ")")
 

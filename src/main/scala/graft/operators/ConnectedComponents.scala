@@ -61,11 +61,24 @@ object ConnectedComponents {
       val prop = sym.join(labels, sym("src") === labels("node"))
         .select(col("dst").as("node"), col("label"),
           lit(null).cast(labels.schema("label").dataType).as("old"))
-      val next = labels.select(col("node"), col("label"),
+      val hop = labels.select(col("node"), col("label"),
           col("label").as("old"))
         .union(prop)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), min(col("old")).as("old"))
+      // pointer jump: label <- label[label]. Labels are node ids, so
+      // the lookup is a self-join; min-monotone like the hop, same
+      // fixpoint, but it SQUARES the distance covered per iteration —
+      // long duplicate chains converge in ~log(diameter) rounds
+      // instead of diameter (cliques were already 1-2 rounds). One
+      // extra shuffle per round buys the round count down.
+      val next = hop.as("a")
+        .join(hop.select(col("node").as("jn"), col("label").as("jl")),
+          col("a.label") === col("jn"), "left")
+        .select(col("a.node").as("node"),
+          least(col("a.label"), coalesce(col("jl"), col("a.label")))
+            .as("label"),
+          col("a.old").as("old"))
         .coalesce(parts).localCheckpoint()
       val changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("node"), col("label"))

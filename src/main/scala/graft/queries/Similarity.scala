@@ -247,6 +247,36 @@ object Similarity {
             col(s"s$i").cast("double") / (lit(1000000.0) * col("n"))): _*))
             .as(Seq("dim", "m")))
         .orderBy(col("label"), col("dim"))
+    },
+
+    // ------------------------------------------------------------------
+    // Embedding hygiene / matryoshka truncation profile: per vector,
+    // the full squared norm, the first-16-dim squared norm, the energy
+    // ratio the 16-dim truncation retains (the matryoshka quality
+    // metric deciding how far a pipeline can cut dims before ANN), and
+    // the first unit-normalized component. sqrt is IEEE-correctly
+    // rounded and every sum is the fixed left-fold shared with q39-q42
+    // — engine-exact. Pure projection: no shuffle, codegen'd
+    // DotProduct loops, the 100 TB cost is the scan.
+    QuerySpec.sqlBacked("q83_matryoshka",
+      s"""SELECT vec_id,
+         |  ${Vectors.dotSql("embedding", "embedding")} AS dot64,
+         |  ${Vectors.dotSql("embedding", "embedding", 16)} AS dot16,
+         |  ${Vectors.dotSql("embedding", "embedding", 16)} /
+         |    ${Vectors.dotSql("embedding", "embedding")} AS ratio,
+         |  CAST(embedding[1] AS DOUBLE) /
+         |    sqrt(${Vectors.dotSql("embedding", "embedding")}) AS n0
+         |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val e = col("embedding")
+      val head = expr("slice(embedding, 1, 16)")
+      val d64 = graft.plans.DotProduct(e, e)
+      val d16 = graft.plans.DotProduct(head, head)
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"),
+          d64.as("dot64"), d16.as("dot16"),
+          (d16 / d64).as("ratio"),
+          (expr("CAST(embedding[0] AS DOUBLE)") / sqrt(d64)).as("n0"))
+        .orderBy(col("vec_id"))
     }
   )
 }

@@ -169,6 +169,56 @@ object Temporal {
         .groupBy(col("event_type"), col("next_type"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("event_type"), col("next_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // Time-series resample + gap fill: each user's event stream on a
+    // dense hourly grid over their own active span, empty hours at
+    // n_events = 0 carrying the last observed hourly max forward
+    // (last_value IGNORE NULLS) — the feature-pipeline step turning
+    // irregular events into fixed-step model inputs. The grid explodes
+    // per user (no driver-side calendar), the fill is a per-user
+    // running window: one shuffle keyed by user, parallelism = users.
+    // The filled metric is an hourly MAX, not a sum/avg — max is
+    // accumulation-order-free, so the fill is engine-exact.
+    QuerySpec.sqlBacked("q84_gapfill_resample",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |           FROM events),
+        |span AS (SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |                date_trunc('hour', max(ts)) AS h1
+        |         FROM e GROUP BY user_id),
+        |grid AS (SELECT user_id,
+        |           unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+        |         FROM span),
+        |agg AS (SELECT user_id, date_trunc('hour', ts) AS hr,
+        |          count(*) AS n, max(value) AS mx
+        |        FROM e GROUP BY user_id, hr)
+        |SELECT g.user_id, g.hr, COALESCE(n, 0) AS n_events,
+        |  last_value(mx IGNORE NULLS) OVER (PARTITION BY g.user_id
+        |    ORDER BY g.hr ROWS UNBOUNDED PRECEDING) AS filled
+        |FROM grid g LEFT JOIN agg a
+        |  ON g.user_id = a.user_id AND g.hr = a.hr
+        |ORDER BY g.user_id, g.hr""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("value"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+          date_trunc("hour", max(col("ts"))).as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"),
+            expr("interval 1 hour"))).as("hr"))
+      val agg = e.groupBy(col("user_id"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"), max(col("value")).as("mx"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("hr"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      grid.join(agg, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          last(col("mx"), ignoreNulls = true).over(w).as("filled"))
+        .orderBy(col("user_id"), col("hr"))
     }
   )
 }
