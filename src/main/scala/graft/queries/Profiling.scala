@@ -244,6 +244,31 @@ object Profiling {
           percentile(col("value"), lit(0.95)).as("p95"),
           percentile(col("value"), lit(0.99)).as("p99"))
         .orderBy(col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // Identifier pseudonymization — the governance step before training
+    // data leaves its enclave: user ids replaced by salted SHA-256
+    // digests (stable across engines/partitions/reruns so joins still
+    // line up, irreversible without the salt), here aggregating the
+    // event stream per pseudonym. Pure projection + one count aggregate
+    // keyed by the digest (uniform spread, no skew).
+    QuerySpec.sqlBacked("q85_pseudonymize",
+      """SELECT sha256('graft-salt:' || CAST(user_id AS VARCHAR)) AS uid,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |         AS cents
+        |FROM events GROUP BY uid ORDER BY uid""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(sha2(concat(lit("graft-salt:"),
+            col("user_id").cast("string")), 256).as("uid"),
+          // floor(x+0.5), the q60 idiom: CAST(double AS BIGINT) rounds
+          // in DuckDB but truncates in Spark — floor first is exact in
+          // both (2-decimal inputs, 654.999... vs 655 class of drift)
+          floor(col("value") * 100 + 0.5).cast("long").as("v"))
+        .groupBy(col("uid"))
+        .agg(count(lit(1)).as("n_events"), sum(col("v")).as("cents"))
+        .orderBy(col("uid"))
     }
   )
 }
