@@ -826,6 +826,93 @@ object Dedup {
           (lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
             greatest(length(col("ta")), length(col("tb")))).as("sim"))
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // N-gram novelty scoring: per document, the fraction of its
+    // distinct 8-grams whose FIRST corpus occurrence (min doc_id) is
+    // this document — the dedup-aware curation signal ordering docs by
+    // how much genuinely new text they contribute (late rehashes of
+    // earlier content score near 0). One gram shuffle for the
+    // first-seen index, one join back; both keyed by the gram md5 —
+    // uniform, skew-free at any scale.
+    QuerySpec.sqlBacked("q86_novelty",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(range(1, len(ws)-6),
+        |      i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+        |  FROM w WHERE len(ws) >= 8),
+        |f AS (SELECT g, min(doc_id) AS fs FROM g GROUP BY g)
+        |SELECT g.doc_id, count(*) AS n_grams,
+        |  CAST(sum(CASE WHEN fs = g.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(CAST(sum(CASE WHEN fs = g.doc_id THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS DOUBLE) / count(*) AS novelty
+        |FROM g JOIN f USING (g)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin) { (s, dir) =>
+      val g = gramIndex(s, dir).select(col("doc_id"), col("g"))
+      withScratch(g) {
+        val first = g.groupBy(col("g")).agg(min(col("doc_id")).as("fs"))
+        g.join(first, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("fs") === col("doc_id"), 1).otherwise(0))
+              .as("n_novel"))
+          .select(col("doc_id"), col("n_grams"), col("n_novel"),
+            (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // Cross-source overlap matrix: 8-gram Jaccard between every pair of
+    // SOURCES — the contamination/provenance audit run before mixing
+    // corpora (a high-overlap source pair means double-counted content
+    // at whatever mixing rate). Grams collapse to (source, gram)
+    // DISTINCT first, so the pair join's bucket width is bounded by the
+    // source count (dozens), never the corpus: output and intermediate
+    // are both O(sources^2).
+    QuerySpec.sqlBacked("q87_source_overlap",
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |sg AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(range(1, len(ws)-6),
+        |      i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+        |  FROM w WHERE len(ws) >= 8),
+        |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS i
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT sa, sb, i AS n_shared,
+        |  CAST(i AS DOUBLE) / (za.n + zb.n - i) AS jac
+        |FROM inter JOIN sz za ON za.source = sa
+        |           JOIN sz zb ON zb.source = sb
+        |ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+      val sg = Tables(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"),
+          explode(graft.plans.WordShingles(col("text"), 8, distinct = true))
+            .as("g8s"))
+        .select(col("source"), md5(col("g8s")).as("g"))
+        .distinct()
+      withScratch(sg) {
+        val sz = sg.groupBy(col("source")).agg(count(lit(1)).as("n"))
+        sg.select(col("source").as("sa"), col("g"))
+          .join(sg.select(col("source").as("sb"), col("g")), "g")
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("n_shared"))
+          .join(sz.select(col("source").as("sa"), col("n").as("na")), "sa")
+          .join(sz.select(col("source").as("sb"), col("n").as("nb")), "sb")
+          .select(col("sa"), col("sb"), col("n_shared"),
+            (col("n_shared").cast("double") /
+              (col("na") + col("nb") - col("n_shared"))).as("jac"))
+          .orderBy(col("sa"), col("sb"))
+      }
     }
   )
 }

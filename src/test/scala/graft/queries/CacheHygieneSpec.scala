@@ -23,7 +23,7 @@ class CacheHygieneSpec extends SparkSpec {
     for (q <- Seq("q36_dedup_jaccard", "q37_dedup_minhash",
         "q63_decontaminate", "q65_dup_clusters", "q66_canonical_keep",
         "q75_dedup_containment", "q80_incremental_ingest",
-        "q81_dedup_editdist")) {
+        "q81_dedup_editdist", "q86_novelty", "q87_source_overlap")) {
       assert(run(q) >= 0)
       assert(bridge.cacheIsEmpty(spark), s"$q leaked a cached plan")
     }
