@@ -669,6 +669,103 @@ object Relational {
                 |  WHERE o.o_custkey = c.c_custkey
                 |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2)
                 |ORDER BY c_custkey, o_totalprice DESC, o_orderkey""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Pearson correlation matrix from EXACT decimal moments: built-in
+    // corr() accumulates doubles in partition order — nondeterministic
+    // across partitionings/retries and unmatchable against any oracle —
+    // so the five moments (Σx, Σy, Σx², Σy², Σxy) aggregate as lossless
+    // decimals (inputs are 2-decimal), get recast so every product of
+    // sums (a) keeps at least one operand at width >= 19 — DuckDB
+    // multiplies two int64-backed (width <= 18) decimals IN int64 and
+    // overflows — and (b) keeps the width sum <= 38 for both engines'
+    // result rules (widths sized for the corpus up to sf0.1),
+    // and only the final scalar division runs in double. One pass,
+    // map-side partials, single-row output.
+    QuerySpec.sqlBacked("q88_exact_corr",
+      """WITH m AS (SELECT
+        |    CAST(count(*) AS DECIMAL(15,0)) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sq,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |           * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sqq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sp,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(23,4)) AS spp,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(12,2)) AS sd,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+        |           * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS sdd,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sqp,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |           * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS sqd,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(20,4)) AS spd
+        |  FROM lineitem)
+        |SELECT
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(n*sqp - sq*sp AS DOUBLE)
+        |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+        |     * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) AS corr_qty_price,
+        |  CAST(n*sqd - sq*sd AS DOUBLE)
+        |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+        |     * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr_qty_disc,
+        |  CAST(n*spd - sp*sd AS DOUBLE)
+        |    / (sqrt(CAST(n*spp - sp*sp AS DOUBLE))
+        |     * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr_price_disc
+        |FROM m""".stripMargin) { (s, dir) =>
+      Tables.registerAll(s, dir)
+      s.sql("""WITH m AS (SELECT
+        |    CAST(count(*) AS DECIMAL(15,0)) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sq,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |           * CAST(l_quantity AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sqq,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sp,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(23,4)) AS spp,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(12,2)) AS sd,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+        |           * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS sdd,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(22,4)) AS sqp,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+        |           * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS sqd,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(20,4)) AS spd
+        |  FROM lineitem)
+        |SELECT
+        |  CAST(n AS BIGINT) AS n,
+        |  CAST(n*sqp - sq*sp AS DOUBLE)
+        |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+        |     * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) AS corr_qty_price,
+        |  CAST(n*sqd - sq*sd AS DOUBLE)
+        |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
+        |     * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr_qty_disc,
+        |  CAST(n*spd - sp*sd AS DOUBLE)
+        |    / (sqrt(CAST(n*spp - sp*sp AS DOUBLE))
+        |     * sqrt(CAST(n*sdd - sd*sd AS DOUBLE))) AS corr_price_disc
+        |FROM m""".stripMargin)
+    },
+
+    // ------------------------------------------------------------------
+    // Fixed-width histogram of event values per type (20 buckets of 12.5
+    // over [0, 250)): distribution profiling as one scan + one small
+    // aggregate. The bucket index is floor of a single double division —
+    // identical in both engines — and empty buckets are simply absent
+    // (dense output belongs to q84's grid pattern).
+    QuerySpec.sqlBacked("q89_histogram",
+      """SELECT event_type,
+        |  CAST(floor(value / 12.5) AS BIGINT) AS bucket,
+        |  count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM events
+        |GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          floor(col("value") / 12.5).as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy(col("event_type"), col("bucket"))
     }
   )
 }
