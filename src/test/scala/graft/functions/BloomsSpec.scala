@@ -55,6 +55,18 @@ class BloomsSpec extends SparkSpec {
     assert(kept >= 400L && kept <= 400L + 2000L, s"kept=$kept")
   }
 
+  test("overloaded bloom still has no false negatives") {
+    // 400 members forced into a filter sized for 32 items: fpp
+    // degrades (that costs probe-side pruning, never answers) but the
+    // exactness guarantee the q72 pattern rests on must survive
+    val missed = spark.sql(
+      """SELECT count(*) FROM bloom_small s
+        |WHERE NOT graft_bloom_contains(
+        |  (SELECT graft_bloom_agg(xxhash64(k), 32L) FROM bloom_small),
+        |  xxhash64(s.k))""".stripMargin).head().getLong(0)
+    assert(missed == 0L)
+  }
+
   test("bad arity fails loudly") {
     val e = intercept[Exception] {
       spark.sql("SELECT graft_bloom_agg() FROM bloom_small").collect()
