@@ -63,8 +63,23 @@ object Dedup {
   private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val base = shingled(s, dir) // read twice: lens + index
     withScratch(base) {
+      candidatePairs(base)
+        .select(col("a_id"), col("b_id"),
+          (col("inter").cast("double") /
+            (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+        .filter(col("jac") >= 0.5)
+    }
+  }
+
+  /** Candidate near-dup pairs with intersection and set sizes —
+    * (a_id, b_id, inter, na, nb) — the posting-list pipeline shared by
+    * Jaccard (q36/q65/q66/q81) and containment (q75) scoring. Pure
+    * plan over `base` = [[shingled]]; the CALLER owns base's cache
+    * scope (withScratch), since only it knows when the consuming query
+    * materializes. */
+  private def candidatePairs(base: DataFrame): DataFrame = {
     val lens = base.select(col("doc_id"), size(col("sh")).as("n"))
-    val pairs = base
+    base
       .select(col("doc_id"), explode(col("sh")).as("s"))
       .groupBy(col("s"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -75,20 +90,13 @@ object Dedup {
       .select(col("a").as("a_id"), col("b").as("b_id"))
       .groupBy(col("a_id"), col("b_id"))
       .agg(count(lit(1)).as("inter"))
-    pairs
       .join(lens.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
       .join(lens.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
-      .select(col("a_id"), col("b_id"),
-        (col("inter").cast("double") /
-          (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
-      .filter(col("jac") >= 0.5)
-    }
   }
 
-  /** DuckDB CTE chain producing the same jp(a_id, b_id, jac) relation —
-    * q36's oracle body, shared with q65's recursive clustering oracle.
-    * Lazy: interpolates shingledSql, which is declared further down. */
-  private lazy val jaccardPairsCtes =
+  /** DuckDB CTE chain for [[candidatePairs]]: pairs(a_id, b_id, inter,
+    * na, nb). Lazy: interpolates shingledSql, declared further down. */
+  private lazy val candidateCtes =
     s"""base AS ($shingledSql),
        |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM base),
        |freq AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
@@ -97,27 +105,28 @@ object Dedup {
        |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
        |         max(a.n) AS na, max(b.n) AS nb
        |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id),
+       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
+  /** [[candidateCtes]] + jp(a_id, b_id, jac) — q36's oracle body,
+    * shared with q65/q66's recursive clustering oracles. */
+  private lazy val jaccardPairsCtes =
+    s"""$candidateCtes,
        |jp AS (
        |  SELECT a_id, b_id,
        |    CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) AS jac
        |  FROM pairs
        |  WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5)""".stripMargin
 
-  /** q75's oracle CTE chain: same candidate generation as
-    * [[jaccardPairsCtes]], scored as one-sided containment per
-    * direction (single double division each — engine-exact). */
+  /** [[candidateCtes]] + cpairs(a_id, b_id, c_ab, c_ba) — q75's oracle
+    * body: same candidate generation, scored as one-sided containment
+    * per direction (single double division each — engine-exact). */
   private lazy val jaccardContainmentCtes =
-    s"""base AS ($shingledSql),
-       |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM base),
-       |freq AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
-       |ex2 AS (SELECT ex.* FROM ex JOIN freq USING (s)),
+    s"""$candidateCtes,
        |cpairs AS (
-       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-       |    CAST(count(*) AS DOUBLE)/CAST(max(a.n) AS DOUBLE) AS c_ab,
-       |    CAST(count(*) AS DOUBLE)/CAST(max(b.n) AS DOUBLE) AS c_ba
-       |  FROM ex2 a JOIN ex2 b ON a.s = b.s AND a.doc_id < b.doc_id
-       |  GROUP BY a.doc_id, b.doc_id)""".stripMargin
+       |  SELECT a_id, b_id,
+       |    CAST(inter AS DOUBLE)/CAST(na AS DOUBLE) AS c_ab,
+       |    CAST(inter AS DOUBLE)/CAST(nb AS DOUBLE) AS c_ba
+       |  FROM pairs)""".stripMargin
 
   /** doc_id + distinct word-3-gram shingles via the native
     * [[graft.plans.WordShingles]] expression (one pass, no interpreted
@@ -665,7 +674,7 @@ object Dedup {
       gramIndex(s, dir).filter(col("nib") <= 12)
         .select(col("doc_id"), col("g"))
         .createOrReplaceTempView("graft_q72_tr")
-      s.sql("""
+      val out = s.sql("""
         |WITH cand AS (
         |  SELECT doc_id, g FROM graft_q72_tr
         |  WHERE graft_bloom_contains(
@@ -675,6 +684,14 @@ object Dedup {
         |SELECT doc_id AS train_id, count(*) AS n_shared
         |FROM cand JOIN graft_q72_te USING (g)
         |GROUP BY doc_id ORDER BY train_id""".stripMargin)
+      // sql() analyzes eagerly, so the returned plan no longer needs the
+      // views — drop them or they pin te's checkpoint blocks (and two
+      // global names) for the session lifetime; released, the context
+      // cleaner reclaims the blocks when the caller drops the result,
+      // the same contract as withScratch
+      s.catalog.dropTempView("graft_q72_te")
+      s.catalog.dropTempView("graft_q72_tr")
+      out
     },
 
     // ------------------------------------------------------------------
@@ -693,18 +710,7 @@ object Dedup {
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
       val base = shingled(s, dir)
       withScratch(base) {
-        val lens = base.select(col("doc_id"), size(col("sh")).as("n"))
-        base
-          .select(col("doc_id"), explode(col("sh")).as("s"))
-          .groupBy(col("s"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-          .filter(size(col("ds")).between(2, MaxShingleDf))
-          .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
-          .select(col("a").as("a_id"), col("b").as("b_id"))
-          .groupBy(col("a_id"), col("b_id"))
-          .agg(count(lit(1)).as("inter"))
-          .join(lens.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
-          .join(lens.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+        candidatePairs(base)
           .select(col("a_id"), col("b_id"),
             (col("inter").cast("double") / col("na").cast("double")).as("c_ab"),
             (col("inter").cast("double") / col("nb").cast("double")).as("c_ba"))

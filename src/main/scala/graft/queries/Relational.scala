@@ -692,7 +692,7 @@ object Relational {
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sp,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(23,4)) AS spp,
-        |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(12,2)) AS sd,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,2)) AS sd,
         |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))
         |           * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS sdd,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
@@ -723,7 +723,7 @@ object Relational {
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(19,2)) AS sp,
         |    CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
         |           * CAST(l_extendedprice AS DECIMAL(12,2))) AS DECIMAL(23,4)) AS spp,
-        |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(12,2)) AS sd,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,2)) AS sd,
         |    CAST(sum(CAST(l_discount AS DECIMAL(4,2))
         |           * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(19,4)) AS sdd,
         |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))

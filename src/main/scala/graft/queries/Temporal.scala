@@ -99,14 +99,19 @@ object Temporal {
     // session. ONE shuffle keyed by user_id; parallelism = users, and
     // every comparison is integer microseconds so the session cuts are
     // engine-exact. (The streaming twin is GWindows.session / q28; this
-    // is the batch/backfill form a pipeline runs over history.)
+    // is the batch/backfill form a pipeline runs over history.) The cut
+    // is >= gap, matching session_window / Flink session semantics
+    // (windows are [ts, ts+gap) half-open, merged on strict overlap):
+    // two events EXACTLY 30 min apart start separate sessions, so
+    // SessionParitySpec's batch==engine equality holds by construction,
+    // not corpus luck.
     QuerySpec.sqlBacked("q76_sessionize",
       """WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
         |           FROM events),
         |s AS (SELECT user_id, event_id, ts,
         |        CASE WHEN lag(ts) OVER w IS NULL
         |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
-        |                  > 1800000000 THEN 1 ELSE 0 END AS brk
+        |                  >= 1800000000 THEN 1 ELSE 0 END AS brk
         |      FROM e WINDOW w AS (PARTITION BY user_id
         |                          ORDER BY ts, event_id)),
         |c AS (SELECT user_id, event_id, ts,
@@ -129,7 +134,7 @@ object Temporal {
         .select(col("user_id"), col("event_id"), col("ts"))
         .withColumn("brk",
           when(prev.isNull ||
-            unix_micros(col("ts")) - unix_micros(prev) > 1800000000L, 1)
+            unix_micros(col("ts")) - unix_micros(prev) >= 1800000000L, 1)
             .otherwise(0))
         .withColumn("sess_no", sum(col("brk")).over(wRun))
         .groupBy(col("user_id"), col("sess_no"))

@@ -410,9 +410,13 @@ object TextOps {
         |                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         / total AS coverage
         |FROM top, tot ORDER BY rank""".stripMargin) { (s, dir) =>
+      // checkpoint the vocab counts: top and tot both consume them, and
+      // left lazy each would re-run the corpus scan + token shuffle
+      // (the blocks are vocab-sized; reclaimed when the result drops)
       val cnt = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val top = cnt.orderBy(col("n").desc, col("tok")).limit(30)
       val tot = cnt.agg(sum(col("n")).as("total"))
       val w = org.apache.spark.sql.expressions.Window
