@@ -431,6 +431,90 @@ object TextOps {
           (sum(col("n")).over(w).cast("double") / col("total"))
             .as("coverage"))
         .orderBy(col("rank"))
+    },
+
+    // ------------------------------------------------------------------
+    // Context-length utilization: for candidate sequence lengths L in
+    // {64,128,256,512}, what the one-doc-per-sequence strategy wastes —
+    // tokens truncated (doc longer than L) and slots padded (doc
+    // shorter) — the report that picks a context length before
+    // committing a 100 TB tokenization run. One scan, the 4 lengths
+    // explode from a constant array, one 4-row aggregate; utilization
+    // is a single double division of exact integer sums. (q71's
+    // concat-and-cut packing is the zero-padding alternative; this
+    // quantifies what that buys.)
+    QuerySpec.sqlBacked("q90_context_utilization",
+      """SELECT L, count(*) AS n_docs,
+        |  CAST(sum(least(n_tok, L)) AS BIGINT) AS tokens_kept,
+        |  CAST(sum(greatest(n_tok - L, 0)) AS BIGINT) AS tokens_truncated,
+        |  CAST(sum(greatest(L - n_tok, 0)) AS BIGINT) AS slots_padded,
+        |  CAST(CAST(sum(least(n_tok, L)) AS BIGINT) AS DOUBLE)
+        |    / (count(*) * L) AS utilization
+        |FROM (SELECT len(string_split(text, ' ')) AS n_tok FROM documents),
+        |     unnest([64, 128, 256, 512]) AS t(L)
+        |GROUP BY L ORDER BY L""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"),
+          explode(typedLit(Seq(64L, 128L, 256L, 512L))).as("L"))
+        .groupBy(col("L"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(least(col("n_tok"), col("L"))).as("tokens_kept"),
+          sum(greatest(col("n_tok") - col("L"), lit(0L)))
+            .as("tokens_truncated"),
+          sum(greatest(col("L") - col("n_tok"), lit(0L)))
+            .as("slots_padded"))
+        .select(col("L"), col("n_docs"), col("tokens_kept"),
+          col("tokens_truncated"), col("slots_padded"),
+          (col("tokens_kept").cast("double") / (col("n_docs") * col("L")))
+            .as("utilization"))
+        .orderBy(col("L"))
+    },
+
+    // ------------------------------------------------------------------
+    // Token co-occurrence with exact lift: the 30 strongest
+    // document-level token pairs, lift = P(x,y)/(P(x)P(y)) computed as
+    // ONE double division of exact integer products (log-PMI would
+    // hinge on libm parity between engines; lift doesn't). Pair
+    // generation is a per-doc self-join on distinct tokens — bounded by
+    // tokens-per-doc, not vocabulary — and the result is top-k bounded
+    // before anything reaches the driver.
+    QuerySpec.sqlBacked("q91_cooccurrence",
+      """WITH d AS (
+        |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+        |    AS tok FROM documents),
+        |nx AS (SELECT tok, count(*) AS n FROM d GROUP BY tok),
+        |nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+        |pairs AS (
+        |  SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_xy
+        |  FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |  GROUP BY a.tok, b.tok
+        |  ORDER BY n_xy DESC, t1, t2 LIMIT 30)
+        |SELECT t1, t2, n_xy,
+        |  CAST(n_xy * n_docs AS DOUBLE)
+        |    / CAST(x.n * y.n AS DOUBLE) AS lift
+        |FROM pairs JOIN nx x ON x.tok = t1 JOIN nx y ON y.tok = t2, nn
+        |ORDER BY n_xy DESC, t1, t2""".stripMargin) { (s, dir) =>
+      // checkpoint the (doc, token) exploded relation: the pair
+      // self-join, nx, and nn all consume it (same reuse fix as q74)
+      val d = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .localCheckpoint()
+      val nx = d.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      val nn = d.agg(countDistinct(col("doc_id")).as("n_docs"))
+      d.select(col("doc_id"), col("tok").as("t1"))
+        .join(d.select(col("doc_id"), col("tok").as("t2")), "doc_id")
+        .filter(col("t1") < col("t2"))
+        .groupBy(col("t1"), col("t2"))
+        .agg(count(lit(1)).as("n_xy"))
+        .orderBy(col("n_xy").desc, col("t1"), col("t2")).limit(30)
+        .join(nx.select(col("tok").as("t1"), col("n").as("nx1")), "t1")
+        .join(nx.select(col("tok").as("t2"), col("n").as("nx2")), "t2")
+        .crossJoin(broadcast(nn))
+        .select(col("t1"), col("t2"), col("n_xy"),
+          ((col("n_xy") * col("n_docs")).cast("double") /
+            (col("nx1") * col("nx2")).cast("double")).as("lift"))
+        .orderBy(col("n_xy").desc, col("t1"), col("t2"))
     }
   )
 }
