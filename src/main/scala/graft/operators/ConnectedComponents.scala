@@ -79,7 +79,11 @@ object ConnectedComponents {
           least(col("a.label"), coalesce(col("jl"), col("a.label")))
             .as("label"),
           col("a.old").as("old"))
-        .coalesce(parts).localCheckpoint()
+        // lazy checkpoint: the convergence count right below is the
+        // materializing action, so each iteration runs ONE job instead
+        // of checkpoint-then-count (halves the per-iteration fixed
+        // latency that dominates at test scale)
+        .coalesce(parts).localCheckpoint(eager = false)
       val changed = next.filter(col("label") =!= col("old")).count()
       labels = next.select(col("node"), col("label"))
       converged = changed == 0
