@@ -515,6 +515,31 @@ object TextOps {
           ((col("n_xy") * col("n_docs")).cast("double") /
             (col("nx1") * col("nx2")).cast("double")).as("lift"))
         .orderBy(col("n_xy").desc, col("t1"), col("t2"))
+    },
+
+    // ------------------------------------------------------------------
+    // Seeded epoch shuffle: the training order for one epoch — a
+    // pseudo-random but REPRODUCIBLE permutation of the corpus,
+    // assigned as contiguous positions by [[graft.operators.GlobalIndex]]
+    // over a salted per-doc hash (new seed = new epoch = new
+    // permutation; same seed = byte-identical order across reruns and
+    // engines — what resumable training needs). Same distributed-sort
+    // shape as q73; a driver-side shuffle of 100 TB of ids is the
+    // anti-pattern this replaces.
+    QuerySpec.sqlBacked("q92_epoch_shuffle",
+      """SELECT CAST(row_number() OVER (
+        |         ORDER BY md5('epoch7:' || CAST(doc_id AS VARCHAR)),
+        |                  doc_id) - 1 AS BIGINT) AS pos,
+        |       doc_id
+        |FROM documents ORDER BY pos""".stripMargin) { (s, dir) =>
+      graft.operators.GlobalIndex.assign(
+          Tables(s, dir, "documents")
+            .select(col("doc_id"),
+              md5(concat(lit("epoch7:"), col("doc_id").cast("string")))
+                .as("h")),
+          Seq(col("h"), col("doc_id")), outCol = "pos")
+        .select(col("pos"), col("doc_id"))
+        .orderBy(col("pos"))
     }
   )
 }
