@@ -43,7 +43,7 @@ object Dedup {
     * the small result are reclaimed by the context cleaner once the
     * caller drops the result, the same contract ConnectedComponents'
     * per-iteration checkpoints rely on. */
-  private def withScratch(scratch: DataFrame*)(body: => DataFrame): DataFrame = {
+  private[queries] def withScratch(scratch: DataFrame*)(body: => DataFrame): DataFrame = {
     // dev-introspection escape (graft.lazyScratch sysprop, set by Probe's
     // explain mode): return the UNmaterialized plan so explain() shows
     // the real operator tree instead of a checkpoint scan. Leaks the

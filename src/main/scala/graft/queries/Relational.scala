@@ -488,12 +488,15 @@ object Relational {
 
     // session window (30 min gap) via gaps-and-islands; deterministic
     // tiebreak (ts, event_id). Mirrors session_window() semantics for
-    // session_start = min(ts).
+    // session_start = min(ts), including the boundary: the cut is
+    // >= gap (half-open [ts, ts+gap) windows merge only on strict
+    // overlap), same as q76 — batch and engine sessions agree at an
+    // exactly-30-minute gap.
     QuerySpec.sqlBacked("q28_window_session",
       """WITH x AS (
         |  SELECT user_id, ts, event_id, value,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events)
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -510,7 +513,7 @@ object Relational {
         .withColumn("prev_us", unix_micros(lag(col("ts"), 1).over(w)))
         .withColumn("new_s",
           when(col("prev_us").isNull ||
-            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1)
+            unix_micros(col("ts")) - col("prev_us") >= 1800000000L, 1)
             .otherwise(0))
         .withColumn("sid", sum(col("new_s")).over(wRun))
         .groupBy(col("user_id"), col("sid"))

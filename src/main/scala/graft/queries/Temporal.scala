@@ -93,7 +93,7 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
-    // Batch sessionization: per-user sessions cut at >30 min of
+    // Batch sessionization: per-user sessions cut at >=30 min of
     // inactivity — the gap-and-island pattern (new-session flags via
     // lag, running sum numbers the islands), then one aggregate per
     // session. ONE shuffle keyed by user_id; parallelism = users, and

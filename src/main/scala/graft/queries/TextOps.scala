@@ -410,13 +410,13 @@ object TextOps {
         |                         ROWS UNBOUNDED PRECEDING) AS DOUBLE)
         |         / total AS coverage
         |FROM top, tot ORDER BY rank""".stripMargin) { (s, dir) =>
-      // checkpoint the vocab counts: top and tot both consume them, and
-      // left lazy each would re-run the corpus scan + token shuffle
-      // (the blocks are vocab-sized; reclaimed when the result drops)
+      // scratch-cache the vocab counts (Dedup.withScratch — one
+      // lifecycle contract repo-wide): top and tot both consume them,
+      // and left lazy each would re-run the corpus scan + token shuffle
       val cnt = Tables(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("tok")).agg(count(lit(1)).as("n"))
-        .localCheckpoint()
+      Dedup.withScratch(cnt) {
       val top = cnt.orderBy(col("n").desc, col("tok")).limit(30)
       val tot = cnt.agg(sum(col("n")).as("total"))
       val w = org.apache.spark.sql.expressions.Window
@@ -431,6 +431,7 @@ object TextOps {
           (sum(col("n")).over(w).cast("double") / col("total"))
             .as("coverage"))
         .orderBy(col("rank"))
+      }
     },
 
     // ------------------------------------------------------------------
@@ -483,7 +484,7 @@ object TextOps {
         |  SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
         |    AS tok FROM documents),
         |nx AS (SELECT tok, count(*) AS n FROM d GROUP BY tok),
-        |nn AS (SELECT count(DISTINCT doc_id) AS n_docs FROM d),
+        |nn AS (SELECT count(*) AS n_docs FROM documents),
         |pairs AS (
         |  SELECT a.tok AS t1, b.tok AS t2, count(*) AS n_xy
         |  FROM d a JOIN d b ON a.doc_id = b.doc_id AND a.tok < b.tok
@@ -494,14 +495,18 @@ object TextOps {
         |    / CAST(x.n * y.n AS DOUBLE) AS lift
         |FROM pairs JOIN nx x ON x.tok = t1 JOIN nx y ON y.tok = t2, nn
         |ORDER BY n_xy DESC, t1, t2""".stripMargin) { (s, dir) =>
-      // checkpoint the (doc, token) exploded relation: the pair
-      // self-join, nx, and nn all consume it (same reuse fix as q74)
+      // scratch-cache the (doc, token) exploded relation: the pair
+      // self-join and nx both consume it (same reuse fix as q74); the
+      // corpus size comes from the BASE table — doc_id is the key and
+      // every doc emits >= 1 token, so a distinct-count over the token
+      // relation would shuffle |tokens| rows to recover count(*)
       val d = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
-        .localCheckpoint()
+      Dedup.withScratch(d) {
       val nx = d.groupBy(col("tok")).agg(count(lit(1)).as("n"))
-      val nn = d.agg(countDistinct(col("doc_id")).as("n_docs"))
+      val nn = Tables(s, dir, "documents")
+        .agg(count(lit(1)).as("n_docs"))
       d.select(col("doc_id"), col("tok").as("t1"))
         .join(d.select(col("doc_id"), col("tok").as("t2")), "doc_id")
         .filter(col("t1") < col("t2"))
@@ -515,6 +520,7 @@ object TextOps {
           ((col("n_xy") * col("n_docs")).cast("double") /
             (col("nx1") * col("nx2")).cast("double")).as("lift"))
         .orderBy(col("n_xy").desc, col("t1"), col("t2"))
+      }
     },
 
     // ------------------------------------------------------------------
