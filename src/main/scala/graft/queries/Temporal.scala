@@ -224,6 +224,63 @@ object Temporal {
           coalesce(col("n"), lit(0L)).as("n_events"),
           last(col("mx"), ignoreNulls = true).over(w).as("filled"))
         .orderBy(col("user_id"), col("hr"))
+    },
+
+    // ------------------------------------------------------------------
+    // Top-k per time bucket (daily most-active users): the trending /
+    // leaderboard shape. Counts per (day, user), then the bounded-heap
+    // TopKAgg keeps 3 per day — at most k rows per bucket cross the
+    // final shuffle, vs a ranking window's full per-day sort (q64's
+    // scale argument, applied to a time axis).
+    QuerySpec.sqlBacked("q93_daily_top_users",
+      """WITH c AS (
+        |  SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE)
+        |           AS day, user_id, count(*) AS cnt
+        |  FROM events GROUP BY day, user_id)
+        |SELECT day, rk, user_id, cnt FROM (
+        |  SELECT day, user_id, cnt,
+        |    CAST(row_number() OVER (PARTITION BY day
+        |      ORDER BY cnt DESC, user_id) AS BIGINT) AS rk
+        |  FROM c)
+        |WHERE rk <= 3 ORDER BY day, rk""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("day"))
+        .agg(graft.plans.TopKAgg(
+          struct(col("cnt").as("c"), (-col("user_id")).as("nu")), 3).as("top"))
+        .select(col("day"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("day"), (col("i") + 1).cast("long").as("rk"),
+          (-col("t.nu")).as("user_id"), col("t.c").as("cnt"))
+        .orderBy(col("day"), col("rk"))
+    },
+
+    // ------------------------------------------------------------------
+    // Cohort retention: users grouped by first-activity day, active-user
+    // counts per day offset — the engagement matrix behind every
+    // retention curve. The cohort assignment is a per-user min (one
+    // shuffle keyed by user), the matrix one aggregate over (cohort,
+    // offset); day arithmetic is integer, so the cells are engine-exact.
+    QuerySpec.sqlBacked("q94_cohort_retention",
+      """WITH e AS (SELECT user_id,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day
+        |  FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY user_id)
+        |SELECT cohort, datediff('day', cohort, day) AS offset_days,
+        |       count(DISTINCT e.user_id) AS active_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |GROUP BY cohort, offset_days
+        |ORDER BY cohort, offset_days""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+      val c = e.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+      e.join(c, "user_id")
+        .groupBy(col("cohort"),
+          datediff(col("day"), col("cohort")).cast("long").as("offset_days"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort"), col("offset_days"))
     }
   )
 }
