@@ -281,6 +281,79 @@ object Temporal {
           datediff(col("day"), col("cohort")).cast("long").as("offset_days"))
         .agg(countDistinct(col("user_id")).as("active_users"))
         .orderBy(col("cohort"), col("offset_days"))
+    },
+
+    // ------------------------------------------------------------------
+    // Ordered funnel (view -> click -> purchase within a session): how
+    // many q76 sessions reach each stage, each stage's event strictly
+    // after the previous stage's FIRST occurrence. Three grouped
+    // aggregates over one sessionized base (scratch-cached — each
+    // stage's "first ts" feeds the next stage's filter); all
+    // comparisons are on exact microsecond timestamps. One-row output.
+    QuerySpec.sqlBacked("q95_session_funnel",
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |    CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT user_id, event_id, event_type, ts,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                  >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)),
+        |b AS (SELECT user_id, event_type, ts,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sess
+        |      FROM s),
+        |v AS (SELECT user_id, sess, min(ts) AS t_view FROM b
+        |      WHERE event_type = 'view' GROUP BY user_id, sess),
+        |c AS (SELECT b.user_id, b.sess, min(ts) AS t_click
+        |      FROM b JOIN v ON b.user_id = v.user_id AND b.sess = v.sess
+        |      WHERE event_type = 'click' AND ts > t_view
+        |      GROUP BY b.user_id, b.sess),
+        |p AS (SELECT b.user_id, b.sess, min(ts) AS t_purchase
+        |      FROM b JOIN c ON b.user_id = c.user_id AND b.sess = c.sess
+        |      WHERE event_type = 'purchase' AND ts > t_click
+        |      GROUP BY b.user_id, b.sess)
+        |SELECT
+        |  (SELECT count(DISTINCT (user_id, sess)) FROM b) AS n_sessions,
+        |  (SELECT count(*) FROM v) AS n_view,
+        |  (SELECT count(*) FROM c) AS n_view_click,
+        |  (SELECT count(*) FROM p) AS n_view_click_purchase""".stripMargin) {
+      (s, dir) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val prev = lag(col("ts"), 1).over(wOrd)
+      val b = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("brk",
+          when(prev.isNull ||
+            unix_micros(col("ts")) - unix_micros(prev) >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess", sum(col("brk")).over(wRun))
+        .select(col("user_id"), col("event_type"), col("ts"), col("sess"))
+      Dedup.withScratch(b) {
+        val v = b.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("sess"))
+          .agg(min(col("ts")).as("t_view"))
+        val cl = b.filter(col("event_type") === "click")
+          .join(v, Seq("user_id", "sess"))
+          .filter(col("ts") > col("t_view"))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(min(col("ts")).as("t_click"))
+        val p = b.filter(col("event_type") === "purchase")
+          .join(cl, Seq("user_id", "sess"))
+          .filter(col("ts") > col("t_click"))
+          .groupBy(col("user_id"), col("sess"))
+          .agg(min(col("ts")).as("t_purchase"))
+        b.select(col("user_id"), col("sess")).distinct()
+          .agg(count(lit(1)).as("n_sessions"))
+          .crossJoin(broadcast(v.agg(count(lit(1)).as("n_view"))))
+          .crossJoin(broadcast(cl.agg(count(lit(1)).as("n_view_click"))))
+          .crossJoin(broadcast(
+            p.agg(count(lit(1)).as("n_view_click_purchase"))))
+      }
     }
   )
 }
