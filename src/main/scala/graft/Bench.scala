@@ -13,13 +13,13 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    // clearCache after every run: query builders release their own
-    // scratch caches (Dedup.withScratch, CacheHygieneSpec), so this is
-    // belt-and-braces against any FUTURE builder that persists without
-    // the scoped helper — the timed pass must never reuse warmup state.
+    // releaseAll after every run: clearCache alone misses localCheckpoint
+    // RDD blocks (withScratch / CC iterations), whose lazy reclamation
+    // distorted BENCH_r04 — the timed pass must never reuse warmup state
+    // nor inherit block-manager churn from earlier queries.
     ordered.foreach { case (_, fn) =>
       try Sessions.runFully(fn(spark, sfDir)) catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      Sessions.releaseAll(spark)
     }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -27,7 +27,7 @@ object Bench {
         try { Sessions.runFully(fn(spark, sfDir)); true }
         catch { case _: Throwable => false }
       val dt = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache()
+      Sessions.releaseAll(spark)
       name -> (if (ok) dt else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -10,11 +10,11 @@ object Probe {
     * adds the warmup/clear/clock shape so the modes can't diverge). */
   private def timed(spark: org.apache.spark.sql.SparkSession)(
       build: => org.apache.spark.sql.DataFrame): (Double, Long) = {
-    Sessions.runFully(build); spark.catalog.clearCache() // warmup
+    Sessions.runFully(build); Sessions.releaseAll(spark) // warmup
     val t0 = System.nanoTime()
     val n = Sessions.runFully(build)
     val dt = (System.nanoTime() - t0) / 1e9
-    spark.catalog.clearCache()
+    Sessions.releaseAll(spark)
     (dt, n)
   }
 
@@ -54,14 +54,14 @@ object Probe {
     if (args.contains("explain")) {
       // lazyScratch: scratch-cached builders (q36/q37/q63/...) otherwise
       // materialize eagerly and explain() would only show a checkpoint
-      // scan; the leaked persists are dropped by the clearCache below
+      // scan; the leaked persists are dropped by the releaseAll below
       sys.props("graft.lazyScratch") = "1"
       try fn(spark, sfDir).explain("formatted")
-      finally { sys.props.remove("graft.lazyScratch"); spark.catalog.clearCache() }
+      finally { sys.props.remove("graft.lazyScratch"); Sessions.releaseAll(spark) }
     }
     // warmup + 2 timed runs; "total" is the honest number — scratch-cached
     // builders do their work eagerly in the build phase
-    Sessions.runFully(fn(spark, sfDir)); spark.catalog.clearCache()
+    Sessions.runFully(fn(spark, sfDir)); Sessions.releaseAll(spark)
     (1 to 2).foreach { i =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
@@ -70,7 +70,7 @@ object Probe {
       val t2 = System.nanoTime()
       println(f"PROBE $name run$i: total ${(t2 - t0) / 1e9}%.2f s " +
         f"(build ${(t1 - t0) / 1e9}%.2f + exec ${(t2 - t1) / 1e9}%.2f) ($n rows)")
-      spark.catalog.clearCache()
+      Sessions.releaseAll(spark)
     }
     spark.stop()
   }

@@ -16,6 +16,19 @@ object Sessions {
     spark
   }
 
+  /** Release everything a query run may have pinned in the block manager.
+    * `clearCache()` only drops CacheManager (DataFrame-level) entries;
+    * localCheckpoint blocks (Dedup.withScratch results, ConnectedComponents
+    * per-iteration checkpoints) are RDD-level persists that the
+    * ContextCleaner reclaims lazily — across a 96-query sweep they pile up
+    * and distort later timings (BENCH_r04 inflated untouched queries 2–4×).
+    * Unpersisting them explicitly makes every timed pass start cold. */
+  def releaseAll(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   /** Execute the query's FULL physical plan and return the row count.
     * `df.count()` would instead plan Aggregate(count(1)) over the
     * query, letting the optimizer prune unreferenced projections and

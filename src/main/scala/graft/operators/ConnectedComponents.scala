@@ -67,13 +67,22 @@ object ConnectedComponents {
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), min(col("old")).as("old"))
       // pointer jump: label <- label[label]. Labels are node ids, so
-      // the lookup is a self-join; min-monotone like the hop, same
-      // fixpoint, but it SQUARES the distance covered per iteration —
-      // long duplicate chains converge in ~log(diameter) rounds
-      // instead of diameter (cliques were already 1-2 rounds). One
-      // extra shuffle per round buys the round count down.
+      // the lookup is a join; min-monotone like the hop, same fixpoint,
+      // but it compounds the distance covered per iteration — long
+      // duplicate chains converge in ~log(diameter) rounds instead of
+      // diameter (cliques were already 1-2 rounds). One extra shuffle
+      // per round buys the round count down.
+      //
+      // The lookup table is the PREVIOUS round's labels — a checkpointed
+      // leaf — not `hop` itself: a hop-vs-hop self-join duplicates the
+      // union+groupBy subtree, and ColumnPruning rewrites the probe side
+      // (drops `old`) so the two aggregates no longer canonicalize and
+      // ReuseExchange cannot fire — the graph would be aggregated twice
+      // per round. Jumping through last round's table shortens reach
+      // slightly per round (~1.6x vs 2x compounding) but keeps each
+      // iteration a single pass over the graph.
       val next = hop.as("a")
-        .join(hop.select(col("node").as("jn"), col("label").as("jl")),
+        .join(labels.select(col("node").as("jn"), col("label").as("jl")),
           col("a.label") === col("jn"), "left")
         .select(col("a.node").as("node"),
           least(col("a.label"), coalesce(col("jl"), col("a.label")))

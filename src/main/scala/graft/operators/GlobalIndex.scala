@@ -1,6 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
 import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Contiguous global ordinals (0..N-1) in a total sort order — the
@@ -14,24 +16,40 @@ import org.apache.spark.sql.types.{LongType, StructField}
   *
   *  1. range-shuffle + in-partition sort (`repartitionByRange` +
   *     `sortWithinPartitions`) — Spark's normal distributed total sort,
-  *     the ONLY full shuffle here;
-  *  2. one lightweight count job over the sorted partitions gives each
-  *     partition's size; the driver prefix-sums #partitions longs (not
-  *     rows) into start offsets, and a narrow map stamps
-  *     `offset + local position`. No second shuffle, no single-task
-  *     bottleneck; the extra pass reads back the already-shuffled
-  *     partitions.
+  *     the ONLY shuffle here, executed ONCE: both phase-2 jobs derive
+  *     from the same RDD instance, so the second job re-reads the
+  *     already-written shuffle files instead of re-shuffling;
+  *  2. one lightweight per-partition count job (#partitions longs to the
+  *     driver, prefix-summed into start offsets), then a narrow map
+  *     stamps `offset + local position` onto each row.
+  *
+  * The stamping never leaves Tungsten: it runs on the query's
+  * `InternalRow`s (`queryExecution.toRdd`) and appends the ordinal via a
+  * reused `JoinedRow`, re-entering Catalyst through
+  * `internalCreateDataFrame` — no per-row `Row.fromSeq` copy in either
+  * direction (that copy was this operator's r4 cost).
+  *
+  * Why not a pure-Catalyst formulation (per-partition count aggregate +
+  * broadcast-joined offsets + monotonically_increasing_id)? Measured on
+  * Spark 4.1: ColumnPruning rewrites the counts branch to carry only the
+  * sort keys, the two range exchanges no longer canonicalize equal, and
+  * ReuseExchange does NOT fire — the corpus gets range-shuffled twice.
+  * The RDD formulation's shuffle-file reuse is guaranteed by the engine.
   *
   * Ordinals are deterministic iff `sortCols` is a total order (make the
-  * last key unique, e.g. a primary key) — the same caveat any
-  * row_number carries. Range-bound sampling may place boundary rows in
-  * different partitions across runs, but the stamped order — hence the
-  * ids — cannot change.
+  * last key unique, e.g. a primary key) — the same caveat any row_number
+  * carries. `sortCols` must also be NON-NULL: engines disagree on null
+  * placement (Spark sorts ascending NULLS FIRST, DuckDB's row_number
+  * defaults NULLS LAST), so a nullable key silently diverges from a SQL
+  * oracle. Range-bound sampling may place boundary rows in different
+  * partitions across runs, but the stamped order — hence the ids —
+  * cannot change.
   */
 object GlobalIndex {
 
   /** Append `outCol`: the 0-based global ordinal of each row under the
-    * ascending total order of `sortCols`. */
+    * ascending total order of `sortCols` (keys must be non-null — see
+    * class doc). */
   def assign(df: DataFrame, sortCols: Seq[Column],
       outCol: String = "seq_id"): DataFrame = {
     val spark = df.sparkSession
@@ -39,14 +57,32 @@ object GlobalIndex {
     val sorted = df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)
-    // Row-level zipWithIndex: phase-2 count job + narrow stamping map.
-    // The Row (de)serialization boundary is the price of the RDD layer;
-    // it is a straight per-row copy, and everything downstream returns
-    // to Catalyst via createDataFrame.
-    val stamped = sorted.rdd.zipWithIndex().map { case (r, i) =>
-      Row.fromSeq(r.toSeq :+ i)
+
+    // One RDD instance for both jobs: the count job materializes the
+    // range shuffle; the stamping job reuses its map output.
+    val rdd = sorted.queryExecution.toRdd
+
+    // Phase-2a: per-partition sizes (consumes UnsafeRow iterators without
+    // touching row contents), prefix-summed on the driver — #partitions
+    // longs, not rows.
+    val counts = rdd
+      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.size.toLong)))
+      .collect().sortBy(_._1).map(_._2)
+    val offsets = counts.scanLeft(0L)(_ + _)
+
+    // Phase-2b: narrow stamping map. JoinedRow and the 1-field index row
+    // are reused per-partition — consumers copy on materialization
+    // (UnsafeProjection at the scan boundary), per the iterator contract.
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var n = offsets(i)
+      val idx = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { r =>
+        idx.setLong(0, n); n += 1
+        joined(r, idx): InternalRow
+      }
     }
-    spark.createDataFrame(stamped,
+    org.apache.spark.sql.graft.bridge.internalCreateDataFrame(spark, stamped,
       sorted.schema.add(StructField(outCol, LongType, nullable = false)))
   }
 }

@@ -134,10 +134,9 @@ object Dedup {
     * formulation). The scan is repartitioned first: the test corpus is
     * one small parquet file = one input split, which would serialize
     * all shingling onto a single task; at 100 TB the input arrives
-    * pre-split and the repartition is a cheap no-op-sized shuffle. */
+    * pre-split and Tables.spread skips the shuffle entirely. */
   private def shingled(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, dir, "documents")
       .select(col("doc_id"),
         graft.plans.WordShingles(col("text"), 3, distinct = true).as("sh"))
       .filter(size(col("sh")) > 0)
@@ -174,8 +173,7 @@ object Dedup {
     * row per (doc, distinct 8-token window), `nib` = the q56 split
     * nibble, `g` = the gram's md5 key. */
   private def gramIndex(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
+    Tables.spread(s, dir, "documents")
       .select(col("doc_id"),
         graft.plans.WordShingles(col("text"), 8, distinct = true).as("g8"),
         (instr(lit("0123456789abcdef"),
@@ -207,8 +205,7 @@ object Dedup {
     * measured costs (interpreted bit-expansion lambdas, vocab-dedup
     * join variant) are in the git log. */
   private[graft] def simhashFps(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism) // single-file scan
+    Tables.spread(s, dir, "documents")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("doc_id"))
       .agg(graft.plans.SimHashAgg(col("tok")).as("fp"))
@@ -400,8 +397,7 @@ object Dedup {
       // the 100 TB path is q41's LSH bucketing.
       val emb = Tables(s, dir, "embeddings")
       requireAllPairsSmall(s, emb) // fail loud instead of broadcasting unbounded
-      val n = emb
-        .repartition(s.sparkContext.defaultParallelism) // single-file scan
+      val n = Tables.spread(emb)
         .select(col("vec_id"), col("embedding"),
           sqrt(dot("embedding", "embedding")).as("nrm"))
       val a = n.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
@@ -518,8 +514,7 @@ object Dedup {
         |       count(*) AS n_occurrences, min(doc_id) AS first_doc
         |FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY passage_fp""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism) // single-file scan
+      Tables.spread(s, dir, "documents")
         .select(col("doc_id"),
           graft.plans.WordShingles(col("text"), 8, distinct = false).as("g8"))
         .select(col("doc_id"), explode(col("g8")).as("g8s"))
@@ -668,30 +663,36 @@ object Dedup {
       // the te job shingles only its 2/16 of the corpus, checkpointed
       // at its real (small) size, and the train side is shingled
       // exactly once, fused with the bloom probe in the main job.
-      val te = gramIndex(s, dir).filter(col("nib") >= 14)
-        .select(col("g")).distinct().localCheckpoint()
-      te.createOrReplaceTempView("graft_q72_te")
-      gramIndex(s, dir).filter(col("nib") <= 12)
-        .select(col("doc_id"), col("g"))
-        .createOrReplaceTempView("graft_q72_tr")
-      val out = s.sql("""
-        |WITH cand AS (
-        |  SELECT doc_id, g FROM graft_q72_tr
-        |  WHERE graft_bloom_contains(
-        |    (SELECT graft_bloom_agg(xxhash64(g), 262144L)
-        |     FROM graft_q72_te),
-        |    xxhash64(g)))
-        |SELECT doc_id AS train_id, count(*) AS n_shared
-        |FROM cand JOIN graft_q72_te USING (g)
-        |GROUP BY doc_id ORDER BY train_id""".stripMargin)
-      // sql() analyzes eagerly, so the returned plan no longer needs the
-      // views — drop them or they pin te's checkpoint blocks (and two
-      // global names) for the session lifetime; released, the context
-      // cleaner reclaims the blocks when the caller drops the result,
-      // the same contract as withScratch
-      s.catalog.dropTempView("graft_q72_te")
-      s.catalog.dropTempView("graft_q72_tr")
-      out
+      // Per-run unique view names (two q72 runs may share a session), and
+      // drop-in-finally: sql() analyzes eagerly, so the returned plan no
+      // longer needs the views — but if analysis THROWS, fixed
+      // always-dropped names would leak te's checkpoint blocks (and two
+      // global names) for the session lifetime. Released, the context
+      // cleaner reclaims the blocks when the caller drops the result, the
+      // same contract as withScratch.
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "")
+      val (vte, vtr) = (s"graft_q72_te_$tag", s"graft_q72_tr_$tag")
+      try {
+        val te = gramIndex(s, dir).filter(col("nib") >= 14)
+          .select(col("g")).distinct().localCheckpoint()
+        te.createOrReplaceTempView(vte)
+        gramIndex(s, dir).filter(col("nib") <= 12)
+          .select(col("doc_id"), col("g"))
+          .createOrReplaceTempView(vtr)
+        s.sql(s"""
+          |WITH cand AS (
+          |  SELECT doc_id, g FROM $vtr
+          |  WHERE graft_bloom_contains(
+          |    (SELECT graft_bloom_agg(xxhash64(g), 262144L)
+          |     FROM $vte),
+          |    xxhash64(g)))
+          |SELECT doc_id AS train_id, count(*) AS n_shared
+          |FROM cand JOIN $vte USING (g)
+          |GROUP BY doc_id ORDER BY train_id""".stripMargin)
+      } finally {
+        s.catalog.dropTempView(vte)
+        s.catalog.dropTempView(vtr)
+      }
     },
 
     // ------------------------------------------------------------------
@@ -898,8 +899,7 @@ object Dedup {
         |FROM inter JOIN sz za ON za.source = sa
         |           JOIN sz zb ON zb.source = sb
         |ORDER BY sa, sb""".stripMargin) { (s, dir) =>
-      val sg = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism)
+      val sg = Tables.spread(s, dir, "documents")
         .select(col("source"),
           explode(graft.plans.WordShingles(col("text"), 8, distinct = true))
             .as("g8s"))

@@ -737,7 +737,12 @@ object Relational {
         |           * CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(20,4)) AS spd
         |  FROM lineitem)
         |SELECT
-        |  CAST(n AS BIGINT) AS n,
+        |  CASE WHEN n > 1000000000000 THEN CAST(raise_error(
+        |    'q88: row count exceeds the sized decimal headroom (products of
+        | sums are bounded by 1e8*n^2 and must stay under DECIMAL(38,4) =
+        | 1e34, so n <= 1e13; guarded at 1e12 for 10x margin) - widen the
+        | moment widths before running at this scale') AS BIGINT)
+        |  ELSE CAST(n AS BIGINT) END AS n,
         |  CAST(n*sqp - sq*sp AS DOUBLE)
         |    / (sqrt(CAST(n*sqq - sq*sq AS DOUBLE))
         |     * sqrt(CAST(n*spp - sp*sp AS DOUBLE))) AS corr_qty_price,

@@ -170,8 +170,7 @@ object TextOps {
       // codegen'd single-pass loop does identical arithmetic (same fold
       // seeding and mod) ~10x faster. RollingHashSpec proves parity
       // against the SQL formulation property-style.
-      Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism) // single-file scan
+      Tables.spread(s, dir, "documents")
         .filter(length(col("text")) >= 8)
         .select(col("doc_id"), graft.plans.RollingHash(col("text")).as("r"))
         .select(col("doc_id"), col("r.h").as("h"),
@@ -201,8 +200,7 @@ object TextOps {
         |  FROM tf JOIN df USING (tok))
         |SELECT doc_id, term, tf, df FROM ranked WHERE rn = 1
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val toks = Tables(s, dir, "documents")
-        .repartition(s.sparkContext.defaultParallelism) // single-file scan
+      val toks = Tables.spread(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       val tf = toks.groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("tf"))

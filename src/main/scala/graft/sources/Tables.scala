@@ -31,6 +31,23 @@ object Tables {
     else df
   }
 
+  /** Spread a scan across the session's cores ONLY when it arrives with
+    * fewer input splits than the parallelism — the single-local-file test
+    * corpus, which would otherwise serialize all downstream per-row work
+    * (shingling, hashing) onto one task. A real multi-file corpus already
+    * has thousands of splits, and an unconditional repartition there is a
+    * full shuffle of the corpus *text* — the largest avoidable exchange
+    * in the dedup/decontamination family. The partition count comes from
+    * the physical scan plan (file listing), no job is run. */
+  def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
+  /** [[spread]] applied to a table scan — the common call shape. */
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
+    spread(apply(spark, dir, name))
+
   // Last dir registered per session. registerAll is called by every
   // SQL-mode query builder (q53-q55), so without memoization a bench or
   // verify sweep re-reads all 10 parquet footers and re-plans 10 views on

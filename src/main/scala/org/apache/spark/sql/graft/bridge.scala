@@ -26,6 +26,17 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sharedState.cacheManager.isEmpty
 
+  /** DataFrame over an RDD[InternalRow] without a Row (de)serialization
+    * round-trip (`internalCreateDataFrame` is private[sql]). Used by
+    * graft.operators.GlobalIndex to stamp ordinals onto UnsafeRows
+    * directly — `spark.createDataFrame(RDD[Row], schema)` would copy
+    * every field of every row out of and back into Tungsten. */
+  def internalCreateDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema)
+
   /** Register an expression builder as a SQL temp function on a session
     * (FunctionRegistry is private[sql]); lets `spark.sql` text call
     * native graft expressions like `graft_dot`. */

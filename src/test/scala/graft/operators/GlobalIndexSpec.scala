@@ -32,6 +32,38 @@ class GlobalIndexSpec extends SparkSpec {
     }
   }
 
+  test("shuffles the data exactly once across the count and stamp jobs") {
+    // The count job materializes the range shuffle; the stamping job must
+    // re-read its map output, not re-shuffle (at 100 TB a second exchange
+    // of the corpus is the difference between 1x and 2x the dominant
+    // cost). Counted behaviorally: exactly one completed stage may write
+    // shuffle records across BOTH jobs.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+    val writes = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit =
+        if (sc.stageInfo.taskMetrics != null &&
+            sc.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten > 0)
+          writes.incrementAndGet()
+    }
+    val df = spark.range(0, 50000)
+      .selectExpr("id % 97 AS k1", "id AS k2", "repeat('x', 50) AS payload")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val out = GlobalIndex.assign(df, Seq(col("k1"), col("k2")))
+      // runFully (per-partition fold) executes the plan without adding a
+      // shuffle of its own, unlike count()'s final aggregate exchange
+      assert(graft.Sessions.runFully(out) == 50000)
+      // listener bus is async (and private); wait for it to settle
+      val deadline = System.nanoTime() + 10_000_000_000L
+      var last = -1
+      while (System.nanoTime() < deadline && writes.get() != last) {
+        last = writes.get(); Thread.sleep(300)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(writes.get() == 1, s"expected 1 shuffle-writing stage, saw ${writes.get()}")
+  }
+
   test("appends the column without disturbing existing ones") {
     val df = Seq((2, "b"), (1, "a"), (3, "c")).toDF("k", "v")
     val out = GlobalIndex.assign(df, Seq(col("k")), outCol = "idx")
