@@ -28,8 +28,8 @@ import graft.sources.Tables
   *    brute-force oracle for the LSH path in Similarity.scala.
   */
 object Dedup {
-  private val K = 16 // minhash signature length
-  private val B = 4  // bands (r = K/B = 4 rows per band)
+  private[graft] val K = 16 // minhash signature length (shared with streaming.IncrementalDedup)
+  private[graft] val B = 4  // bands (r = K/B = 4 rows per band; shared with streaming.IncrementalDedup)
   /** q36 posting-list cap: shingles in more docs than this are dropped
     * as uninformative before the candidate-pair join (skew guard). */
   private val MaxShingleDf = 100
