@@ -250,10 +250,44 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
 
   /** ≙ side outputs (OutputTag, Plumbing — SURVEY §2.6): Spark has no
     * in-band side channel, so the facade codifies the standard two-filter
-    * fan-out — both branches share the scan (and, cached, the upstream
-    * computation). Returns (matching, rest). */
+    * fan-out. LAZY: each branch re-derives from the input, so a branch
+    * over a bare scan keeps predicate pushdown and column pruning (the
+    * re-scan is often cheaper than materializing), but an N-way split of
+    * an EXPENSIVE upstream recomputes it N times — use
+    * [[sideOutputScoped]] (batch) or [[sideOutputForeach]] (streaming)
+    * for the reference's one-pass emission (`OperatorChain.java:458-466`,
+    * `ChainingOutput.collect(outputTag, ...)`). Returns (matching, rest). */
   def sideOutput(pred: T => Boolean): (GStream[T], GStream[T]) =
     (derive(ds.filter(pred)), derive(ds.filter((t: T) => !pred(t))))
+
+  /** One-pass side output, batch: the upstream is persisted ONCE, both
+    * branches materialize from the cached blocks inside `use`, and the
+    * cache is released afterwards (scoped, like Dedup.withScratch — no
+    * block-manager residue escapes). The upstream computation runs
+    * exactly once no matter how many actions the branches run —
+    * TypesAndLifecycleSpec pins this with a source accumulator. */
+  def sideOutputScoped[R](pred: T => Boolean)(
+      use: (GStream[T], GStream[T]) => R): R = {
+    require(!ds.isStreaming,
+      "sideOutputScoped is batch-only; streaming splits use sideOutputForeach")
+    val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(derive(cached.filter(pred)),
+      derive(cached.filter((t: T) => !pred(t))))
+    finally cached.unpersist(blocking = false)
+  }
+
+  /** One-pass side output, streaming: a foreachBatch dual-writer — each
+    * micro-batch is computed once, persisted, routed to both sinks, and
+    * released. Returns the configured writer; the caller sets
+    * checkpointing/trigger and starts it. */
+  def sideOutputForeach(pred: T => Boolean)(
+      matchSink: Dataset[T] => Unit, restSink: Dataset[T] => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    ds.writeStream.foreachBatch { (batch: Dataset[T], _: Long) =>
+      val c = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try { matchSink(c.filter(pred)); restSink(c.filter((t: T) => !pred(t))) }
+      finally c.unpersist(blocking = false)
+    }
 
   def toDataset: Dataset[T] = ds
 }

@@ -66,6 +66,43 @@ class TypesAndLifecycleSpec extends SparkSpec {
     assert(evens.toDataset.collect().toSet == Set(2, 4, 6, 8, 10))
     assert(odds.toDataset.collect().toSet == Set(1, 3, 5, 7, 9))
   }
+
+  test("sideOutputScoped: both branches materialize from ONE upstream pass") {
+    import spark.implicits._
+    // every upstream row-evaluation bumps the accumulator; with the lazy
+    // two-filter split this would read 2000 (each branch recomputes the
+    // map), the scoped split must leave it at exactly 1000
+    val touches = spark.sparkContext.longAccumulator("touches")
+    val src = spark.range(0, 1000).as[Long].map { x => touches.add(1); x }
+    val (evenCount, oddCount) = env.fromDataset(src)
+      .sideOutputScoped(_ % 2 == 0) { (evens, odds) =>
+        (evens.toDataset.count(), odds.toDataset.count())
+      }
+    assert(evenCount == 500 && oddCount == 500)
+    assert(touches.value == 1000,
+      s"upstream ran ${touches.value} row-evaluations; one pass = 1000")
+    // scoped: no cache residue after use
+    assert(org.apache.spark.sql.graft.bridge.cacheIsEmpty(spark))
+  }
+
+  test("sideOutputForeach: streaming micro-batches route to both sinks once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val evens = collection.mutable.ArrayBuffer[Int]()
+    val odds = collection.mutable.ArrayBuffer[Int]()
+    val q = env.fromDataset(in.toDS())
+      .sideOutputForeach(_ % 2 == 0)(
+        b => evens.synchronized { evens ++= b.collect() },
+        b => odds.synchronized { odds ++= b.collect() })
+      .start()
+    try {
+      in.addData(1 to 10: _*); q.processAllAvailable()
+      in.addData(11 to 14: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(evens.sorted.toSeq == (2 to 14 by 2))
+    assert(odds.sorted.toSeq == (1 to 13 by 2))
+  }
 }
 
 case class Person(name: String, age: Int)
