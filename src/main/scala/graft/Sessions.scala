@@ -25,8 +25,11 @@ object Sessions {
     * Unpersisting them explicitly makes every timed pass start cold. */
   def releaseAll(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
+    // blocking: releaseAll always runs off-the-clock (between timed
+    // passes), and an async drop would overlap the next measurement with
+    // block-removal churn — the distortion this helper exists to stop
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 
   /** Execute the query's FULL physical plan and return the row count.

@@ -96,8 +96,9 @@ object ConnectedComponents {
         // of checkpoint-then-count (halves the per-iteration fixed
         // latency that dominates at test scale)
         .coalesce(parts).localCheckpoint(eager = false)
-      val changed = next.filter(col("label") =!= col("old")).count()
-      hopC.unpersist(blocking = false)
+      val changed =
+        try next.filter(col("label") =!= col("old")).count()
+        finally hopC.unpersist(blocking = false) // even on a failed count
       labels = next.select(col("node"), col("label"))
       converged = changed == 0
       iter += 1

@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.functions.broadcast
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** DataStream-flavored facade over Spark Datasets — the reference's public
@@ -270,10 +271,15 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
       use: (GStream[T], GStream[T]) => R): R = {
     require(!ds.isStreaming,
       "sideOutputScoped is batch-only; streaming splits use sideOutputForeach")
-    val cached = ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // respect a caller-established cache: persisting again would be a
+    // no-op, but unpersisting in finally would drop THEIR cache entry
+    val callerCached = ds.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    val cached =
+      if (callerCached) ds
+      else ds.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try use(derive(cached.filter(pred)),
       derive(cached.filter((t: T) => !pred(t))))
-    finally cached.unpersist(blocking = false)
+    finally if (!callerCached) cached.unpersist(blocking = false)
   }
 
   /** One-pass side output, streaming: a foreachBatch dual-writer — each
@@ -287,6 +293,25 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
       val c = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try { matchSink(c.filter(pred)); restSink(c.filter((t: T) => !pred(t))) }
       finally c.unpersist(blocking = false)
+    }
+
+  /** ≙ the broadcast state pattern (Flink 1.11 `connect(BroadcastStream)`
+    * + `BroadcastProcessFunction` — cut from the reference like the rest
+    * of §2.7): enrich a stream against a SLOWLY CHANGING dimension that
+    * refreshes while the query runs. Spark shape: the dimension is
+    * reloaded at every micro-batch boundary (a fresh `loadDim` read — a
+    * plain stream-static join would freeze the file listing at plan
+    * time) and handed to `process` broadcast-hinted, so the enrichment
+    * join never shuffles the stream side. Updates become visible at the
+    * NEXT micro-batch — the same refresh granularity Flink's broadcast
+    * stream gives between checkpoints. Returns the configured writer;
+    * the caller sets checkpointing/trigger and starts it. */
+  def connectBroadcast(loadDim: SparkSession => DataFrame)(
+      process: (Dataset[T], DataFrame) => DataFrame)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[T] =
+    ds.writeStream.foreachBatch { (batch: Dataset[T], _: Long) =>
+      sink(process(batch, broadcast(loadDim(batch.sparkSession))))
     }
 
   def toDataset: Dataset[T] = ds

@@ -54,12 +54,13 @@ class GlobalIndexSpec extends SparkSpec {
       // runFully (per-partition fold) executes the plan without adding a
       // shuffle of its own, unlike count()'s final aggregate exchange
       assert(graft.Sessions.runFully(out) == 50000)
-      // listener bus is async (and private); wait for it to settle
+      // listener bus is async (and private): wait until the expected
+      // terminal state is reached (or the deadline), then a fixed grace
+      // period so a straggling SECOND shuffle event would still be seen
       val deadline = System.nanoTime() + 10_000_000_000L
-      var last = -1
-      while (System.nanoTime() < deadline && writes.get() != last) {
-        last = writes.get(); Thread.sleep(300)
-      }
+      while (System.nanoTime() < deadline && writes.get() < 1)
+        Thread.sleep(100)
+      Thread.sleep(1500)
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(writes.get() == 1, s"expected 1 shuffle-writing stage, saw ${writes.get()}")
   }

@@ -85,6 +85,31 @@ class TypesAndLifecycleSpec extends SparkSpec {
     assert(org.apache.spark.sql.graft.bridge.cacheIsEmpty(spark))
   }
 
+  test("connectBroadcast: dimension updates are visible at the next batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dim").toString
+    Seq((1, "bronze"), (2, "silver")).toDF("k", "tier")
+      .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[Int]
+    val out = collection.mutable.ArrayBuffer[(Int, String)]()
+    val q = env.fromDataset(in.toDS().toDF("k").as[Int])
+      .connectBroadcast(s => s.read.parquet(dimDir)) { (batch, dim) =>
+        batch.toDF("k").join(dim, "k")
+      } { joined =>
+        out.synchronized { out ++= joined.as[(Int, String)].collect() }
+      }
+      .start()
+    try {
+      in.addData(1, 2); q.processAllAvailable()
+      // slowly changing dimension: tier 2 is promoted between batches
+      Seq((1, "bronze"), (2, "gold")).toDF("k", "tier")
+        .coalesce(1).write.mode("overwrite").parquet(dimDir)
+      in.addData(2); q.processAllAvailable()
+    } finally q.stop()
+    assert(out.sorted.toSeq == Seq((1, "bronze"), (2, "silver"), (2, "gold")).sorted)
+  }
+
   test("sideOutputForeach: streaming micro-batches route to both sinks once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
