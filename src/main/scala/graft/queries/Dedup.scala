@@ -919,6 +919,39 @@ object Dedup {
               (col("na") + col("nb") - col("n_shared"))).as("jac"))
           .orderBy(col("sa"), col("sb"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Per-source duplication report — the corpus-health table a pipeline
+    // publishes after an exact-dedup pass: for each source, how many
+    // docs it contributed and how many would be removed under q35's
+    // keep-min-doc_id policy (a doc is removed iff its normalized
+    // fingerprint group keeps a different doc). Two keyed shuffles
+    // (fp, then source), both map-side-combined; the rate is one double
+    // division of exact counts.
+    QuerySpec.sqlBacked("q97_dup_rate_by_source",
+      """WITH f AS (
+        |  SELECT doc_id, source, md5(lower(trim(text))) AS fp
+        |  FROM documents),
+        |k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
+        |SELECT source, count(*) AS n_docs,
+        |  sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS n_dups,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS dup_rate
+        |FROM f JOIN k USING (fp)
+        |GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(lower(trim(col("text")))).as("fp"))
+      val k = f.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+      f.join(k, "fp")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("keep_id"), 1L).otherwise(0L))
+            .as("n_dups"))
+        .select(col("source"), col("n_docs"), col("n_dups"),
+          (col("n_dups").cast("double") / col("n_docs")).as("dup_rate"))
+        .orderBy(col("source"))
     }
   )
 }

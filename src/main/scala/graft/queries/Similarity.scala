@@ -89,36 +89,50 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
-    // LSH-bucketed ANN: 4 signed-random-projection bits → 16 buckets;
-    // score only same-bucket pairs (candidate set ~1/16 of the corpus per
-    // query at uniform spread). Equi-join on the bucket key — a hash
-    // join, not a cross join, so it scales.
+    // LSH-bucketed ANN with OR-amplification: L=4 independent tables of
+    // 4 signed-random-projection bits (hyperplanes 4t..4t+3 per table t,
+    // 16 buckets each). A pair is a candidate if it collides in ANY
+    // table — recall 1-(1-p^4)^4 vs a single table's p^4 (measured mean
+    // recall@5 vs q40 brute force: 0.24 single-table → see AnnRecallSpec
+    // for the amplified floor) — while the candidate set stays ~L/16 of
+    // the corpus per query. Same multi-table explode + equi-join shape
+    // as q37's MinHash banding; identical scored rows from multi-table
+    // collisions collapse via DISTINCT (cos is computed bit-identically
+    // per pair, so the tuple dedupes exactly in both engines).
     QuerySpec.sqlBacked("q41_knn_lsh", {
-      val bitsSql = (0 until 4)
+      val tableSql = (0 until 4).map(t => (4 * t until 4 * t + 4)
         .map(j => s"(${Vectors.srpBitSql("embedding", j)})::VARCHAR")
-        .mkString(" || ")
+        .mkString(" || ")).mkString("[", ", ", "]")
       s"""WITH n AS ($corpusSql),
-         |b AS (SELECT vec_id, embedding, nrm, $bitsSql AS bkt FROM n)
-         |SELECT q_id, nb_id, rn, cos FROM (
-         |  SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
-         |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos,
-         |    row_number() OVER (PARTITION BY q.vec_id
-         |      ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
-         |               c.vec_id) AS rn
-         |  FROM b q JOIN b c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
+         |b AS (SELECT vec_id, embedding, nrm, $tableSql AS bks FROM n),
+         |e AS (SELECT vec_id, embedding, nrm, j, bks[j+1] AS bkt
+         |      FROM b, unnest([0,1,2,3]) AS t(j)),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nb_id,
+         |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos
+         |  FROM e q JOIN e c ON q.j = c.j AND q.bkt = c.bkt
+         |    AND q.vec_id <> c.vec_id
          |  WHERE q.$isQuery)
+         |SELECT q_id, nb_id, rn, cos FROM (
+         |  SELECT q_id, nb_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, nb_id) AS rn
+         |  FROM cand)
          |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
     }) { (s, dir) =>
-      val bkt = concat((0 until 4)
-        .map(j => Vectors.srpBit("embedding", j).cast("string")): _*)
-      val b = corpus(s, dir).withColumn("bkt", bkt)
+      val tables = (0 until 4).map(t => concat((4 * t until 4 * t + 4)
+        .map(j => Vectors.srpBit("embedding", j).cast("string")): _*))
+      val b = corpus(s, dir)
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          posexplode(array(tables: _*)).as(Seq("j", "bkt")))
       val q = broadcast(b.filter(expr(isQuery))
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("bkt")))
+          col("nrm").as("qn"), col("j"), col("bkt")))
       val c = b.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
-        col("nrm").as("cn"), col("bkt").as("cbkt"))
+        col("nrm").as("cn"), col("j").as("cj"), col("bkt").as("cbkt"))
       topK(scoreTyped(q.join(c,
-        col("bkt") === col("cbkt") && col("q_id") =!= col("nb_id"))))
+        col("j") === col("cj") && col("bkt") === col("cbkt") &&
+          col("q_id") =!= col("nb_id"))).distinct())
     },
 
     // ------------------------------------------------------------------
@@ -126,7 +140,12 @@ object Similarity {
     // (floor(x*1e6+0.5), the q43b/q60 convention — engine-identical,
     // unlike float->DECIMAL casts, and faster than decimal aggregation)
     // make the centroids order-independent; cosine's scale invariance
-    // makes the un-normalized sum rank identically to the mean. nprobe=1.
+    // makes the un-normalized sum rank identically to the mean.
+    // nprobe=3: with nprobe=1 a query on a list boundary loses the
+    // neighbors that fell into the adjacent list (measured mean recall@5
+    // 0.26 vs brute force); probing the 3 nearest of the ~10 lists
+    // scans ~30% of the corpus per query — still sublinear, and
+    // AnnRecallSpec pins the resulting recall floor.
     QuerySpec.sqlBacked("q42_knn_ivf", {
       val cSumsSql = (0 until Vectors.Dim)
         .map(i => s"CAST(sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) AS c$i")
@@ -142,7 +161,7 @@ object Similarity {
          |        ORDER BY ${Vectors.dotSql("q.embedding", "t.ce")}/(q.nrm*t.cn) DESC,
          |                 t.label) AS crn
          |    FROM n q, cent2 t WHERE q.$isQuery)
-         |  WHERE crn = 1)
+         |  WHERE crn <= 3)
          |SELECT q_id, nb_id, rn, cos FROM (
          |  SELECT p.q_id, c.vec_id AS nb_id,
          |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos,
@@ -173,7 +192,7 @@ object Similarity {
         .select(col("q_id"), col("qe"), col("qn"), col("label"),
           (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("ccos"))
         .withColumn("crn", row_number().over(wc))
-        .filter(col("crn") === 1)
+        .filter(col("crn") <= 3)
         .select(col("q_id"), col("qe"), col("qn"), col("label").as("plabel"))
       val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("label"))

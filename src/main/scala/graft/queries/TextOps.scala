@@ -544,6 +544,38 @@ object TextOps {
           Seq(col("h"), col("doc_id")), outCol = "pos")
         .select(col("pos"), col("doc_id"))
         .orderBy(col("pos"))
+    },
+
+    // ------------------------------------------------------------------
+    // Tokenizer fertility by language: chars/token and subtokens/token
+    // per lang — the report that sizes a tokenizer's vocab against a
+    // multilingual corpus before a 100 TB tokenization run (fertility
+    // differences across languages are the classic vocab-allocation
+    // signal). One scan, one tiny per-lang aggregate; ratios are single
+    // double divisions of exact integer sums (engine-exact, no
+    // accumulation-order exposure).
+    QuerySpec.sqlBacked("q96_fertility_by_lang",
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(n_chars) AS chars,
+        |  sum(len(string_split(text, ' '))) AS toks,
+        |  sum(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) AS subtoks,
+        |  CAST(sum(n_chars) AS DOUBLE)
+        |    / sum(len(string_split(text, ' '))) AS chars_per_tok,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) AS DOUBLE)
+        |    / sum(len(string_split(text, ' '))) AS fertility
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(size(split(col("text"), " "))).as("toks"),
+          sum(size(regexp_extract_all(col("text"), lit("[a-z0-9]{1,4}"), lit(0))))
+            .as("subtoks"))
+        .select(col("lang"), col("n_docs"), col("chars"), col("toks"),
+          col("subtoks"),
+          (col("chars").cast("double") / col("toks")).as("chars_per_tok"),
+          (col("subtoks").cast("double") / col("toks")).as("fertility"))
+        .orderBy(col("lang"))
     }
   )
 }

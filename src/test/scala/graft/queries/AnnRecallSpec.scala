@@ -1,0 +1,37 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Recall of the approximate ANN paths against exact brute force — the
+  * quality metric that justifies calling q41/q42 the 100 TB paths. Each
+  * query returns (q_id, nb_id, rn, cos) top-k rows; recall@k = |approx ∩
+  * exact| / |exact| per query id, averaged. SRP-LSH (q41) and IVF (q42)
+  * probe only their own buckets, so recall < 1 is expected; what must
+  * hold is that the buckets capture MOST true neighbors (the parameters
+  * are tuned for that at this dimensionality). A threshold spec rather
+  * than exact parity: the oracle hash-check already pins each query's
+  * own determinism. */
+class AnnRecallSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.01"
+
+  private def topk(q: String): Map[Long, Set[Long]] =
+    SparkEntry.queries(q)(spark, dir)
+      .select("q_id", "nb_id").as[(Long, Long)].collect()
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+  test("LSH and IVF recall@k vs brute force stays high at sf0.01") {
+    val exact = topk("q40_knn_brute")
+    for ((name, floor) <- Seq("q41_knn_lsh" -> 0.5, "q42_knn_ivf" -> 0.5)) {
+      val approx = topk(name)
+      val recalls = exact.map { case (q, nbs) =>
+        approx.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size
+      }
+      val mean = recalls.sum / recalls.size
+      info(f"$name mean recall@k = $mean%.3f over ${recalls.size} queries")
+      assert(mean >= floor,
+        f"$name mean recall@k $mean%.3f fell below $floor")
+    }
+  }
+}
