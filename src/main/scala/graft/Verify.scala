@@ -5,7 +5,14 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated query names — dev-loop subset runs
+    // (the dumped oracle_sql.json is filtered to match, so tools/check.py
+    // compares exactly the queries that were dumped)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
+    def selected[T](m: Map[String, T]): Map[String, T] =
+      only.fold(m)(names => m.view.filterKeys(names).toMap)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = Sessions.local(cpus)
     new java.io.File(outDir).mkdirs()
@@ -23,10 +30,10 @@ object Verify {
     } + "\""
     // written BEFORE the sweep: it is pure metadata, and a mid-sweep JVM
     // death would otherwise leave the completed query dumps unusable
-    val json = SparkEntry.oracleSql
+    val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    SparkEntry.queries.foreach { case (name, fn) =>
+    selected(SparkEntry.queries).foreach { case (name, fn) =>
       // drop any stale output first: if this run's query throws, a
       // previous run's parquet must not be compared as green
       val target = new java.io.File(s"$outDir/$name")

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over integer-quantized vectors — the
+  * clustering primitive between raw embeddings and corpus organization
+  * (topic balancing, IVF list construction, diversity sampling).
+  *
+  * Everything is exact integer arithmetic so the result is deterministic
+  * across engines, partitionings and reruns (and therefore DuckDB-
+  * oracle-able, which float k-means never is: float centroid means
+  * accumulate in partition order):
+  *
+  *  - vectors arrive quantized to integer micro-units (the q43b/q60
+  *    floor(x*1e6+0.5) convention — caller's responsibility);
+  *  - init: centroids = the vectors of the k smallest ids (deterministic,
+  *    no RNG — k-means++ would need a sequential weighted draw);
+  *  - assignment: argmin of exact squared L2 distance, ties broken toward
+  *    the lowest centroid id;
+  *  - update: elementwise integer mean, `div` truncation (DuckDB's `//`
+  *    truncates identically); a cluster that captures no points keeps its
+  *    previous centroid (the carry-forward rule, not a respawn).
+  *
+  * Scale design (100 TB): per round the corpus is scanned ONCE —
+  * assignment is a pure projection against the k×dim centroid table
+  * collapsed into a single broadcast row (argmin via array_min over a
+  * transform, no row amplification, no join explosion — a corpus×k
+  * cross join would 8× the shuffle), and the update is one k-key
+  * aggregate of 64 map-side partial sums (k·dim longs per partition
+  * cross the wire). Centroids are k rows, checkpointed per round so
+  * plans don't grow with the iteration count (the ConnectedComponents
+  * lineage contract). The reference engine has no clustering at all
+  * (SURVEY §1.3) — this is the training-data-pipeline extension class.
+  */
+object KMeans {
+
+  /** Exact squared-L2 distance between two array<long> columns, as a
+    * codegen'd fold (integer arithmetic — associative, order-free). */
+  private def distSql(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)"
+
+  /** vecs: two-column DataFrame (id: long, qv: array<long>), every qv of
+    * length `dim`. Returns (id, cluster: int, dist: long) — the
+    * assignment under the centroids after `iters` Lloyd update rounds,
+    * dist the exact squared distance to the winning centroid. The caller
+    * owns vecs' cache scope (it is consumed iters+1 times); each round's
+    * centroid refresh materializes eagerly here, so wrap the call in the
+    * scratch contract (Dedup.withScratch) when caching.
+    */
+  def assign(vecs: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    require(k >= 1 && iters >= 1 && dim >= 1)
+    val id = vecs.columns(0)
+    val qv = vecs.columns(1)
+    val v = vecs.select(col(id).as("id"), col(qv).as("qv"))
+
+    // init: the k lowest ids' vectors, cid = rank within that k-row set
+    // (the window runs over k rows post-limit, never the corpus)
+    var cent = v.orderBy(col("id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"),
+        col("qv").as("cv"))
+      .localCheckpoint()
+
+    // argmin over the centroid set folded into ONE broadcast row: struct
+    // comparison is lexicographic, so min(struct(d, cid)) = nearest
+    // centroid with lowest-cid tiebreak
+    def assignUnder(c: DataFrame): DataFrame = {
+      val one = c.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      v.crossJoin(broadcast(one))
+        .select(col("id"), col("qv"), expr(
+          s"""array_min(transform(cents,
+             |  c -> struct(${distSql("qv", "c.cv")} AS d, c.cid AS cid)))"""
+            .stripMargin).as("best"))
+        .select(col("id"), col("qv"),
+          col("best.cid").as("cid"), col("best.d").as("dist"))
+    }
+
+    val sumCols = (0 until dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
+    val divCols = (0 until dim).map(i => expr(s"s$i div n"))
+    for (_ <- 1 to iters) {
+      val sums = assignUnder(cent)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+      cent = cent.join(sums, Seq("cid"), "left")
+        .select(col("cid"),
+          when(col("n").isNull, col("cv"))
+            .otherwise(array(divCols: _*)).as("cv"))
+        .localCheckpoint() // k rows; truncates per-round lineage
+    }
+    assignUnder(cent)
+      .select(col("id"), col("cid").as("cluster"), col("dist"))
+  }
+}

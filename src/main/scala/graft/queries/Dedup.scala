@@ -935,7 +935,8 @@ object Dedup {
         |  FROM documents),
         |k AS (SELECT fp, min(doc_id) AS keep_id FROM f GROUP BY fp)
         |SELECT source, count(*) AS n_docs,
-        |  sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS n_dups,
+        |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dups,
         |  CAST(sum(CASE WHEN doc_id <> keep_id THEN 1 ELSE 0 END) AS DOUBLE)
         |    / count(*) AS dup_rate
         |FROM f JOIN k USING (fp)

@@ -269,6 +269,114 @@ object Profiling {
         .groupBy(col("uid"))
         .agg(count(lit(1)).as("n_events"), sum(col("v")).as("cents"))
         .orderBy(col("uid"))
+    },
+
+    // ------------------------------------------------------------------
+    // Temperature rebalancing plan (alpha = 0.5): the mixture-design
+    // step before q79's emission — per source, the upsample factor
+    // sqrt(n_max/n) that flattens the source distribution toward
+    // uniform (the multilingual/multi-source temperature-sampling rule,
+    // alpha=0.5 so the exponent is a single IEEE-correctly-rounded
+    // sqrt; an arbitrary alpha would hinge on libm pow parity between
+    // engines, sqrt doesn't). Every value is a short composition of
+    // correctly-rounded ops on exact integer counts — engine-identical.
+    // Scale: one count-by-source aggregate (map-side partials), the max
+    // and the two totals are one-row broadcasts — the corpus is scanned
+    // once and only |sources| rows ever move.
+    QuerySpec.sqlBacked("q99_temperature_mix",
+      """WITH c AS (SELECT source, count(*) AS n FROM documents
+        |           GROUP BY source),
+        |m AS (SELECT max(n) AS n_max, CAST(sum(n) AS BIGINT) AS total
+        |      FROM c),
+        |e AS (SELECT source, n, total,
+        |        sqrt(CAST(n_max AS DOUBLE) / n) AS rate,
+        |        CAST(floor(n * sqrt(CAST(n_max AS DOUBLE) / n)) AS BIGINT)
+        |          AS n_emit
+        |      FROM c, m),
+        |t AS (SELECT CAST(sum(n_emit) AS BIGINT) AS emit_total FROM e)
+        |SELECT source, n, CAST(n AS DOUBLE) / total AS share_before,
+        |       rate, n_emit,
+        |       CAST(n_emit AS DOUBLE) / emit_total AS share_after
+        |FROM e, t ORDER BY source""".stripMargin) { (s, dir) =>
+      // scratch-cache the per-source counts: m, e and t all consume
+      // them, and left lazy each would re-run the corpus scan
+      val c = Tables(s, dir, "documents")
+        .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      Dedup.withScratch(c) {
+        val m = c.agg(max(col("n")).as("n_max"), sum(col("n")).as("total"))
+        val rate = sqrt(col("n_max").cast("double") / col("n"))
+        val e = c.crossJoin(broadcast(m))
+          .select(col("source"), col("n"), col("total"), rate.as("rate"),
+            floor(col("n") * rate).cast("long").as("n_emit"))
+        val t = e.agg(sum(col("n_emit")).as("emit_total"))
+        e.crossJoin(broadcast(t))
+          .select(col("source"), col("n"),
+            (col("n").cast("double") / col("total")).as("share_before"),
+            col("rate"), col("n_emit"),
+            (col("n_emit").cast("double") / col("emit_total"))
+              .as("share_after"))
+          .orderBy(col("source"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // PII scrubbing — q85's sibling for identifiers INSIDE text: regex
+    // detection + replacement of emails/phone numbers, the redaction
+    // pass training text goes through before leaving its enclave. The
+    // synthetic corpus contains no PII by construction, so both engines
+    // first inject deterministic doc_id-derived instances into the text
+    // and then scrub them — what the oracle pins is the SCRUBBER's
+    // cross-engine exactness (patterns restricted to the RE2 ∩
+    // java.util.regex common subset: character classes, bounded repeats,
+    // no lookaround; leftmost-first greedy in both). md5 of the full
+    // scrubbed text is the hash signal, so a single character of drift
+    // fails loudly. Pure projection: regexes run inside the scan
+    // (codegen'd), no shuffle, the 100 TB cost is the scan itself.
+    QuerySpec.sqlBacked("q101_pii_scrub", {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+      s"""WITH inj AS (
+         |  SELECT doc_id,
+         |    text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |         || '@example.org or +1-'
+         |         || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |         || ' today' AS t
+         |  FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(len(regexp_extract_all(t, '$email')) AS INTEGER)
+         |          AS n_email,
+         |        CAST(len(regexp_extract_all(t, '$phone')) AS INTEGER)
+         |          AS n_phone,
+         |        regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+         |          '$phone', '<PHONE>', 'g') AS scrubbed
+         |      FROM inj)
+         |SELECT doc_id, n_email, n_phone,
+         |       CAST(length(scrubbed) AS INTEGER) AS scrubbed_len,
+         |       md5(scrubbed) AS scrub_fp
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+1-[0-9]{3}-[0-9]{4}"
+      val inj = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@example.org or +1-"),
+        lpad((col("doc_id") % 1000).cast("string"), 3, "0"), lit("-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" today"))
+      val scrubbed = regexp_replace(
+        regexp_replace(col("t"), lit(email), lit("<EMAIL>")),
+        lit(phone), lit("<PHONE>"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), inj.as("t"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(email), lit(0)))
+            .as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phone), lit(0)))
+            .as("n_phone"),
+          scrubbed.as("scrubbed"))
+        .select(col("doc_id"), col("n_email"), col("n_phone"),
+          length(col("scrubbed")).as("scrubbed_len"),
+          md5(col("scrubbed")).as("scrub_fp"))
+        .orderBy(col("doc_id"))
     }
   )
 }

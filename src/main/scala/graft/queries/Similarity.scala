@@ -31,6 +31,52 @@ import graft.sources.Tables
 object Similarity {
   private val K = 5 // neighbors per query
 
+  private val KmK = 8     // q98 clusters
+  private val KmIters = 3 // q98 Lloyd update rounds
+
+  /** DuckDB twin of [[graft.operators.KMeans.assign]]: the same exact
+    * integer Lloyd iterations unrolled into a CTE chain (assignment via
+    * windowed argmin, update via per-dim HUGEINT-safe sums and `//`
+    * truncating division — bit-for-bit the operator's `div`). Generated,
+    * like the q41/q42 oracles — the fixed iteration count is what makes
+    * k-means SQL-expressible at all. Returns the WITH-clause body ending
+    * in `asg(id, cid, d)` — q98 selects it directly, q102 chains the IVF
+    * probe on top. */
+  private def kmeansCtes(k: Int, iters: Int): String = {
+    val dim = Vectors.Dim
+    val qArr = (1 to dim).map(i =>
+      s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val dist = (1 to dim)
+      .map(i => s"(q.qv[$i] - c.cv[$i]) * (q.qv[$i] - c.cv[$i])")
+      .mkString("(", " + ", ")")
+    val sums = (1 to dim).map(i => s"sum(qv[$i]) AS s$i").mkString(", ")
+    val divs = (1 to dim).map(i => s"CAST(s.s$i AS BIGINT) // s.n")
+      .mkString("[", ", ", "]")
+    val rounds = (1 to iters).map { t =>
+      s"""a$t AS (SELECT id, qv, cid FROM (
+         |  SELECT id, qv, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, q.qv, c.cid, $dist AS d FROM q, c${t - 1} c))
+         |  WHERE rn = 1),
+         |s$t AS (SELECT cid, count(*) AS n, $sums FROM a$t GROUP BY cid),
+         |c$t AS (SELECT c.cid,
+         |          CASE WHEN s.cid IS NULL THEN c.cv ELSE $divs END AS cv
+         |        FROM c${t - 1} c LEFT JOIN s$t s ON c.cid = s.cid)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""q AS (SELECT vec_id AS id, $qArr AS qv FROM embeddings),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)
+       |         AS cid, qv AS cv
+       |       FROM (SELECT id, qv FROM q ORDER BY id LIMIT $k)),
+       |$rounds,
+       |asg AS (SELECT id, cid, d FROM (
+       |  SELECT id, cid, d,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM (SELECT q.id, c.cid, $dist AS d FROM q, c$iters c))
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** Query set: every 50th vector (10 queries at the 500-row test SFs). */
   private val isQuery = "vec_id % 50 = 0"
 
@@ -296,6 +342,34 @@ object Similarity {
           (d16 / d64).as("ratio"),
           (expr("CAST(embedding[0] AS DOUBLE)") / sqrt(d64)).as("n0"))
         .orderBy(col("vec_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Distributed k-means (operators.KMeans): exact integer-quantized
+    // Lloyd iterations — embeddings to micro-units (the q43b/q60
+    // convention), deterministic lowest-id init, truncating-div centroid
+    // means — so the full iterative algorithm is engine-exact and the
+    // oracle is the same unrolled recurrence (float k-means can never be
+    // oracled: centroid means accumulate in partition order). Per round
+    // the corpus is scanned once: assignment is a projection against one
+    // broadcast centroid row, the update a k-key aggregate of map-side
+    // partial sums. The corpus-organization step (topic balancing,
+    // learned IVF lists, diversity sampling) between embeddings and
+    // training mixes.
+    QuerySpec.sqlBacked("q98_kmeans",
+      s"""WITH ${kmeansCtes(KmK, KmIters)}
+         |SELECT id AS vec_id, cid AS cluster, d AS dist FROM asg
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      // scratch contract: the loop consumes v iters+1 times
+      Dedup.withScratch(v) {
+        graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+          .select(col("id").as("vec_id"), col("cluster"), col("dist"))
+          .orderBy(col("vec_id"))
+      }
     }
   )
 }

@@ -556,9 +556,10 @@ object TextOps {
     // accumulation-order exposure).
     QuerySpec.sqlBacked("q96_fertility_by_lang",
       """SELECT lang, count(*) AS n_docs,
-        |  sum(n_chars) AS chars,
-        |  sum(len(string_split(text, ' '))) AS toks,
-        |  sum(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) AS subtoks,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks,
+        |  CAST(sum(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) AS BIGINT)
+        |    AS subtoks,
         |  CAST(sum(n_chars) AS DOUBLE)
         |    / sum(len(string_split(text, ' '))) AS chars_per_tok,
         |  CAST(sum(len(regexp_extract_all(text, '[a-z0-9]{1,4}'))) AS DOUBLE)
@@ -576,6 +577,49 @@ object TextOps {
           (col("chars").cast("double") / col("toks")).as("chars_per_tok"),
           (col("subtoks").cast("double") / col("toks")).as("fertility"))
         .orderBy(col("lang"))
+    },
+
+    // ------------------------------------------------------------------
+    // Token-rarity score: per document, the mean corpus document
+    // frequency of its token instances — the integer-exact commonness
+    // signal a quality filter ranks on (the cross-entropy-against-
+    // unigram-LM score without the log, whose libm parity no oracle
+    // could pin; the mean-df ranking is monotone in the same tail).
+    // is_rare flags docs whose mean df is under 20% of the corpus via
+    // integer cross-multiplication (5*sum_df < n_tok*n_docs) — no
+    // division touches the decision. Scale: df is one token-keyed
+    // aggregate (vocab-bounded), the df join shuffles token instances
+    // once (AQE promotes the vocab side to broadcast), and the per-doc
+    // aggregate is the second and last shuffle; the mean is one double
+    // division at the end.
+    QuerySpec.sqlBacked("q100_token_rarity",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |df AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+        |       GROUP BY tok),
+        |tot AS (SELECT count(*) AS n_docs FROM documents),
+        |agg AS (SELECT doc_id, count(*) AS n_tok,
+        |          CAST(sum(df) AS BIGINT) AS sum_df
+        |        FROM toks JOIN df USING (tok) GROUP BY doc_id)
+        |SELECT doc_id, n_tok, sum_df,
+        |       CAST(sum_df AS DOUBLE) / n_tok AS mean_df,
+        |       CASE WHEN 5 * sum_df < n_tok * n_docs THEN 1 ELSE 0 END
+        |         AS is_rare
+        |FROM agg, tot ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val toks = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      val df = toks.groupBy(col("tok"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val tot = Tables(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      toks.join(df, "tok")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"), sum(col("df")).as("sum_df"))
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("n_tok"), col("sum_df"),
+          (col("sum_df").cast("double") / col("n_tok")).as("mean_df"),
+          when(lit(5) * col("sum_df") < col("n_tok") * col("n_docs"), 1)
+            .otherwise(0).as("is_rare"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -24,7 +24,8 @@ class CacheHygieneSpec extends SparkSpec {
         "q63_decontaminate", "q65_dup_clusters", "q66_canonical_keep",
         "q75_dedup_containment", "q80_incremental_ingest",
         "q81_dedup_editdist", "q86_novelty", "q87_source_overlap",
-        "q74_vocab_zipf", "q91_cooccurrence", "q95_session_funnel")) {
+        "q74_vocab_zipf", "q91_cooccurrence", "q95_session_funnel",
+        "q98_kmeans", "q99_temperature_mix")) {
       assert(run(q) >= 0)
       assert(bridge.cacheIsEmpty(spark), s"$q leaked a cached plan")
     }

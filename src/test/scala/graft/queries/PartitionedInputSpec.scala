@@ -40,7 +40,7 @@ class PartitionedInputSpec extends SparkSpec {
   for (q <- Seq("q35_dedup_exact", "q37_dedup_minhash", "q51_sample_stratified",
       "q56_train_test_split", "q65_dup_clusters", "q71_sequence_packing",
       "q73_global_index", "q78_sample_fixed_k", "q88_exact_corr",
-      "q92_epoch_shuffle")) {
+      "q92_epoch_shuffle", "q98_kmeans")) {
     test(s"$q is invariant to input file layout") {
       val fn = SparkEntry.queries(q)
       val a = canon(fn(spark, orig).collect())

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Seeded 10x-of-sf0.1 corpus generator for scale probes (SURVEY §8.3).
+
+Regenerates the `target/scale10` tables the 10x growth-ratio probes run
+against (they are gitignored build artifacts; this script is the
+reproducible source). Matches the regime of the driver's sf0.1 tables,
+scaled the way a real corpus grows:
+
+  documents  50,000 rows (10x), vocabulary ~2.15x (30 -> 65 common
+             tokens + the rare 'dup' token) so the 3-gram shingle-df
+             distribution stays in the same regime as sf0.1 — a fixed
+             vocabulary at 10x rows would push most shingles past the
+             posting-list cap and short-circuit candidate generation,
+             which real corpus growth does not. Doc lengths 10..100
+             tokens, 40/15/15/15/15 lang split, 20 uniform sources,
+             ~0.3% exact duplicates.
+  embeddings 20,000 rows (10x), dim 64, 10 labels with per-(label,dim)
+             mean offsets + N(0, 0.12) noise — mirrors sf0.1's
+             label-cluster structure.
+  events     1,000,000 rows (10x), 15,000 users (10x — users scale OUT
+             so per-user session counts stay flat), 30 days, 5 uniform
+             event types, Exp(50) values, {"k": int} props. Written as
+             TIMESTAMP(NANOS) like the driver's table (graft.sources
+             .Tables reads events via the nanosAsLong path; a µs-typed
+             copy would silently take a different code path).
+
+Usage: python3 tools/scale10.py [outDir=target/scale10]
+"""
+import json
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SEED = 42
+
+
+def documents(out):
+    rng = np.random.default_rng(SEED)
+    base = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
+            "part", "hash", "merge", "batch", "spark", "a", "the", "line",
+            "sort", "window", "order", "data", "column", "join", "small",
+            "customer", "query", "big", "stream", "group", "vector",
+            "filter"]
+    extra = [f"tok{i}" for i in range(35)]  # 30 -> 65 common (~2.15x)
+    vocab = np.array(base + extra)
+    n = 50000
+    langs = np.array(["en", "de", "es", "fr", "zh"])
+    lang = langs[rng.choice(5, size=n, p=[0.4, 0.15, 0.15, 0.15, 0.15])]
+    source = np.array([f"src{i}" for i in rng.integers(0, 20, size=n)])
+    lens = rng.integers(10, 101, size=n)
+    texts = []
+    for i in range(n):
+        words = vocab[rng.integers(0, len(vocab), size=lens[i])].tolist()
+        if rng.random() < 0.005:  # the rare token, sf0.1's 'dup' analogue
+            words[int(rng.integers(0, len(words)))] = "dup"
+        texts.append(" ".join(words))
+    # ~0.3% exact duplicates: later docs copying an earlier doc's text
+    for _ in range(150):
+        j = int(rng.integers(1, n))
+        texts[j] = texts[int(rng.integers(0, j))]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(lang, pa.string()),
+        "source": pa.array(source, pa.string()),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     dtype=np.int64)),
+    })
+    pq.write_table(tbl, f"{out}/documents.parquet")
+
+
+def embeddings(out):
+    rng = np.random.default_rng(SEED + 1)
+    m, dim, k = 20000, 64, 10
+    label = rng.integers(0, k, size=m).astype(np.int32)
+    means = rng.normal(0.0, 0.02, size=(k, dim))
+    vecs = (means[label] + rng.normal(0.0, 0.12, size=(m, dim))) \
+        .astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(m, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), dim).cast(pa.list_(pa.float32())),
+        "label": pa.array(label),
+    })
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+
+
+def events(out):
+    rng = np.random.default_rng(SEED + 2)
+    n, users = 1000000, 15000
+    t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
+    span = 30 * 24 * 3600
+    ts = t0 + (rng.integers(0, span, size=n, dtype=np.int64) * 10**9
+               + rng.integers(0, 10**6, size=n, dtype=np.int64) * 10**3)
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(ts)).cast(pa.timestamp("ns")),
+        "user_id": pa.array(rng.integers(0, users, size=n,
+                                         dtype=np.int64)),
+        "event_type": pa.array(types[rng.integers(0, 5, size=n)],
+                               pa.string()),
+        "value": pa.array(np.round(rng.exponential(50.0, size=n), 2)),
+        "props": pa.array([json.dumps({"k": int(v)})
+                           for v in rng.integers(0, 100, size=n)],
+                          pa.string()),
+    })
+    pq.write_table(tbl, f"{out}/events.parquet")
+
+
+def main(out="target/scale10"):
+    os.makedirs(out, exist_ok=True)
+    documents(out)
+    embeddings(out)
+    events(out)
+    print(f"wrote documents/embeddings/events under {out}")
+
+
+if __name__ == "__main__":
+    main(*sys.argv[1:])
