@@ -165,7 +165,8 @@ object Dedup {
       s"q39 exact all-pairs baseline refuses to broadcast $n rows " +
         s"(limit $max, conf $AllPairsMaxRowsKey). This operator is the " +
         "small-corpus oracle; for large corpora use the LSH-bucketed " +
-        "path (q41_knn_lsh / Similarity.scala).")
+        "path (q41_knn_lsh) or the cluster-pruned SemDeDup path " +
+        "(q103_semdedup), both in Similarity.scala.")
   }
 
   /** Distinct-8-gram inverted index (doc_id, nib, g) shared by q63's
@@ -376,9 +377,10 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
-    // Embedding-cosine near-dup: exact all-pairs baseline (the LSH-pruned
-    // scale path is q41 in Similarity.scala). cos >= 0.4 on this corpus
-    // marks the near-duplicate tail (max observed cos ~0.51).
+    // Embedding-cosine near-dup: exact all-pairs baseline (scale paths:
+    // q41's LSH buckets and q103's SemDeDup k-means clusters, both in
+    // Similarity.scala). cos >= 0.4 on this corpus marks the
+    // near-duplicate tail (max observed cos ~0.51).
     QuerySpec.sqlBacked("q39_dedup_embed_cosine",
       s"""WITH n AS (SELECT vec_id, embedding,
          |    sqrt(${dotSql("embedding", "embedding")}) AS nrm

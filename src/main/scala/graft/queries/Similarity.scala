@@ -31,8 +31,10 @@ import graft.sources.Tables
 object Similarity {
   private val K = 5 // neighbors per query
 
-  private val KmK = 8     // q98 clusters
-  private val KmIters = 3 // q98 Lloyd update rounds
+  private val KmK = 8      // q98/q102/q103 clusters
+  private val KmIters = 3  // q98/q102/q103 Lloyd update rounds
+  private val NProbe = 3   // q102 probed lists per query (q42's nprobe)
+  private val SemThr = 0.4 // q103 semdedup cosine cutoff (q39's convention)
 
   /** DuckDB twin of [[graft.operators.KMeans.assign]]: the same exact
     * integer Lloyd iterations unrolled into a CTE chain (assignment via
@@ -369,6 +371,141 @@ object Similarity {
         graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
           .select(col("id").as("vec_id"), col("cluster"), col("dist"))
           .orderBy(col("vec_id"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // Learned-list IVF ANN: q42's probe shape with q98's k-means output
+    // as the inverted lists instead of the given `label` column — the
+    // standard two-stage index build (train coarse quantizer, assign,
+    // probe). Lists and probe order are exact-integer (quantized L2 vs
+    // the per-list integer-mean centroid), the final in-list scoring the
+    // shared double-cosine fold — both engine-exact, so the full
+    // train+probe pipeline is hash-oracled. Scale: the centroid table is
+    // k rows (broadcast), probing is a projection of the tiny query
+    // side, and the candidate join touches nprobe/k of the corpus per
+    // query — the same sub-linear path as q42 but with lists that track
+    // the data distribution instead of a pre-labeled partition.
+    QuerySpec.sqlBacked("q102_ivf_learned", {
+      val cSums = (1 to Vectors.Dim)
+        .map(i => s"CAST(sum(qv[$i]) AS BIGINT) // count(*)")
+        .mkString("[", ", ", "]")
+      val pDist = (1 to Vectors.Dim)
+        .map(i => s"(q.qv[$i] - t.cv[$i]) * (q.qv[$i] - t.cv[$i])")
+        .mkString("(", " + ", ")")
+      s"""WITH ${kmeansCtes(KmK, KmIters)},
+         |n AS ($corpusSql),
+         |cent AS (SELECT a.cid, $cSums AS cv
+         |         FROM asg a JOIN q ON q.id = a.id GROUP BY a.cid),
+         |probe AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY pd, cid) AS crn
+         |    FROM (SELECT q.id AS qid, t.cid, $pDist AS pd
+         |          FROM q, cent t WHERE q.id % 50 = 0))
+         |  WHERE crn <= $NProbe)
+         |SELECT q_id, nb_id, rn, cos FROM (
+         |  SELECT p.qid AS q_id, c.vec_id AS nb_id,
+         |    ${Vectors.dotSql("qn.embedding", "c.embedding")}/(qn.nrm*c.nrm) AS cos,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY ${Vectors.dotSql("qn.embedding", "c.embedding")}/(qn.nrm*c.nrm) DESC,
+         |               c.vec_id) AS rn
+         |  FROM probe p
+         |  JOIN n qn ON qn.vec_id = p.qid
+         |  JOIN asg m ON m.cid = p.cid AND m.id <> p.qid
+         |  JOIN n c ON c.vec_id = m.id)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      Dedup.withScratch(v) {
+        val asg = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+        // asg feeds the list build, the member join AND (recomputed)
+        // nothing else — persist it for the two consumers
+        Dedup.withScratch(asg) {
+          // per-list exact-integer centroid: same sum-div convention as
+          // the Lloyd update itself (group-by only yields non-empty lists)
+          val sums = (0 until Vectors.Dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
+          val cent = asg.join(v, asg("id") === v("vec_id"))
+            .groupBy(col("cluster")).agg(count(lit(1)).as("n"), sums: _*)
+            .select(col("cluster").as("cid"),
+              array((0 until Vectors.Dim).map(i => expr(s"s$i div n")): _*).as("cv"))
+          // probe: nprobe nearest lists by exact integer L2 (broadcast k rows)
+          val pd = expr(
+            "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)")
+          val wp = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
+          val probe = v.filter(expr("vec_id % 50 = 0"))
+            .crossJoin(broadcast(cent))
+            .select(col("vec_id").as("qid"), col("cid"), pd.as("pd"))
+            .withColumn("crn", row_number().over(wp))
+            .filter(col("crn") <= NProbe)
+            .select(col("qid"), col("cid"))
+          // exact cosine inside the probed lists only
+          val n = corpus(s, dir)
+          val qn = n.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+            col("nrm").as("qn"))
+          val members = asg.join(n, asg("id") === n("vec_id"))
+            .select(col("id").as("nb_id"), col("cluster").as("mcid"),
+              col("embedding").as("ce"), col("nrm").as("cn"))
+          topK(scoreTyped(broadcast(probe.join(qn, col("qid") === col("q_id")))
+            .join(members,
+              col("cid") === col("mcid") && col("q_id") =!= col("nb_id"))))
+        }
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup at
+    // scale = k-means-cluster the embeddings, then near-dup ONLY within
+    // clusters — the candidate set drops from n^2 to sum(|cluster|^2),
+    // and with k grown with the corpus the per-cluster work stays
+    // bounded. This is the scale path that retires q39's gated all-pairs
+    // baseline for semantic (embedding-space) duplicates: one shuffle
+    // keyed by cluster id, no broadcast of the corpus, no quadratic
+    // blow-up. Verdict rule is deterministic: a vector is dropped iff
+    // some SAME-CLUSTER lower-id vector sits within cosine >= 0.4
+    // (q39's near-dup band on this corpus) — the keep-lowest-id
+    // exemplar convention shared with q66.
+    QuerySpec.sqlBacked("q103_semdedup",
+      s"""WITH ${kmeansCtes(KmK, KmIters)},
+         |n AS ($corpusSql),
+         |j AS (SELECT a.id, a.cid, n.embedding, n.nrm
+         |      FROM asg a JOIN n ON n.vec_id = a.id),
+         |drp AS (SELECT DISTINCT b.id FROM j a JOIN j b
+         |        ON a.cid = b.cid AND a.id < b.id
+         |        WHERE ${Vectors.dotSql("a.embedding", "b.embedding")}/(a.nrm*b.nrm) >= $SemThr)
+         |SELECT a.id AS vec_id, a.cid AS cluster,
+         |       (d.id IS NULL) AS keep
+         |FROM asg a LEFT JOIN drp d ON a.id = d.id
+         |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      Dedup.withScratch(v) {
+        val n = corpus(s, dir)
+        val j = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+          .join(n, col("id") === col("vec_id"))
+          .select(col("id"), col("cluster"), col("embedding"), col("nrm"))
+        // j is the pair join's both sides and the verdict's left side
+        Dedup.withScratch(j) {
+          val a = j.select(col("id").as("a_id"), col("cluster").as("a_cid"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+          val b = j.select(col("id").as("b_id"), col("cluster").as("b_cid"),
+            col("embedding").as("eb"), col("nrm").as("nb"))
+          // equi-join on cluster: the shuffle key IS the cluster id —
+          // same-cluster pairs co-locate, nothing quadratic crosses the wire
+          val dropped = a.join(b,
+              col("a_cid") === col("b_cid") && col("a_id") < col("b_id"))
+            .filter((graft.plans.DotProduct(col("ea"), col("eb")) /
+              (col("na") * col("nb"))) >= SemThr)
+            .select(col("b_id")).distinct()
+          j.join(dropped, col("id") === col("b_id"), "left")
+            .select(col("id").as("vec_id"), col("cluster"),
+              col("b_id").isNull.as("keep"))
+            .orderBy(col("vec_id"))
+        }
       }
     }
   )

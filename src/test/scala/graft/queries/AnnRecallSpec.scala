@@ -23,7 +23,8 @@ class AnnRecallSpec extends SparkSpec {
 
   test("LSH and IVF recall@k vs brute force stays high at sf0.01") {
     val exact = topk("q40_knn_brute")
-    for ((name, floor) <- Seq("q41_knn_lsh" -> 0.5, "q42_knn_ivf" -> 0.5)) {
+    for ((name, floor) <- Seq("q41_knn_lsh" -> 0.5, "q42_knn_ivf" -> 0.5,
+        "q102_ivf_learned" -> 0.5)) {
       val approx = topk(name)
       val recalls = exact.map { case (q, nbs) =>
         approx.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size
@@ -33,5 +34,29 @@ class AnnRecallSpec extends SparkSpec {
       assert(mean >= floor,
         f"$name mean recall@k $mean%.3f fell below $floor")
     }
+  }
+
+  test("semdedup verdicts agree with the exact all-pairs baseline (q39)") {
+    import org.apache.spark.sql.functions.col
+    // every q39 pair captured by a cluster must reappear as a q103 drop;
+    // and no q103 drop may lack SOME exact pair justifying it (a cluster
+    // can only MISS cross-cluster pairs, never invent similarity)
+    val exactPairs = SparkEntry.queries("q39_dedup_embed_cosine")(spark, dir)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val sem = SparkEntry.queries("q103_semdedup")(spark, dir)
+      .select("vec_id", "cluster", "keep")
+      .as[(Long, Int, Boolean)].collect()
+    val dropped = sem.filter(!_._3).map(_._1).toSet
+    val cluster = sem.map(r => r._1 -> r._2).toMap
+    val exactDropped = exactPairs.collect {
+      case (a, b) if cluster(a) == cluster(b) => b
+    }
+    assert(exactDropped == dropped,
+      s"same-cluster exact drops ${exactDropped.size} != semdedup drops ${dropped.size}")
+    // the dropped higher-ids are a subset of the exact baseline's
+    assert(dropped.subsetOf(exactPairs.map(_._2)),
+      "semdedup dropped a vector with no exact near-dup pair at all")
+    info(s"semdedup dropped ${dropped.size}/${sem.length}; " +
+      s"exact baseline pairs ${exactPairs.size}")
   }
 }
