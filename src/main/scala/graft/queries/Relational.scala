@@ -774,6 +774,36 @@ object Relational {
         .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
           max(col("value")).as("hi"))
         .orderBy(col("event_type"), col("bucket"))
+    },
+
+    // ------------------------------------------------------------------
+    // Skew-salted join (operators.SkewJoin): enrich every document with
+    // its source's corpus stats. `source` is the classic hot key — 20
+    // values over the whole corpus, so a plain shuffle join puts ~5% of
+    // 100 TB on ONE reducer; the salted form fans each source across 16
+    // cells and replicates the 20-row dim 16x (320 rows — the explicit,
+    // bounded price). Deterministic salt from doc_id keeps runs
+    // reproducible; the oracle is the PLAIN join — salting must be
+    // invisible in the result. The above-average flag is integer
+    // cross-multiplication (n_chars * src_docs > src_sum), never a
+    // division, so the boundary is bit-exact in both engines.
+    QuerySpec.sqlBacked("q104_skew_salted_join",
+      """WITH d AS (SELECT source, count(*) AS src_docs,
+        |             CAST(sum(n_chars) AS BIGINT) AS src_chars
+        |           FROM documents GROUP BY source)
+        |SELECT doc_id, documents.source, src_docs,
+        |       (n_chars * src_docs > src_chars) AS above_avg
+        |FROM documents JOIN d USING (source)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val dim = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("src_docs"), sum(col("n_chars")).as("src_chars"))
+      graft.operators.SkewJoin.salted(
+          docs.select(col("doc_id"), col("source"), col("n_chars")),
+          dim, "source", salts = 16, saltBy = col("doc_id"))
+        .select(col("doc_id"), col("source"), col("src_docs"),
+          (col("n_chars") * col("src_docs") > col("src_chars")).as("above_avg"))
+        .orderBy(col("doc_id"))
     }
   )
 }
