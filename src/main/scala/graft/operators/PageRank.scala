@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Exact-integer PageRank — the second iterative graph operator next to
+  * [[ConnectedComponents]] (duplicate-cluster centrality, source-graph
+  * authority scoring: once near-dup edges exist, "which document is the
+  * canonical center of its duplicate neighborhood" is a rank query).
+  *
+  * Takes a DIRECTED edge list (src, dst). Contract: every node must have
+  * at least one out-edge — pass BOTH directions for an undirected graph
+  * (the q105 shape); a sink node would silently leak its received mass
+  * out of the system, and out-edge-less nodes never re-enter the rank
+  * frontier. Like [[KMeans]], every step is exact integer arithmetic so
+  * the fixed-iteration result is deterministic across engines,
+  * partitionings and reruns (float PageRank can never be oracled — the
+  * per-node contribution sum accumulates in partition order):
+  *
+  *  - ranks live in micro-units, r0 = 1,000,000 for every node;
+  *  - per-edge contribution = rank div outdeg (truncating; all values
+  *    nonnegative, so div == floor == DuckDB's `//`);
+  *  - damping 0.85 as r' = 150,000 + (85 * sum) div 100.
+  *
+  * Scale design (100 TB graph): the classic Pregel shape — per iteration
+  * ONE shuffle keyed by dst (the contribution aggregate) and one rank
+  * join keyed by src; edges and degrees are computed once and persisted
+  * for the run (released in finally); per-iteration localCheckpoint
+  * truncates lineage so plans don't grow with the iteration count (the
+  * ConnectedComponents contract). Integer headroom: total mass is
+  * bounded by n * 1e6, so `85 * sum` stays under 2^63 while
+  * n <= ~1e11 nodes — guarded fail-loud, like q88's decimal widths.
+  */
+object PageRank {
+
+  /** Returns (node, pr) after `iters` exact iterations over `edges`
+    * (first column src, second dst). Node set = distinct sources. */
+  def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val cols = edges.columns
+    val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = deg.count() // materializes e + deg for the whole run
+      require(n <= 100000000000L,
+        s"PageRank integer headroom exceeded: 85 * n * 1e6 must stay " +
+          s"under 2^63, got n=$n nodes - widen ranks to DECIMAL first")
+      var r = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+      for (_ <- 1 to iters) {
+        // out-flow per source: rank split evenly across its out-edges
+        // (aliased: r0 derives from deg, so the first round is a
+        // self-join by lineage)
+        val w = r.as("r").join(deg.as("g"), col("r.node") === col("g.src"))
+          .select(col("g.src").as("src"), expr("pr div deg").as("c"))
+        r = e.join(w, "src")
+          .groupBy(col("dst"))
+          .agg(sum(col("c")).as("s"))
+          .select(col("dst").as("node"),
+            (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+          .localCheckpoint() // node-sized; truncates per-round lineage
+      }
+      r
+    } finally {
+      deg.unpersist(blocking = false)
+      e.unpersist(blocking = false)
+    }
+  }
+}

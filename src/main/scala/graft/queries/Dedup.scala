@@ -595,6 +595,41 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // Duplicate-graph centrality (operators.PageRank): exact-integer
+    // PageRank over the q36 near-dup edges — which document is the
+    // authority center of its duplicate neighborhood (an alternative
+    // canonical-keep signal to q66's longest-member rule: the most-
+    // connected variant, not the longest one). Micro-unit ranks,
+    // rank div outdeg contributions, damping as (85*sum) div 100 —
+    // every step order-free integer arithmetic, so the 3-iteration
+    // recurrence unrolls into an engine-exact oracle exactly like q98's
+    // k-means. Per iteration: one shuffle keyed by dst + the rank join
+    // keyed by src (Pregel shape); edges/degrees persist for the run.
+    QuerySpec.sqlBacked("q105_pagerank", {
+      val rounds = (1 to 3).map { t =>
+        s"""r$t AS (SELECT e.dst AS node,
+           |  150000 + (85 * sum(r.pr // d.deg)) // 100 AS pr
+           |FROM e JOIN r${t - 1} r ON r.node = e.src
+           |       JOIN d ON d.src = e.src
+           |GROUP BY e.dst)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $jaccardPairsCtes,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |      UNION ALL SELECT b_id, a_id FROM jp),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS pr FROM d),
+         |$rounds
+         |SELECT node AS doc_id, CAST(pr AS BIGINT) AS pr
+         |FROM r3 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val jp = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      val edges = jp.union(jp.select(col("b_id"), col("a_id")))
+      graft.operators.PageRank.run(edges, iters = 3)
+        .select(col("node").as("doc_id"), col("pr"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // Canonical selection — the step after candidate detection in a real
     // dedup pipeline: cluster by identical simhash fingerprint, keep the
     // longest document per cluster (doc_id tiebreak), report how many

@@ -507,6 +507,39 @@ object Similarity {
             .orderBy(col("vec_id"))
         }
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Per-cluster diversity sample: the m members FARTHEST from their
+    // k-means centroid (exact integer distance, id tiebreak) — coreset /
+    // hard-example selection, the corpus-organization step KMeans'
+    // scaladoc promises: after clustering, keep the boundary points that
+    // describe each region's spread rather than its redundant core
+    // (prototype selection is the same window with ASC). Deterministic
+    // end to end, so the whole cluster->rank->sample pipeline is
+    // hash-oracled. Scale: the window partitions by cluster — k
+    // partitions of corpus/k rows each, one shuffle, bounded k*m output.
+    QuerySpec.sqlBacked("q107_diversity_sample",
+      s"""WITH ${kmeansCtes(KmK, KmIters)}
+         |SELECT cluster, vec_id, dist, rnk FROM (
+         |  SELECT cid AS cluster, id AS vec_id, d AS dist,
+         |    row_number() OVER (PARTITION BY cid ORDER BY d DESC, id) AS rnk
+         |  FROM asg)
+         |WHERE rnk <= 4 ORDER BY cluster, rnk""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      Dedup.withScratch(v) {
+        val w = Window.partitionBy(col("cluster"))
+          .orderBy(col("dist").desc, col("id"))
+        graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 4)
+          .select(col("cluster"), col("id").as("vec_id"),
+            col("dist"), col("rnk"))
+          .orderBy(col("cluster"), col("rnk"))
+      }
     }
   )
 }

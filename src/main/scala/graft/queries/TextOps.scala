@@ -620,6 +620,34 @@ object TextOps {
           when(lit(5) * col("sum_df") < col("n_tok") * col("n_docs"), 1)
             .otherwise(0).as("is_rare"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Corpus bigram table — the merge-candidate statistic a BPE/unigram
+    // tokenizer trainer computes first (and the bigram LM numerator):
+    // count every ADJACENT token pair. Distinct from q91, which scores
+    // doc-level co-presence; here order and adjacency matter. Classic
+    // word-count shape at 100 TB: the explode amplifies rows but
+    // map-side partial aggregation collapses the shuffle to <= vocab^2
+    // keys, so the wire cost is bounded by the vocabulary, not the
+    // corpus. Output bounded by the same vocab^2 (the q91 argument).
+    QuerySpec.sqlBacked("q106_bigram_counts",
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2)
+        |SELECT ws[i] AS w1, ws[i+1] AS w2, count(*) AS n
+        |FROM w, unnest(range(1, len(ws))) AS t(i)
+        |GROUP BY w1, w2 ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        // Spark arrays are 0-indexed (DuckDB's are 1-based): pairs
+        // (ws[i], ws[i+1]) for i in 0..size-2
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("w1"), col("w2"))
     }
   )
 }

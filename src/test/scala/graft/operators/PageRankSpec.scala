@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Differential tests for [[PageRank]]: the distributed ranks must equal
+  * a single-threaded integer reference exactly (both are pure integer
+  * recurrences — no tolerance), stay invariant under input partitioning,
+  * and respect the hand-checkable structure of a known graph. */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Single-threaded exact integer PageRank, the operator's ground
+    * truth: same micro-unit init, div contributions, 85/100 damping. */
+  private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    var r: Map[Long, Long] = deg.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (dst, es) =>
+        dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
+      }
+      r = in.map { case (n, s) => n -> (150000L + 85L * s / 100L) }
+    }
+    r
+  }
+
+  // undirected triangle 1-2-3 plus a pendant 4 attached to 1: node 1 has
+  // the highest centrality, the symmetric pair 2/3 tie, 4 is lowest
+  private val graph = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L,
+    1L -> 3L, 3L -> 1L, 1L -> 4L, 4L -> 1L)
+
+  test("ranks equal the single-threaded integer reference exactly") {
+    val got = PageRank.run(graph.toDF("src", "dst"), iters = 3)
+      .as[(Long, Long)].collect().toMap
+    assert(got === reference(graph, 3))
+    assert(got(1L) > got(2L), "hub must outrank triangle members")
+    assert(got(2L) === got(3L), "symmetric nodes must tie exactly")
+    assert(got(4L) < got(2L), "pendant must rank lowest")
+  }
+
+  test("ranks are invariant under input partitioning") {
+    val one = PageRank.run(graph.toDF("src", "dst").coalesce(1), 3)
+      .as[(Long, Long)].collect().toSet
+    val many = PageRank.run(graph.toDF("src", "dst").repartition(7), 3)
+      .as[(Long, Long)].collect().toSet
+    assert(one === many)
+  }
+
+  test("mass stays bounded: every rank in [150000, n * 1e6]") {
+    val n = graph.map(_._1).distinct.size
+    val ranks = PageRank.run(graph.toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect()
+    assert(ranks.forall { case (_, pr) =>
+      pr >= 150000L && pr <= n * 1000000L })
+  }
+}
