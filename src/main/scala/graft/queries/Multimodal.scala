@@ -163,6 +163,57 @@ object Multimodal {
         }
         .toDF("doc_id", "width", "height", "features")
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Perceptual-hash media dedup: the classic pHash construction over
+    // the decoded features — bit k is set iff stripe k is ABOVE the
+    // payload's mean stripe (integer cross-multiplication 8*f_k > tot,
+    // never a division, so the boundary is bit-exact in both engines) —
+    // then payloads sharing an 8-bit hash are a near-dup candidate
+    // group (keep-lowest-id, the q35/q66 convention). This is the
+    // cheap banding pass a media pipeline runs before expensive
+    // embedding comparison: decode is the q45 per-partition projection,
+    // then ONE shuffle of (phash, doc_id) — 9 bytes per row, never the
+    // payload — into at most 256 groups. At 100 TB the payload column
+    // never crosses the wire: fingerprints do.
+    QuerySpec.sqlBacked("q108_mm_phash_dedup",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n FROM documents),
+        |f AS (
+        |  SELECT doc_id, list_transform(range(0, 8), k ->
+        |    CAST(coalesce(list_sum(list_transform(range(0, (n - k + 7) // 8),
+        |      j -> CAST(('0x' || substr(hx, 2*(k + 8*j) + 1, 2)) AS INTEGER))),
+        |      0) AS BIGINT)) AS fs
+        |  FROM b),
+        |p AS (
+        |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 8),
+        |    k -> CASE WHEN 8 * fs[k + 1] > list_sum(fs)
+        |              THEN 1 << k ELSE 0 END)), 0) AS BIGINT) AS phash
+        |  FROM f)
+        |SELECT phash, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM p GROUP BY phash HAVING count(*) > 1
+        |ORDER BY phash""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            val f = FakeDecoder.decode(payload)._3.map(_.toLong)
+            val tot = f.sum
+            val phash = f.indices.foldLeft(0L) { (acc, k) =>
+              if (8 * f(k) > tot) acc | (1L << k) else acc
+            }
+            (id, phash)
+          }
+        }
+        .toDF("doc_id", "phash")
+        .groupBy(col("phash"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("phash"))
     }
   )
 }

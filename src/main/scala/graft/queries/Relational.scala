@@ -804,6 +804,42 @@ object Relational {
         .select(col("doc_id"), col("source"), col("src_docs"),
           (col("n_chars") * col("src_docs") > col("src_chars")).as("above_avg"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Unpivot/melt (q21 pivot's inverse — the wide-to-long reshape a
+    // metrics pipeline runs before per-metric aggregation): three value
+    // columns melt into (metric, v) rows via the native Dataset.unpivot,
+    // then one metric-keyed aggregate. Sums ride exact DECIMAL and cast
+    // to DOUBLE once at the end (the q48 accumulation-order dodge; the
+    // oracle is the portable UNION ALL form of the same melt). Unpivot
+    // is a per-row 3x explode — no shuffle, no payload duplication
+    // beyond the melted columns — and partial aggregation collapses the
+    // shuffle to 3 keys.
+    QuerySpec.sqlBacked("q109_unpivot_metrics",
+      """WITH u AS (
+        |  SELECT 'l_discount' AS metric,
+        |         CAST(l_discount AS DECIMAL(12,2)) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice',
+        |         CAST(l_extendedprice AS DECIMAL(12,2)) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity',
+        |         CAST(l_quantity AS DECIMAL(12,2)) FROM lineitem)
+        |SELECT metric, count(*) AS n, CAST(sum(v) AS DOUBLE) AS total,
+        |       CAST(min(v) AS DOUBLE) AS lo, CAST(max(v) AS DOUBLE) AS hi
+        |FROM u GROUP BY metric ORDER BY metric""".stripMargin) { (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(m2(col("l_quantity")).as("l_quantity"),
+          m2(col("l_extendedprice")).as("l_extendedprice"),
+          m2(col("l_discount")).as("l_discount"))
+        .unpivot(Array.empty[Column],
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "v")
+        .groupBy(col("metric"))
+        .agg(count(lit(1)).as("n"), toD(sum(col("v"))).as("total"),
+          toD(min(col("v"))).as("lo"), toD(max(col("v"))).as("hi"))
+        .orderBy(col("metric"))
     }
   )
 }
