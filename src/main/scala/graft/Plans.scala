@@ -1,0 +1,134 @@
+package graft
+
+/** Dev-only plan-audit dump: executes a set of headline queries at the
+  * given SF and writes PLANS.md — each query's final (post-AQE) physical
+  * plan tree plus a note on what the plan is supposed to prove. The
+  * committed artifact is the written record of the "explain, then
+  * iterate until it's the plan you'd want" loop each operator went
+  * through. Usage: runMain graft.Plans [sfDir] [outFile] */
+object Plans {
+
+  /** `details`: substrings selecting node-detail lines (the part of
+    * explain("formatted") below the tree) to quote under the tree —
+    * exchange keys, pushed filters — so each note's claim is visible
+    * in the artifact itself. */
+  private case class Entry(name: String, note: String,
+      details: Seq[String] = Nil, confs: Map[String, String] = Map.empty)
+
+  private val entries = Seq(
+    Entry("q01_tpch_q1",
+      "Partial aggregation: the scan feeds a map-side HashAggregate " +
+        "before the 4-key exchange, so the shuffle carries partial " +
+        "states, not 600k rows. Scan reads only the 7 referenced " +
+        "columns (ReadSchema) with the date filter pushed to parquet " +
+        "(PushedFilters) - the pruning contract every projection-style " +
+        "query here inherits.",
+      details = Seq("PushedFilters", "ReadSchema")),
+    Entry("q30_tpch_q5ish",
+      "Join ordering at 100 TB: every dimension (region/nation/customer/" +
+        "supplier) arrives as a BroadcastHashJoin build side; the " +
+        "lineitem fact is scanned ONCE and never shuffled for a join. " +
+        "The only exchange is the final group-by - the shape that " +
+        "survives a 1000-executor fact table."),
+    Entry("q37_dedup_minhash",
+      "Banding near-dup: signatures come from the native codegen'd " +
+        "MinHashSig expression (no UDF boxing in the scan stage), and " +
+        "the band exchange carries (band-hash, doc_id) pairs only - " +
+        "document text never crosses the wire. Candidate pairs appear " +
+        "via the posting-list self-join, df-capped against hot shingles."),
+    Entry("q41_knn_lsh",
+      "Sub-linear ANN: the corpus is bucketed by 4 independent SRP " +
+        "tables (explode x4, then an equi-join on (table, bucket)) " +
+        "instead of the all-pairs cross join - the candidate set is the " +
+        "join output, ~L/16 of the corpus per query, scored by the " +
+        "native DotProduct inside whole-stage codegen."),
+    Entry("q59_tfidf_top_term",
+      "Struct-argmax instead of a per-document window sort: tf and df " +
+        "are two keyed aggregates (both with map-side partials), and " +
+        "the per-doc winner is min(struct(-tfidf, term)) - no " +
+        "sort-within-partition over the whole corpus. The scan spread " +
+        "is conditional, so a pre-partitioned corpus keeps zero extra " +
+        "exchanges below the shingling."),
+    Entry("q72_decontaminate_bloom",
+      "Bloom-prefiltered decontamination: the test-side gram set " +
+        "collapses into a ~MB bloom built by ONE scalar subquery " +
+        "(graft_bloom_agg), and the probe (graft_bloom_contains) sits " +
+        "in the TRAIN-side scan stage - clean training rows are " +
+        "discarded before the join exchange, which is the entire " +
+        "point at 100 TB: the join sees the contaminated sliver only."),
+    Entry("q92_epoch_shuffle",
+      "GlobalIndex two-phase ordinal assignment: a range exchange sorts " +
+        "by the epoch key, then ids are stamped from per-partition " +
+        "counts + broadcast prefix offsets with row_number WITHIN " +
+        "partitions - note the absence of a single-partition Window " +
+        "(the naive global row_number collapse) and of any " +
+        "DeserializeToObject round-trip."),
+    Entry("q102_ivf_learned",
+      "Learned-list IVF probe: the k-row centroid table is built once " +
+        "(k-key aggregate), the query side probes it via a broadcast " +
+        "(k rows), and the final exact scoring joins ONLY the probed " +
+        "lists' members - the corpus-side join input is nprobe/k of " +
+        "the data, the sub-linear serving shape."),
+    Entry("q103_semdedup",
+      "SemDeDup pair stage: the self-join is an equi-join keyed on the " +
+        "k-means cluster id (shuffle/sort-merge at scale, never a " +
+        "broadcast nested loop of the corpus), so candidate pairs are " +
+        "confined to clusters - sum(|cluster|^2) work instead of n^2. " +
+        "The k-means assignment itself is the corpus x ONE-broadcast-" +
+        "row projection (BroadcastNestedLoopJoin against a single " +
+        "collected centroid row, argmin via array_min)."),
+    Entry("q104_skew_salted_join",
+      "Skew-salted join: the join exchange hash-partitions on " +
+        "(source, graft_salt) - each hot source key is spread over 16 " +
+        "reducer cells, and the dimension side is exploded 16x before " +
+        "its own exchange. Compare the key list in the Exchange nodes: " +
+        "the salt is IN the partitioning, which is the whole fix. " +
+        "(Dumped with auto-broadcast off: at the audit SF the 320-row " +
+        "replicated dim would broadcast and the salting degrade to a " +
+        "free projection - the shuffle shape below is the one a " +
+        "too-big-to-broadcast dim gets.)",
+      details = Seq("hashpartitioning"),
+      confs = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+  )
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val out = if (args.length > 1) args(1) else "PLANS.md"
+    val spark = Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+    // lazyScratch keeps scratch-cached builders unmaterialized so the
+    // dumped plan shows the real operator tree, not a checkpoint scan
+    sys.props("graft.lazyScratch") = "1"
+    val sb = new StringBuilder
+    sb.append("# PLANS — physical-plan audit of headline queries\n\n")
+    sb.append(s"Generated by `sbt 'runMain graft.Plans'` at `$sfDir`. ")
+    sb.append("Each section: what the plan must show to be the RIGHT " +
+      "plan at 100 TB, then the final (post-AQE) plan tree as executed " +
+      "at the audit SF. Node details (ReadSchema/PushedFilters) are in " +
+      "`explain(\"formatted\")`, trimmed here to the tree.\n\n")
+    try {
+      entries.foreach { e =>
+        val saved = e.confs.keys.map(k => k -> spark.conf.get(k)).toMap
+        e.confs.foreach { case (k, v) => spark.conf.set(k, v) }
+        try {
+        val df = SparkEntry.queries(e.name)(spark, sfDir)
+        Sessions.runFully(df) // execute so AQE settles on the final plan
+        val formatted = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val tree = formatted.split("\n\n")(0)
+        sb.append(s"## ${e.name}\n\n${e.note}\n\n```\n$tree\n```\n\n")
+        if (e.details.nonEmpty) {
+          val picked = formatted.linesIterator
+            .filter(l => e.details.exists(l.contains)).distinct.toSeq
+          if (picked.nonEmpty)
+            sb.append(s"Selected node details:\n\n```\n" +
+              picked.mkString("\n") + "\n```\n\n")
+        }
+        } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+        Sessions.releaseAll(spark)
+      }
+    } finally sys.props.remove("graft.lazyScratch")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)
+    println(s"wrote $out (${entries.size} plans)")
+    spark.stop()
+  }
+}
