@@ -35,6 +35,8 @@ object Similarity {
   private val KmIters = 3  // q98/q102/q103 Lloyd update rounds
   private val NProbe = 3   // q102 probed lists per query (q42's nprobe)
   private val SemThr = 0.4 // q103 semdedup cosine cutoff (q39's convention)
+  private val TriThr = 0.3 // q110 cohesion-graph cutoff (denser than q103:
+                           // cohesion needs the near-miss band too)
 
   /** DuckDB twin of [[graft.operators.KMeans.assign]]: the same exact
     * integer Lloyd iterations unrolled into a CTE chain (assignment via
@@ -539,6 +541,86 @@ object Similarity {
           .select(col("cluster"), col("id").as("vec_id"),
             col("dist"), col("rnk"))
           .orderBy(col("cluster"), col("rnk"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // Cluster-cohesion report: triangle census of the within-cluster
+    // similarity graph — the third graph algorithm next to CC (q65) and
+    // PageRank (q105). Per k-means cluster: nodes and edges of the
+    // cos >= 0.3 graph (a wider band than q103's dedup cutoff — cohesion
+    // needs the near-miss neighborhood) and the triangle count, the
+    // clique-vs-chain diagnostic telling a pipeline whether a cluster is
+    // one tight near-dup family or a loose chain that k should split.
+    // Triangle enumeration is the standard 3-way self-join over a < b
+    // oriented edges, all joins keyed by (cluster, endpoint) — at a real
+    // graph's scale the orientation would be by degree (each triangle
+    // still counted once); edges carry only ids, output is k rows.
+    QuerySpec.sqlBacked("q110_cluster_cohesion",
+      s"""WITH ${kmeansCtes(KmK, KmIters)},
+         |n AS ($corpusSql),
+         |j AS (SELECT a.id, a.cid, n.embedding, n.nrm
+         |      FROM asg a JOIN n ON n.vec_id = a.id),
+         |e AS (SELECT a.cid, a.id AS a_id, b.id AS b_id
+         |      FROM j a JOIN j b ON a.cid = b.cid AND a.id < b.id
+         |      WHERE ${Vectors.dotSql("a.embedding", "b.embedding")}/(a.nrm*b.nrm) >= $TriThr),
+         |tri AS (SELECT e1.cid, count(*) AS n_tri
+         |        FROM e e1
+         |        JOIN e e2 ON e1.cid = e2.cid AND e1.b_id = e2.a_id
+         |        JOIN e e3 ON e3.cid = e1.cid AND e3.a_id = e1.a_id
+         |                 AND e3.b_id = e2.b_id
+         |        GROUP BY e1.cid),
+         |nd AS (SELECT cid, count(DISTINCT x) AS n_nodes FROM (
+         |         SELECT cid, a_id AS x FROM e
+         |         UNION ALL SELECT cid, b_id FROM e)
+         |       GROUP BY cid),
+         |eg AS (SELECT cid, count(*) AS n_edges FROM e GROUP BY cid)
+         |SELECT nd.cid AS cluster, n_nodes, n_edges,
+         |       COALESCE(n_tri, 0) AS n_triangles
+         |FROM nd JOIN eg ON nd.cid = eg.cid
+         |LEFT JOIN tri ON tri.cid = nd.cid
+         |ORDER BY cluster""".stripMargin) { (s, dir) =>
+      val v = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      Dedup.withScratch(v) {
+        val n = corpus(s, dir)
+        val j = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+          .join(n, col("id") === col("vec_id"))
+          .select(col("id"), col("cluster"), col("embedding"), col("nrm"))
+        Dedup.withScratch(j) {
+          val a = j.select(col("id").as("a_id"), col("cluster").as("cid"),
+            col("embedding").as("ea"), col("nrm").as("na"))
+          val b = j.select(col("id").as("b_id"), col("cluster").as("bcid"),
+            col("embedding").as("eb"), col("nrm").as("nb"))
+          val e = a.join(b,
+              col("cid") === col("bcid") && col("a_id") < col("b_id"))
+            .filter((graft.plans.DotProduct(col("ea"), col("eb")) /
+              (col("na") * col("nb"))) >= TriThr)
+            .select(col("cid"), col("a_id"), col("b_id"))
+          // e is read five times below (3-way self-join + 2 aggregates)
+          Dedup.withScratch(e) {
+            val e2 = e.select(col("cid").as("cid2"), col("a_id").as("a2"),
+              col("b_id").as("b2"))
+            val e3 = e.select(col("cid").as("cid3"), col("a_id").as("a3"),
+              col("b_id").as("b3"))
+            val tri = e
+              .join(e2, col("cid") === col("cid2") && col("b_id") === col("a2"))
+              .join(e3, col("cid") === col("cid3") &&
+                col("a_id") === col("a3") && col("b2") === col("b3"))
+              .groupBy(col("cid")).agg(count(lit(1)).as("n_tri"))
+            val nd = e.select(col("cid"), col("a_id").as("x"))
+              .union(e.select(col("cid"), col("b_id")))
+              .groupBy(col("cid")).agg(countDistinct(col("x")).as("n_nodes"))
+            val eg = e.groupBy(col("cid")).agg(count(lit(1)).as("n_edges"))
+            nd.join(eg, "cid").join(tri, Seq("cid"), "left")
+              .select(col("cid").as("cluster"), col("n_nodes"),
+                col("n_edges"),
+                coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
+              .orderBy(col("cluster"))
+          }
+        }
       }
     }
   )
