@@ -990,6 +990,106 @@ object Dedup {
         .select(col("source"), col("n_docs"), col("n_dups"),
           (col("n_dups").cast("double") / col("n_docs")).as("dup_rate"))
         .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // End-to-end pipeline funnel: the per-source survivor counts of the
+    // full corpus-preparation chain composed as ONE report — exact dedup
+    // (q35 keep-min policy) → train split (q56 nibble) → 8-gram
+    // decontamination vs the test split (q63) → quality gate (q67's
+    // Gopher-style rules). This is the health table a production
+    // pipeline publishes after each run: where documents die, by stage
+    // and by source. Every stage is a per-doc FLAG computed with joins
+    // keyed by doc_id / gram (left-semi shapes, no row amplification),
+    // and the funnel collapses in ONE source-keyed aggregate — the
+    // gram index is built once (the q63/q70/q72 shared stage), and at
+    // 100 TB each flag join is exactly the shuffle its standalone
+    // query already pays, composed instead of re-scanned.
+    QuerySpec.sqlBacked("q111_pipeline_funnel",
+      """WITH k AS (SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS kid
+        |           FROM documents GROUP BY fp),
+        |w AS (SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |        strpos('0123456789abcdef',
+        |               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+        |      FROM documents),
+        |g AS (SELECT doc_id, nib,
+        |        unnest(list_distinct(list_transform(range(1, len(ws)-6),
+        |          i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+        |      FROM w WHERE len(ws) >= 8),
+        |te AS (SELECT DISTINCT g FROM g WHERE nib >= 14),
+        |contam AS (SELECT DISTINCT g.doc_id FROM g JOIN te USING (g)
+        |           WHERE g.nib <= 12),
+        |q AS (SELECT doc_id,
+        |        CASE WHEN len(gs) = 0 THEN false
+        |             ELSE len(ws) BETWEEN 20 AND 1000
+        |              AND (CAST(length(text) - (len(ws) - 1) AS DOUBLE)
+        |                   / len(ws)) BETWEEN 3.0 AND 10.0
+        |              AND 1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)
+        |                        / len(gs) <= 0.2 END AS qual
+        |      FROM (SELECT doc_id, text, ws,
+        |              list_transform(range(1, len(ws)-1),
+        |                i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS gs
+        |            FROM w)),
+        |f AS (SELECT d.source,
+        |        (k.kid IS NOT NULL)   AS s_keep,
+        |        (w.nib <= 12)         AS s_train,
+        |        (c.doc_id IS NULL)    AS s_clean,
+        |        q.qual                AS s_qual
+        |      FROM documents d
+        |      JOIN w ON w.doc_id = d.doc_id
+        |      JOIN q ON q.doc_id = d.doc_id
+        |      LEFT JOIN k ON k.kid = d.doc_id
+        |      LEFT JOIN contam c ON c.doc_id = d.doc_id)
+        |SELECT source, count(*) AS n_in,
+        |  CAST(sum(CASE WHEN s_keep THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN s_keep AND s_train THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_train,
+        |  CAST(sum(CASE WHEN s_keep AND s_train AND s_clean THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_clean,
+        |  CAST(sum(CASE WHEN s_keep AND s_train AND s_clean AND s_qual
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_final
+        |FROM f GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      // stage flags, each the standalone query's own join shape
+      val keepIds = docs
+        .groupBy(md5(lower(trim(col("text")))).as("fp"))
+        .agg(min(col("doc_id")).as("kid"))
+        .select(col("kid"))
+      val g = gramIndex(s, dir)
+      withScratch(g) {
+        val te = g.filter(col("nib") >= 14).select(col("g")).distinct()
+        val contam = g.filter(col("nib") <= 12).join(te, "g")
+          .select(col("doc_id").as("cid")).distinct()
+        val gs = graft.plans.WordShingles(col("text"), 3, distinct = false)
+        val flagged = docs
+          .select(col("doc_id"), col("source"), col("text"),
+            split(col("text"), " ").as("ws"), gs.as("gs"),
+            (instr(lit("0123456789abcdef"),
+              substring(md5(col("doc_id").cast("string")), 1, 1)) - 1)
+              .as("nib"))
+          .select(col("doc_id"), col("source"),
+            (col("nib") <= 12).as("s_train"),
+            when(size(col("gs")) === 0, lit(false)).otherwise(
+              size(col("ws")).between(20, 1000) &&
+              ((length(col("text")) - (size(col("ws")) - 1)).cast("double") /
+                size(col("ws"))).between(3.0, 10.0) &&
+              (lit(1.0) - size(array_distinct(col("gs"))).cast("double") /
+                size(col("gs"))) <= 0.2).as("s_qual"))
+          .join(keepIds, col("doc_id") === col("kid"), "left")
+          .join(contam, col("doc_id") === col("cid"), "left")
+          .select(col("source"), col("kid").isNotNull.as("s_keep"),
+            col("s_train"), col("cid").isNull.as("s_clean"), col("s_qual"))
+        def cnt(c: Column): Column = sum(when(c, 1L).otherwise(0L))
+        flagged.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_in"),
+            cnt(col("s_keep")).as("n_exact"),
+            cnt(col("s_keep") && col("s_train")).as("n_train"),
+            cnt(col("s_keep") && col("s_train") && col("s_clean"))
+              .as("n_clean"),
+            cnt(col("s_keep") && col("s_train") && col("s_clean") &&
+              col("s_qual")).as("n_final"))
+          .orderBy(col("source"))
+      }
     }
   )
 }
