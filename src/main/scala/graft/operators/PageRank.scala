@@ -35,7 +35,11 @@ import org.apache.spark.storage.StorageLevel
 object PageRank {
 
   /** Returns (node, pr) after `iters` exact iterations over `edges`
-    * (first column src, second dst). Node set = distinct sources. */
+    * (first column src, second dst). Node set = distinct sources, and
+    * EVERY source stays in the result each round: a node nothing points
+    * at holds the damping floor 150,000 and keeps contributing its
+    * out-flow (dropping it would leak its mass out of the system — the
+    * directed-graph case the symmetric q105 edges never hit). */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val cols = edges.columns
@@ -55,11 +59,16 @@ object PageRank {
         // self-join by lineage)
         val w = r.as("r").join(deg.as("g"), col("r.node") === col("g.src"))
           .select(col("g.src").as("src"), expr("pr div deg").as("c"))
-        r = e.join(w, "src")
+        val in = e.join(w, "src")
           .groupBy(col("dst"))
           .agg(sum(col("c")).as("s"))
-          .select(col("dst").as("node"),
-            (lit(150000L) + expr("(85 * s) div 100")).as("pr"))
+        // rebuild over the FULL node set: an in-degree-0 node gets the
+        // bare damping term (s null -> 0), not silently dropped
+        r = deg.select(col("src").as("node")).as("nd")
+          .join(in.as("in"), col("nd.node") === col("in.dst"), "left")
+          .select(col("nd.node").as("node"),
+            (lit(150000L) +
+              expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
           .localCheckpoint() // node-sized; truncates per-round lineage
       }
       r

@@ -606,12 +606,17 @@ object Dedup {
     // k-means. Per iteration: one shuffle keyed by dst + the rank join
     // keyed by src (Pregel shape); edges/degrees persist for the run.
     QuerySpec.sqlBacked("q105_pagerank", {
+      // full-node-set recurrence: an in-degree-0 node keeps the bare
+      // damping term instead of dropping out (the operator's contract;
+      // equivalent on these symmetric edges, faithful on any edges)
       val rounds = (1 to 3).map { t =>
-        s"""r$t AS (SELECT e.dst AS node,
-           |  150000 + (85 * sum(r.pr // d.deg)) // 100 AS pr
-           |FROM e JOIN r${t - 1} r ON r.node = e.src
-           |       JOIN d ON d.src = e.src
-           |GROUP BY e.dst)""".stripMargin
+        s"""r$t AS (SELECT d0.src AS node,
+           |  150000 + (85 * coalesce(i.s, 0)) // 100 AS pr
+           |FROM d d0 LEFT JOIN (
+           |  SELECT e.dst, sum(r.pr // d.deg) AS s
+           |  FROM e JOIN r${t - 1} r ON r.node = e.src
+           |         JOIN d ON d.src = e.src
+           |  GROUP BY e.dst) i ON i.dst = d0.src)""".stripMargin
       }.mkString(",\n")
       s"""WITH $jaccardPairsCtes,
          |e AS (SELECT a_id AS src, b_id AS dst FROM jp

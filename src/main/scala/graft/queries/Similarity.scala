@@ -84,10 +84,31 @@ object Similarity {
   /** Query set: every 50th vector (10 queries at the 500-row test SFs). */
   private val isQuery = "vec_id % 50 = 0"
 
+  /** Embeddings quantized to integer micro-units (vec_id, qv) — the
+    * shared input of every k-means-family query (q98/q102/q103/q107/
+    * q110; the q43b/q60 floor(x*1e6+0.5) convention). ONE definition so
+    * the Spark side can never drift from the quantization baked into
+    * the generated [[kmeansCtes]] oracle. */
+  private def quantized(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+        .as("qv"))
+
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
       .select(col("vec_id"), col("embedding"), col("label"),
         sqrt(Vectors.dot("embedding", "embedding")).as("nrm"))
+
+  /** K-means assignment joined back to the float corpus — (id, cluster,
+    * embedding, nrm), the shared base of q103's pair stage and q110's
+    * cohesion graph. `v` must be the [[quantized]] frame and already
+    * persisted by the caller (the assign loop consumes it iters+1
+    * times); the caller also owns the result's scratch scope. */
+  private def clustered(s: SparkSession, dir: String, v: DataFrame): DataFrame =
+    graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+      .join(corpus(s, dir), col("id") === col("vec_id"))
+      .select(col("id"), col("cluster"), col("embedding"), col("nrm"))
 
   /** Score candidate pairs declaratively through the native DotProduct
     * expression (graft.plans.DotProduct — codegen'd loop, bit-exact vs
@@ -364,10 +385,7 @@ object Similarity {
       s"""WITH ${kmeansCtes(KmK, KmIters)}
          |SELECT id AS vec_id, cid AS cluster, d AS dist FROM asg
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
-          .as("qv"))
+      val v = quantized(s, dir)
       // scratch contract: the loop consumes v iters+1 times
       Dedup.withScratch(v) {
         graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
@@ -417,10 +435,7 @@ object Similarity {
          |  JOIN n c ON c.vec_id = m.id)
          |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
     }) { (s, dir) =>
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
-          .as("qv"))
+      val v = quantized(s, dir)
       Dedup.withScratch(v) {
         val asg = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
         // asg feeds the list build, the member join AND (recomputed)
@@ -437,7 +452,7 @@ object Similarity {
           val pd = expr(
             "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)")
           val wp = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
-          val probe = v.filter(expr("vec_id % 50 = 0"))
+          val probe = v.filter(expr(isQuery))
             .crossJoin(broadcast(cent))
             .select(col("vec_id").as("qid"), col("cid"), pd.as("pd"))
             .withColumn("crn", row_number().over(wp))
@@ -481,15 +496,9 @@ object Similarity {
          |       (d.id IS NULL) AS keep
          |FROM asg a LEFT JOIN drp d ON a.id = d.id
          |ORDER BY vec_id""".stripMargin) { (s, dir) =>
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
-          .as("qv"))
+      val v = quantized(s, dir)
       Dedup.withScratch(v) {
-        val n = corpus(s, dir)
-        val j = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
-          .join(n, col("id") === col("vec_id"))
-          .select(col("id"), col("cluster"), col("embedding"), col("nrm"))
+        val j = clustered(s, dir, v)
         // j is the pair join's both sides and the verdict's left side
         Dedup.withScratch(j) {
           val a = j.select(col("id").as("a_id"), col("cluster").as("a_cid"),
@@ -528,10 +537,7 @@ object Similarity {
          |    row_number() OVER (PARTITION BY cid ORDER BY d DESC, id) AS rnk
          |  FROM asg)
          |WHERE rnk <= 4 ORDER BY cluster, rnk""".stripMargin) { (s, dir) =>
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
-          .as("qv"))
+      val v = quantized(s, dir)
       Dedup.withScratch(v) {
         val w = Window.partitionBy(col("cluster"))
           .orderBy(col("dist").desc, col("id"))
@@ -574,21 +580,18 @@ object Similarity {
          |         SELECT cid, a_id AS x FROM e
          |         UNION ALL SELECT cid, b_id FROM e)
          |       GROUP BY cid),
-         |eg AS (SELECT cid, count(*) AS n_edges FROM e GROUP BY cid)
-         |SELECT nd.cid AS cluster, n_nodes, n_edges,
+         |eg AS (SELECT cid, count(*) AS n_edges FROM e GROUP BY cid),
+         |cl AS (SELECT DISTINCT cid FROM asg)
+         |SELECT cl.cid AS cluster, COALESCE(n_nodes, 0) AS n_nodes,
+         |       COALESCE(n_edges, 0) AS n_edges,
          |       COALESCE(n_tri, 0) AS n_triangles
-         |FROM nd JOIN eg ON nd.cid = eg.cid
-         |LEFT JOIN tri ON tri.cid = nd.cid
+         |FROM cl LEFT JOIN nd ON nd.cid = cl.cid
+         |LEFT JOIN eg ON eg.cid = cl.cid
+         |LEFT JOIN tri ON tri.cid = cl.cid
          |ORDER BY cluster""".stripMargin) { (s, dir) =>
-      val v = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
-          .as("qv"))
+      val v = quantized(s, dir)
       Dedup.withScratch(v) {
-        val n = corpus(s, dir)
-        val j = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
-          .join(n, col("id") === col("vec_id"))
-          .select(col("id"), col("cluster"), col("embedding"), col("nrm"))
+        val j = clustered(s, dir, v)
         Dedup.withScratch(j) {
           val a = j.select(col("id").as("a_id"), col("cluster").as("cid"),
             col("embedding").as("ea"), col("nrm").as("na"))
@@ -599,7 +602,7 @@ object Similarity {
             .filter((graft.plans.DotProduct(col("ea"), col("eb")) /
               (col("na") * col("nb"))) >= TriThr)
             .select(col("cid"), col("a_id"), col("b_id"))
-          // e is read five times below (3-way self-join + 2 aggregates)
+          // e is read six times below (3-way self-join + 2 aggregates)
           Dedup.withScratch(e) {
             val e2 = e.select(col("cid").as("cid2"), col("a_id").as("a2"),
               col("b_id").as("b2"))
@@ -614,9 +617,15 @@ object Similarity {
               .union(e.select(col("cid"), col("b_id")))
               .groupBy(col("cid")).agg(countDistinct(col("x")).as("n_nodes"))
             val eg = e.groupBy(col("cid")).agg(count(lit(1)).as("n_edges"))
-            nd.join(eg, "cid").join(tri, Seq("cid"), "left")
-              .select(col("cid").as("cluster"), col("n_nodes"),
-                col("n_edges"),
+            // base the report on ALL clusters from the assignment: a
+            // zero-edge cluster is the loosest possible one - exactly
+            // the row this diagnostic exists to surface, not to omit
+            val cl = j.select(col("cluster").as("cid")).distinct()
+            cl.join(nd, Seq("cid"), "left").join(eg, Seq("cid"), "left")
+              .join(tri, Seq("cid"), "left")
+              .select(col("cid").as("cluster"),
+                coalesce(col("n_nodes"), lit(0L)).as("n_nodes"),
+                coalesce(col("n_edges"), lit(0L)).as("n_edges"),
                 coalesce(col("n_tri"), lit(0L)).as("n_triangles"))
               .orderBy(col("cluster"))
           }

@@ -12,15 +12,18 @@ class PageRankSpec extends SparkSpec {
   import spark.implicits._
 
   /** Single-threaded exact integer PageRank, the operator's ground
-    * truth: same micro-unit init, div contributions, 85/100 damping. */
+    * truth: same micro-unit init, div contributions, 85/100 damping,
+    * and the same full-node-set rebuild each round (an in-degree-0
+    * source keeps the bare damping term, never drops out). */
   private def reference(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
     val deg = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
-    var r: Map[Long, Long] = deg.keys.map(_ -> 1000000L).toMap
+    val nodes = deg.keySet
+    var r: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
     for (_ <- 1 to iters) {
       val in = edges.groupBy(_._2).map { case (dst, es) =>
         dst -> es.map { case (src, _) => r(src) / deg(src) }.sum
       }
-      r = in.map { case (n, s) => n -> (150000L + 85L * s / 100L) }
+      r = nodes.map(n => n -> (150000L + 85L * in.getOrElse(n, 0L) / 100L)).toMap
     }
     r
   }
@@ -37,6 +40,21 @@ class PageRankSpec extends SparkSpec {
     assert(got(1L) > got(2L), "hub must outrank triangle members")
     assert(got(2L) === got(3L), "symmetric nodes must tie exactly")
     assert(got(4L) < got(2L), "pendant must rank lowest")
+  }
+
+  test("directed graph: an in-degree-0 source keeps the damping floor") {
+    // 1<->2 plus 3->1: node 3 has an out-edge (contract ok) but nothing
+    // points at it - it must stay at 150000 and KEEP feeding node 1,
+    // not silently drop out of the result
+    val directed = Seq(1L -> 2L, 2L -> 1L, 3L -> 1L)
+    val got = PageRank.run(directed.toDF("src", "dst"), iters = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(got === reference(directed, 2))
+    assert(got.keySet === Set(1L, 2L, 3L), "every source must stay in the result")
+    assert(got(3L) === 150000L, "in-degree-0 node holds the damping floor")
+    // round 2's node 1 mass includes 3's floor contribution: dropping 3
+    // would yield 150000 + 85*1000000/100 instead
+    assert(got(1L) === 150000L + 85L * (1000000L + 150000L) / 100L)
   }
 
   test("ranks are invariant under input partitioning") {
