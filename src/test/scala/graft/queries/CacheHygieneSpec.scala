@@ -25,7 +25,12 @@ class CacheHygieneSpec extends SparkSpec {
         "q75_dedup_containment", "q80_incremental_ingest",
         "q81_dedup_editdist", "q86_novelty", "q87_source_overlap",
         "q74_vocab_zipf", "q91_cooccurrence", "q95_session_funnel",
-        "q98_kmeans", "q99_temperature_mix")) {
+        "q98_kmeans", "q99_temperature_mix",
+        // round-5 third-pass cache users: the k-means family (nested
+        // scratch), PageRank's internal persists, the funnel's gram index
+        "q102_ivf_learned", "q103_semdedup", "q105_pagerank",
+        "q107_diversity_sample", "q110_cluster_cohesion",
+        "q111_pipeline_funnel")) {
       assert(run(q) >= 0)
       assert(bridge.cacheIsEmpty(spark), s"$q leaked a cached plan")
     }
