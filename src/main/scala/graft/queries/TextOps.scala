@@ -648,6 +648,87 @@ object TextOps {
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("w1"), col("w2"))
+    },
+
+    // ------------------------------------------------------------------
+    // BM25 relevance (log-free variant): top-20 docs for a fixed 3-term
+    // query — the retrieval scorer a RAG/curation pipeline runs to rank
+    // corpus documents against a probe query. idf is the raw Robertson
+    // ratio (N-df+0.5)/(df+0.5) WITHOUT the log: ln's libm rounding is
+    // not pinned across engines (the q99-sqrt-vs-pow doctrine), the
+    // ratio is rank-equivalent, and every remaining operation (one
+    // division, correctly-rounded multiplies/adds in a FIXED left-to-
+    // right order, identical textual formula on both sides) is IEEE-
+    // identical — so even the double scores hash-match. Scale: tf/dl
+    // are per-row projections, the corpus stats ONE global aggregate
+    // broadcast back, scoring a projection, and the only real shuffle
+    // is the final top-k sort of score-carrying ids.
+    QuerySpec.sqlBacked("q112_bm25", {
+      val terms = Seq("dup", "join", "window")
+      def tfSql(i: Int) =
+        s"CAST(len(list_filter(ws, x -> x = '${terms(i)}')) AS BIGINT) AS tf$i"
+      def scoreSql(i: Int) =
+        s"""((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+           | / (CAST(df$i AS DOUBLE) + 0.5))
+           | * (CAST(tf$i AS DOUBLE) * 2.2)
+           | / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |    * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sdl AS DOUBLE))))"""
+          .stripMargin.replace("\n", "")
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |st AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl,
+         |         ${tfSql(0)}, ${tfSql(1)}, ${tfSql(2)}
+         |       FROM w),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(dl) AS BIGINT) AS sdl,
+         |        CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df0,
+         |        CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df1,
+         |        CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df2
+         |      FROM st)
+         |SELECT doc_id, tf0, tf1, tf2, dl, score, rnk FROM (
+         |  SELECT doc_id, tf0, tf1, tf2, dl, score,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+         |  FROM (SELECT doc_id, tf0, tf1, tf2, dl,
+         |          (${scoreSql(0)}) + (${scoreSql(1)}) + (${scoreSql(2)}) AS score
+         |        FROM st, g))
+         |WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+    }) { (s, dir) =>
+      val terms = Seq("dup", "join", "window")
+      def tfExpr(i: Int) =
+        expr(s"CAST(size(filter(ws, x -> x = '${terms(i)}')) AS BIGINT)")
+          .as(s"tf$i")
+      // the SAME textual arithmetic as the oracle: correctly-rounded op
+      // by op, left to right — bit-identical double scores
+      def scoreExpr(i: Int) =
+        s"""((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+           | / (CAST(df$i AS DOUBLE) + 0.5))
+           | * (CAST(tf$i AS DOUBLE) * 2.2)
+           | / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75
+           |    * (CAST(dl AS DOUBLE) * CAST(n AS DOUBLE) / CAST(sdl AS DOUBLE))))"""
+          .stripMargin.replace("\n", "")
+      val st = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+        .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+          tfExpr(0), tfExpr(1), tfExpr(2))
+      def dfCol(i: Int) =
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+      val g = st.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+        dfCol(0), dfCol(1), dfCol(2))
+      // top-k via sort+limit = TakeOrderedAndProject (per-partition
+      // heads merged on one reducer), never a global single-task
+      // row_number sort; the rank window then runs over 20 rows only
+      val top = st.crossJoin(broadcast(g))
+        .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"), col("dl"),
+          (expr(scoreExpr(0)) + expr(scoreExpr(1)) + expr(scoreExpr(2)))
+            .as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))
+      top.withColumn("rnk", row_number().over(w))
+        .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"),
+          col("dl"), col("score"), col("rnk"))
+        .orderBy(col("rnk"))
     }
   )
 }
