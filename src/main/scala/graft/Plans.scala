@@ -88,7 +88,14 @@ object Plans {
         "free projection - the shuffle shape below is the one a " +
         "too-big-to-broadcast dim gets.)",
       details = Seq("hashpartitioning"),
-      confs = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1"))
+      confs = Map("spark.sql.autoBroadcastJoinThreshold" -> "-1")),
+    Entry("q112_bm25",
+      "Global top-k done right: the scored corpus flows into " +
+        "TakeOrderedAndProject (per-partition heads, merged once) - " +
+        "NOT a single-task global Window sort - and the rank window " +
+        "runs over the 20 survivors only. The corpus stats arrive as " +
+        "one broadcast aggregate row (BroadcastNestedLoopJoin against " +
+        "a 1-row build side), so scoring is a pure projection.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -40,7 +40,12 @@ class PartitionedInputSpec extends SparkSpec {
   for (q <- Seq("q35_dedup_exact", "q37_dedup_minhash", "q51_sample_stratified",
       "q56_train_test_split", "q65_dup_clusters", "q71_sequence_packing",
       "q73_global_index", "q78_sample_fixed_k", "q88_exact_corr",
-      "q92_epoch_shuffle", "q98_kmeans")) {
+      "q92_epoch_shuffle", "q98_kmeans",
+      // round-5 third pass: cluster-keyed pair joins (semdedup), the
+      // iterative rank recurrence, the composed funnel, and the double
+      // BM25 scores - each a distinct layout-sensitivity class
+      "q103_semdedup", "q105_pagerank", "q111_pipeline_funnel",
+      "q112_bm25")) {
     test(s"$q is invariant to input file layout") {
       val fn = SparkEntry.queries(q)
       val a = canon(fn(spark, orig).collect())
