@@ -41,6 +41,26 @@ object KMeans {
   private def distSql(a: String, b: String): String =
     s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)"
 
+  /** Assignment of `vecs` (two columns: id, qv) under an EXPLICIT
+    * centroid table (cid: int, cv: array<long>): argmin of exact squared
+    * L2, lowest-cid tiebreak, via the centroid set folded into ONE
+    * broadcast row (struct comparison is lexicographic, so
+    * min(struct(d, cid)) = nearest centroid with lowest-cid tiebreak).
+    * Returns (id, qv, cid, dist). Shared by the batch Lloyd loop below
+    * and streaming.IncrementalKMeans' per-micro-batch step. */
+  def assignUnder(vecs: DataFrame, cent: DataFrame): DataFrame = {
+    val v = vecs.select(col(vecs.columns(0)).as("id"),
+      col(vecs.columns(1)).as("qv"))
+    val one = cent.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    v.crossJoin(broadcast(one))
+      .select(col("id"), col("qv"), expr(
+        s"""array_min(transform(cents,
+           |  c -> struct(${distSql("qv", "c.cv")} AS d, c.cid AS cid)))"""
+          .stripMargin).as("best"))
+      .select(col("id"), col("qv"),
+        col("best.cid").as("cid"), col("best.d").as("dist"))
+  }
+
   /** vecs: two-column DataFrame (id: long, qv: array<long>), every qv of
     * length `dim`. Returns (id, cluster: int, dist: long) — the
     * assignment under the centroids after `iters` Lloyd update rounds,
@@ -62,19 +82,7 @@ object KMeans {
         col("qv").as("cv"))
       .localCheckpoint()
 
-    // argmin over the centroid set folded into ONE broadcast row: struct
-    // comparison is lexicographic, so min(struct(d, cid)) = nearest
-    // centroid with lowest-cid tiebreak
-    def assignUnder(c: DataFrame): DataFrame = {
-      val one = c.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
-      v.crossJoin(broadcast(one))
-        .select(col("id"), col("qv"), expr(
-          s"""array_min(transform(cents,
-             |  c -> struct(${distSql("qv", "c.cv")} AS d, c.cid AS cid)))"""
-            .stripMargin).as("best"))
-        .select(col("id"), col("qv"),
-          col("best.cid").as("cid"), col("best.d").as("dist"))
-    }
+    def assignUnder(c: DataFrame): DataFrame = KMeans.assignUnder(v, c)
 
     val sumCols = (0 until dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
     val divCols = (0 until dim).map(i => expr(s"s$i div n"))
