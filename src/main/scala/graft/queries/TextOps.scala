@@ -710,25 +710,30 @@ object TextOps {
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
           tfExpr(0), tfExpr(1), tfExpr(2))
-      def dfCol(i: Int) =
-        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
-      val g = st.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
-        dfCol(0), dfCol(1), dfCol(2))
-      // top-k via sort+limit = TakeOrderedAndProject (per-partition
-      // heads merged on one reducer), never a global single-task
-      // row_number sort; the rank window then runs over 20 rows only
-      val top = st.crossJoin(broadcast(g))
-        .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"), col("dl"),
-          (expr(scoreExpr(0)) + expr(scoreExpr(1)) + expr(scoreExpr(2)))
-            .as("score"))
-        .orderBy(col("score").desc, col("doc_id"))
-        .limit(20)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score").desc, col("doc_id"))
-      top.withColumn("rnk", row_number().over(w))
-        .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"),
-          col("dl"), col("score"), col("rnk"))
-        .orderBy(col("rnk"))
+      // st feeds both the stats aggregate and the scoring pass: scratch-
+      // cache the narrow (doc_id, dl, tf*) frame so the corpus is
+      // scanned and tokenized ONCE (the withScratch contract)
+      Dedup.withScratch(st) {
+        def dfCol(i: Int) =
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")
+        val g = st.agg(count(lit(1)).as("n"), sum(col("dl")).as("sdl"),
+          dfCol(0), dfCol(1), dfCol(2))
+        // top-k via sort+limit = TakeOrderedAndProject (per-partition
+        // heads merged on one reducer), never a global single-task
+        // row_number sort; the rank window then runs over 20 rows only
+        val top = st.crossJoin(broadcast(g))
+          .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"), col("dl"),
+            (expr(scoreExpr(0)) + expr(scoreExpr(1)) + expr(scoreExpr(2)))
+              .as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(20)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))
+        top.withColumn("rnk", row_number().over(w))
+          .select(col("doc_id"), col("tf0"), col("tf1"), col("tf2"),
+            col("dl"), col("score"), col("rnk"))
+          .orderBy(col("rnk"))
+      }
     }
   )
 }

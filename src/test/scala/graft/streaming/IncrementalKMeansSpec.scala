@@ -24,16 +24,17 @@ class IncrementalKMeansSpec extends SparkSpec {
         .as("qv"))
       .as[(Long, Seq[Long])].collect().toSeq.sortBy(_._1)
 
+  private def dist(a: Seq[Long], b: Array[Long]): Long = {
+    var s = 0L; var i = 0
+    while (i < Dim) { val t = a(i) - b(i); s += t * t; i += 1 }
+    s
+  }
+
   /** Single-threaded twin of the operator's exact recurrence. */
   private def reference(batches: Seq[Seq[(Long, Seq[Long])]])
       : (Array[Array[Long]], Array[Long]) = {
     var cv: Array[Array[Long]] = null
     var n: Array[Long] = null
-    def dist(a: Seq[Long], b: Array[Long]): Long = {
-      var s = 0L; var i = 0
-      while (i < Dim) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
     for (b <- batches) {
       if (cv == null) {
         cv = b.sortBy(_._1).take(K).map(_._2.toArray).toArray
@@ -72,11 +73,6 @@ class IncrementalKMeansSpec extends SparkSpec {
     val asg = ikm.assign(quantized.toDF("id", "qv"))
       .as[(Long, Int, Long)].collect()
       .map { case (id, c, _) => id -> c }.toMap
-    def dist(a: Seq[Long], b: Array[Long]): Long = {
-      var s = 0L; var i = 0
-      while (i < Dim) { val t = a(i) - b(i); s += t * t; i += 1 }
-      s
-    }
     quantized.foreach { case (id, q) =>
       val want = wantCv.indices.minBy(j => (dist(q, wantCv(j)), j))
       assert(asg(id) === want, s"assignment of $id diverged")
