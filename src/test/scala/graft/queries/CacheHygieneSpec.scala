@@ -30,7 +30,7 @@ class CacheHygieneSpec extends SparkSpec {
         // scratch), PageRank's internal persists, the funnel's gram index
         "q102_ivf_learned", "q103_semdedup", "q105_pagerank",
         "q107_diversity_sample", "q110_cluster_cohesion",
-        "q111_pipeline_funnel")) {
+        "q111_pipeline_funnel", "q112_bm25")) {
       assert(run(q) >= 0)
       assert(bridge.cacheIsEmpty(spark), s"$q leaked a cached plan")
     }
