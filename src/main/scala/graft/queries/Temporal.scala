@@ -354,6 +354,43 @@ object Temporal {
           .crossJoin(broadcast(
             p.agg(count(lit(1)).as("n_view_click_purchase"))))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Per-user EWMA (alpha = 0.25) of event values — the time-decay
+    // smoothing every online metric/feature store keeps per entity.
+    // EWMA is an ORDERED fold, the one aggregation class where
+    // accumulation order is semantic rather than a hazard: both engines
+    // fold the SAME left-to-right recurrence ewma = 0.25*v + 0.75*ewma
+    // (init = first value) over the same (ts, event_id)-sorted list,
+    // and 0.25/0.75 are exact binary fractions, so the doubles
+    // hash-match. Scale: ONE user-keyed shuffle; the fold runs inside a
+    // codegen'd higher-order function over the per-user list — state is
+    // bounded by per-entity history (the per-user contract every
+    // time-series feature pipeline already has; an unbounded-history
+    // entity needs the streaming form with running state instead).
+    QuerySpec.sqlBacked("q113_ewma",
+      """WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |           FROM events),
+        |l AS (SELECT user_id, count(*) AS n_events,
+        |        list(value ORDER BY ts, event_id) AS vs
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, n_events,
+        |  list_reduce(vs, (acc, v) -> 0.25 * v + 0.75 * acc) AS ewma
+        |FROM l ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("sort_array(collect_list(struct(ts, event_id, value)))")
+            .as("es"))
+        .select(col("user_id"), col("n_events"),
+          expr("transform(es, x -> x.value)").as("vs"))
+        .select(col("user_id"), col("n_events"), expr(
+          // list_reduce's contract: first element seeds the accumulator,
+          // the rest fold left - mirrored exactly
+          "aggregate(slice(vs, 2, size(vs) - 1), vs[0], (acc, v) -> 0.25 * v + 0.75 * acc)")
+          .as("ewma"))
+        .orderBy(col("user_id"))
     }
   )
 }
