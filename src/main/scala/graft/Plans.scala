@@ -114,7 +114,10 @@ object Plans {
       "`explain(\"formatted\")`, trimmed here to the tree.\n\n")
     try {
       entries.foreach { e =>
-        val saved = e.confs.keys.map(k => k -> spark.conf.get(k)).toMap
+        // getOption-style save: a conf key with no default must be
+        // UNSET on restore, not read eagerly (which would throw before
+        // the query even runs)
+        val saved = e.confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
         e.confs.foreach { case (k, v) => spark.conf.set(k, v) }
         try {
         val df = SparkEntry.queries(e.name)(spark, sfDir)
@@ -130,8 +133,13 @@ object Plans {
             sb.append(s"Selected node details:\n\n```\n" +
               picked.mkString("\n") + "\n```\n\n")
         }
-        } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
-        Sessions.releaseAll(spark)
+        } finally {
+          saved.foreach {
+            case (k, Some(v)) => spark.conf.set(k, v)
+            case (k, None)    => spark.conf.unset(k)
+          }
+          Sessions.releaseAll(spark) // even when the entry fails
+        }
       }
     } finally sys.props.remove("graft.lazyScratch")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(out), sb.toString)

@@ -52,6 +52,17 @@ object PageRank {
       require(n <= 100000000000L,
         s"PageRank integer headroom exceeded: 85 * n * 1e6 must stay " +
           s"under 2^63, got n=$n nodes - widen ranks to DECIMAL first")
+      // Fail-loud on the every-node-has-an-out-edge contract (q39's
+      // broadcast-gate doctrine): a dst that never appears as src would
+      // silently leak the mass it receives. One node-bounded anti-join,
+      // paid once per run against the already-persisted edge frame.
+      val sinks = e.select(col("dst")).distinct().as("d")
+        .join(deg.as("g"), col("d.dst") === col("g.src"), "left_anti")
+        .count()
+      require(sinks == 0L,
+        s"PageRank contract violated: $sinks destination node(s) have no " +
+          "out-edge and would leak received mass - add both edge " +
+          "directions (undirected) or explicit self-loops for sinks")
       var r = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
       for (_ <- 1 to iters) {
         // out-flow per source: rank split evenly across its out-edges

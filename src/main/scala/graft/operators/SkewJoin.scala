@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
   * cells and replicate the (small-but-not-broadcastable) dimension side
   * into every cell.
   *
-  * Mechanics: facts get `salt = pmod(hash(saltBy), salts)` — a
+  * Mechanics: facts get `salt = pmod(xxhash64(saltBy), salts)` — a
   * DETERMINISTIC projection (a random salt would make runs
   * non-reproducible and oracle comparison impossible); the dimension is
   * exploded against the full 0..salts-1 range (dim is `salts`× bigger,

@@ -655,8 +655,12 @@ object TextOps {
     // query — the retrieval scorer a RAG/curation pipeline runs to rank
     // corpus documents against a probe query. idf is the raw Robertson
     // ratio (N-df+0.5)/(df+0.5) WITHOUT the log: ln's libm rounding is
-    // not pinned across engines (the q99-sqrt-vs-pow doctrine), the
-    // ratio is rank-equivalent, and every remaining operation (one
+    // not pinned across engines (the q99-sqrt-vs-pow doctrine). The
+    // ratio is rank-equivalent PER TERM (monotone in df); the emitted
+    // score SUMS three per-term scores, and a monotone transform does
+    // not commute with a sum, so the multi-term ranking is a deliberate
+    // log-free VARIANT of BM25 (high-df terms weigh relatively more),
+    // not a faithful reproduction. Every remaining operation (one
     // division, correctly-rounded multiplies/adds in a FIXED left-to-
     // right order, identical textual formula on both sides) is IEEE-
     // identical — so even the double scores hash-match. Scale: tf/dl

@@ -57,6 +57,16 @@ class PageRankSpec extends SparkSpec {
     assert(got(1L) === 150000L + 85L * (1000000L + 150000L) / 100L)
   }
 
+  test("a sink destination (no out-edge) fails loud, not silently leaks") {
+    // 1->2, 2->3, 3 never a source: its received mass would vanish from
+    // the system - the contract guard must reject the graph up front
+    val sink = Seq(1L -> 2L, 2L -> 3L)
+    val ex = intercept[IllegalArgumentException] {
+      PageRank.run(sink.toDF("src", "dst"), iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("no out-edge"))
+  }
+
   test("ranks are invariant under input partitioning") {
     val one = PageRank.run(graph.toDF("src", "dst").coalesce(1), 3)
       .as[(Long, Long)].collect().toSet
