@@ -31,9 +31,32 @@ import graft.sources.Tables
 object Similarity {
   private val K = 5 // neighbors per query
 
+  /** ANN operating points, chosen from the measured recall/cost curve
+    * (tools/ann_curve.py replicates the exact SRP/IVF math in numpy;
+    * full curve in SURVEY §8). recall@5 vs q40 brute force, candidate
+    * fraction = share of the corpus scored per query:
+    *
+    *   SRP      L=4 b=4: 0.56/0.45 @ 0.23   (rounds 1–5)
+    *            L=8 b=4: 0.78/0.72 @ 0.40
+    *            L=12 b=4: 0.84/0.85 @ 0.53  <- chosen (>=0.8 both SFs)
+    *            L=16 b=4: 0.92/0.90 @ 0.63
+    *   IVF-label nprobe=3: 0.52/0.36 @ 0.30 (rounds 4–5)
+    *            nprobe=5: 0.72/0.54 @ 0.50  <- chosen (ceiling-limited:
+    *            nprobe=8: 0.92/0.82 @ 0.80   see q42's comment)
+    *   IVF-learned nprobe=3: 0.56/0.64 @ 0.38 (round 5)
+    *            nprobe=5: 0.86/0.84 @ 0.63  <- chosen (>=0.8 both SFs)
+    *
+    * (x/y = sf0.01/sf0.1.) Multiprobe SRP (hamming-1 query explode) was
+    * measured too and bought nothing at this dimensionality (L=6 b=6
+    * r=1: 0.86/0.85 @ 0.49 — same point as plain L=12 b=4 with a more
+    * complex plan), so the plain OR-amplified form stays. */
+  private[queries] val SrpTables = 12 // q41 L: independent SRP tables
+  private[queries] val SrpBits = 4    // q41 bits/table (2^4 buckets)
+  private[queries] val LabelNProbe = 5 // q42 probed label-lists per query
+
   private val KmK = 8      // q98/q102/q103 clusters
   private val KmIters = 3  // q98/q102/q103 Lloyd update rounds
-  private val NProbe = 3   // q102 probed lists per query (q42's nprobe)
+  private val NProbe = 5   // q102 probed learned lists per query
   private val SemThr = 0.4 // q103 semdedup cosine cutoff (q39's convention)
   private val TriThr = 0.3 // q110 cohesion-graph cutoff (denser than q103:
                            // cohesion needs the near-miss band too)
@@ -160,24 +183,30 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
-    // LSH-bucketed ANN with OR-amplification: L=4 independent tables of
-    // 4 signed-random-projection bits (hyperplanes 4t..4t+3 per table t,
-    // 16 buckets each). A pair is a candidate if it collides in ANY
-    // table — recall 1-(1-p^4)^4 vs a single table's p^4 (measured mean
-    // recall@5 vs q40 brute force: 0.24 single-table → see AnnRecallSpec
-    // for the amplified floor) — while the candidate set stays ~L/16 of
-    // the corpus per query. Same multi-table explode + equi-join shape
-    // as q37's MinHash banding; identical scored rows from multi-table
-    // collisions collapse via DISTINCT (cos is computed bit-identically
-    // per pair, so the tuple dedupes exactly in both engines).
+    // LSH-bucketed ANN with OR-amplification: L=SrpTables independent
+    // tables of SrpBits signed-random-projection bits (hyperplanes
+    // b*t..b*t+b-1 per table t, 2^b buckets each). A pair is a candidate
+    // if it collides in ANY table — recall 1-(1-p^b)^L vs a single
+    // table's p^b — while the candidate set stays well under the corpus
+    // (measured: recall@5 0.84/0.85 at candidate fraction 0.53 for
+    // L=12 b=4; the full curve is in the header comment and SURVEY §8,
+    // AnnRecallSpec pins the floor at 0.8). Same multi-table explode +
+    // equi-join shape as q37's MinHash banding; identical scored rows
+    // from multi-table collisions collapse via DISTINCT (cos is computed
+    // bit-identically per pair, so the tuple dedupes exactly in both
+    // engines). The corpus side is exploded L× but carries only
+    // (id, embedding, nrm, table, bucket) — at 100 TB the explode is a
+    // projection, and the join key (table, bucket) is the shuffle key.
     QuerySpec.sqlBacked("q41_knn_lsh", {
-      val tableSql = (0 until 4).map(t => (4 * t until 4 * t + 4)
-        .map(j => s"(${Vectors.srpBitSql("embedding", j)})::VARCHAR")
-        .mkString(" || ")).mkString("[", ", ", "]")
+      val tableSql = (0 until SrpTables).map(t =>
+        (SrpBits * t until SrpBits * t + SrpBits)
+          .map(j => s"(${Vectors.srpBitSql("embedding", j)})::VARCHAR")
+          .mkString(" || ")).mkString("[", ", ", "]")
+      val unnestSql = (0 until SrpTables).mkString("[", ",", "]")
       s"""WITH n AS ($corpusSql),
          |b AS (SELECT vec_id, embedding, nrm, $tableSql AS bks FROM n),
          |e AS (SELECT vec_id, embedding, nrm, j, bks[j+1] AS bkt
-         |      FROM b, unnest([0,1,2,3]) AS t(j)),
+         |      FROM b, unnest($unnestSql) AS t(j)),
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nb_id,
          |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos
@@ -191,8 +220,9 @@ object Similarity {
          |  FROM cand)
          |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
     }) { (s, dir) =>
-      val tables = (0 until 4).map(t => concat((4 * t until 4 * t + 4)
-        .map(j => Vectors.srpBit("embedding", j).cast("string")): _*))
+      val tables = (0 until SrpTables).map(t =>
+        concat((SrpBits * t until SrpBits * t + SrpBits)
+          .map(j => Vectors.srpBit("embedding", j).cast("string")): _*))
       val b = corpus(s, dir)
         .select(col("vec_id"), col("embedding"), col("nrm"),
           posexplode(array(tables: _*)).as(Seq("j", "bkt")))
@@ -212,11 +242,17 @@ object Similarity {
     // unlike float->DECIMAL casts, and faster than decimal aggregation)
     // make the centroids order-independent; cosine's scale invariance
     // makes the un-normalized sum rank identically to the mean.
-    // nprobe=3: with nprobe=1 a query on a list boundary loses the
-    // neighbors that fell into the adjacent list (measured mean recall@5
-    // 0.26 vs brute force); probing the 3 nearest of the ~10 lists
-    // scans ~30% of the corpus per query — still sublinear, and
-    // AnnRecallSpec pins the resulting recall floor.
+    // nprobe=LabelNProbe: with nprobe=1 a query on a list boundary
+    // loses the neighbors that fell into the adjacent list (measured
+    // recall@5 0.26). RECALL CEILING, measured (tools/ann_curve.py):
+    // the label column is a SEMANTIC partition, not a trained geometric
+    // quantizer, so recall at fixed sublinear cost is capped — even
+    // probing 8 of 10 lists (a ~0.8 corpus fraction, i.e. no longer
+    // ANN) reaches only 0.92/0.82 at sf0.01/sf0.1. nprobe=5 (0.72/0.54
+    // at fraction 0.50) is the knee of that curve; a pipeline that
+    // needs >=0.8 trains the quantizer instead — q102's learned lists
+    // hit 0.86/0.84 at the same cost shape. AnnRecallSpec pins 0.7
+    // here and 0.8 on q102.
     QuerySpec.sqlBacked("q42_knn_ivf", {
       val cSumsSql = (0 until Vectors.Dim)
         .map(i => s"CAST(sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) AS c$i")
@@ -232,7 +268,7 @@ object Similarity {
          |        ORDER BY ${Vectors.dotSql("q.embedding", "t.ce")}/(q.nrm*t.cn) DESC,
          |                 t.label) AS crn
          |    FROM n q, cent2 t WHERE q.$isQuery)
-         |  WHERE crn <= 3)
+         |  WHERE crn <= $LabelNProbe)
          |SELECT q_id, nb_id, rn, cos FROM (
          |  SELECT p.q_id, c.vec_id AS nb_id,
          |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos,
@@ -263,7 +299,7 @@ object Similarity {
         .select(col("q_id"), col("qe"), col("qn"), col("label"),
           (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("ccos"))
         .withColumn("crn", row_number().over(wc))
-        .filter(col("crn") <= 3)
+        .filter(col("crn") <= LabelNProbe)
         .select(col("q_id"), col("qe"), col("qn"), col("label").as("plabel"))
       val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
         col("nrm").as("cn"), col("label"))

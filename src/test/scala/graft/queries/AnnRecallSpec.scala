@@ -23,8 +23,15 @@ class AnnRecallSpec extends SparkSpec {
 
   test("LSH and IVF recall@k vs brute force stays high at sf0.01") {
     val exact = topk("q40_knn_brute")
-    for ((name, floor) <- Seq("q41_knn_lsh" -> 0.5, "q42_knn_ivf" -> 0.5,
-        "q102_ivf_learned" -> 0.5)) {
+    // floors sit just under the measured operating points (Similarity's
+    // header comment / SURVEY §8 curve): q41 L=12 b=4 measures 0.84,
+    // q102 nprobe=5 measures 0.86 — both pinned at the 0.8 production
+    // bar. q42's fixed label partition is a semantic, untrained
+    // quantizer with a MEASURED recall ceiling (0.92 even at a 0.8
+    // corpus fraction); its knee nprobe=5 measures 0.72, pinned at 0.7,
+    // and the >=0.8 path at sublinear cost is the learned q102.
+    for ((name, floor) <- Seq("q41_knn_lsh" -> 0.8, "q42_knn_ivf" -> 0.7,
+        "q102_ivf_learned" -> 0.8)) {
       val approx = topk(name)
       val recalls = exact.map { case (q, nbs) =>
         approx.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size
