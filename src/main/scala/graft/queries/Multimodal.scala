@@ -44,7 +44,25 @@ object Multimodal {
       }
       (w, h, feat)
     }
+
+    /** Integer stripe sums at arbitrary width `m` — [[decode]]'s 8-double
+      * feature row is the m=8 case; q108's 64-bit pHash uses m=64. */
+    def stripes(payload: Array[Byte], m: Int): Array[Long] = {
+      val f = new Array[Long](m)
+      var i = 0
+      while (i < payload.length) {
+        f(i % m) += (payload(i) & 0xff).toLong
+        i += 1
+      }
+      f
+    }
   }
+
+  /** q108 hamming tolerance. With the 64-bit hash split into 4 bands,
+    * any pair at hamming <= 3 differs in at most 3 bands and therefore
+    * MATCHES in at least one (pigeonhole) — the band join is candidate-
+    * complete for this threshold, exactly like q37's MinHash banding. */
+  private val HamT = 3
 
   val specs: Seq[QuerySpec] = Seq(
 
@@ -166,54 +184,110 @@ object Multimodal {
     },
 
     // ------------------------------------------------------------------
-    // Perceptual-hash media dedup: the classic pHash construction over
-    // the decoded features — bit k is set iff stripe k is ABOVE the
-    // payload's mean stripe (integer cross-multiplication 8*f_k > tot,
-    // never a division, so the boundary is bit-exact in both engines) —
-    // then payloads sharing an 8-bit hash are a near-dup candidate
-    // group (keep-lowest-id, the q35/q66 convention). This is the
-    // cheap banding pass a media pipeline runs before expensive
-    // embedding comparison: decode is the q45 per-partition projection,
-    // then ONE shuffle of (phash, doc_id) — 9 bytes per row, never the
-    // payload — into at most 256 groups. At 100 TB the payload column
-    // never crosses the wire: fingerprints do.
+    // Perceptual-hash media dedup, 64-bit with hamming banding: the
+    // classic pHash construction over 64 decoded stripes — bit k is set
+    // iff stripe k is ABOVE the payload's mean stripe (integer
+    // cross-multiplication 64*f_k > tot, never a division, so the
+    // boundary is bit-exact in both engines). The hash is carried as
+    // four 16-bit band integers (sign-safe in both engines; the
+    // rendered phash is their hex concatenation), and near-dup
+    // candidates come from q37's banding shape: docs sharing ANY band
+    // value collide, and a pair within hamming <= HamT=3 differs in at
+    // most 3 of the 4 bands, so it MUST share one (pigeonhole) — the
+    // band join is candidate-complete for the threshold. Verdict is
+    // keep-lowest-id (the q35/q66/q103 convention).
+    //
+    // Scale (100 TB): decode is the q45 per-partition projection; the
+    // pair-generating exchange carries (band_no, band_val, doc_id) —
+    // ~20 bytes/row, never the payload; the hamming confirm joins the
+    // candidate SLIVER back to the 33-byte/row hash table; and the
+    // 16-bit bands keep each band bucket ~corpus/65536 — no 8-bit
+    // everything-collides collapse (the round-5 weakness this replaces).
     QuerySpec.sqlBacked("q108_mm_phash_dedup",
-      """WITH b AS (
+      s"""WITH b AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n FROM documents),
         |f AS (
-        |  SELECT doc_id, list_transform(range(0, 8), k ->
-        |    CAST(coalesce(list_sum(list_transform(range(0, (n - k + 7) // 8),
-        |      j -> CAST(('0x' || substr(hx, 2*(k + 8*j) + 1, 2)) AS INTEGER))),
+        |  SELECT doc_id, list_transform(range(0, 64), k ->
+        |    CAST(coalesce(list_sum(list_transform(range(0, (n - k + 63) // 64),
+        |      j -> CAST(('0x' || substr(hx, 2*(k + 64*j) + 1, 2)) AS INTEGER))),
         |      0) AS BIGINT)) AS fs
         |  FROM b),
         |p AS (
-        |  SELECT doc_id, CAST(coalesce(list_sum(list_transform(range(0, 8),
-        |    k -> CASE WHEN 8 * fs[k + 1] > list_sum(fs)
-        |              THEN 1 << k ELSE 0 END)), 0) AS BIGINT) AS phash
-        |  FROM f)
-        |SELECT phash, min(doc_id) AS keep_id, count(*) AS n_docs
-        |FROM p GROUP BY phash HAVING count(*) > 1
-        |ORDER BY phash""".stripMargin) { (s, dir) =>
+        |  SELECT doc_id, list_transform(range(0, 4), bb ->
+        |    CAST(coalesce(list_sum(list_transform(range(0, 16), i ->
+        |      CASE WHEN 64 * fs[16*bb + i + 1] > list_sum(fs)
+        |           THEN 1 << i ELSE 0 END)), 0) AS BIGINT)) AS bands
+        |  FROM f),
+        |ph AS (SELECT doc_id, bands,
+        |         printf('%04x%04x%04x%04x',
+        |           bands[4], bands[3], bands[2], bands[1]) AS phash
+        |       FROM p),
+        |e AS (SELECT doc_id, j AS band_no, bands[j + 1] AS band_val
+        |      FROM ph, unnest(range(0, 4)) AS t(j)),
+        |cand AS (SELECT DISTINCT a.doc_id AS a_id, c.doc_id AS b_id
+        |         FROM e a JOIN e c ON a.band_no = c.band_no
+        |           AND a.band_val = c.band_val AND a.doc_id < c.doc_id),
+        |drp AS (SELECT DISTINCT b_id FROM (
+        |  SELECT cand.b_id,
+        |      bit_count(xor(pa.bands[1], pb.bands[1]))
+        |    + bit_count(xor(pa.bands[2], pb.bands[2]))
+        |    + bit_count(xor(pa.bands[3], pb.bands[3]))
+        |    + bit_count(xor(pa.bands[4], pb.bands[4])) AS hamming
+        |  FROM cand JOIN ph pa ON pa.doc_id = cand.a_id
+        |  JOIN ph pb ON pb.doc_id = cand.b_id)
+        |  WHERE hamming <= $HamT)
+        |SELECT ph.doc_id, ph.phash, (d.b_id IS NULL) AS keep
+        |FROM ph LEFT JOIN drp d ON ph.doc_id = d.b_id
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
-      Tables(s, dir, "documents")
+      val ph = Tables(s, dir, "documents")
         .select(col("doc_id"), col("text").cast("binary").as("payload"))
         .as[(Long, Array[Byte])]
         .mapPartitions { it =>
           it.map { case (id, payload) =>
-            val f = FakeDecoder.decode(payload)._3.map(_.toLong)
+            val f = FakeDecoder.stripes(payload, 64)
             val tot = f.sum
-            val phash = f.indices.foldLeft(0L) { (acc, k) =>
-              if (8 * f(k) > tot) acc | (1L << k) else acc
+            val bands = Array.tabulate(4) { b =>
+              var acc = 0L
+              var i = 0
+              while (i < 16) {
+                if (64L * f(16 * b + i) > tot) acc |= (1L << i)
+                i += 1
+              }
+              acc
             }
-            (id, phash)
+            (id, bands(0), bands(1), bands(2), bands(3))
           }
         }
-        .toDF("doc_id", "phash")
-        .groupBy(col("phash"))
-        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
-        .filter(col("n_docs") > 1)
-        .orderBy(col("phash"))
+        .toDF("doc_id", "b0", "b1", "b2", "b3")
+        .withColumn("phash", format_string("%04x%04x%04x%04x",
+          col("b3"), col("b2"), col("b1"), col("b0")))
+      // ph feeds the band explode, both confirm sides and the verdict
+      Dedup.withScratch(ph) {
+        val e = ph.select(col("doc_id"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+            .as(Seq("band_no", "band_val")))
+        val cand = e
+          .select(col("doc_id").as("a_id"), col("band_no"), col("band_val"))
+          .join(e.select(col("doc_id").as("b_id"), col("band_no").as("bn2"),
+              col("band_val").as("bv2")),
+            col("band_no") === col("bn2") && col("band_val") === col("bv2") &&
+              col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id")).distinct()
+        val pa = ph.select(col("doc_id").as("pa_id"), col("b0").as("a0"),
+          col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+        val pb = ph.select(col("doc_id").as("pb_id"), col("b0").as("c0"),
+          col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+        val drp = cand.join(pa, col("a_id") === col("pa_id"))
+          .join(pb, col("b_id") === col("pb_id"))
+          .filter(expr("bit_count(a0 ^ c0) + bit_count(a1 ^ c1) + " +
+            "bit_count(a2 ^ c2) + bit_count(a3 ^ c3)") <= HamT)
+          .select(col("b_id")).distinct()
+        ph.join(drp, col("doc_id") === col("b_id"), "left")
+          .select(col("doc_id"), col("phash"), col("b_id").isNull.as("keep"))
+          .orderBy(col("doc_id"))
+      }
     }
   )
 }
