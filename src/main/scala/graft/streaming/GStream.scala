@@ -432,6 +432,93 @@ final class KeyedGStream[K, T](
     }
     derive(grouped.flatMapGroupsWithState(OutputMode.Update, timeout)(step))
   }
+
+  /** Keyed side outputs ≙ emitting to an `OutputTag` from inside
+    * `KeyedProcessFunction.processElement` (KeyedProcessFunction.
+    * java:52-125 + flink-core OutputTag — `ctx.output(tag, value)`): a
+    * stateful validator routes each record to the MAIN channel or an
+    * exceptions channel from the same per-key state pass. The
+    * processor's emissions are tagged (`Right` = main, `Left` = side);
+    * the facade runs flatMapGroupsWithState ONCE over the keyed input
+    * and hands back a [[TaggedGStream]] whose splits are plain
+    * non-stateful filters over that single pass — never a second
+    * stateful operator, never a recomputation of the state fold
+    * (KeyedProcessSpec proves one-pass with a source accumulator).
+    *
+    * The combined encoder resolves from `spark.implicits._` at the call
+    * site (`Option` is a Product, so the pair encoder is the ordinary
+    * product encoder); missing channel slots are nulls in the carrier
+    * tuple, which never escapes — the splits flatten them away. */
+  def processTagged[S: Encoder, O, SIDE](
+      pf: KeyedProcessTagged[K, T, S, O, SIDE],
+      timeout: GroupStateTimeout = GroupStateTimeout.ProcessingTimeTimeout)(
+      implicit both: Encoder[(Option[O], Option[SIDE])],
+      oe: Encoder[O], se: Encoder[SIDE]): TaggedGStream[O, SIDE] = {
+    val toPair = (e: Either[SIDE, O]) =>
+      e.fold(s => (Option.empty[O], Some(s)), o => (Some(o), Option.empty[SIDE]))
+    val step = (key: K, it: Iterator[T], state: GroupState[S]) => {
+      if (state.hasTimedOut) {
+        val ctx = Ctx(state)
+        val out = pf.onTimer(key, ctx).iterator.toVector
+        if (!ctx.touched) state.remove()
+        out.iterator.map(toPair)
+      } else {
+        it.flatMap(v => pf.processElement(key, v, Ctx(state)).iterator.map(toPair))
+      }
+    }
+    new TaggedGStream(
+      grouped.flatMapGroupsWithState(OutputMode.Update, timeout)(step),
+      bufferTimeoutMs)
+  }
+}
+
+/** The two channels of a [[KeyedGStream.processTagged]] pass, pending a
+  * split. `main`/`side` are the LAZY branches (each action re-derives
+  * the stateful pass — fine for one-branch consumption); `scoped` and
+  * `foreach` are the ONE-PASS splits, mirroring the unkeyed
+  * [[GStream.sideOutputScoped]]/[[GStream.sideOutputForeach]] doctrine:
+  * the tagged union materializes once, both channels filter from it. */
+final class TaggedGStream[O, SIDE](
+    private val tagged: Dataset[(Option[O], Option[SIDE])],
+    private val bufferTimeoutMs: Long)(
+    implicit oe: Encoder[O], se: Encoder[SIDE]) {
+
+  private def mainOf(d: Dataset[(Option[O], Option[SIDE])]): Dataset[O] =
+    d.flatMap(_._1.iterator)
+  private def sideOf(d: Dataset[(Option[O], Option[SIDE])]): Dataset[SIDE] =
+    d.flatMap(_._2.iterator)
+
+  /** Lazy main channel (re-runs the stateful pass per action). */
+  def main: GStream[O] = new GStream(mainOf(tagged), bufferTimeoutMs)
+  /** Lazy side channel (re-runs the stateful pass per action). */
+  def side: GStream[SIDE] = new GStream(sideOf(tagged), bufferTimeoutMs)
+
+  /** One-pass batch split: the tagged pass is persisted once, both
+    * channels materialize from the cached blocks inside `use`, and the
+    * cache is released afterwards (scoped — no block-manager residue). */
+  def scoped[R](use: (GStream[O], GStream[SIDE]) => R): R = {
+    require(!tagged.isStreaming,
+      "scoped is batch-only; streaming splits use foreach")
+    val cached = tagged
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try use(new GStream(mainOf(cached), bufferTimeoutMs),
+      new GStream(sideOf(cached), bufferTimeoutMs))
+    finally cached.unpersist(blocking = false)
+  }
+
+  /** One-pass streaming split: a foreachBatch dual-writer — each
+    * micro-batch of the stateful pass is computed once, persisted,
+    * routed to both sinks, released. Returns the configured writer;
+    * the caller sets checkpointing/trigger and starts it. */
+  def foreach(mainSink: Dataset[O] => Unit, sideSink: Dataset[SIDE] => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[(Option[O], Option[SIDE])] =
+    tagged.writeStream.foreachBatch {
+      (batch: Dataset[(Option[O], Option[SIDE])], _: Long) =>
+        val c = batch
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try { mainSink(mainOf(c)); sideSink(sideOf(c)) }
+        finally c.unpersist(blocking = false)
+    }
 }
 
 /** Mutable per-key state + timer handle passed to [[KeyedProcess]] — the
@@ -482,6 +569,17 @@ trait KeyedProcess[K, I, S, O] extends Serializable {
   def processElement(key: K, value: I, ctx: Ctx[S]): IterableOnce[O]
   /** Fired when the key's processing-time timer expires. */
   def onTimer(key: K, ctx: Ctx[S]): IterableOnce[O] = Nil
+}
+
+/** User contract ≙ KeyedProcessFunction with an `OutputTag` side channel
+  * (`ctx.output(tag, v)` in the reference): every emission names its
+  * channel — `Right(o)` to the main output, `Left(s)` to the side
+  * (exceptions/late/debug) channel. Consumed via
+  * [[KeyedGStream.processTagged]]. */
+trait KeyedProcessTagged[K, I, S, O, SIDE] extends Serializable {
+  def processElement(key: K, value: I, ctx: Ctx[S]): IterableOnce[Either[SIDE, O]]
+  /** Fired when the key's timer expires; may emit to either channel. */
+  def onTimer(key: K, ctx: Ctx[S]): IterableOnce[Either[SIDE, O]] = Nil
 }
 
 /** User contract ≙ SourceFunction<T> (source/SourceFunction.java:29-36

@@ -71,6 +71,74 @@ class KeyedProcessSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("keyed side outputs, batch: one stateful pass feeds both channels") {
+    // stateful validator: per-key running sum; a record that pushes its
+    // key's sum past 10 goes to the exceptions channel, the rest emit
+    // the running sum on main - the reference's ctx.output(tag, v)
+    // shape from INSIDE a keyed processor
+    val passes = spark.sparkContext.longAccumulator("kp_tagged_passes")
+    val proc = new KeyedProcessTagged[String, (String, Int), Int,
+        (String, Int), String] {
+      def processElement(key: String, v: (String, Int), ctx: Ctx[Int]) = {
+        val acc = ctx.value.getOrElse(0) + v._2
+        ctx.update(acc)
+        if (acc > 10) Seq(Left(s"$key over limit at $acc"))
+        else Seq(Right((key, acc)))
+      }
+    }
+    val in = spark.createDataset(Seq(
+      ("a", 1), ("a", 2), ("b", 9), ("b", 5), ("a", 20)))
+      .map { v => passes.add(1); v }
+    val (mains, sides) = StreamEnv(spark).fromDataset(in)
+      .keyBy(_._1)
+      .processTagged(proc)
+      .scoped { (main, side) =>
+        (main.toDataset.collect().toSet, side.toDataset.collect().toSet)
+      }
+    assert(mains == Set(("a", 1), ("a", 3), ("b", 9)))
+    assert(sides == Set("b over limit at 14", "a over limit at 23"))
+    // ONE pass: the stateful fold consumed each source record exactly
+    // once even though both channels ran their own collect()
+    assert(passes.value == 5L,
+      s"expected 5 source reads for one pass, saw ${passes.value}")
+  }
+
+  test("keyed side outputs, streaming: dual-writer routes both channels") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val proc = new KeyedProcessTagged[String, (String, Int), Int,
+        (String, Int), String] {
+      def processElement(key: String, v: (String, Int), ctx: Ctx[Int]) = {
+        val acc = ctx.value.getOrElse(0) + v._2
+        ctx.update(acc)
+        if (acc > 10) Seq(Left(s"$key over limit at $acc"))
+        else Seq(Right((key, acc)))
+      }
+    }
+    val mains = new java.util.concurrent.ConcurrentLinkedQueue[(String, Int)]
+    val sides = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    // NoTimeout: this processor uses no timers, and a ProcessingTimeTimeout
+    // query runs no-data batches forever (processAllAvailable never returns)
+    val q = StreamEnv(spark).fromDataset(in.toDS())
+      .keyBy(_._1)
+      .processTagged(proc,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)
+      .foreach(
+        m => m.collect().foreach(mains.add),
+        s => s.collect().foreach(sides.add))
+      .outputMode(OutputMode.Update)
+      .start()
+    try {
+      in.addData(("a", 4), ("b", 12))
+      q.processAllAvailable()
+      in.addData(("a", 9))
+      q.processAllAvailable()
+      assert(mains.toArray.toSet == Set(("a", 4)))
+      assert(sides.toArray.toSet ==
+        Set("b over limit at 12", "a over limit at 13"))
+    } finally q.stop()
+  }
+
   test("onTimer may keep state and re-arm: the periodic-flush pattern") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(String, Int)]
