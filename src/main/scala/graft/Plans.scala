@@ -37,11 +37,12 @@ object Plans {
         "document text never crosses the wire. Candidate pairs appear " +
         "via the posting-list self-join, df-capped against hot shingles."),
     Entry("q41_knn_lsh",
-      "Sub-linear ANN: the corpus is bucketed by 4 independent SRP " +
-        "tables (explode x4, then an equi-join on (table, bucket)) " +
+      "Sub-linear ANN: the corpus is bucketed by 12 independent SRP " +
+        "tables (explode x12, then an equi-join on (table, bucket)) " +
         "instead of the all-pairs cross join - the candidate set is the " +
-        "join output, ~L/16 of the corpus per query, scored by the " +
-        "native DotProduct inside whole-stage codegen."),
+        "join output (~0.53 of the corpus per query at the measured " +
+        "recall>=0.8 operating point), scored by the native DotProduct " +
+        "inside whole-stage codegen."),
     Entry("q59_tfidf_top_term",
       "Struct-argmax instead of a per-document window sort: tf and df " +
         "are two keyed aggregates (both with map-side partials), and " +
@@ -95,7 +96,15 @@ object Plans {
         "NOT a single-task global Window sort - and the rank window " +
         "runs over the 20 survivors only. The corpus stats arrive as " +
         "one broadcast aggregate row (BroadcastNestedLoopJoin against " +
-        "a 1-row build side), so scoring is a pure projection.")
+        "a 1-row build side), so scoring is a pure projection."),
+    Entry("q114_knn_batch_topk",
+      "Batch-ANN top-k via the bounded heap: the candidate stream feeds " +
+        "an ObjectHashAggregate partial/final pair running graft_topk - " +
+        "at most K rows per query cross the exchange, and there is NO " +
+        "Window node sorting candidates per q_id (q41's window tail, " +
+        "kept there for few-query serving, would sort every candidate " +
+        "of every query at a million-query batch scale).",
+      details = Seq("graft_topk"))
   )
 
   def main(args: Array[String]): Unit = {

@@ -50,8 +50,8 @@ object Similarity {
     * measured too and bought nothing at this dimensionality (L=6 b=6
     * r=1: 0.86/0.85 @ 0.49 — same point as plain L=12 b=4 with a more
     * complex plan), so the plain OR-amplified form stays. */
-  private[queries] val SrpTables = 12 // q41 L: independent SRP tables
-  private[queries] val SrpBits = 4    // q41 bits/table (2^4 buckets)
+  private[graft] val SrpTables = 12 // q41 L: independent SRP tables
+  private[graft] val SrpBits = 4    // q41 bits/table (2^4 buckets)
   private[queries] val LabelNProbe = 5 // q42 probed label-lists per query
 
   private val KmK = 8      // q98/q102/q103 clusters
@@ -141,6 +141,54 @@ object Similarity {
     pairs.select(col("q_id"), col("nb_id"),
       (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
 
+  /** q41/q114's shared candidate stage: OR-amplified SRP-LSH collisions
+    * scored exactly, deduped across tables (a pair colliding in several
+    * tables yields bit-identical scored rows, so DISTINCT collapses them
+    * in both engines). Returns (q_id, nb_id, cos). */
+  private[graft] def lshCandidates(s: SparkSession, dir: String): DataFrame = {
+    val tables = (0 until SrpTables).map(t =>
+      concat((SrpBits * t until SrpBits * t + SrpBits)
+        .map(j => Vectors.srpBit("embedding", j).cast("string")): _*))
+    val b = corpus(s, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array(tables: _*)).as(Seq("j", "bkt")))
+    val q = broadcast(b.filter(expr(isQuery))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), col("j"), col("bkt")))
+    val c = b.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("j").as("cj"), col("bkt").as("cbkt"))
+    scoreTyped(q.join(c,
+      col("j") === col("cj") && col("bkt") === col("cbkt") &&
+        col("q_id") =!= col("nb_id"))).distinct()
+  }
+
+  /** DuckDB twin of [[lshCandidates]] + top-k — the oracle both q41 and
+    * q114 share (the two Spark plans differ only in HOW the top-k is
+    * taken: ranking window vs bounded-heap aggregate). */
+  private def lshOracleSql: String = {
+    val tableSql = (0 until SrpTables).map(t =>
+      (SrpBits * t until SrpBits * t + SrpBits)
+        .map(j => s"(${Vectors.srpBitSql("embedding", j)})::VARCHAR")
+        .mkString(" || ")).mkString("[", ", ", "]")
+    val unnestSql = (0 until SrpTables).mkString("[", ",", "]")
+    s"""WITH n AS ($corpusSql),
+       |b AS (SELECT vec_id, embedding, nrm, $tableSql AS bks FROM n),
+       |e AS (SELECT vec_id, embedding, nrm, j, bks[j+1] AS bkt
+       |      FROM b, unnest($unnestSql) AS t(j)),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nb_id,
+       |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos
+       |  FROM e q JOIN e c ON q.j = c.j AND q.bkt = c.bkt
+       |    AND q.vec_id <> c.vec_id
+       |  WHERE q.$isQuery)
+       |SELECT q_id, nb_id, rn, cos FROM (
+       |  SELECT q_id, nb_id, cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, nb_id) AS rn
+       |  FROM cand)
+       |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+  }
+
   /** Top-K per query by cosine with deterministic id tiebreak. */
   private def topK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
@@ -197,43 +245,8 @@ object Similarity {
     // engines). The corpus side is exploded L× but carries only
     // (id, embedding, nrm, table, bucket) — at 100 TB the explode is a
     // projection, and the join key (table, bucket) is the shuffle key.
-    QuerySpec.sqlBacked("q41_knn_lsh", {
-      val tableSql = (0 until SrpTables).map(t =>
-        (SrpBits * t until SrpBits * t + SrpBits)
-          .map(j => s"(${Vectors.srpBitSql("embedding", j)})::VARCHAR")
-          .mkString(" || ")).mkString("[", ", ", "]")
-      val unnestSql = (0 until SrpTables).mkString("[", ",", "]")
-      s"""WITH n AS ($corpusSql),
-         |b AS (SELECT vec_id, embedding, nrm, $tableSql AS bks FROM n),
-         |e AS (SELECT vec_id, embedding, nrm, j, bks[j+1] AS bkt
-         |      FROM b, unnest($unnestSql) AS t(j)),
-         |cand AS (
-         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nb_id,
-         |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos
-         |  FROM e q JOIN e c ON q.j = c.j AND q.bkt = c.bkt
-         |    AND q.vec_id <> c.vec_id
-         |  WHERE q.$isQuery)
-         |SELECT q_id, nb_id, rn, cos FROM (
-         |  SELECT q_id, nb_id, cos,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, nb_id) AS rn
-         |  FROM cand)
-         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
-    }) { (s, dir) =>
-      val tables = (0 until SrpTables).map(t =>
-        concat((SrpBits * t until SrpBits * t + SrpBits)
-          .map(j => Vectors.srpBit("embedding", j).cast("string")): _*))
-      val b = corpus(s, dir)
-        .select(col("vec_id"), col("embedding"), col("nrm"),
-          posexplode(array(tables: _*)).as(Seq("j", "bkt")))
-      val q = broadcast(b.filter(expr(isQuery))
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"), col("j"), col("bkt")))
-      val c = b.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
-        col("nrm").as("cn"), col("j").as("cj"), col("bkt").as("cbkt"))
-      topK(scoreTyped(q.join(c,
-        col("j") === col("cj") && col("bkt") === col("cbkt") &&
-          col("q_id") =!= col("nb_id"))).distinct())
+    QuerySpec.sqlBacked("q41_knn_lsh", lshOracleSql) { (s, dir) =>
+      topK(lshCandidates(s, dir))
     },
 
     // ------------------------------------------------------------------
@@ -667,6 +680,30 @@ object Similarity {
           }
         }
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Batch-ANN top-k via the bounded-heap TopKAgg aggregate — the
+    // LARGE-QUERY-SET variant of q41 (same SRP-LSH candidate stage, same
+    // oracle; only the top-k tail differs). The window form (q40-q42,
+    // q102) shuffles and SORTS every candidate of every query before
+    // discarding all but k — fine for few-query serving, quadratic pain
+    // for the million-query batch join a curation pipeline runs (score
+    // every new doc against every retrieval probe). Here at most K rows
+    // per query cross the shuffle: TopKAgg keeps a K-bounded heap
+    // map-side, merges heaps in the exchange, and the plan is an
+    // ObjectHashAggregate pair with NO per-q_id window sort. DESC cosine
+    // rides the struct's natural ordering; the negated id is the
+    // ascending tiebreak (the q64 encoding).
+    QuerySpec.sqlBacked("q114_knn_batch_topk", lshOracleSql) { (s, dir) =>
+      lshCandidates(s, dir)
+        .groupBy(col("q_id"))
+        .agg(graft.plans.TopKAgg(
+          struct(col("cos").as("c"), (-col("nb_id")).as("nk")), K).as("top"))
+        .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
+        .select(col("q_id"), (-col("t.nk")).as("nb_id"),
+          (col("i") + 1).cast("long").as("rn"), col("t.c").as("cos"))
+        .orderBy(col("q_id"), col("rn"))
     }
   )
 }
