@@ -111,12 +111,34 @@ def events(out):
     pq.write_table(tbl, f"{out}/events.parquet")
 
 
+def lineitem(out, src="/root/testdata/sf0.1/lineitem.parquet"):
+    """10x lineitem for the TPC-H-measure probes (q109): the sf0.1 table
+    replicated 10x with offset order/part/supp keys — per-copy value
+    distributions are exactly sf0.1's, which is what a scan-bound
+    measure-aggregate growth probe needs (10x rows, same regime)."""
+    base = pq.read_table(src)
+    n = base.num_rows
+    copies = []
+    for c in range(10):
+        t = base
+        for key, span in (("l_orderkey", 10_000_000),
+                          ("l_partkey", 1_000_000),
+                          ("l_suppkey", 100_000)):
+            if key in t.column_names:
+                idx = t.column_names.index(key)
+                col = pa.compute.add(t.column(key), c * span)
+                t = t.set_column(idx, key, col)
+        copies.append(t)
+    pq.write_table(pa.concat_tables(copies), f"{out}/lineitem.parquet")
+
+
 def main(out="target/scale10"):
     os.makedirs(out, exist_ok=True)
     documents(out)
     embeddings(out)
     events(out)
-    print(f"wrote documents/embeddings/events under {out}")
+    lineitem(out)
+    print(f"wrote documents/embeddings/events/lineitem under {out}")
 
 
 if __name__ == "__main__":
