@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKAgg].getName, "graft_topk"),
       (args: Seq[Expression]) => TopKAgg(args(0),
         foldInt(args(1), "graft_topk k")).toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_heavy_hitters"),
+      new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
+      (args: Seq[Expression]) => HeavyHitters(args(0),
+        foldInt(args(1), "graft_heavy_hitters capacity"))
+        .toAggregateExpression()))
   }
 
   private def foldInt(e: Expression, what: String): Int = e.eval() match {

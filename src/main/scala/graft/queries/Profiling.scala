@@ -377,6 +377,50 @@ object Profiling {
           length(col("scrubbed")).as("scrubbed_len"),
           md5(col("scrubbed")).as("scrub_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Heavy hitters, sketch-then-confirm: tokens appearing in >= 2% of
+    // the corpus stream, found WITHOUT a vocabulary-sized shuffle. Pass 1
+    // is one Misra-Gries aggregate ([[graft.plans.HeavyHitters]],
+    // capacity 63): fixed-state mergeable partials whose candidate set
+    // provably contains every token above N/64 of the stream — 2% = 1/50
+    // >= 1/64, so the superset guarantee covers the threshold. Pass 2
+    // broadcasts the <= 63 candidates back over the token stream
+    // (semi-join inside the scan) and exact-counts ONLY them, then
+    // thresholds by integer cross-multiplication. The confirmed output is
+    // exactly "tokens with cnt*50 >= total" — deterministic even though
+    // the raw candidate set is merge-order-dependent — which is what
+    // makes an approximate-sketch pipeline DuckDB-oracle-able at all
+    // (the q98 doctrine: exactness at the output, approximation inside).
+    // Scale: both exchanges carry <= capacity keys of partials; the full
+    // group-count this replaces shuffles the whole vocabulary.
+    QuerySpec.sqlBacked("q115_heavy_hitters",
+      """WITH toks AS (
+        |  SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM toks),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM toks GROUP BY tok)
+        |SELECT tok, cnt, total, CAST(cnt AS DOUBLE) / total AS share
+        |FROM c, tot WHERE cnt * 50 >= total ORDER BY tok""".stripMargin) {
+      (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+      // ONE row: total stream count + the MG candidate superset. Scratch-
+      // cached because both the candidate explode and the total consume
+      // it — left lazy each would re-run the sketch's corpus scan.
+      val sk = toks.agg(graft.plans.HeavyHitters(col("tok"), 63).as("sk"))
+      Dedup.withScratch(sk) {
+        val cand = sk.select(explode(col("sk.cand")).as("tok"))
+        val tot = sk.select(col("sk.total").as("total"))
+        toks.join(broadcast(cand), "tok")
+          .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+          .crossJoin(broadcast(tot))
+          .filter(col("cnt") * 50 >= col("total"))
+          .select(col("tok"), col("cnt"), col("total"),
+            (col("cnt").cast("double") / col("total")).as("share"))
+          .orderBy(col("tok"))
+      }
     }
   )
 }
