@@ -391,6 +391,49 @@ object Temporal {
           "aggregate(slice(vs, 2, size(vs) - 1), vs[0], (acc, v) -> 0.25 * v + 0.75 * acc)")
           .as("ewma"))
         .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Changelog compaction — the CDC/upsert snapshot: events is read as
+    // a change stream keyed by user_id (each event an upsert of that
+    // user's state), and the snapshot is last-write-wins per key with
+    // tombstone semantics (a user whose LATEST change is an 'error'
+    // event is dropped from the snapshot, not surfaced with stale
+    // state). The (ts, event_id) ordering key makes the winner
+    // deterministic even under µs-truncation ties. Scale: `max_by` over
+    // a struct ordering key is a declarative aggregate with map-side
+    // partials — each partition forwards ONE candidate row per key, so
+    // the exchange carries |keys|×partials rows, vs the ranking-window
+    // form (the oracle's formulation) which shuffles and SORTS every
+    // change of every key — the difference between compacting a 100 TB
+    // changelog and not. Cents via the q85 floor idiom (exact in both
+    // engines).
+    QuerySpec.sqlBacked("q116_changelog_compact",
+      """WITH e AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id,
+        |             event_type,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY user_id
+        |          ORDER BY ts DESC, event_id DESC) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_changes
+        |      FROM e)
+        |SELECT user_id, ts AS last_ts, event_type AS last_type,
+        |       cents AS last_cents, CAST(n_changes AS BIGINT) AS n_changes
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_changes"),
+          max_by(
+            struct(col("ts"), col("event_type").as("et"),
+              floor(col("value") * 100 + 0.5).cast("long").as("cents")),
+            struct(col("ts"), col("event_id"))).as("last"))
+        .filter(col("last.et") =!= "error")
+        .select(col("user_id"), col("last.ts").as("last_ts"),
+          col("last.et").as("last_type"), col("last.cents").as("last_cents"),
+          col("n_changes"))
+        .orderBy(col("user_id"))
     }
   )
 }
