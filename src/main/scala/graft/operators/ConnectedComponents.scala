@@ -43,11 +43,21 @@ object ConnectedComponents {
     val parts = math.max(1, math.min(
       edges.sparkSession.sparkContext.defaultParallelism,
       (n / 1000000L).toInt + 1))
-    val sym = sym0.coalesce(parts).localCheckpoint()
+    // PERSISTED pre-partitioned by src: every round's propagation join
+    // then re-shuffles only the node-sized label frame, never the edge
+    // list — one edge shuffle up front instead of one per round, the
+    // PageRank contract. persist, NOT localCheckpoint: under AQE a
+    // checkpoint's LogicalRDD drops outputPartitioning (both join sides
+    // re-exchange — PartitioningReuseSpec pins exactly this), while an
+    // InMemoryRelation reports the cached plan's partitioning. The init
+    // aggregate right below reads the same partitioning exchange-free.
+    val sym = sym0.repartition(parts, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // 1-hop initialization: start from min(self, neighbors) instead of
     // self — folds the first propagation into the init aggregate and
     // saves one full iteration (near-dup graphs are mostly cliques, so
     // this alone is often already the fixpoint).
+    try {
     var labels = sym.groupBy(col("src").as("node"))
       .agg(min(col("dst")).as("nmin"))
       .select(col("node"), least(col("node"), col("nmin")).as("label"))
@@ -106,6 +116,9 @@ object ConnectedComponents {
     if (!converged) throw new IllegalStateException(
       s"connected components did not converge within $maxIter iterations " +
         "(graph diameter exceeds the bound); raise maxIter")
+    // labels is backed by its own materialized checkpoint (the
+    // convergence count was the action), so releasing sym is safe
     labels.select(col("node"), col("label").as("cluster_id"))
+    } finally sym.unpersist(blocking = false)
   }
 }

@@ -25,9 +25,16 @@ import org.apache.spark.storage.StorageLevel
   *
   * Scale design (100 TB graph): the classic Pregel shape — per iteration
   * ONE shuffle keyed by dst (the contribution aggregate) and one rank
-  * join keyed by src; edges and degrees are computed once and persisted
-  * for the run (released in finally); per-iteration localCheckpoint
-  * truncates lineage so plans don't grow with the iteration count (the
+  * join keyed by src. Edges are persisted PRE-PARTITIONED by src (the
+  * exchange sits inside the cached plan, so InMemoryTableScan reports
+  * HashPartitioning(src) downstream): the per-round out-flow join
+  * re-shuffles only the node-sized rank frame, never the edge list —
+  * 10 iterations cost ONE edge shuffle, not ten, which at a 100 TB edge
+  * list is the difference between an iterative algorithm and an
+  * accident. Degrees aggregate straight out of that partitioning (no
+  * exchange) and stay co-partitioned for the same reason; both are
+  * released in finally. Per-iteration localCheckpoint truncates lineage
+  * so plans don't grow with the iteration count (the
   * ConnectedComponents contract). Integer headroom: total mass is
   * bounded by n * 1e6, so `85 * sum` stays under 2^63 while
   * n <= ~1e11 nodes — guarded fail-loud, like q88's decimal widths.
@@ -44,6 +51,7 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val cols = edges.columns
     val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
+      .repartition(col("src")) // cached WITH its exchange: see scaladoc
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
