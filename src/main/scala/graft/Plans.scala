@@ -104,7 +104,28 @@ object Plans {
         "Window node sorting candidates per q_id (q41's window tail, " +
         "kept there for few-query serving, would sort every candidate " +
         "of every query at a million-query batch scale).",
-      details = Seq("graft_topk"))
+      details = Seq("graft_topk")),
+    Entry("q115_heavy_hitters",
+      "Sketch-then-confirm: the Misra-Gries pass is an " +
+        "ObjectHashAggregate partial/final pair over the token scan " +
+        "whose exchange carries ONE fixed-size summary per partition - " +
+        "never the vocabulary. The confirm pass joins the corpus " +
+        "against the <= 63 candidates as a BroadcastHashJoin build " +
+        "side (the filter runs AT the scan), and the exact count " +
+        "aggregate that follows shuffles only candidate keys. The " +
+        "vocabulary-sized exchange a naive GROUP BY token would pay " +
+        "appears nowhere in this plan.",
+      details = Seq("graft_heavy_hitters")),
+    Entry("q116_changelog_compact",
+      "CDC compaction as a declarative aggregate: max_by over the " +
+        "(ts, event_id) struct runs as a partial/final aggregate pair " +
+        "(SortAggregate - struct-valued buffers are not " +
+        "Tungsten-hashable, so each partition sorts ITS OWN rows by " +
+        "key, still no global sort), and each partition forwards one " +
+        "candidate row per user_id: the exchange is key-bounded. No " +
+        "Window node: the ranking-window formulation (the oracle's) " +
+        "would shuffle every change of every key and sort per key " +
+        "globally.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.TemporalJoins
@@ -433,6 +434,45 @@ object Temporal {
         .select(col("user_id"), col("last.ts").as("last_ts"),
           col("last.et").as("last_type"), col("last.cents").as("last_cents"),
           col("n_changes"))
+        .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Incremental aggregate maintenance — the materialized-view delta
+    // pattern: a stored per-user aggregate STATE (everything before the
+    // cutoff) is refreshed by merging the new period's PARTIAL, not by
+    // rescanning history. count/sum/max are algebraic, so the merge is
+    // the same combine the engine's map-side partials use — lifted to
+    // storage: state ⊎ delta ≡ full recompute, and the oracle IS the
+    // full recompute, so the equality is what the gate checks. Scale:
+    // in production the state side is user-keyed rows (no event scan at
+    // all) and the delta scan prunes to the new date partition; refresh
+    // cost is O(delta + |keys|) forever, vs O(history) per refresh —
+    // the only way a 100 TB event table gets a daily dashboard. (Both
+    // sides scan-filter here because the test corpus is one table; the
+    // filters are the partition-pruning predicates.)
+    QuerySpec.sqlBacked("q117_incremental_agg",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM events)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST(sum(cents) AS BIGINT) AS cents, max(ts) AS last_ts
+        |FROM e GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"), col("ts"),
+          floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      val cut = lit("2024-01-15").cast("timestamp")
+      def partialAgg(df: DataFrame): DataFrame = df
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("cents"),
+          max(col("ts")).as("last_ts"))
+      val state = partialAgg(e.filter(col("ts") < cut))
+      val delta = partialAgg(e.filter(col("ts") >= cut))
+      state.unionByName(delta)
+        .groupBy(col("user_id"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("cents")).as("cents"),
+          max(col("last_ts")).as("last_ts"))
         .orderBy(col("user_id"))
     }
   )
