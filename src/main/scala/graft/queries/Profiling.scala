@@ -421,6 +421,42 @@ object Profiling {
             (col("cnt").cast("double") / col("total")).as("share"))
           .orderBy(col("tok"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q115's grouped form — heavy hitters PER SOURCE (the per-language/
+    // per-domain hot-token report a curation pipeline actually runs):
+    // one MG summary per group (each group owns its fixed-size buffer,
+    // so the sketch exchange carries |groups| × capacity state, still
+    // never a vocabulary), confirm = exact count of only the broadcast
+    // (source, candidate) pairs, threshold 2% of EACH source's stream.
+    // Same exactness argument as q115, applied group-wise.
+    QuerySpec.sqlBacked("q118_heavy_hitters_by_source",
+      """WITH toks AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS total
+        |        FROM toks GROUP BY source),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+        |      FROM toks GROUP BY source, tok)
+        |SELECT c.source, tok, cnt, total
+        |FROM c JOIN tot ON c.source = tot.source
+        |WHERE cnt * 50 >= total ORDER BY c.source, tok""".stripMargin) {
+      (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      val sk = toks.groupBy(col("source"))
+        .agg(graft.plans.HeavyHitters(col("tok"), 63).as("sk"))
+      Dedup.withScratch(sk) {
+        val cand = sk.select(col("source"), explode(col("sk.cand")).as("tok"))
+        val tot = sk.select(col("source"), col("sk.total").as("total"))
+        toks.join(broadcast(cand), Seq("source", "tok"))
+          .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+          .join(broadcast(tot), Seq("source"))
+          .filter(col("cnt") * 50 >= col("total"))
+          .select(col("source"), col("tok"), col("cnt"), col("total"))
+          .orderBy(col("source"), col("tok"))
+      }
     }
   )
 }
