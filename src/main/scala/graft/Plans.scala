@@ -125,7 +125,17 @@ object Plans {
         "candidate row per user_id: the exchange is key-bounded. No " +
         "Window node: the ranking-window formulation (the oracle's) " +
         "would shuffle every change of every key and sort per key " +
-        "globally.")
+        "globally."),
+    Entry("q119_zorder_layout",
+      "Layout audit in one scan: lineitem is read ONCE (3 columns, " +
+        "ReadSchema), the Morton interleave is closed-form integer " +
+        "arithmetic inside the codegen stage, and Generate explodes " +
+        "each row into its two (layout, bucket) assignments BEFORE the " +
+        "partial HashAggregate - so the one exchange carries <= 512 " +
+        "bucket keys per partition, never the fact table. A per-arm " +
+        "UNION formulation would scan the fact twice; at 100 TB the " +
+        "scan is the cost being audited.",
+      details = Seq("ReadSchema"))
   )
 
   def main(args: Array[String]): Unit = {

@@ -840,6 +840,68 @@ object Relational {
         .agg(count(lit(1)).as("n"), toD(sum(col("v"))).as("total"),
           toD(min(col("v"))).as("lo"), toD(max(col("v"))).as("hi"))
         .orderBy(col("metric"))
+    },
+
+    // ------------------------------------------------------------------
+    // Z-order layout audit — the multi-dimensional clustering lever for
+    // file skipping: interleave the low 16 bits of two filter dims
+    // (partkey, suppkey) into a 32-bit Morton code, bucket the corpus
+    // by the code's high bits (= the files a z-sorted write produces),
+    // and report the summed per-bucket [min,max] span of BOTH dims next
+    // to the same stats for orderkey-bucketed row order. Z-buckets
+    // bound both dims simultaneously, so parquet min/max row-group
+    // stats prune predicates on EITHER dim — row order bounds neither.
+    // The bit interleave is a closed-form 32-term integer sum (same
+    // text both engines, no HOF, no libm) computed inside the scan;
+    // lineitem is scanned ONCE — each row explodes into its two
+    // (layout, bucket) assignments in the scan stage and the partial
+    // aggregate collapses them to <= 512 keys per partition before the
+    // single exchange (a per-arm formulation would scan the fact twice;
+    // at 100 TB the scan IS the cost). At 100 TB this query is the
+    // audit you run BEFORE paying the z-sort (one range-shuffle, the
+    // q73 GlobalIndex shape) to know what the layout buys; the spans
+    // ARE the pruning bound.
+    QuerySpec.sqlBacked("q119_zorder_layout", {
+      val z = (0 until 16).map(i =>
+        s"((px >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((sx >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      s"""WITH d AS (
+         |  SELECT l_orderkey % 256 AS rbucket,
+         |         l_partkey % 65536 AS px, l_suppkey % 65536 AS sx
+         |  FROM lineitem),
+         |z AS (SELECT rbucket, px, sx, ($z) // 16777216 AS zbucket FROM d),
+         |spans AS (
+         |  SELECT 'roworder' AS layout, rbucket AS bucket,
+         |         max(px) - min(px) AS sp, max(sx) - min(sx) AS ss
+         |  FROM z GROUP BY bucket
+         |  UNION ALL
+         |  SELECT 'zorder', zbucket, max(px) - min(px), max(sx) - min(sx)
+         |  FROM z GROUP BY zbucket)
+         |SELECT layout, CAST(count(*) AS BIGINT) AS n_buckets,
+         |       CAST(sum(sp) AS BIGINT) AS sum_part_span,
+         |       CAST(sum(ss) AS BIGINT) AS sum_supp_span
+         |FROM spans GROUP BY layout ORDER BY layout""".stripMargin
+    }) { (s, dir) =>
+      val z = (0 until 16).map(i =>
+        s"((px >> $i) & 1) * ${1L << (2 * i)} + " +
+          s"((sx >> $i) & 1) * ${1L << (2 * i + 1)}").mkString(" + ")
+      t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 256).as("rbucket"),
+          (col("l_partkey") % 65536).as("px"),
+          (col("l_suppkey") % 65536).as("sx"))
+        .withColumn("zbucket", expr(s"($z) div 16777216"))
+        .select(explode(array(
+          struct(lit("roworder").as("layout"), col("rbucket").as("bucket")),
+          struct(lit("zorder").as("layout"), col("zbucket").as("bucket"))))
+          .as("lb"), col("px"), col("sx"))
+        .groupBy(col("lb.layout").as("layout"), col("lb.bucket").as("bucket"))
+        .agg((max(col("px")) - min(col("px"))).as("sp"),
+          (max(col("sx")) - min(col("sx"))).as("ss"))
+        .groupBy(col("layout"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(col("sp")).as("sum_part_span"),
+          sum(col("ss")).as("sum_supp_span"))
+        .orderBy(col("layout"))
     }
   )
 }
