@@ -1095,6 +1095,79 @@ object Dedup {
               col("s_qual")).as("n_final"))
           .orderBy(col("source"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Prefix-filtered similarity join (PPJoin-lite; Chaudhuri et al.
+    // ICDE'06, Xiao et al. WWW'08; MapReduce shape per Vernica et al.
+    // SIGMOD'10). q36's posting-list join needs a LOSSY df-cap as its
+    // skew guard (shingles in > MaxShingleDf docs are dropped, so a
+    // pair sharing only hot shingles is missed). Prefix filtering is
+    // the LOSSLESS alternative: order each doc's shingles rarest-first
+    // by global document frequency and index only the first
+    // n - ceil(tau*n) + 1 of them — if J(A,B) >= tau, the two prefixes
+    // provably share a token, so candidate generation over prefix
+    // tokens alone misses nothing. Hot shingles prune themselves: a
+    // stopword 3-gram sorts LAST within every large doc and never
+    // reaches a posting list, so the quadratic hot-key blowup q36 caps
+    // away cannot happen here by construction — no tuning knob, no
+    // lost pairs. Cost: one vocabulary df aggregate + a token-keyed
+    // join to rank shingles (the price of losslessness; Vernica et al.
+    // broadcast the ordering when the vocab fits). The oracle is the
+    // UNCAPPED exact Jaccard self-join — the gate proves the pruned
+    // plan reproduces ground truth exactly, which q36's capped form
+    // does not claim. Verification joins candidate pairs back to the
+    // two shingle arrays (AQE promotes to broadcast when the candidate
+    // set is small; key-shuffled otherwise) and scores exact Jaccard.
+    QuerySpec.sqlBacked("q120_dedup_prefix_join",
+      s"""WITH base AS ($shingledSql),
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM base),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+         |         max(a.n) AS na, max(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) AS jac
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val tau = 0.5
+      val base = shingled(s, dir)
+      withScratch(base) {
+        val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
+          explode(col("sh")).as("s"))
+        val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        // rarest-first canonical order: (df, shingle) total order; the
+        // tie-break never affects correctness (the oracle is exact
+        // Jaccard, independent of which prefix order generated the
+        // candidates) — it only pins determinism of the candidate set
+        val prefixTokens = ex.join(dfreq, "s")
+          .groupBy(col("doc_id"))
+          .agg(max(col("n")).as("n"),
+            array_sort(collect_list(struct(col("df"), col("s")))).as("srt"))
+          .select(col("doc_id"), explode(slice(col("srt"), lit(1),
+            (col("n") - ceil(col("n") * tau) + 1).cast("int"))).as("p"))
+          .select(col("doc_id"), col("p.s").as("s"))
+        val cands = prefixTokens
+          .groupBy(col("s"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+          .select(col("a").as("a_id"), col("b").as("b_id"))
+          .distinct()
+        val sets = base.select(col("doc_id"), col("sh"))
+        cands
+          .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
+          .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              (size(col("sa")) + size(col("sb")) -
+                size(array_intersect(col("sa"), col("sb")))).cast("double"))
+              .as("jac"))
+          .filter(col("jac") >= tau)
+          .orderBy(col("a_id"), col("b_id"))
+      }
     }
   )
 }
