@@ -1168,6 +1168,79 @@ object Dedup {
           .filter(col("jac") >= tau)
           .orderBy(col("a_id"), col("b_id"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Sorted-neighborhood blocking (Hernandez & Stolfo SIGMOD'95) — the
+    // third candidate-generation class next to posting lists (q36/q120)
+    // and LSH banding (q37/q38): sort the corpus ONCE by SimHash
+    // fingerprint (hamming-close docs share high bits, so they sort
+    // near each other), then pair only rows within a w=8 window of the
+    // global order and verify exact hamming <= 2. The defining property
+    // is the HARD cost bound: rank-blocks hold <= 2w rows by
+    // construction, so candidate cost is O(n*w) even on an adversarial
+    // corpus — no hot bucket can exist (an LSH bucket, by contrast, is
+    // unbounded: q36 needs a df-cap, q37/q38 inherit the corpus's
+    // cluster sizes). The price is recall (a pair differing in a high
+    // bit sorts far apart and is missed) — which is why this is the
+    // cheap screening pass, not the replacement: SNMSpec pins
+    // q121 ⊆ q38 (q38's 4x16-bit block join is lossless for
+    // hamming <= 3) and measures the window's coverage.
+    // Shape at 100 TB: the sort is ONE range shuffle (GlobalIndex — the
+    // q73 operator: distributed sort + per-partition counts, never a
+    // single-task window), blocks come from integer rank arithmetic,
+    // and the bounded posting lists ride the q36 PostingPairs path.
+    QuerySpec.sqlBacked("q121_dedup_sorted_neighborhood",
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+         |  FROM documents),
+         |fps AS (SELECT doc_id, $fpSql AS fp FROM toks),
+         |rk AS (SELECT doc_id, fp,
+         |    CAST(row_number() OVER (ORDER BY fp, doc_id) - 1 AS BIGINT)
+         |      AS rk FROM fps),
+         |cand AS (SELECT least(a.doc_id, b.doc_id) AS a_id,
+         |           greatest(a.doc_id, b.doc_id) AS b_id,
+         |           a.fp AS fa, b.fp AS fb
+         |         FROM rk a JOIN rk b
+         |           ON b.rk > a.rk AND b.rk - a.rk <= 7)
+         |SELECT a_id, b_id, hamming FROM (
+         |  SELECT a_id, b_id, CAST(list_sum(list_transform(range(1, 65),
+         |    i -> CASE WHEN substr(fa,i,1) = substr(fb,i,1) THEN 0 ELSE 1 END))
+         |    AS BIGINT) AS hamming
+         |  FROM cand)
+         |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val w = 8
+      // fingerprint pass dominates; materialized once, feeds the sort
+      // and both verify joins (the q38 pattern)
+      val fps = simhashFps(s, dir).localCheckpoint()
+      val ranked = graft.operators.GlobalIndex
+        .assign(fps, Seq(col("fp"), col("doc_id")), "rk")
+      // every pair within w of the sorted order shares one of the two
+      // rank-blocks floor(rk/w), floor(rk/w)+1; blocks hold <= 2w ranks
+      val cands = ranked
+        .select(col("rk"), explode(array(expr(s"rk div $w"),
+          expr(s"rk div $w + 1"))).as("blk"))
+        .groupBy(col("blk"))
+        .agg(sort_array(collect_list(col("rk"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(graft.plans.PostingPairs(col("ds")).as(Seq("ra", "rb")))
+        .filter(col("rb") - col("ra") <= w - 1)
+        .distinct()
+      // hamming via the q38 bit-pack: two bit_count(xor) ops per pair
+      val packed = ranked.select(col("rk"), col("doc_id"),
+        expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)").as("h1"),
+        expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)").as("h2"))
+      cands
+        .join(packed.select(col("rk").as("ra"), col("doc_id").as("da"),
+          col("h1").as("a1"), col("h2").as("a2")), "ra")
+        .join(packed.select(col("rk").as("rb"), col("doc_id").as("db"),
+          col("h1").as("b1"), col("h2").as("b2")), "rb")
+        .select(least(col("da"), col("db")).as("a_id"),
+          greatest(col("da"), col("db")).as("b_id"),
+          expr("CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS BIGINT)")
+            .as("hamming"))
+        .filter(col("hamming") <= 2)
+        .orderBy(col("a_id"), col("b_id"))
     }
   )
 }
