@@ -1141,8 +1141,15 @@ object Dedup {
         // rarest-first canonical order: (df, shingle) total order; the
         // tie-break never affects correctness (the oracle is exact
         // Jaccard, independent of which prefix order generated the
-        // candidates) — it only pins determinism of the candidate set
-        val prefixTokens = ex.join(dfreq, "s")
+        // candidates) — it only pins determinism of the candidate set.
+        // dfreq is the explicit build side (Vernica et al.'s broadcast
+        // of the token ordering): it is vocabulary-sized, while ex is
+        // the exploded corpus — without the hint Spark's cache-derived
+        // estimates picked ex as the build side, a broadcast that is
+        // quadratic-memory wrong at 100 TB. If the vocabulary outgrows
+        // broadcast range, drop the hint and this becomes a token-keyed
+        // shuffle join — the documented price of losslessness.
+        val prefixTokens = ex.join(broadcast(dfreq), "s")
           .groupBy(col("doc_id"))
           .agg(max(col("n")).as("n"),
             array_sort(collect_list(struct(col("df"), col("s")))).as("srt"))
@@ -1156,15 +1163,32 @@ object Dedup {
           .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
           .select(col("a").as("a_id"), col("b").as("b_id"))
           .distinct()
+        // PPJoin's length filter, applied BEFORE the shingle-array
+        // fetch: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose
+        // sizes differ by more than tau is dead on arrival. The length
+        // frame is doc-count-sized (one int per doc — broadcast here,
+        // key-shuffled at 100 TB); candidates that fail never join the
+        // arrays, which is the expensive exchange this prunes. Lossless:
+        // verification is exact Jaccard, and every true pair passes.
+        val lens = base.select(col("doc_id"), size(col("sh")).as("ln"))
+        val sized = cands
+          .join(broadcast(lens.select(col("doc_id").as("a_id"), col("ln").as("na"))), "a_id")
+          .join(broadcast(lens.select(col("doc_id").as("b_id"), col("ln").as("nb"))), "b_id")
+          .filter(least(col("na"), col("nb")).cast("double") >=
+            greatest(col("na"), col("nb")).cast("double") * tau)
+          .select(col("a_id"), col("b_id"))
         val sets = base.select(col("doc_id"), col("sh"))
-        cands
+        sized
           .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
           .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+          // intersect once per pair: it is the dominant verify cost and
+          // appears in both numerator and union-size denominator
           .select(col("a_id"), col("b_id"),
-            (size(array_intersect(col("sa"), col("sb"))).cast("double") /
-              (size(col("sa")) + size(col("sb")) -
-                size(array_intersect(col("sa"), col("sb")))).cast("double"))
-              .as("jac"))
+            size(array_intersect(col("sa"), col("sb"))).as("inter"),
+            size(col("sa")).as("na"), size(col("sb")).as("nb"))
+          .select(col("a_id"), col("b_id"),
+            (col("inter").cast("double") /
+              (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
           .filter(col("jac") >= tau)
           .orderBy(col("a_id"), col("b_id"))
       }
