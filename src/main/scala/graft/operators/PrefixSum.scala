@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
+import org.apache.spark.sql.types.{LongType, StructField}
+
+/** Distributed running (inclusive) prefix sum of an integer weight under
+  * a total sort order — the parallel-scan primitive (Blelloch's two-phase
+  * scan) that unlocks cumulative-weight operations at corpus scale:
+  * probability-proportional-to-size sampling (q123), token-budget
+  * sharding ("cut the corpus every N tokens"), cumulative histograms.
+  *
+  * The naive formulation — `sum(w) OVER (ORDER BY ... ROWS UNBOUNDED
+  * PRECEDING)` with no partitioning — collapses the dataset onto ONE
+  * task, exactly like the global row_number this repo's GlobalIndex
+  * replaces. Same cure, generalized from counting rows to summing a
+  * weight:
+  *
+  *  1. range-shuffle + in-partition sort (the ONLY shuffle, executed
+  *     once: both phase-2 jobs derive from one RDD instance, so the
+  *     second job re-reads the shuffle files);
+  *  2. one per-partition weight-total job (#partitions longs to the
+  *     driver, scanned into start offsets), then a narrow map stamps
+  *     `offset + running local sum` onto each row, staying on
+  *     Tungsten `InternalRow`s end-to-end (no Row.fromSeq copies —
+  *     the GlobalIndex r4 lesson).
+  *
+  * Exact-integer by construction: weights are BIGINT and the driver
+  * offsets are Longs, so the stamped cumulative is bit-identical to any
+  * sequential fold — which is what lets a SQL-window oracle hash-match
+  * it. Overflow is a real risk at 100 TB (sum of 2^40 rows × large
+  * weights): the driver folds offsets with Math.addExact, so a corpus
+  * whose total outgrows 2^63 fails loudly instead of wrapping.
+  *
+  * Determinism caveats are GlobalIndex's verbatim: `sortCols` must be a
+  * total order (end with a unique key) and non-null (engines disagree on
+  * null placement). `weightCol` must be non-null BIGINT — a null weight
+  * fails analysis here, not mid-task.
+  */
+object PrefixSum {
+
+  /** Append `outCol`: the inclusive running sum of `weightCol` in the
+    * ascending total order of `sortCols`. */
+  def inclusive(df: DataFrame, sortCols: Seq[Column], weightCol: String,
+      outCol: String = "cum"): DataFrame = {
+    val spark = df.sparkSession
+    val parts = spark.sparkContext.defaultParallelism
+    val sorted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val wIdx = sorted.schema.fieldIndex(weightCol)
+    require(sorted.schema(wIdx).dataType == LongType,
+      s"graft PrefixSum needs BIGINT weights, got " +
+        s"${sorted.schema(wIdx).dataType.simpleString} for '$weightCol'")
+
+    val rdd = sorted.queryExecution.toRdd
+
+    // Phase-2a: per-partition weight totals; addExact both here and in
+    // the driver scan — wraparound must fail, not corrupt cumulative.
+    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
+      var s = 0L
+      it.foreach { r =>
+        require(!r.isNullAt(wIdx),
+          s"graft PrefixSum: null weight in partition $i")
+        s = Math.addExact(s, r.getLong(wIdx))
+      }
+      Iterator.single((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(Math.addExact)
+
+    // Phase-2b: narrow stamping map, reusing the shuffle files the
+    // totals job wrote. JoinedRow + 1-field row reused per partition;
+    // consumers copy at the scan boundary per the iterator contract.
+    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
+      var cum = offsets(i)
+      val idx = new GenericInternalRow(1)
+      val joined = new JoinedRow
+      it.map { r =>
+        cum = Math.addExact(cum, r.getLong(wIdx))
+        idx.setLong(0, cum)
+        joined(r, idx): InternalRow
+      }
+    }
+    org.apache.spark.sql.graft.bridge.internalCreateDataFrame(spark, stamped,
+      sorted.schema.add(StructField(outCol, LongType, nullable = false)))
+  }
+}

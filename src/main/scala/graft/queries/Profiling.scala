@@ -457,6 +457,48 @@ object Profiling {
           .select(col("source"), col("tok"), col("cnt"), col("total"))
           .orderBy(col("source"), col("tok"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // Probability-proportional-to-size systematic sample (classic PPS /
+    // cumulative-size sampling, Madow 1949): lay the docs end-to-end on
+    // the cumulative n_chars axis, cut every `stride = total/k` chars,
+    // keep each doc whose span crosses a cut — selection probability
+    // proportional to byte weight, the shape used to draw a
+    // size-debiased eval slice from a training corpus. Two properties
+    // make it the SCALE form of weighted sampling: (a) it is exact
+    // integer arithmetic end-to-end (Efraimidis-Spirakis keys need
+    // pow/log, whose libm rounding diverges across engines — same
+    // doctrine as q98/q113), and (b) the cumulative weight comes from
+    // operators.PrefixSum — Blelloch two-phase scan, ONE range shuffle,
+    // #partitions longs on the driver — where the textbook
+    // `sum() OVER (ORDER BY ...)` with no partition collapses 100 TB
+    // onto one task (the oracle below runs exactly that form, which
+    // DuckDB can afford at test SF).
+    QuerySpec.sqlBacked("q123_pps_sample",
+      """WITH w AS (SELECT doc_id, source, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents),
+        |s AS (SELECT CAST(CAST(sum(n_chars) AS BIGINT) // 40 AS BIGINT)
+        |        AS stride FROM documents)
+        |SELECT doc_id, source, n_chars, cum
+        |FROM w, s
+        |WHERE cum // stride > (cum - n_chars) // stride
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val cum = graft.operators.PrefixSum
+        .inclusive(docs, Seq(col("doc_id")), "n_chars", "cum")
+      // integer div (not `/`, which is double division and would round
+      // for totals beyond 2^53)
+      val stride = docs
+        .agg(expr("CAST(sum(n_chars) AS BIGINT) div 40").as("stride"))
+      cum.crossJoin(broadcast(stride))
+        // non-negative longs: integer div is floor in both engines
+        .filter(expr("cum div stride > (cum - n_chars) div stride"))
+        .select(col("doc_id"), col("source"), col("n_chars"), col("cum"))
+        .orderBy(col("doc_id"))
     }
   )
 }

@@ -902,6 +902,67 @@ object Relational {
           sum(col("sp")).as("sum_part_span"),
           sum(col("ss")).as("sum_supp_span"))
         .orderBy(col("layout"))
+    },
+
+    // ------------------------------------------------------------------
+    // Referential-integrity audit: for every FK edge of the star schema,
+    // report child rows, distinct FK values, orphaned FK values (no
+    // matching parent), and the rows those orphans carry — the
+    // data-quality gate a pipeline runs before joining fact tables it
+    // did not produce. Shape at 100 TB: each child is aggregated to its
+    // KEY SPACE first (one map-side-combined exchange per edge, keyed
+    // on the FK — never wider than distinct keys), and the anti-join
+    // that finds orphans runs on that key frame, not the fact — dims
+    // broadcast, the one fact-fact edge (lineitem->orders) shuffles
+    // distinct orderkeys only. A naive per-edge `fact LEFT ANTI parent`
+    // would re-shuffle the full fact width seven times.
+    QuerySpec.sqlBacked("q122_ref_integrity", {
+      def arm(child: String, fk: String, parent: String, pk: String) =
+        s"""SELECT '$child.$fk' AS edge,
+           |  (SELECT CAST(count($fk) AS BIGINT) FROM $child) AS child_rows,
+           |  CAST(count(*) AS BIGINT) AS distinct_keys,
+           |  CAST(count(*) FILTER (WHERE orphan) AS BIGINT) AS orphan_keys,
+           |  CAST(coalesce(sum(n) FILTER (WHERE orphan), 0) AS BIGINT)
+           |    AS orphan_rows
+           |FROM (SELECT c.$fk, count(*) AS n,
+           |        NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)
+           |          AS orphan
+           |      FROM $child c WHERE $fk IS NOT NULL GROUP BY c.$fk)""".stripMargin
+      Seq(
+        arm("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        arm("lineitem", "l_partkey", "part", "p_partkey"),
+        arm("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        arm("orders", "o_custkey", "customer", "c_custkey"),
+        arm("customer", "c_nationkey", "nation", "n_nationkey"),
+        arm("supplier", "s_nationkey", "nation", "n_nationkey"),
+        arm("nation", "n_regionkey", "region", "r_regionkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+    }) { (s, dir) =>
+      def arm(child: String, fk: String, parent: String, pk: String) = {
+        val keys = t(s, dir, child).filter(col(fk).isNotNull)
+          .groupBy(col(fk)).agg(count(lit(1)).as("n"))
+        val orphans = keys.join(t(s, dir, parent).select(col(pk)),
+          col(fk) === col(pk), "left_outer")
+          .select(col("n"), col(pk).isNull.as("orphan"))
+        orphans.agg(
+          sum(col("n")).cast("long").as("child_rows"),
+          count(lit(1)).cast("long").as("distinct_keys"),
+          count(when(col("orphan"), 1)).cast("long").as("orphan_keys"),
+          coalesce(sum(when(col("orphan"), col("n"))), lit(0L)).cast("long")
+            .as("orphan_rows"))
+          .select(lit(s"$child.$fk").as("edge"), col("child_rows"),
+            col("distinct_keys"), col("orphan_keys"), col("orphan_rows"))
+      }
+      Seq(
+        arm("lineitem", "l_orderkey", "orders", "o_orderkey"),
+        arm("lineitem", "l_partkey", "part", "p_partkey"),
+        arm("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        arm("orders", "o_custkey", "customer", "c_custkey"),
+        arm("customer", "c_nationkey", "nation", "n_nationkey"),
+        arm("supplier", "s_nationkey", "nation", "n_nationkey"),
+        arm("nation", "n_regionkey", "region", "r_regionkey"))
+        .reduce(_.unionAll(_))
+        .orderBy(col("edge"))
     }
   )
 }

@@ -474,6 +474,83 @@ object Temporal {
           sum(col("cents")).as("cents"),
           max(col("last_ts")).as("last_ts"))
         .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Table-diff reconciliation (Merkle-style bucket checksums): decide
+    // WHERE two snapshots of a keyed table differ without joining them
+    // row-by-row. Each snapshot reduces to 1024 bucket summaries
+    // (count + bit_xor of a 60-bit per-row digest — xor is
+    // order-independent and cannot overflow, count catches the
+    // even-multiplicity blind spot xor alone has, and the unique key
+    // inside the digest prevents within-bucket swap cancellation); only
+    // buckets whose summaries disagree are drilled into with a
+    // key-level outer join. At 100 TB: two scans reduced map-side to
+    // 1024-row exchanges, then a full-width join over ONLY the
+    // differing sliver — vs a sort-merge of both full tables, which is
+    // the plan you cannot afford for a nightly replica audit. Snapshot
+    // B is derived in-query with deterministic drift (deletes at
+    // key%131, cent bumps at key%97, inserts cloned at key%113 with
+    // offset keys); the ORACLE diffs the true payload columns directly
+    // (no buckets, no digests), so the gate also proves the digest
+    // protocol reproduces ground truth exactly — a digest collision or
+    // a summary that misses a bucket would hash-mismatch.
+    QuerySpec.sqlBacked("q124_table_diff",
+      """WITH a AS (SELECT o_orderkey AS key, o_custkey AS cust,
+        |             o_orderstatus AS status,
+        |             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM orders),
+        |b AS (SELECT key, cust, status,
+        |        cents + CASE WHEN key % 97 = 0 THEN 1 ELSE 0 END AS cents
+        |      FROM a WHERE key % 131 <> 0
+        |      UNION ALL
+        |      SELECT key + 10000000, cust, status, cents
+        |      FROM a WHERE key % 113 = 0),
+        |d AS (SELECT coalesce(a.key, b.key) AS key,
+        |        CASE WHEN b.key IS NULL THEN 'deleted'
+        |             WHEN a.key IS NULL THEN 'inserted'
+        |             WHEN a.cust <> b.cust OR a.status <> b.status
+        |                  OR a.cents <> b.cents THEN 'updated'
+        |        END AS change
+        |      FROM a FULL JOIN b ON a.key = b.key)
+        |SELECT key, change FROM d WHERE change IS NOT NULL
+        |ORDER BY key""".stripMargin) { (s, dir) =>
+      val a = Tables(s, dir, "orders").select(
+        col("o_orderkey").as("key"), col("o_custkey").as("cust"),
+        col("o_orderstatus").as("status"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val b = a.filter(col("key") % 131 =!= 0)
+        .withColumn("cents",
+          col("cents") + when(col("key") % 97 === 0, 1L).otherwise(0L))
+        .unionByName(a.filter(col("key") % 113 === 0)
+          .withColumn("key", col("key") + 10000000L))
+      // 60-bit row digest: portable across engines (conv here,
+      // CAST('0x'|| ...) in DuckDB would match — the oracle instead
+      // compares true payloads, which is the stronger check)
+      def digested(df: DataFrame): DataFrame = df.select(col("key"),
+        expr("CAST(conv(substring(md5(concat_ws('|', key, cust, status, " +
+          "cents)), 1, 15), 16, 10) AS BIGINT)").as("d"),
+        (col("key") % 1024).as("bucket"))
+      val (da, db) = (digested(a), digested(b))
+      def summary(df: DataFrame): DataFrame = df.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), expr("bit_xor(d)").as("x"))
+      val diffBuckets = summary(da).as("sa")
+        .join(summary(db).as("sb"), Seq("bucket"), "full_outer")
+        .filter(col("sa.n").isNull || col("sb.n").isNull ||
+          col("sa.n") =!= col("sb.n") || col("sa.x") =!= col("sb.x"))
+        .select(col("bucket"))
+      // drill-down: only rows whose bucket summary disagreed
+      val sliverA = da.join(broadcast(diffBuckets), "bucket")
+        .select(col("key").as("ka"), col("d").as("dda"))
+      val sliverB = db.join(broadcast(diffBuckets), "bucket")
+        .select(col("key").as("kb"), col("d").as("ddb"))
+      sliverA.join(sliverB, col("ka") === col("kb"), "full_outer")
+        .select(coalesce(col("ka"), col("kb")).as("key"),
+          when(col("kb").isNull, "deleted")
+            .when(col("ka").isNull, "inserted")
+            .when(col("dda") =!= col("ddb"), "updated").as("change"))
+        .filter(col("change").isNotNull)
+        .orderBy(col("key"))
     }
   )
 }
