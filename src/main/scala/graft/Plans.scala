@@ -135,7 +135,30 @@ object Plans {
         "bucket keys per partition, never the fact table. A per-arm " +
         "UNION formulation would scan the fact twice; at 100 TB the " +
         "scan is the cost being audited.",
-      details = Seq("ReadSchema"))
+      details = Seq("ReadSchema")),
+    Entry("q120_dedup_prefix_join",
+      "Lossless candidate generation: the vocabulary df frame is the " +
+        "PINNED broadcast build side of the rank join (without the hint " +
+        "Spark's cache-derived estimates broadcast the exploded corpus " +
+        "- memory-quadratic wrong at scale), and PPJoin's length filter " +
+        "runs against doc-count-sized length frames BEFORE the " +
+        "shingle-array fetch, so size-incompatible pairs never reach " +
+        "the expensive join."),
+    Entry("q123_pps_sample",
+      "Weighted sampling without the single-task window: the " +
+        "cumulative-weight axis comes from operators.PrefixSum - ONE " +
+        "range exchange (RangePartitioning in the tree), per-partition " +
+        "totals to the driver, narrow stamping - where the oracle's " +
+        "sum() OVER (ORDER BY) formulation serializes the corpus " +
+        "through one task. The stride scalar arrives as a broadcast " +
+        "1-row cross join, the q112/q98 shape."),
+    Entry("q124_table_diff",
+      "Reconciliation without a full-width join: each snapshot reduces " +
+        "map-side to 1024 (count, bit_xor) bucket summaries - the only " +
+        "corpus-wide exchanges carry <= 1024 rows of fixed-size state - " +
+        "and the key-level outer join runs on the broadcast-semi-joined " +
+        "sliver of disagreeing buckets only. The full sort-merge join " +
+        "of both snapshots appears NOWHERE in the plan.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -479,15 +479,21 @@ object Temporal {
     // ------------------------------------------------------------------
     // Table-diff reconciliation (Merkle-style bucket checksums): decide
     // WHERE two snapshots of a keyed table differ without joining them
-    // row-by-row. Each snapshot reduces to 1024 bucket summaries
+    // row-by-row. Each snapshot reduces to 65536 bucket summaries
     // (count + bit_xor of a 60-bit per-row digest — xor is
     // order-independent and cannot overflow, count catches the
     // even-multiplicity blind spot xor alone has, and the unique key
     // inside the digest prevents within-bucket swap cancellation); only
     // buckets whose summaries disagree are drilled into with a
-    // key-level outer join. At 100 TB: two scans reduced map-side to
-    // 1024-row exchanges, then a full-width join over ONLY the
-    // differing sliver — vs a sort-merge of both full tables, which is
+    // key-level outer join. Bucket count must be sized ABOVE the
+    // expected diff cardinality or every bucket ends up touched and the
+    // sliver degenerates to the full table (the first cut here used
+    // 1024 buckets against ~4k drifted keys and the drill-down join
+    // carried the whole snapshot - caught in the PLANS.md audit); 65536
+    // holds the summary exchange at fixed KBs while keeping the probed
+    // sliver proportional to the drift. At 100 TB: two scans reduced
+    // map-side to 65536-row exchanges, then a full-width join over ONLY
+    // the differing sliver — vs a sort-merge of both full tables, which is
     // the plan you cannot afford for a nightly replica audit. Snapshot
     // B is derived in-query with deterministic drift (deletes at
     // key%131, cent bumps at key%97, inserts cloned at key%113 with
@@ -530,7 +536,7 @@ object Temporal {
       def digested(df: DataFrame): DataFrame = df.select(col("key"),
         expr("CAST(conv(substring(md5(concat_ws('|', key, cust, status, " +
           "cents)), 1, 15), 16, 10) AS BIGINT)").as("d"),
-        (col("key") % 1024).as("bucket"))
+        (col("key") % 65536).as("bucket"))
       val (da, db) = (digested(a), digested(b))
       def summary(df: DataFrame): DataFrame = df.groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"), expr("bit_xor(d)").as("x"))

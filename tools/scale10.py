@@ -132,13 +132,27 @@ def lineitem(out, src="/root/testdata/sf0.1/lineitem.parquet"):
     pq.write_table(pa.concat_tables(copies), f"{out}/lineitem.parquet")
 
 
+def orders(out, src="/root/testdata/sf0.1/orders.parquet"):
+    """10x orders for the reconciliation probe (q124): replicated 10x with
+    offset orderkeys (same span as lineitem's so the key regimes agree);
+    custkeys and value columns keep sf0.1's distribution per copy."""
+    base = pq.read_table(src)
+    copies = []
+    for c in range(10):
+        idx = base.column_names.index("o_orderkey")
+        col = pa.compute.add(base.column("o_orderkey"), c * 10_000_000)
+        copies.append(base.set_column(idx, "o_orderkey", col))
+    pq.write_table(pa.concat_tables(copies), f"{out}/orders.parquet")
+
+
 def main(out="target/scale10"):
     os.makedirs(out, exist_ok=True)
     documents(out)
     embeddings(out)
     events(out)
     lineitem(out)
-    print(f"wrote documents/embeddings/events/lineitem under {out}")
+    orders(out)
+    print(f"wrote documents/embeddings/events/lineitem/orders under {out}")
 
 
 if __name__ == "__main__":
