@@ -499,6 +499,87 @@ object Profiling {
         .filter(expr("cum div stride > (cum - n_chars) div stride"))
         .select(col("doc_id"), col("source"), col("n_chars"), col("cum"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Token-budget sharding — PrefixSum's second consumer: cut the
+    // corpus into CONTIGUOUS shards of ~100k chars each (a doc belongs
+    // to the shard its cumulative start falls in; docs never split) —
+    // the "write the training corpus as resumable, size-bounded shards
+    // in a stable global order" step of corpus prep, where a dataloader
+    // needs shard N addressable without scanning shards 0..N-1. Same
+    // scale argument as q123: the cumulative axis is ONE range shuffle,
+    // and the shard assignment is integer arithmetic on the stamped
+    // value — where the oracle's window formulation serializes the
+    // corpus through a single task.
+    QuerySpec.sqlBacked("q125_token_shards",
+      """WITH w AS (SELECT doc_id, n_chars,
+        |    CAST(sum(n_chars) OVER (ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM documents)
+        |SELECT CAST((cum - n_chars) // 100000 AS BIGINT) AS shard_id,
+        |       CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM w GROUP BY shard_id ORDER BY shard_id""".stripMargin) {
+      (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      graft.operators.PrefixSum
+        .inclusive(docs, Seq(col("doc_id")), "n_chars", "cum")
+        .select(col("doc_id"), col("n_chars"),
+          expr("(cum - n_chars) div 100000").as("shard_id"))
+        .groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("shard_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Equi-depth (decile) binning of a numeric column — feature
+    // discretization with EXACT ntile semantics, without ntile's plan:
+    // `ntile(b) OVER (ORDER BY ...)` with no partition (the oracle's
+    // form) serializes the fact table through ONE task, the same
+    // degenerate window GlobalIndex exists to kill. Here the global
+    // rank comes from GlobalIndex (one range shuffle, distributed
+    // sort), and ntile's allocation rule — first n%b bins get
+    // ceil(n/b) rows — is integer arithmetic on the stamped ordinal
+    // (n arrives as a broadcast 1-row count, the q123 stride shape).
+    // Ties in l_extendedprice are broken by (orderkey, linenumber);
+    // rows identical in ALL THREE are interchangeable for every output
+    // aggregate, so the result is engine-deterministic even though
+    // the generated lineitem is not key-unique.
+    QuerySpec.sqlBacked("q127_equidepth_bins",
+      """WITH r AS (SELECT l_extendedprice AS p,
+        |    CAST(ntile(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+        |      l_linenumber) AS BIGINT) AS bin
+        |  FROM lineitem)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS n,
+        |       min(p) AS min_price, max(p) AS max_price,
+        |       CAST(sum(CAST(p AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+        |FROM r GROUP BY bin ORDER BY bin""".stripMargin) { (s, dir) =>
+      import graft.functions.Cols.{m2, toD}
+      val b = 10
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_extendedprice").as("p"), col("l_orderkey"),
+          col("l_linenumber"))
+      val ranked = graft.operators.GlobalIndex.assign(li,
+        Seq(col("p"), col("l_orderkey"), col("l_linenumber")), "rk")
+      val cnt = li.agg(count(lit(1)).as("total"))
+      ranked.crossJoin(broadcast(cnt))
+        // ntile allocation: q = total div b bins of size q+1 for the
+        // first rem = total mod b bins, size q after; 0-based rk
+        .withColumn("bin",
+          when(col("rk") < (col("total") % b) * (expr(s"total div $b") + 1),
+            expr(s"rk div (total div $b + 1)"))
+            .otherwise(col("total") % b +
+              expr(s"(rk - (total % $b) * (total div $b + 1)) div (total div $b)"))
+            + 1)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("p")).as("min_price"),
+          max(col("p")).as("max_price"), toD(sum(m2(col("p")))).as("sum_price"))
+        .orderBy(col("bin"))
     }
   )
 }

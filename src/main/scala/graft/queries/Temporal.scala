@@ -557,6 +557,56 @@ object Temporal {
             .when(col("dda") =!= col("ddb"), "updated").as("change"))
         .filter(col("change").isNotNull)
         .orderBy(col("key"))
+    },
+
+    // ------------------------------------------------------------------
+    // Group-wise OLS trend: per-user least-squares slope of spend over
+    // time (drift / churn-risk scoring) — regression as ONE algebraic
+    // aggregate. The closed form slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²)
+    // needs only five map-side-combinable sums per key, so the shuffle
+    // carries fixed-size partials (the same economics as q117's
+    // monoids) — never the points; a per-key sort or window appears
+    // nowhere. Determinism doctrine: x = whole days since 2024-01-01,
+    // y = cents — numerator and denominator are EXACT BIGINTs (emitted
+    // for the hash gate), and the one double division at the end is
+    // IEEE-defined on identical operands, so even the slope matches
+    // bit-for-bit. Engines' regr_slope would run the same math in
+    // floating point per partial — order-dependent, un-oracle-able.
+    QuerySpec.sqlBacked("q126_groupwise_trend",
+      """WITH e AS (SELECT user_id,
+        |    CAST(datediff('day', TIMESTAMP '2024-01-01',
+        |                  CAST(ts AS TIMESTAMP)) AS BIGINT) AS x,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        |  FROM events),
+        |s AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x*y) AS BIGINT) AS sxy,
+        |        CAST(sum(x*x) AS BIGINT) AS sxx
+        |      FROM e GROUP BY user_id)
+        |SELECT user_id, n, n*sxy - sx*sy AS slope_num,
+        |       n*sxx - sx*sx AS slope_den,
+        |       CASE WHEN n*sxx - sx*sx = 0 THEN NULL
+        |            ELSE CAST(n*sxy - sx*sy AS DOUBLE)
+        |                 / CAST(n*sxx - sx*sx AS DOUBLE)
+        |       END AS slope_cents_per_day
+        |FROM s ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "events")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).cast("long")
+            .as("x"),
+          floor(col("value") * 100 + 0.5).cast("long").as("y"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("user_id"), col("n"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("slope_den"))
+        .withColumn("slope_cents_per_day",
+          when(col("slope_den") === 0, lit(null).cast("double"))
+            .otherwise(col("slope_num").cast("double") /
+              col("slope_den").cast("double")))
+        .orderBy(col("user_id"))
     }
   )
 }
