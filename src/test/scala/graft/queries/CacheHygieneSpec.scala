@@ -30,7 +30,11 @@ class CacheHygieneSpec extends SparkSpec {
         // scratch), PageRank's internal persists, the funnel's gram index
         "q102_ivf_learned", "q103_semdedup", "q105_pagerank",
         "q107_diversity_sample", "q110_cluster_cohesion",
-        "q111_pipeline_funnel", "q112_bm25")) {
+        "q111_pipeline_funnel", "q112_bm25",
+        // round-6 scratch users: the heavy-hitter sketches (candidate
+        // broadcast scratch) and the prefix-join's shingle scratch
+        "q115_heavy_hitters", "q118_heavy_hitters_by_source",
+        "q120_dedup_prefix_join")) {
       assert(run(q) >= 0)
       assert(bridge.cacheIsEmpty(spark), s"$q leaked a cached plan")
     }

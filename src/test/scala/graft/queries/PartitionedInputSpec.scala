@@ -45,7 +45,13 @@ class PartitionedInputSpec extends SparkSpec {
       // iterative rank recurrence, the composed funnel, and the double
       // BM25 scores - each a distinct layout-sensitivity class
       "q103_semdedup", "q105_pagerank", "q111_pipeline_funnel",
-      "q112_bm25")) {
+      "q112_bm25",
+      // round-6: the rank/scan operators (GlobalIndex ordinals under
+      // fingerprint sort, PrefixSum cumulative axes, ntile arithmetic)
+      // and the xor-checksum protocol - each depends on a global order
+      // or order-independence claim the layout must not break
+      "q121_dedup_sorted_neighborhood", "q123_pps_sample",
+      "q124_table_diff", "q125_token_shards", "q127_equidepth_bins")) {
     test(s"$q is invariant to input file layout") {
       val fn = SparkEntry.queries(q)
       val a = canon(fn(spark, orig).collect())
