@@ -607,6 +607,62 @@ object Temporal {
             .otherwise(col("slope_num").cast("double") /
               col("slope_den").cast("double")))
         .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Distribution drift (total-variation distance): how far did each
+    // event type's spend distribution move across the 2024-01-15
+    // cutoff — the data-drift monitor a pipeline runs between snapshots
+    // before trusting a model trained on the old one. TV distance
+    // = ½·Σ|p_i − q_i| over $25 buckets, computed as EXACT integers:
+    // Σ|n_i·M − m_i·N| / (2·N·M) — no logs (PSI/KL need libm, whose
+    // rounding diverges across engines — the q112/q123 doctrine), and
+    // the numerator/denominator are emitted for the hash gate with the
+    // one double division last. Shape: ONE scan with both periods
+    // counted map-side per (type, bucket) — never two scans of the
+    // fact — then bucket-space-sized joins. Counts here fit BIGINT
+    // (products ≤ rows²); a true 100 TB run lifts the products to
+    // DECIMAL(38,0) — same plan, wider lanes.
+    QuerySpec.sqlBacked("q128_distribution_drift",
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 2500 AS bucket,
+        |    CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-15' AS pa
+        |  FROM events),
+        |g AS (SELECT event_type, bucket,
+        |    CAST(count(*) FILTER (WHERE pa) AS BIGINT) AS na,
+        |    CAST(count(*) FILTER (WHERE NOT pa) AS BIGINT) AS nb
+        |  FROM e GROUP BY event_type, bucket),
+        |t AS (SELECT event_type, CAST(sum(na) AS BIGINT) AS n_a,
+        |        CAST(sum(nb) AS BIGINT) AS n_b
+        |      FROM g GROUP BY event_type)
+        |SELECT g.event_type, n_a, n_b,
+        |  CAST(sum(abs(na * n_b - nb * n_a)) AS BIGINT) AS tv_num,
+        |  2 * n_a * n_b AS tv_den,
+        |  CAST(CAST(sum(abs(na * n_b - nb * n_a)) AS BIGINT) AS DOUBLE)
+        |    / CAST(2 * n_a * n_b AS DOUBLE) AS tv
+        |FROM g JOIN t ON g.event_type = t.event_type
+        |GROUP BY g.event_type, n_a, n_b
+        |ORDER BY g.event_type""".stripMargin) { (s, dir) =>
+      val cut = lit("2024-01-15").cast("timestamp")
+      val g = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 2500")
+            .as("bucket"),
+          (col("ts") < cut).as("pa"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(when(col("pa"), 1)).as("na"),
+          count(when(!col("pa"), 1)).as("nb"))
+      val t = g.groupBy(col("event_type"))
+        .agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+      g.join(t, "event_type")
+        .groupBy(col("event_type"), col("n_a"), col("n_b"))
+        .agg(sum(abs(col("na") * col("n_b") - col("nb") * col("n_a")))
+          .as("tv_num"))
+        .select(col("event_type"), col("n_a"), col("n_b"), col("tv_num"),
+          (lit(2L) * col("n_a") * col("n_b")).as("tv_den"))
+        .withColumn("tv",
+          col("tv_num").cast("double") / col("tv_den").cast("double"))
+        .orderBy(col("event_type"))
     }
   )
 }
