@@ -154,11 +154,13 @@ object Plans {
         "1-row cross join, the q112/q98 shape."),
     Entry("q124_table_diff",
       "Reconciliation without a full-width join: each snapshot reduces " +
-        "map-side to 1024 (count, bit_xor) bucket summaries - the only " +
-        "corpus-wide exchanges carry <= 1024 rows of fixed-size state - " +
+        "map-side to 65536 (count, bit_xor) bucket summaries - the only " +
+        "corpus-wide exchanges carry <= 65536 rows of fixed-size state - " +
         "and the key-level outer join runs on the broadcast-semi-joined " +
-        "sliver of disagreeing buckets only. The full sort-merge join " +
-        "of both snapshots appears NOWHERE in the plan.")
+        "sliver of disagreeing buckets only (~9.2k rows vs the 150k-row " +
+        "snapshot at the audit SF; the 1024-bucket first cut degenerated " +
+        "to the full table - see the query's scaladoc). The full " +
+        "sort-merge join of both snapshots appears NOWHERE in the plan.")
   )
 
   def main(args: Array[String]): Unit = {

@@ -1,9 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
-import org.apache.spark.sql.types.{LongType, StructField}
 
 /** Contiguous global ordinals (0..N-1) in a total sort order — the
   * "assign every training example a stable sequence id" step of corpus
@@ -49,40 +46,9 @@ object GlobalIndex {
 
   /** Append `outCol`: the 0-based global ordinal of each row under the
     * ascending total order of `sortCols` (keys must be non-null — see
-    * class doc). */
+    * class doc). Two-phase machinery shared with PrefixSum (ScanStamp):
+    * contribution ≡ 1, stamped BEFORE accumulating = 0-based ordinal. */
   def assign(df: DataFrame, sortCols: Seq[Column],
-      outCol: String = "seq_id"): DataFrame = {
-    val spark = df.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
-    val sorted = df
-      .repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-
-    // One RDD instance for both jobs: the count job materializes the
-    // range shuffle; the stamping job reuses its map output.
-    val rdd = sorted.queryExecution.toRdd
-
-    // Phase-2a: per-partition sizes (consumes UnsafeRow iterators without
-    // touching row contents), prefix-summed on the driver — #partitions
-    // longs, not rows.
-    val counts = rdd
-      .mapPartitionsWithIndex((i, it) => Iterator.single((i, it.size.toLong)))
-      .collect().sortBy(_._1).map(_._2)
-    val offsets = counts.scanLeft(0L)(_ + _)
-
-    // Phase-2b: narrow stamping map. JoinedRow and the 1-field index row
-    // are reused per-partition — consumers copy on materialization
-    // (UnsafeProjection at the scan boundary), per the iterator contract.
-    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
-      var n = offsets(i)
-      val idx = new GenericInternalRow(1)
-      val joined = new JoinedRow
-      it.map { r =>
-        idx.setLong(0, n); n += 1
-        joined(r, idx): InternalRow
-      }
-    }
-    org.apache.spark.sql.graft.bridge.internalCreateDataFrame(spark, stamped,
-      sorted.schema.add(StructField(outCol, LongType, nullable = false)))
-  }
+      outCol: String = "seq_id"): DataFrame =
+    ScanStamp(df, sortCols, outCol, stampAfter = false)(_ => 1L)
 }

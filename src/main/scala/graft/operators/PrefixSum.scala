@@ -1,9 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{GenericInternalRow, JoinedRow}
-import org.apache.spark.sql.types.{LongType, StructField}
+import org.apache.spark.sql.types.LongType
 
 /** Distributed running (inclusive) prefix sum of an integer weight under
   * a total sort order — the parallel-scan primitive (Blelloch's two-phase
@@ -44,45 +42,17 @@ object PrefixSum {
     * ascending total order of `sortCols`. */
   def inclusive(df: DataFrame, sortCols: Seq[Column], weightCol: String,
       outCol: String = "cum"): DataFrame = {
-    val spark = df.sparkSession
-    val parts = spark.sparkContext.defaultParallelism
-    val sorted = df
-      .repartitionByRange(parts, sortCols: _*)
-      .sortWithinPartitions(sortCols: _*)
-    val wIdx = sorted.schema.fieldIndex(weightCol)
-    require(sorted.schema(wIdx).dataType == LongType,
+    val wIdx = df.schema.fieldIndex(weightCol)
+    require(df.schema(wIdx).dataType == LongType,
       s"graft PrefixSum needs BIGINT weights, got " +
-        s"${sorted.schema(wIdx).dataType.simpleString} for '$weightCol'")
-
-    val rdd = sorted.queryExecution.toRdd
-
-    // Phase-2a: per-partition weight totals; addExact both here and in
-    // the driver scan — wraparound must fail, not corrupt cumulative.
-    val totals = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach { r =>
-        require(!r.isNullAt(wIdx),
-          s"graft PrefixSum: null weight in partition $i")
-        s = Math.addExact(s, r.getLong(wIdx))
-      }
-      Iterator.single((i, s))
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(Math.addExact)
-
-    // Phase-2b: narrow stamping map, reusing the shuffle files the
-    // totals job wrote. JoinedRow + 1-field row reused per partition;
-    // consumers copy at the scan boundary per the iterator contract.
-    val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
-      var cum = offsets(i)
-      val idx = new GenericInternalRow(1)
-      val joined = new JoinedRow
-      it.map { r =>
-        cum = Math.addExact(cum, r.getLong(wIdx))
-        idx.setLong(0, cum)
-        joined(r, idx): InternalRow
-      }
+        s"${df.schema(wIdx).dataType.simpleString} for '$weightCol'")
+    // Two-phase machinery shared with GlobalIndex (ScanStamp): stamp
+    // AFTER accumulating = inclusive cumulative. The contrib validates
+    // per-row non-nullness — surfacing in the totals job, before
+    // anything is stamped.
+    ScanStamp(df, sortCols, outCol, stampAfter = true) { r =>
+      require(!r.isNullAt(wIdx), "graft PrefixSum: null weight")
+      r.getLong(wIdx)
     }
-    org.apache.spark.sql.graft.bridge.internalCreateDataFrame(spark, stamped,
-      sorted.schema.add(StructField(outCol, LongType, nullable = false)))
   }
 }

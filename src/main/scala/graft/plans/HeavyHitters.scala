@@ -45,6 +45,19 @@ case class HeavyHitters(
 
   override def children: Seq[Expression] = Seq(child)
   override def nullable: Boolean = false
+  // Fail at analysis, not mid-task: update() reads the child as
+  // UTF8String; a non-string child would otherwise ClassCastException
+  // on an executor (the PostingPairs/PrefixSum fail-loud doctrine).
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_heavy_hitters expects a STRING column, got " +
+            other.simpleString)
+    }
   /** `lb` holds the surviving MG counters parallel to `cand` — each is a
     * LOWER bound on its key's true count (true ≤ counter + N/capacity);
     * diagnostics and the streaming twin's summary merge both need them. */

@@ -491,9 +491,15 @@ object Profiling {
       val cum = graft.operators.PrefixSum
         .inclusive(docs, Seq(col("doc_id")), "n_chars", "cum")
       // integer div (not `/`, which is double division and would round
-      // for totals beyond 2^53)
+      // for totals beyond 2^53). Fail-loud on stride=0 (total < k):
+      // Spark's div-by-zero yields NULL, which would silently return an
+      // EMPTY sample where DuckDB errors — the PrefixSum overflow-guard
+      // doctrine applied to the degenerate-corpus case.
       val stride = docs
         .agg(expr("CAST(sum(n_chars) AS BIGINT) div 40").as("stride"))
+        .select(expr("IF(stride > 0, stride, " +
+          "raise_error('graft q123: total weight below k; stride is 0'))")
+          .as("stride"))
       cum.crossJoin(broadcast(stride))
         // non-negative longs: integer div is floor in both engines
         .filter(expr("cum div stride > (cum - n_chars) div stride"))

@@ -911,13 +911,19 @@ object Relational {
     // data-quality gate a pipeline runs before joining fact tables it
     // did not produce. Shape at 100 TB: each child is aggregated to its
     // KEY SPACE first (one map-side-combined exchange per edge, keyed
-    // on the FK — never wider than distinct keys), and the anti-join
-    // that finds orphans runs on that key frame, not the fact — dims
-    // broadcast, the one fact-fact edge (lineitem->orders) shuffles
-    // distinct orderkeys only. A naive per-edge `fact LEFT ANTI parent`
-    // would re-shuffle the full fact width seven times.
+    // on the FK — never wider than distinct keys), and the
+    // orphan-detecting join probes DISTINCT parent keys (EXISTS
+    // semantics — a dirty parent with duplicated primary keys must not
+    // multiply audit counts; that is precisely the corruption this
+    // query exists to survive) — dims broadcast, the one fact-fact
+    // edge (lineitem->orders) shuffles distinct orderkeys only. A
+    // naive per-edge `fact LEFT ANTI parent` would re-shuffle the full
+    // fact width seven times. Both the oracle SQL and the Spark plan
+    // derive from the ONE edge list below — the two formulations
+    // cannot drift.
     QuerySpec.sqlBacked("q122_ref_integrity", {
-      def arm(child: String, fk: String, parent: String, pk: String) =
+      def arm(e: (String, String, String, String)) = {
+        val (child, fk, parent, pk) = e
         s"""SELECT '$child.$fk' AS edge,
            |  (SELECT CAST(count($fk) AS BIGINT) FROM $child) AS child_rows,
            |  CAST(count(*) AS BIGINT) AS distinct_keys,
@@ -928,20 +934,17 @@ object Relational {
            |        NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)
            |          AS orphan
            |      FROM $child c WHERE $fk IS NOT NULL GROUP BY c.$fk)""".stripMargin
-      Seq(
-        arm("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        arm("lineitem", "l_partkey", "part", "p_partkey"),
-        arm("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        arm("orders", "o_custkey", "customer", "c_custkey"),
-        arm("customer", "c_nationkey", "nation", "n_nationkey"),
-        arm("supplier", "s_nationkey", "nation", "n_nationkey"),
-        arm("nation", "n_regionkey", "region", "r_regionkey"))
-        .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+      }
+      fkEdges.map(arm).mkString("", "\nUNION ALL\n", "\nORDER BY edge")
     }) { (s, dir) =>
-      def arm(child: String, fk: String, parent: String, pk: String) = {
+      def arm(e: (String, String, String, String)) = {
+        val (child, fk, parent, pk) = e
         val keys = t(s, dir, child).filter(col(fk).isNotNull)
           .groupBy(col(fk)).agg(count(lit(1)).as("n"))
-        val orphans = keys.join(t(s, dir, parent).select(col(pk)),
+        // distinct() = the oracle's EXISTS: one match flag per key even
+        // if the parent's pk is (wrongly) duplicated
+        val orphans = keys.join(
+          t(s, dir, parent).select(col(pk)).distinct(),
           col(fk) === col(pk), "left_outer")
           .select(col("n"), col(pk).isNull.as("orphan"))
         orphans.agg(
@@ -953,16 +956,19 @@ object Relational {
           .select(lit(s"$child.$fk").as("edge"), col("child_rows"),
             col("distinct_keys"), col("orphan_keys"), col("orphan_rows"))
       }
-      Seq(
-        arm("lineitem", "l_orderkey", "orders", "o_orderkey"),
-        arm("lineitem", "l_partkey", "part", "p_partkey"),
-        arm("lineitem", "l_suppkey", "supplier", "s_suppkey"),
-        arm("orders", "o_custkey", "customer", "c_custkey"),
-        arm("customer", "c_nationkey", "nation", "n_nationkey"),
-        arm("supplier", "s_nationkey", "nation", "n_nationkey"),
-        arm("nation", "n_regionkey", "region", "r_regionkey"))
-        .reduce(_.unionAll(_))
-        .orderBy(col("edge"))
+      fkEdges.map(arm).reduce(_.unionAll(_)).orderBy(col("edge"))
     }
   )
+
+  /** The star schema's FK edges (child, fk, parent, pk) — q122's single
+    * source of truth for both the oracle SQL and the Spark plan. (A
+    * `def`: `specs` initializes first and builds the oracle eagerly.) */
+  private def fkEdges = Seq(
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"))
 }

@@ -75,4 +75,14 @@ class HeavyHittersSpec extends SparkSpec {
       .select(col("sk.total")).head()
     assert(row.getLong(0) == n)
   }
+
+  test("non-string child is rejected at analysis, not mid-task") {
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("v")
+    val e = intercept[Exception] {
+      df.agg(HeavyHitters(col("v"), 8)).collect()
+    }
+    assert(e.getMessage.contains("STRING"),
+      s"expected an analysis-time type error, got: ${e.getMessage}")
+  }
 }
