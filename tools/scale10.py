@@ -145,6 +145,25 @@ def orders(out, src="/root/testdata/sf0.1/orders.parquet"):
     pq.write_table(pa.concat_tables(copies), f"{out}/orders.parquet")
 
 
+def dims(out, src_dir="/root/testdata/sf0.1"):
+    """Remaining star-schema tables so whole-schema probes (q122) run at
+    10x: part/supplier replicate 10x with the SAME key offsets lineitem
+    uses (referential integrity preserved by construction); customer,
+    nation, region copy straight through (orders keeps o_custkey
+    unchanged per copy, so the customer key space is unchanged)."""
+    for name, key, span in (("part", "p_partkey", 1_000_000),
+                            ("supplier", "s_suppkey", 100_000)):
+        base = pq.read_table(f"{src_dir}/{name}.parquet")
+        idx = base.column_names.index(key)
+        copies = [base.set_column(idx, key,
+                                  pa.compute.add(base.column(key), c * span))
+                  for c in range(10)]
+        pq.write_table(pa.concat_tables(copies), f"{out}/{name}.parquet")
+    for name in ("customer", "nation", "region"):
+        pq.write_table(pq.read_table(f"{src_dir}/{name}.parquet"),
+                       f"{out}/{name}.parquet")
+
+
 def main(out="target/scale10"):
     os.makedirs(out, exist_ok=True)
     documents(out)
@@ -152,7 +171,8 @@ def main(out="target/scale10"):
     events(out)
     lineitem(out)
     orders(out)
-    print(f"wrote documents/embeddings/events/lineitem/orders under {out}")
+    dims(out)
+    print(f"wrote the full 10x schema under {out}")
 
 
 if __name__ == "__main__":
