@@ -1265,6 +1265,41 @@ object Dedup {
             .as("hamming"))
         .filter(col("hamming") <= 2)
         .orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // Label-propagation communities (operators.LabelPropagation) — the
+    // fourth graph operator over the q36 near-dup graph. CC (q65)
+    // answers "transitively connected at all": one stray boundary pair
+    // chains two clusters into one canonical group. LPA's frequency
+    // rule answers "densely clustered": each of 3 synchronous rounds
+    // every node adopts its neighbors' most common label (count DESC,
+    // label ASC tie order), so a sparse bridge stops propagating. The
+    // oracle is the 3 rounds UNROLLED as CTEs — each round a mode
+    // aggregation ranked by the same total tie order (the q105
+    // fixed-rounds doctrine: classic LPA's random ties and async
+    // updates are un-oracle-able by construction).
+    QuerySpec.sqlBacked("q129_label_propagation", {
+      val rounds = (1 to 3).map { i =>
+        s"""r$i AS (SELECT e.u, l.lbl, count(*) AS c
+           |  FROM e JOIN l${i - 1} l ON e.v = l.node GROUP BY e.u, l.lbl),
+           |l$i AS (SELECT u AS node, lbl FROM (
+           |  SELECT u, lbl, row_number() OVER (PARTITION BY u
+           |    ORDER BY c DESC, lbl) AS rn FROM r$i) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $jaccardPairsCtes,
+         |e AS (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION SELECT b_id, a_id FROM jp),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
+         |$rounds
+         |SELECT node AS doc_id, lbl AS community FROM l3
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.LabelPropagation
+        .run(jaccardPairs(s, dir).select(col("a_id"), col("b_id")), 3)
+        .select(col("node").as("doc_id"), col("community"))
+        .orderBy(col("doc_id"))
     }
   )
 }

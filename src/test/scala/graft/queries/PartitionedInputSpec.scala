@@ -51,7 +51,8 @@ class PartitionedInputSpec extends SparkSpec {
       // and the xor-checksum protocol - each depends on a global order
       // or order-independence claim the layout must not break
       "q121_dedup_sorted_neighborhood", "q123_pps_sample",
-      "q124_table_diff", "q125_token_shards", "q127_equidepth_bins")) {
+      "q124_table_diff", "q125_token_shards", "q127_equidepth_bins",
+      "q129_label_propagation")) {
     test(s"$q is invariant to input file layout") {
       val fn = SparkEntry.queries(q)
       val a = canon(fn(spark, orig).collect())
