@@ -16,19 +16,34 @@ object Tables {
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.ts is written as parquet TIMESTAMP(NANOS), which Spark has no
-    // native type for. Read it as raw nanos and floor-divide to µs (the
-    // generated data is µs-precision, so this is lossless); `div` keeps the
-    // arithmetic integral (a double division would lose precision on
-    // ~1.7e18 nano epochs).
+    // events.ts has been written two ways across driver rounds:
+    //  - TIMESTAMP(NANOS), which Spark has no native type for: read it as
+    //    raw nanos (the legacy conf) and floor-divide to µs — the generated
+    //    data is µs-precision, so this is lossless, and `div` keeps the
+    //    arithmetic integral (a double division would lose precision on
+    //    ~1.7e18 nano epochs);
+    //  - TIMESTAMP(MICROS) isAdjustedToUTC=false, which arrives as
+    //    TIMESTAMP_NTZ: cast to the session type (TimestampType, session
+    //    TZ pinned UTC in every entrypoint) so downstream queries and the
+    //    verify dump see one ts type regardless of which file shape the
+    //    round's generator produced.
+    // The conf only affects nanos columns, so setting it is harmless for
+    // µs files; the branch below keys off the type the scan actually
+    // resolved.
     if (!spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean)
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
+    if (name == "events") {
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampType => df
+        case _ =>
+          df.withColumn("ts",
+            col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      }
+    } else df
   }
 
   /** Spread a scan across the session's cores ONLY when it arrives with

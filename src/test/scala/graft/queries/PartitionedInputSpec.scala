@@ -23,8 +23,9 @@ class PartitionedInputSpec extends SparkSpec {
   private val orig = "/root/testdata/sf0.001"
   private lazy val part: String = {
     val dst = java.nio.file.Files.createTempDirectory("graft_part").toString
-    // Raw copy (nanosAsLong set first so events.ts survives as plain
-    // int64 — Tables applies the same µs conversion to both layouts).
+    // Raw copy (nanosAsLong set first so a NANOS-written events.ts
+    // survives as plain int64; a MICROS-written one passes through as
+    // TIMESTAMP_NTZ — Tables normalizes every layout to TimestampType).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     graft.sources.Tables.all.foreach { t =>
       spark.read.parquet(s"$orig/$t.parquet")
