@@ -586,6 +586,59 @@ object Profiling {
         .agg(count(lit(1)).as("n"), min(col("p")).as("min_price"),
           max(col("p")).as("max_price"), toD(sum(m2(col("p")))).as("sum_price"))
         .orderBy(col("bin"))
+    },
+
+    // ------------------------------------------------------------------
+    // q131: per-key anomaly detection — flag events whose value deviates
+    // more than 2σ from the SAME USER's own distribution. The z-score
+    // test |x − μ| > kσ is evaluated entirely in BIGINTs by clearing
+    // denominators: with n, s = Σx, q = Σx² per user (x = value in
+    // floor-cents, exact on both engines — floor has no tie ambiguity,
+    // unlike round), μ = s/n and σ² = (nq − s²)/n², so
+    //   (nx − s)² > k²·(nq − s²)
+    // is the exact integer form (the q98/q123 determinism doctrine: no
+    // doubles in the decision). Scale shape: ONE scan → user-keyed
+    // aggregate with map-side partials (state = 3 longs/user), stats
+    // joined back on user_id (broadcast at test SF, an equi-shuffle at
+    // 100 TB — both sides key-partitioned, never wider than the event
+    // row), filter is a projection. Headroom: |nx − s| ≤ 2·n·max(x);
+    // with cents ≤ ~1e5 the square stays under 2^63 while n ≤ ~1.5e4
+    // events/user — generous for per-user history, and the oracle's
+    // raise_error guard (mirrored in the Spark plan via the same CASE)
+    // makes a corpus beyond it fail loudly, not wrap (q88 doctrine).
+    QuerySpec.sqlBacked("q131_outlier_events",
+      """WITH x AS (SELECT event_id, user_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |g AS (SELECT user_id, count(*) AS n, sum(cents) AS s,
+        |        sum(cents * cents) AS q
+        |      FROM x GROUP BY user_id HAVING count(*) >= 12),
+        |gg AS (SELECT CASE WHEN n > 15000 THEN CAST(error(
+        |    'graft q131: per-user event count exceeds the BIGINT z-score
+        | headroom (n*max_cents must stay under ~3e9 so its square fits
+        | 2^63) - widen to DECIMAL before running at this scale') AS
+        |    BIGINT) ELSE n END AS n, user_id, s, q FROM g)
+        |SELECT x.event_id, x.user_id, x.cents, gg.n
+        |FROM x JOIN gg USING (user_id)
+        |WHERE (gg.n * x.cents - gg.s) * (gg.n * x.cents - gg.s)
+        |      > 4 * (gg.n * gg.q - gg.s * gg.s)
+        |ORDER BY x.user_id, x.event_id""".stripMargin) { (s, dir) =>
+      val x = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val g = x.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
+          sum(col("cents") * col("cents")).as("q"))
+        .filter(col("n") >= 12)
+        .withColumn("n", when(col("n") > 15000, expr(
+          "raise_error('graft q131: per-user event count exceeds the " +
+            "BIGINT z-score headroom - widen to DECIMAL')").cast("long"))
+          .otherwise(col("n")))
+      x.join(g, "user_id")
+        .filter((col("n") * col("cents") - col("s"))
+          * (col("n") * col("cents") - col("s"))
+          > lit(4) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("event_id"), col("user_id"), col("cents"), col("n"))
+        .orderBy(col("user_id"), col("event_id"))
     }
   )
 }

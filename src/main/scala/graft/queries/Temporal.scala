@@ -663,6 +663,54 @@ object Temporal {
         .withColumn("tv",
           col("tv_num").cast("double") / col("tv_den").cast("double"))
         .orderBy(col("event_type"))
+    },
+
+    // ------------------------------------------------------------------
+    // q133: SCD2 (slowly-changing-dimension type 2) history construction
+    // — the warehouse primitive that turns an append-only changelog into
+    // versioned [valid_from, valid_to) intervals. Treating events as a
+    // per-user attribute changelog (event_type = the tracked status,
+    // (ts, event_id) the total change order): collapse consecutive
+    // repeats of the same status, stamp each surviving change with the
+    // next change's timestamp as its expiry, NULL expiry = the current
+    // row. Complements q116 (changelog → latest snapshot): same input
+    // contract, full history instead of the head. Scale shape: both
+    // windows are PARTITIONED BY user_id — per-partition work is bounded
+    // by per-entity history (the q113/q116 per-user contract), one hash
+    // exchange on user_id shared by both window stages and no global
+    // sort anywhere; the final ORDER BY is presentation-only.
+    QuerySpec.sqlBacked("q133_scd2_history",
+      """WITH e AS (SELECT user_id, event_type AS status, event_id,
+        |             CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |o AS (SELECT *, lag(status) OVER
+        |        (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |      FROM e),
+        |c AS (SELECT user_id, status, ts AS valid_from, event_id
+        |      FROM o WHERE prev IS NULL OR status <> prev)
+        |SELECT user_id, status, valid_from,
+        |  lead(valid_from) OVER w AS valid_to,
+        |  (lead(valid_from) OVER w IS NULL) AS is_current,
+        |  CAST(row_number() OVER w AS BIGINT) AS version
+        |FROM c WINDOW w AS
+        |  (PARTITION BY user_id ORDER BY valid_from, event_id)
+        |ORDER BY user_id, version""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val byChange = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val byVersion = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from"), col("event_id"))
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("status"),
+          col("event_id"), col("ts"))
+        .withColumn("prev", lag(col("status"), 1).over(byChange))
+        .filter(col("prev").isNull || col("status") =!= col("prev"))
+        .select(col("user_id"), col("status"),
+          col("ts").as("valid_from"), col("event_id"))
+        .select(col("user_id"), col("status"), col("valid_from"),
+          lead(col("valid_from"), 1).over(byVersion).as("valid_to"),
+          lead(col("valid_from"), 1).over(byVersion).isNull.as("is_current"),
+          row_number().over(byVersion).cast("long").as("version"))
+        .orderBy(col("user_id"), col("version"))
     }
   )
 }

@@ -738,6 +738,155 @@ object TextOps {
             col("dl"), col("score"), col("rnk"))
           .orderBy(col("rnk"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q132: index-accelerated phrase search — the inverted-index lookup a
+    // corpus-search / decontamination tool runs for a literal word
+    // phrase, next to q69 (repeated passages) and q63 (known-benchmark
+    // lookup). Semantics: word-aligned occurrence, i.e. the phrase
+    // bounded by token boundaries (padded `contains` on ' phrase ').
+    // Index path: posting lists of word BIGRAMS (WordShingles k=2, the
+    // dedup family's shared gram machinery); a phrase occurrence implies
+    // every one of its bigrams occurs word-aligned, so docs holding ALL
+    // query bigrams are a provably lossless candidate set — the padded
+    // `contains` verify on that sliver restores exactness (adjacency is
+    // what the index cannot see). The oracle is the full-scan `contains`,
+    // so the gate proves index path ≡ brute force. Scale shape: the
+    // query-gram filter is a literal IN pushed inside the shingle scan
+    // (non-matching grams never leave the exploding projection), the
+    // posting shuffle carries (gram, doc_id) for ~df rows per query
+    // gram, the candidate set after the ALL-grams intersection is tiny
+    // and broadcast back against the corpus for the verify fetch. With a
+    // MATERIALIZED posting table (the 100 TB deployment) the first scan
+    // disappears entirely; the shape here pays it once per query.
+    QuerySpec.sqlBacked("q132_phrase_search", {
+      val phrase = "table window table"
+      s"""SELECT doc_id, source, n_chars
+         |FROM documents
+         |WHERE contains(' ' || text || ' ', ' $phrase ')
+         |ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val phrase = "table window table"
+      val words = phrase.split(" ").toSeq
+      val grams = words.sliding(2).map(_.mkString(" ")).toSeq.distinct
+      val docs = Tables.spread(s, dir, "documents")
+      val postings = docs
+        .select(col("doc_id"),
+          explode(graft.plans.WordShingles(col("text"), 2, distinct = true))
+            .as("gram"))
+        .filter(col("gram").isin(grams: _*))
+      val candidates = postings
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("ng"))
+        .filter(col("ng") === grams.size)
+        .select(col("doc_id"))
+      docs.join(broadcast(candidates), "doc_id")
+        .filter(concat(lit(" "), col("text"), lit(" "))
+          .contains(s" $phrase "))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q130: BPE tokenizer training — the first 4 merge rounds of
+    // byte-pair encoding over the corpus vocabulary, the step that sits
+    // upstream of every token-count/fertility statistic (q33/q96). The
+    // distributed shape is the one that matters at 100 TB: the corpus is
+    // scanned ONCE, reduced to the word histogram (vocab-bounded,
+    // map-side partials — the q96/q106 tokenizer-stats contract), and
+    // every merge round then runs on the HISTOGRAM only: pair counts are
+    // a vocab-sized aggregate, the argmax pair is ONE broadcast row, and
+    // applying the merge is a projection. Lineage is cut per round
+    // (localCheckpoint, the KMeans/CC doctrine).
+    //
+    // Determinism doctrine: ties in pair counts are broken by the total
+    // order (count DESC, lhs ASC, rhs ASC) via min(struct(-c, lhs,
+    // rhs)); the merge application is a left fold over the symbol list
+    // with the IDENTICAL textual CASE in both engines (list_reduce's
+    // seed-with-first-element contract mirrored by aggregate over
+    // slice(…, 2, n-1)), so the greedy leftmost-non-overlapping merge —
+    // including the "a a a" overlap case and multi-char symbol
+    // boundaries, which naive string replace gets wrong — is the same
+    // map everywhere. Emits (round, lhs, rhs, pair_count).
+    QuerySpec.sqlBacked("q130_bpe_merges", {
+      val fold = (b: String) => s"""list_reduce(string_split(repr, ' '),
+         |  (acc, x) -> CASE
+         |    WHEN x = $b.rhs AND (acc = $b.lhs OR (length(acc) > length($b.lhs)
+         |      AND substr(acc, length(acc) - length($b.lhs) + 1) = $b.lhs
+         |      AND substr(acc, length(acc) - length($b.lhs), 1) = ' '))
+         |    THEN substr(acc, 1, length(acc) - length($b.lhs)) || $b.lhs || $b.rhs
+         |    ELSE acc || ' ' || x END)""".stripMargin
+      def pairs(src: String) =
+        s"""(SELECT ss[i] AS lhs, ss[i+1] AS rhs, CAST(sum(n) AS BIGINT) AS c
+           |  FROM (SELECT n, string_split(repr, ' ') AS ss FROM $src),
+           |       unnest(range(1, len(ss))) AS t(i)
+           |  GROUP BY lhs, rhs)""".stripMargin
+      s"""WITH v0 AS (
+         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n,
+         |         array_to_string(string_split(w, ''), ' ') AS repr
+         |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+         |  WHERE len(w) > 0 GROUP BY w),
+         |p1 AS ${pairs("v0")},
+         |b1 AS (SELECT lhs, rhs, c FROM p1 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |v1 AS (SELECT word, n, ${fold("b1")} AS repr FROM v0, b1),
+         |p2 AS ${pairs("v1")},
+         |b2 AS (SELECT lhs, rhs, c FROM p2 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |v2 AS (SELECT word, n, ${fold("b2")} AS repr FROM v1, b2),
+         |p3 AS ${pairs("v2")},
+         |b3 AS (SELECT lhs, rhs, c FROM p3 ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |v3 AS (SELECT word, n, ${fold("b3")} AS repr FROM v2, b3),
+         |p4 AS ${pairs("v3")},
+         |b4 AS (SELECT lhs, rhs, c FROM p4 ORDER BY c DESC, lhs, rhs LIMIT 1)
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, lhs, rhs, c FROM b1 UNION ALL
+         |  SELECT 2, lhs, rhs, c FROM b2 UNION ALL
+         |  SELECT 3, lhs, rhs, c FROM b3 UNION ALL
+         |  SELECT 4, lhs, rhs, c FROM b4)
+         |ORDER BY round""".stripMargin
+    }) { (s, dir) =>
+      val rounds = 4
+      // the lambda vars are acc/x; lhs/rhs resolve to the broadcast
+      // best-pair columns of the crossJoined row
+      val foldCase =
+        """aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> CASE
+          |  WHEN x = rhs AND (acc = lhs OR (length(acc) > length(lhs)
+          |    AND substr(acc, length(acc) - length(lhs) + 1) = lhs
+          |    AND substr(acc, length(acc) - length(lhs), 1) = ' '))
+          |  THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
+          |  ELSE acc || ' ' || x END)""".stripMargin
+      var vocab = Tables.spread(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .withColumn("repr", concat_ws(" ", split(col("word"), "")))
+        .localCheckpoint()
+      var merges = Seq.empty[org.apache.spark.sql.DataFrame]
+      for (r <- 1 to rounds) {
+        val best = vocab
+          .select(col("n"), split(col("repr"), " ").as("ss"))
+          .filter(size(col("ss")) >= 2)
+          .select(col("n"), explode(expr(
+            "transform(sequence(0, size(ss) - 2), " +
+              "i -> struct(ss[i] AS lhs, ss[i + 1] AS rhs))")).as("p"))
+          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+          .agg(sum(col("n")).as("c"))
+          .agg(min(struct((-col("c")).as("nc"), col("lhs").as("l"),
+            col("rhs").as("r"))).as("m"))
+          .select(col("m.l").as("lhs"), col("m.r").as("rhs"),
+            (-col("m.nc")).as("c"))
+          .localCheckpoint()
+        merges = merges :+ best.withColumn("round", lit(r.toLong))
+        vocab = vocab
+          .crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+          .withColumn("ss", split(col("repr"), " "))
+          .withColumn("repr", expr(foldCase))
+          .select(col("word"), col("n"), col("repr"))
+          .localCheckpoint()
+      }
+      merges.reduce(_ union _)
+        .select(col("round"), col("lhs"), col("rhs"), col("c"))
+        .orderBy(col("round"))
     }
   )
 }

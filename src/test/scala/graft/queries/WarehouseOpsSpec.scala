@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Invariants for the round-6 ninth wave: BPE merge training (q130),
+  * exact-integer outlier detection (q131), index-accelerated phrase
+  * search (q132), and SCD2 history construction (q133). The DuckDB
+  * differential gate proves end-to-end equality; these specs pin the
+  * properties the gate cannot see — fold semantics on adversarial
+  * symbol sequences, guard behavior, losslessness of the index path,
+  * and the interval algebra of the history table.
+  */
+class WarehouseOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Reference BPE merge: greedy leftmost-non-overlapping merge of one
+    * pair within a symbol list — the semantics both engines' fold must
+    * reproduce. */
+  private def refMerge(syms: List[String], l: String, r: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+        out += (l + r); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  test("q130 fold-merge matches reference greedy semantics on adversarial symbols") {
+    // overlap run ("a a a"), merged-symbol boundary ("ab c" vs pair
+    // (b, c) — substring match across a symbol boundary must NOT fire),
+    // single-symbol words, and a multi-char lhs suffix trap ("x ab" vs
+    // pair (b, …)).
+    val cases = Seq(
+      (List("a", "a", "a"), "a", "a"),
+      (List("a", "a", "a", "a"), "a", "a"),
+      (List("ab", "c"), "b", "c"),
+      (List("x", "ab", "b"), "ab", "b"),
+      (List("ab"), "a", "b"),
+      (List("a", "b", "b"), "a", "b"),
+      (List("zab", "ab", "b"), "ab", "b"))
+    val foldCase =
+      """aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> CASE
+        |  WHEN x = rhs AND (acc = lhs OR (length(acc) > length(lhs)
+        |    AND substr(acc, length(acc) - length(lhs) + 1) = lhs
+        |    AND substr(acc, length(acc) - length(lhs), 1) = ' '))
+        |  THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
+        |  ELSE acc || ' ' || x END)""".stripMargin
+    val df = cases.toDF("syms", "lhs", "rhs")
+      .withColumn("ss", col("syms"))
+      .withColumn("merged", expr(foldCase))
+    val got = df.select(col("merged")).as[String].collect().toSeq
+    val want = cases.map { case (syms, l, r) => refMerge(syms, l, r).mkString(" ") }
+    assert(got == want, s"fold diverged:\n got=$got\nwant=$want")
+  }
+
+  test("q130 emits 4 rounds with positive counts and growing symbols") {
+    val rows = graft.SparkEntry.queries("q130_bpe_merges")(spark, dir)
+      .collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    assert(rows.forall(_.getLong(3) > 0))
+    // each merged symbol is the concatenation of its parts and every
+    // later round's pair may reference earlier merges only
+    val merged = rows.map(r => r.getString(1) + r.getString(2))
+    assert(merged.distinct.length == 4, "the same pair merged twice")
+  }
+
+  test("q131 flags exactly the per-user 2-sigma tail and the guard fires") {
+    val out = graft.SparkEntry.queries("q131_outlier_events")(spark, dir)
+      .select(col("event_id")).as[Long].collect().toSet
+    // reference: same integer arithmetic in Scala
+    val ev = graft.sources.Tables(spark, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .as[(Long, Long, Long)].collect().toSeq
+    val byUser = ev.groupBy(_._2).filter(_._2.size >= 12)
+    val want = byUser.flatMap { case (_, rows) =>
+      val n = rows.size.toLong
+      val s = rows.map(_._3).sum
+      val q = rows.map(x => x._3 * x._3).sum
+      rows.filter { case (_, _, x) =>
+        val d = n * x - s
+        d * d > 4 * (n * q - s * s)
+      }.map(_._1)
+    }.toSet
+    assert(out == want, s"outlier sets differ: extra=${out -- want} missing=${want -- out}")
+
+    // guard: a 15001-event user must fail loudly, not wrap
+    val big = (1L to 15001L).map(i => (i, 1L, 100.0)).toDF("event_id", "user_id", "value")
+    val x = big.select(col("event_id"), col("user_id"),
+      floor(col("value") * 100).cast("long").as("cents"))
+    val g = x.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("n", when(col("n") > 15000,
+        expr("raise_error('guard')").cast("long")).otherwise(col("n")))
+    val e = intercept[Exception] { g.collect() }
+    assert(e.getMessage.contains("guard"))
+  }
+
+  test("q132 bigram candidate set is a lossless superset of true phrase matches") {
+    val phrase = "table window table"
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    val truth = docs
+      .filter(concat(lit(" "), col("text"), lit(" ")).contains(s" $phrase "))
+      .select(col("doc_id")).as[Long].collect().toSet
+    val grams = phrase.split(" ").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+    val candidates = docs
+      .select(col("doc_id"),
+        explode(graft.plans.WordShingles(col("text"), 2, distinct = true)).as("g"))
+      .filter(col("g").isin(grams: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === grams.size)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(truth.subsetOf(candidates),
+      s"index lost true matches: ${truth -- candidates}")
+    val result = graft.SparkEntry.queries("q132_phrase_search")(spark, dir)
+      .select(col("doc_id")).as[Long].collect().toSet
+    assert(result == truth)
+  }
+
+  test("q133 history is a valid interval partition per user") {
+    val h = graft.SparkEntry.queries("q133_scd2_history")(spark, dir)
+      .select(col("user_id"), col("status"), col("valid_from"),
+        col("valid_to"), col("is_current"), col("version"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        Option(r.getTimestamp(3)), r.getBoolean(4), r.getLong(5)))
+      .toSeq
+    val users = h.groupBy(_._1)
+    users.foreach { case (u, rows) =>
+      val sorted = rows.sortBy(_._6)
+      // versions are 1..k consecutive
+      assert(sorted.map(_._6) == (1L to sorted.length.toLong))
+      // exactly one current row, and it is the last version
+      assert(sorted.count(_._5) == 1 && sorted.last._5, s"user $u current row")
+      // intervals chain: valid_to == next valid_from; only last is open
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._4.contains(b._3), s"user $u gap between versions")
+          assert(a._2 != b._2, s"user $u consecutive equal status not collapsed")
+        case _ =>
+      }
+      assert(sorted.last._4.isEmpty)
+    }
+    // every user with >= 1 event appears
+    val nUsers = graft.sources.Tables(spark, dir, "events")
+      .select(countDistinct(col("user_id"))).as[Long].head()
+    assert(users.size.toLong == nUsers)
+  }
+}
