@@ -1300,6 +1300,47 @@ object Dedup {
         .run(jaccardPairs(s, dir).select(col("a_id"), col("b_id")), 3)
         .select(col("node").as("doc_id"), col("community"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q134: contamination radius — multi-source BFS (operators.Bfs, the
+    // fifth graph operator) over the q36 near-dup graph from a flagged
+    // seed set (doc_id ≡ 0 mod 29 here; in production the decontamination
+    // hit list). Answers "how much of the corpus sits within k hops of a
+    // flagged doc" — the blast-radius report that decides whether to drop
+    // a cluster or a neighborhood. Hop level = min distance, a
+    // well-defined map with no tie rule, so the fixed 3-round unrolled
+    // CTE oracle is exact (the q105/q129 doctrine). Scale: edges persist
+    // once pre-partitioned on the join side; each round shuffles only
+    // the frontier (see Bfs scaladoc).
+    QuerySpec.sqlBacked("q134_bfs_radius", {
+      def minus(ds: Seq[String]) = ds.map(d =>
+        s"NOT EXISTS (SELECT 1 FROM $d x$d WHERE x$d.node = e.u)")
+        .mkString(" AND ")
+      s"""WITH $jaccardPairsCtes,
+         |e AS (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION SELECT b_id, a_id FROM jp),
+         |d0 AS (SELECT DISTINCT u AS node FROM e WHERE u % 29 = 0),
+         |d1 AS (SELECT DISTINCT e.u AS node FROM e
+         |       JOIN d0 ON e.v = d0.node WHERE ${minus(Seq("d0"))}),
+         |d2 AS (SELECT DISTINCT e.u AS node FROM e
+         |       JOIN d1 ON e.v = d1.node WHERE ${minus(Seq("d0", "d1"))}),
+         |d3 AS (SELECT DISTINCT e.u AS node FROM e
+         |       JOIN d2 ON e.v = d2.node WHERE ${minus(Seq("d0", "d1", "d2"))})
+         |SELECT node AS doc_id, hops FROM (
+         |  SELECT node, CAST(0 AS BIGINT) AS hops FROM d0 UNION ALL
+         |  SELECT node, 1 FROM d1 UNION ALL
+         |  SELECT node, 2 FROM d2 UNION ALL
+         |  SELECT node, 3 FROM d3)
+         |ORDER BY hops, doc_id""".stripMargin
+    }) { (s, dir) =>
+      val pr = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      val nodes = pr.select(col("a_id").as("node"))
+        .union(pr.select(col("b_id").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 29 === 0)
+      graft.operators.Bfs.run(pr, seeds, 3)
+        .select(col("node").as("doc_id"), col("hops"))
+        .orderBy(col("hops"), col("doc_id"))
     }
   )
 }
