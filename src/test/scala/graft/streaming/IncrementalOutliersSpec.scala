@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+
+import graft.{SparkEntry, SparkSpec}
+
+/** Verdict-equality between the streaming outlier monitor and batch q131:
+  * the sf0.001 events flow in adversarially-interleaved micro-batches and
+  * each user's FINAL emitted verdict set (the emission carrying that
+  * user's full event count) must equal the batch query's rows exactly —
+  * including events that only become outliers once later batches fill in
+  * their user's distribution. */
+class IncrementalOutliersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("final streaming verdicts equal batch q131 under interleaved batching") {
+    implicit val sqlCtx = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val all = IncrementalOutliers
+        .observations(graft.sources.Tables(spark, dir, "events"))
+        .collect().toSeq
+      // interleave by event_id mod 3: most users' histories arrive
+      // split across batches, so mid-stream verdicts get revised
+      val batches = (0 until 3).map(i => all.filter(_.eventId % 3 == i))
+
+      val in = MemoryStream[IncrementalOutliers.Ev]
+      val outs = StreamEnv(spark).fromDataset(in.toDS())
+        .keyBy(_.userId)
+        .transformWithState(new IncrementalOutliersProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDataset
+      val q = outs.writeStream.format("memory").queryName("inc_outliers")
+        .outputMode(OutputMode.Update).start()
+      try {
+        batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      } finally q.stop()
+
+      // latest verdict set per user: verdicts carrying the max ANCHOR n
+      // (the anchor advances even when an evaluation clears all
+      // verdicts, so stale sets cannot masquerade as final)
+      val emitted = spark.table("inc_outliers")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val finalN = emitted.filter(_._2 == -1L)
+        .groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+      val got = emitted
+        .filter(r => r._2 != -1L && finalN.get(r._1).contains(r._4))
+        .toSet
+
+      val want = SparkEntry.queries("q131_outlier_events")(spark, dir)
+        .select(col("user_id"), col("event_id"), col("cents"), col("n"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"extra=${got -- want}\nmissing=${want -- got}")
+      assert(want.nonEmpty, "spec is vacuous: batch q131 found no outliers")
+    } finally spark.conf.set(provider, prev)
+  }
+}
