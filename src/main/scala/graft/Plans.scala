@@ -160,7 +160,32 @@ object Plans {
         "sliver of disagreeing buckets only (~9.2k rows vs the 150k-row " +
         "snapshot at the audit SF; the 1024-bucket first cut degenerated " +
         "to the full table - see the query's scaladoc). The full " +
-        "sort-merge join of both snapshots appears NOWHERE in the plan.")
+        "sort-merge join of both snapshots appears NOWHERE in the plan."),
+    Entry("q130_bpe_merges",
+      "BPE training at corpus scale: the text is scanned and " +
+        "word-split ONCE, partially aggregated map-side into the word " +
+        "histogram, and every merge round afterwards runs on the " +
+        "HISTOGRAM alone (checkpoint scans in the tree) - pair counting " +
+        "is a vocab-sized aggregate, the winning pair arrives as a " +
+        "broadcast 1-row cross join (the q112/q98 scalar shape), and " +
+        "the merge application is a projection. The corpus appears in " +
+        "exactly one scan; 10x data moved the probe 2.2 -> 2.8 s " +
+        "because only the histogram build grows.",
+      details = Seq("ReadSchema")),
+    Entry("q132_phrase_search",
+      "Index-accelerated literal search: the query-gram IN filter " +
+        "sits INSIDE the posting-list scan stage (Filter directly over " +
+        "the shingle Generate - grams that are not the query's never " +
+        "reach an exchange), the all-grams intersection is a tiny " +
+        "keyed aggregate, and the verify fetch joins the candidate " +
+        "sliver back as a BroadcastHashJoin build side against the " +
+        "second corpus scan. The contains() verify sits ABOVE that " +
+        "join (the predicate derives its pad char from the candidate " +
+        "side on purpose - Catalyst would otherwise push it below and " +
+        "verify-scan the whole corpus, the first-cut plan this audit " +
+        "caught). With a materialized posting table the first scan " +
+        "disappears; nothing in the plan ever shuffles document text.",
+      details = Seq("PushedFilters"))
   )
 
   def main(args: Array[String]): Unit = {

@@ -780,10 +780,18 @@ object TextOps {
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("ng"))
         .filter(col("ng") === grams.size)
-        .select(col("doc_id"))
       docs.join(broadcast(candidates), "doc_id")
-        .filter(concat(lit(" "), col("text"), lit(" "))
-          .contains(s" $phrase "))
+        // deliberate anti-pushdown: the leading pad char derives from the
+        // CANDIDATE side (ng == #grams holds for every candidate, so the
+        // value is always ' '), which makes the predicate reference both
+        // join sides — without this, Catalyst pushes the contains below
+        // the join and verify-scans the ENTIRE corpus, which is exactly
+        // the full-text pass the index exists to avoid (caught in the
+        // PLANS.md audit: Filter(3) sat under the join, 12 rows out of
+        // the raw scan).
+        .filter(concat(
+          when(col("ng") === grams.size, lit(" ")).otherwise(lit("-")),
+          col("text"), lit(" ")).contains(s" $phrase "))
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
     },
