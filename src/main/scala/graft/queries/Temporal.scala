@@ -754,6 +754,67 @@ object Temporal {
           sum(col("day_cents")).over(w).as("t7_cents"),
           count(lit(1)).over(w).cast("long").as("t7_days"))
         .orderBy(col("user_id"), col("day"))
+    },
+
+    // ------------------------------------------------------------------
+    // q138: last-touch conversion attribution — every purchase credits
+    // the most recent preceding click/view by the same user within 7
+    // days, else the 'direct' bucket; revenue rolls up per channel. The
+    // marketing-warehouse staple, and a second consumer of the as-of
+    // shape (q57): the Spark side is the SCALABLE formulation — one
+    // union of touches and purchases, one user-keyed window carrying
+    // the running latest touch (max over a preceding-rows frame of a
+    // (ts, event_id, type) struct; nulls for purchase rows are skipped
+    // by max) — while the oracle is the OBVIOUS formulation, a LATERAL
+    // top-1 probe per purchase that DuckDB can afford at test SF. The
+    // gate proving both equal is the point: the per-purchase lateral
+    // lookup is quadratic-ish at 100 TB, the union+window form is one
+    // exchange, per-entity bounded. Total order (ts µs, event_id)
+    // breaks same-timestamp ties identically in both engines; the
+    // 7-day cutoff compares exact epoch-µs BIGINTs.
+    QuerySpec.sqlBacked("q138_attribution",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+        |t AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+        |a AS (SELECT p.event_id, p.cents,
+        |        coalesce(l.event_type, 'direct') AS channel
+        |      FROM p LEFT JOIN LATERAL (
+        |        SELECT t.event_type FROM t
+        |        WHERE t.user_id = p.user_id
+        |          AND (epoch_us(t.ts) < epoch_us(p.ts)
+        |               OR (epoch_us(t.ts) = epoch_us(p.ts)
+        |                   AND t.event_id < p.event_id))
+        |          AND epoch_us(t.ts) >= epoch_us(p.ts) - 604800000000
+        |        ORDER BY epoch_us(t.ts) DESC, t.event_id DESC
+        |        LIMIT 1) l ON true)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |       sum(cents) AS cents
+        |FROM a GROUP BY channel ORDER BY channel""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("touch",
+          when(col("event_type") =!= "purchase",
+            struct(col("us").as("tus"), col("event_id").as("tid"),
+              col("event_type").as("tch"))))
+        .withColumn("last_touch", max(col("touch")).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("last_touch").isNull ||
+            col("us") - col("last_touch.tus") > 604800000000L, "direct")
+            .otherwise(col("last_touch.tch")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).cast("long").as("n_purchases"),
+          sum(col("cents")).as("cents"))
+        .orderBy(col("channel"))
     }
   )
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** Streaming twin of q135's trailing-window features — the LIVE feature
+  * store: per-user day→spend cells accumulate in keyed MapState, and every
+  * micro-batch re-emits the CURRENT (day_cents, 7-day trailing sum,
+  * trailing active-day count) rows for exactly the days whose frame a
+  * fresh event touched — the arriving day itself plus the six days whose
+  * trailing window now includes it. This is the serving-side shape of
+  * feature engineering: the online store stays point-in-time consistent
+  * with what the batch backfill (q135) would compute, which is the
+  * train/serve-skew guarantee feature platforms exist to provide. Ninth
+  * streaming twin.
+  *
+  * Each emission carries the user's event sequence number (monotone per
+  * key), so a reader keeping max-seq per (user, day) holds exactly the
+  * current feature row even though day cells are revised by late events.
+  * State per key is the user's own day map (the q113/q133 per-entity
+  * boundedness contract); arithmetic is Math.*Exact — overflow fails
+  * loudly (the determinism doctrine's streaming face).
+  */
+object IncrementalFeatures {
+
+  /** One event's contribution: epoch-day + floor-cents (the exact q135
+    * scan projection). */
+  case class Ev(userId: Long, day: Long, cents: Long)
+
+  /** A current feature row for (userId, day); seq = the user's event
+    * count when this row was computed (monotone — readers keep max). */
+  case class Feature(userId: Long, day: Long, dayCents: Long,
+      t7Cents: Long, t7Days: Long, seq: Long)
+
+  /** Project a Tables-shaped events frame into the processor input. */
+  def observations(events: DataFrame): Dataset[Ev] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id").as("userId"),
+      expr("unix_timestamp(ts) div 86400").as("day"),
+      floor(col("value") * 100).cast("long").as("cents"))
+      .as[Ev]
+  }
+}
+
+/** Keyed day-cell store; top-level class so the closure serializes
+  * without a spec/session reference. */
+class IncrementalFeaturesProcessor
+    extends StatefulProcessor[Long, IncrementalFeatures.Ev,
+      IncrementalFeatures.Feature] {
+  import IncrementalFeatures.{Ev, Feature}
+
+  @transient private var cells: MapState[Long, Long] = _
+  @transient private var seq: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    cells = getHandle.getMapState[Long, Long]("cells",
+      Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    seq = getHandle.getValueState[Long]("seq",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: Long, rows: Iterator[Ev],
+      timerValues: TimerValues): Iterator[Feature] = {
+    var s = Option(seq.get()).getOrElse(0L)
+    val touched = scala.collection.mutable.Set.empty[Long]
+    rows.foreach { e =>
+      val cur = if (cells.containsKey(e.day)) cells.getValue(e.day) else 0L
+      cells.updateValue(e.day, Math.addExact(cur, e.cents))
+      touched += e.day
+      s = Math.addExact(s, 1L)
+    }
+    seq.update(s)
+    val all: Map[Long, Long] = cells.iterator().toMap
+    // a fresh cell at day t changes the frames of rows t .. t+6 (only
+    // days that HAVE activity emit a row — the RANGE-frame contract)
+    val affected = all.keySet.filter(d =>
+      touched.exists(t => d >= t && d <= t + 6)).toSeq.sorted
+    val sq = s
+    affected.iterator.map { d =>
+      val frame = all.filter { case (k, _) => k >= d - 6 && k <= d }
+      Feature(key, d, all(d),
+        frame.valuesIterator.foldLeft(0L)(Math.addExact),
+        frame.size.toLong, sq)
+    }
+  }
+}

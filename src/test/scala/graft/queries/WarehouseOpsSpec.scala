@@ -191,6 +191,18 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(e.getMessage.contains("guard"))
   }
 
+  test("q138 attribution partitions every purchase across known channels") {
+    val rows = graft.SparkEntry.queries("q138_attribution")(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows.map(_._1).toSet.subsetOf(Set("click", "view", "direct")))
+    val ev = graft.sources.Tables(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    assert(rows.map(_._2).sum == purchases.count())
+    assert(rows.map(_._3).sum ==
+      purchases.select(sum(floor(col("value") * 100).cast("long")))
+        .as[Long].head())
+  }
+
   test("q133 history is a valid interval partition per user") {
     val h = graft.SparkEntry.queries("q133_scd2_history")(spark, dir)
       .select(col("user_id"), col("status"), col("valid_from"),
