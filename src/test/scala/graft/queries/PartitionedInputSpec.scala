@@ -53,7 +53,13 @@ class PartitionedInputSpec extends SparkSpec {
       // or order-independence claim the layout must not break
       "q121_dedup_sorted_neighborhood", "q123_pps_sample",
       "q124_table_diff", "q125_token_shards", "q127_equidepth_bins",
-      "q129_label_propagation")) {
+      "q129_label_propagation",
+      // round-6 ninth wave onward: the iterative argmax chain (BPE's
+      // per-round winner must not depend on partial-agg merge order),
+      // frontier iteration (BFS), keyed-window chains (SCD2, trailing
+      // frames), and the union+window as-of rewrite (attribution)
+      "q130_bpe_merges", "q133_scd2_history", "q134_bfs_radius",
+      "q135_rolling_features", "q138_attribution")) {
     test(s"$q is invariant to input file layout") {
       val fn = SparkEntry.queries(q)
       val a = canon(fn(spark, orig).collect())
