@@ -186,7 +186,15 @@ object Plans {
         "caught). With a materialized posting table the first scan " +
         "disappears; nothing in the plan ever shuffles document text.",
       details = Seq("PushedFilters"))
-  )
+  ,
+    Entry("q138_attribution",
+      "As-of rewrite under the gate: ONE scan of the three event types " +
+        "(filter pushed to parquet), one user-keyed exchange feeding a " +
+        "RunningWindowFunction over (ts, event_id) that carries the " +
+        "latest-touch struct, then the channel aggregate - the oracle's " +
+        "per-purchase LATERAL probe appears nowhere. The window is " +
+        "per-entity bounded; there is no join in the plan at all.",
+      details = Seq("PushedFilters")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

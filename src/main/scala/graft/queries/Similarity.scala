@@ -765,7 +765,8 @@ object Similarity {
           .otherwise(col("n0")))
       val sums = x
         .select(col("label"), col("half"), posexplode(col("em")))
-        .select(col("label"), col("half"), (col("pos") + 1).as("d"),
+        .select(col("label"), col("half"),
+          (col("pos") + 1).cast("long").as("d"),
           floor(col("col").cast("double") * 1000000 + 0.5).cast("long")
             .as("micro"))
         .groupBy(col("label"), col("d"))

@@ -815,6 +815,70 @@ object Temporal {
         .agg(count(lit(1)).cast("long").as("n_purchases"),
           sum(col("cents")).as("cents"))
         .orderBy(col("channel"))
+    },
+
+    // ------------------------------------------------------------------
+    // q139: session path mining — the top 15 three-step behavioral
+    // paths (event-type trigrams WITHIN a session), the sequence-mining
+    // step between q77's first-order transition matrix and a full
+    // funnel model: "what do users actually do in a sitting" as data,
+    // not hypothesis. Sessions are q76's 30-minute-gap rule verbatim
+    // (one shared per-user exchange shape); each session's ordered type
+    // sequence folds to trigrams with the q106 index-window idiom, the
+    // path histogram is a tiny keyed aggregate, and the top-15 cut is
+    // sort+limit = TakeOrderedAndProject (per-partition heads, never a
+    // global window), deterministic under the total order (count DESC,
+    // path ASC). Per-session lists are per-entity bounded (the q113
+    // contract); nothing else leaves aggregate state.
+    QuerySpec.sqlBacked("q139_session_paths",
+      """WITH e AS (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts)
+        |           FROM events),
+        |s AS (SELECT user_id, event_id, ts, event_type,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+        |                  >= 1800000000 THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)),
+        |c AS (SELECT user_id, event_id, ts, event_type,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS UNBOUNDED PRECEDING) AS sess_no
+        |      FROM s),
+        |l AS (SELECT user_id, sess_no,
+        |        list(event_type ORDER BY ts, event_id) AS tys
+        |      FROM c GROUP BY user_id, sess_no),
+        |p AS (SELECT tys[i] || '>' || tys[i+1] || '>' || tys[i+2] AS path
+        |      FROM l, unnest(range(1, len(tys) - 1)) AS t(i)
+        |      WHERE len(tys) >= 3)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n
+        |FROM p GROUP BY path ORDER BY n DESC, path LIMIT 15""".stripMargin) {
+      (s, dir) =>
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = wOrd.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+      val prev = lag(col("ts"), 1).over(wOrd)
+      Tables(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"),
+          col("event_type"))
+        .withColumn("brk",
+          when(prev.isNull ||
+            unix_micros(col("ts")) - unix_micros(prev) >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sess_no", sum(col("brk")).over(wRun))
+        .groupBy(col("user_id"), col("sess_no"))
+        .agg(expr("sort_array(collect_list(struct(ts, event_id, event_type)))")
+          .as("es"))
+        .select(expr("transform(es, x -> x.event_type)").as("tys"))
+        .filter(size(col("tys")) >= 3)
+        .select(explode(expr(
+          """transform(sequence(0, size(tys) - 3),
+            |  i -> concat(tys[i], '>', tys[i + 1], '>', tys[i + 2]))"""
+            .stripMargin)).as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(15)
     }
   )
 }

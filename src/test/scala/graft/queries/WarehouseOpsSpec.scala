@@ -58,6 +58,31 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(got == want, s"fold diverged:\n got=$got\nwant=$want")
   }
 
+  test("q130 fold-merge property: random symbol lists and pairs") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val sym = Gen.oneOf("a", "b", "ab", "ba", "c", "abc")
+    val prop = Prop.forAll(
+      Gen.listOfN(24, Gen.nonEmptyListOf(sym).map(_.take(8))),
+      sym, sym) { (wordsRaw, l, r) =>
+      val words = wordsRaw.filter(_.nonEmpty)
+      val foldCase =
+        """aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> CASE
+          |  WHEN x = rhs AND (acc = lhs OR (length(acc) > length(lhs)
+          |    AND substr(acc, length(acc) - length(lhs) + 1) = lhs
+          |    AND substr(acc, length(acc) - length(lhs), 1) = ' '))
+          |  THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
+          |  ELSE acc || ' ' || x END)""".stripMargin
+      val got = words.map(w => (w, l, r)).toDF("ss", "lhs", "rhs")
+        .withColumn("m", expr(foldCase))
+        .select(col("m")).as[String].collect().toSeq
+      val want = words.map(w => refMerge(w, l, r).mkString(" "))
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"fold property: ${res.status}")
+  }
+
   test("q130 emits 4 rounds with positive counts and growing symbols") {
     val rows = graft.SparkEntry.queries("q130_bpe_merges")(spark, dir)
       .collect()
@@ -201,6 +226,40 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(rows.map(_._3).sum ==
       purchases.select(sum(floor(col("value") * 100).cast("long")))
         .as[Long].head())
+  }
+
+  test("q132 materialized-index deployment: search without re-shingling") {
+    // the 100 TB shape the q132 scaladoc promises: the posting table is
+    // built ONCE (here: a temp parquet; in production bucketed by gram),
+    // and a phrase query then runs against the INDEX — no shingling, no
+    // corpus scan on the candidate side — yet returns exactly q132's
+    // answer. The plan assertion pins scan-freedom: no Generate
+    // (explode) node anywhere in the search query.
+    val phrase = "table window table"
+    val grams = phrase.split(" ").toSeq.sliding(2).map(_.mkString(" ")).toSeq
+    val docs = graft.sources.Tables(spark, dir, "documents")
+    val idxPath = java.nio.file.Files
+      .createTempDirectory("graft_postings").toString
+    docs.select(col("doc_id"),
+        explode(graft.plans.WordShingles(col("text"), 2, distinct = true))
+          .as("gram"))
+      .write.mode("overwrite").parquet(idxPath)
+
+    val candidates = spark.read.parquet(idxPath)
+      .filter(col("gram").isin(grams: _*))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("ng"))
+      .filter(col("ng") === grams.size)
+    val search = docs.join(broadcast(candidates), "doc_id")
+      .filter(concat(
+        when(col("ng") === grams.size, lit(" ")).otherwise(lit("-")),
+        col("text"), lit(" ")).contains(s" $phrase "))
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    assert(!search.queryExecution.executedPlan.toString.contains("Generate"),
+      "index search must not re-shingle anything")
+    val got = search.as[(Long, String, Long)].collect().toSet
+    val want = graft.SparkEntry.queries("q132_phrase_search")(spark, dir)
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == want)
   }
 
   test("q133 history is a valid interval partition per user") {
