@@ -884,6 +884,14 @@ object TextOps {
           .select(col("m.l").as("lhs"), col("m.r").as("rhs"),
             (-col("m.nc")).as("c"))
           .localCheckpoint()
+        // fail-loud on a degenerate corpus (no adjacent pair anywhere):
+        // the aggregate would emit a NULL merge row where the oracle's
+        // LIMIT 1 over an empty pair table empties the vocabulary — the
+        // engines would silently diverge. One driver-side row on an
+        // already-materialized 1-row frame (the q39/PageRank doctrine).
+        require(best.head().getAs[String]("lhs") != null,
+          s"graft q130: merge round $r found no adjacent symbol pair - " +
+            "the corpus vocabulary is single-symbol; reduce rounds")
         merges = merges :+ best.withColumn("round", lit(r.toLong))
         vocab = vocab
           .crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
