@@ -21,6 +21,14 @@ import graft.sources.Tables
   */
 object Profiling {
 
+  /** q136's audited (table, key) join edges — ONE list captured by both
+    * the oracle SQL and the Spark builder, so the two sides cannot
+    * drift when an edge is added or renamed. */
+  private val skewEdges = Seq(
+    ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
+    ("lineitem", "l_orderkey"), ("orders", "o_custkey"),
+    ("events", "user_id"))
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -653,11 +661,7 @@ object Profiling {
     // two-level aggregate per key column (both levels map-side-partial;
     // the second level reduces to ONE row), nothing else.
     QuerySpec.sqlBacked("q136_skew_audit", {
-      val edges = Seq(
-        ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
-        ("lineitem", "l_orderkey"), ("orders", "o_custkey"),
-        ("events", "user_id"))
-      edges.map { case (t, k) =>
+      skewEdges.map { case (t, k) =>
         val e = if (t == "events")
           "SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events"
         else s"SELECT * FROM $t"
@@ -672,11 +676,7 @@ object Profiling {
       }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
         "\n) ORDER BY key_col")
     }) { (s, dir) =>
-      val edges = Seq(
-        ("lineitem", "l_partkey"), ("lineitem", "l_suppkey"),
-        ("lineitem", "l_orderkey"), ("orders", "o_custkey"),
-        ("events", "user_id"))
-      edges.map { case (t, k) =>
+      skewEdges.map { case (t, k) =>
         Tables(s, dir, t)
           .groupBy(col(k).as("k")).agg(count(lit(1)).as("c"))
           .agg(sum(col("c")).as("n_rows"),

@@ -16,6 +16,20 @@ import graft.sources.Tables
   */
 object TextOps {
 
+  /** q130's merge fold: greedy leftmost-non-overlapping application of
+    * the (lhs, rhs) pair to the symbol list `ss`. The lambda vars are
+    * acc/x; lhs/rhs resolve to the broadcast best-pair columns of the
+    * crossJoined row. Shared with WarehouseOpsSpec's adversarial and
+    * property tests so the tested string IS the executed string (a
+    * private copy in the spec would keep passing after an edit here). */
+  private[graft] val bpeFoldCase: String =
+    """aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> CASE
+      |  WHEN x = rhs AND (acc = lhs OR (length(acc) > length(lhs)
+      |    AND substr(acc, length(acc) - length(lhs) + 1) = lhs
+      |    AND substr(acc, length(acc) - length(lhs), 1) = ' '))
+      |  THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
+      |  ELSE acc || ' ' || x END)""".stripMargin
+
   /** occurrences of `pat` in padded text, as an expression string usable in
     * both engines (portable: length/replace only). */
   private def occSql(pat: String): String =
@@ -854,15 +868,7 @@ object TextOps {
          |ORDER BY round""".stripMargin
     }) { (s, dir) =>
       val rounds = 4
-      // the lambda vars are acc/x; lhs/rhs resolve to the broadcast
-      // best-pair columns of the crossJoined row
-      val foldCase =
-        """aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> CASE
-          |  WHEN x = rhs AND (acc = lhs OR (length(acc) > length(lhs)
-          |    AND substr(acc, length(acc) - length(lhs) + 1) = lhs
-          |    AND substr(acc, length(acc) - length(lhs), 1) = ' '))
-          |  THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
-          |  ELSE acc || ' ' || x END)""".stripMargin
+      val foldCase = bpeFoldCase
       var vocab = Tables.spread(s, dir, "documents")
         .select(explode(split(col("text"), " ")).as("word"))
         .filter(length(col("word")) > 0)

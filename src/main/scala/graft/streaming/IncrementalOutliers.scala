@@ -74,6 +74,12 @@ class IncrementalOutliersProcessor
     var st = Option(stats.get()).getOrElse(Stats(0L, 0L, 0L))
     val fresh = rows.toSeq
     fresh.foreach { e =>
+      // the anchor sentinel is in-band (eventId = -1); a real event with
+      // a negative id would be read as an anchor by downstream keepers —
+      // fail loudly instead of silently corrupting the verdict stream
+      require(e.eventId >= 0L,
+        s"graft IncrementalOutliers: negative event_id ${e.eventId} " +
+          "collides with the anchor sentinel (-1)")
       st = Stats(Math.addExact(st.n, 1L), Math.addExact(st.s, e.cents),
         Math.addExact(st.q, Math.multiplyExact(e.cents, e.cents)))
       hist.appendValue(e)

@@ -43,16 +43,10 @@ class WarehouseOpsSpec extends SparkSpec {
       (List("ab"), "a", "b"),
       (List("a", "b", "b"), "a", "b"),
       (List("zab", "ab", "b"), "ab", "b"))
-    val foldCase =
-      """aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> CASE
-        |  WHEN x = rhs AND (acc = lhs OR (length(acc) > length(lhs)
-        |    AND substr(acc, length(acc) - length(lhs) + 1) = lhs
-        |    AND substr(acc, length(acc) - length(lhs), 1) = ' '))
-        |  THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
-        |  ELSE acc || ' ' || x END)""".stripMargin
     val df = cases.toDF("syms", "lhs", "rhs")
       .withColumn("ss", col("syms"))
-      .withColumn("merged", expr(foldCase))
+      // the PRODUCTION fold string — not a copy (TextOps.bpeFoldCase)
+      .withColumn("merged", expr(TextOps.bpeFoldCase))
     val got = df.select(col("merged")).as[String].collect().toSeq
     val want = cases.map { case (syms, l, r) => refMerge(syms, l, r).mkString(" ") }
     assert(got == want, s"fold diverged:\n got=$got\nwant=$want")
@@ -65,15 +59,8 @@ class WarehouseOpsSpec extends SparkSpec {
       Gen.listOfN(24, Gen.nonEmptyListOf(sym).map(_.take(8))),
       sym, sym) { (wordsRaw, l, r) =>
       val words = wordsRaw.filter(_.nonEmpty)
-      val foldCase =
-        """aggregate(slice(ss, 2, size(ss) - 1), ss[0], (acc, x) -> CASE
-          |  WHEN x = rhs AND (acc = lhs OR (length(acc) > length(lhs)
-          |    AND substr(acc, length(acc) - length(lhs) + 1) = lhs
-          |    AND substr(acc, length(acc) - length(lhs), 1) = ' '))
-          |  THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
-          |  ELSE acc || ' ' || x END)""".stripMargin
       val got = words.map(w => (w, l, r)).toDF("ss", "lhs", "rhs")
-        .withColumn("m", expr(foldCase))
+        .withColumn("m", expr(TextOps.bpeFoldCase))
         .select(col("m")).as[String].collect().toSeq
       val want = words.map(w => refMerge(w, l, r).mkString(" "))
       got == want
