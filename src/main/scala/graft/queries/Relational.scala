@@ -957,6 +957,86 @@ object Relational {
             col("distinct_keys"), col("orphan_keys"), col("orphan_rows"))
       }
       fkEdges.map(arm).reduce(_.unionAll(_)).orderBy(col("edge"))
+    },
+
+    // ------------------------------------------------------------------
+    // q140 (TPC-H Q3-ish, shipping priority): the top-10 not-yet-shipped
+    // orders by pending revenue at a cutoff — orders placed before it,
+    // line items shipping after it. The classic sales-ops triage query,
+    // and the third multi-join analytics entry beside q01/q30. Plan
+    // contract: orders' date filter is pushed to parquet, the
+    // customer→orders join narrows the fact BEFORE the lineitem join,
+    // the group-by keys carry (orderkey, date, priority) with map-side
+    // partials, and the top-10 is sort+limit = TakeOrderedAndProject,
+    // deterministic under (revenue DESC, orderkey ASC) — exact decimal
+    // revenue makes the double compare engine-identical.
+    QuerySpec.sqlBacked("q140_tpch_q3ish",
+      s"""SELECT l_orderkey,
+         |  CAST(sum($revenueSql) AS DOUBLE) AS revenue,
+         |  CAST(o_orderdate AS TIMESTAMP) AS o_orderdate, o_orderpriority
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1998-01-01'
+         |  AND l_shipdate > TIMESTAMP '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+          .filter(col("l_shipdate") > lit("1998-01-01").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(toD(sum(revenue(col("l_extendedprice"), col("l_discount"))))
+          .as("revenue"))
+        .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ------------------------------------------------------------------
+    // q141 (TPC-H Q10-ish, returned-item reporting): the top-20
+    // customers by revenue lost to returns in one quarter — who to call
+    // first. Fourth multi-join analytics entry; the nation dim rides a
+    // broadcast, the returnflag + order-date filters are pushed into
+    // the scans so the join sees only the quarter's returned sliver,
+    // and the top-20 cut is TakeOrderedAndProject under (revenue DESC,
+    // custkey ASC).
+    QuerySpec.sqlBacked("q141_tpch_q10ish",
+      s"""SELECT c_custkey, c_name,
+         |  CAST(sum($revenueSql) AS DOUBLE) AS revenue, n_name
+         |FROM customer
+         |JOIN orders ON c_custkey = o_custkey
+         |JOIN lineitem ON l_orderkey = o_orderkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |WHERE l_returnflag = 'R'
+         |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+         |  AND o_orderdate < TIMESTAMP '1997-04-01'
+         |GROUP BY c_custkey, c_name, n_name
+         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) {
+      (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1997-04-01").cast("timestamp")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t(s, dir, "lineitem").filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(toD(sum(revenue(col("l_extendedprice"), col("l_discount"))))
+          .as("revenue"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
     }
   )
 
