@@ -62,4 +62,69 @@ class IncrementalOutliersSpec extends SparkSpec {
       assert(want.nonEmpty, "spec is vacuous: batch q131 found no outliers")
     } finally spark.conf.set(provider, prev)
   }
+
+  test("moments and history survive a stop/restart from checkpoint") {
+    // the CheckpointRecoverySpec contract applied to transformWithState
+    // on RocksDB: half the events, stop, half while the query is down,
+    // restart from the checkpoint — the final verdicts must STILL equal
+    // batch q131, which fails if either the per-user moment state or
+    // the history list was lost or double-counted across the restart.
+    import java.nio.file.Files
+    import org.apache.spark.sql.SaveMode
+    import org.apache.spark.sql.types._
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = Files.createTempDirectory("graft_out_src").toString
+      val ckpt = Files.createTempDirectory("graft_out_ckpt").toString
+      val outDir = Files.createTempDirectory("graft_out_out").toString
+      val schema = StructType(Seq(StructField("eventId", LongType),
+        StructField("userId", LongType), StructField("cents", LongType)))
+
+      def startQuery() = StreamEnv(spark)
+        .fromDataset(spark.readStream.schema(schema).parquet(srcDir)
+          .as[IncrementalOutliers.Ev])
+        .keyBy(_.userId)
+        .transformWithState(new IncrementalOutliersProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDataset
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.Dataset[IncrementalOutliers.Out],
+              _: Long) =>
+            b.write.mode(SaveMode.Append).parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).start()
+
+      val all = IncrementalOutliers
+        .observations(graft.sources.Tables(spark, dir, "events"))
+        .collect().toSeq
+      val (h1, h2) = all.partition(_.eventId % 2 == 0)
+
+      h1.toDS().write.mode(SaveMode.Append).parquet(srcDir)
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+      // second half lands while the query is down
+      h2.toDS().write.mode(SaveMode.Append).parquet(srcDir)
+      val q2 = startQuery()
+      try q2.processAllAvailable() finally q2.stop()
+
+      val emitted = spark.read.parquet(outDir)
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      val finalN = emitted.filter(_._2 == -1L)
+        .groupBy(_._1).view.mapValues(_.map(_._4).max).toMap
+      val got = emitted
+        .filter(r => r._2 != -1L && finalN.get(r._1).contains(r._4))
+        .toSet
+      val want = graft.SparkEntry
+        .queries("q131_outlier_events")(spark, dir)
+        .select(col("user_id"), col("event_id"), col("cents"), col("n"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == want,
+        s"extra=${(got -- want).take(5)}\nmissing=${(want -- got).take(5)}")
+    } finally spark.conf.set(provider, prev)
+  }
 }
