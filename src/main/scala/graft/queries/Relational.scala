@@ -1037,6 +1037,54 @@ object Relational {
           col("n_name"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // q142: the full ranking-window suite in one entry — rank,
+    // dense_rank, percent_rank, cume_dist, ntile, lag delta and running
+    // first_value over per-type daily spend, closing the window-function
+    // SQL surface next to q14 (rank) and q127 (ntile re-expressed
+    // scalably). The window PARTITIONs BY event_type (per-partition row
+    // counts bounded by the day span — never a global single-task sort),
+    // and the ORDER (cents DESC, day) is total, so rank == row_number,
+    // percent_rank/cume_dist divide identical integer operands in both
+    // engines, and the ntile allocation (first buckets take the
+    // remainder) is the engine-shared definition q127 already pinned.
+    QuerySpec.sqlBacked("q142_window_suite",
+      """WITH e AS (SELECT event_type,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+        |      AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT event_type, day, sum(cents) AS c
+        |      FROM e GROUP BY event_type, day)
+        |SELECT event_type, day, c,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |  c - lag(c) OVER w AS delta,
+        |  first_value(c) OVER w AS best
+        |FROM d WINDOW w AS (PARTITION BY event_type ORDER BY c DESC, day)
+        |ORDER BY event_type, rnk""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = Tables(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_timestamp(ts) div 86400").as("day"),
+          floor(col("value") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(sum(col("cents")).as("c"))
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("c").desc, col("day"))
+      d.select(col("event_type"), col("day"), col("c"),
+          rank().over(w).cast("long").as("rnk"),
+          dense_rank().over(w).cast("long").as("drnk"),
+          percent_rank().over(w).as("prank"),
+          cume_dist().over(w).as("cdist"),
+          ntile(4).over(w).cast("long").as("quartile"),
+          (col("c") - lag(col("c"), 1).over(w)).as("delta"),
+          first_value(col("c")).over(w).as("best"))
+        .orderBy(col("event_type"), col("rnk"))
     }
   )
 
