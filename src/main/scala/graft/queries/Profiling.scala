@@ -650,6 +650,56 @@ object Profiling {
     },
 
     // ------------------------------------------------------------------
+    // q143: distributed weighted median — per return flag, the price at
+    // which HALF THE QUANTITY has shipped (the inventory-weighted
+    // center, not the row-weighted one q82 answers). Selection rule:
+    // the first row in the (price, orderkey, linenumber) total order
+    // whose doubled cumulative quantity reaches the flag's total —
+    // exact integers on both sides of the comparison, so the crossing
+    // row is engine-identical. The oracle states it as the obvious
+    // per-flag window cumsum; the Spark side is the SCALE form and the
+    // THIRD PrefixSum consumer (after q123/q125): ONE range shuffle
+    // stamps the global cumulative, per-flag start offsets come from a
+    // 3-row aggregate (cumulative within flag = global − offset), and
+    // the crossing row is a min-struct argmin — the per-flag
+    // single-task window the oracle runs appears nowhere.
+    QuerySpec.sqlBacked("q143_weighted_median",
+      """WITH x AS (SELECT l_returnflag AS f, l_extendedprice AS p,
+        |    CAST(l_quantity AS BIGINT) AS q, l_orderkey AS ok,
+        |    l_linenumber AS ln FROM lineitem),
+        |c AS (SELECT *, sum(q) OVER (PARTITION BY f ORDER BY p, ok, ln
+        |        ROWS UNBOUNDED PRECEDING) AS cw,
+        |      sum(q) OVER (PARTITION BY f) AS tw FROM x),
+        |m AS (SELECT f, tw, p, row_number() OVER (PARTITION BY f
+        |        ORDER BY p, ok, ln) AS rn
+        |      FROM c WHERE 2 * cw >= tw)
+        |SELECT f AS l_returnflag, tw AS total_qty, p AS median_price
+        |FROM m WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) {
+      (s, dir) =>
+      val x = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f"),
+          col("l_extendedprice").as("p"),
+          col("l_quantity").cast("long").as("q"),
+          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+      val cum = graft.operators.PrefixSum.inclusive(x,
+        Seq(col("f"), col("p"), col("ok"), col("ln")), "q", "cum")
+      val totals = x.groupBy(col("f")).agg(sum(col("q")).as("tw"))
+      val offs = totals
+        .withColumn("off", coalesce(
+          sum(col("tw")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("f"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      cum.join(broadcast(offs), "f")
+        .filter(lit(2) * (col("cum") - col("off")) >= col("tw"))
+        .groupBy(col("f"), col("tw"))
+        .agg(min(struct(col("p"), col("ok"), col("ln"))).as("m"))
+        .select(col("f").as("l_returnflag"), col("tw").as("total_qty"),
+          col("m.p").as("median_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
     // q136: join-key skew audit — the pre-flight report a pipeline runs
     // BEFORE a big join to decide whether it needs the salted path
     // (operators.SkewJoin / q104): for each prospective join key, the

@@ -59,7 +59,10 @@ class PartitionedInputSpec extends SparkSpec {
       // frontier iteration (BFS), keyed-window chains (SCD2, trailing
       // frames), and the union+window as-of rewrite (attribution)
       "q130_bpe_merges", "q133_scd2_history", "q134_bfs_radius",
-      "q135_rolling_features", "q138_attribution")) {
+      "q135_rolling_features", "q138_attribution",
+      // the third PrefixSum consumer: crossing-row selection depends on
+      // the stamped global cumulative being layout-independent
+      "q143_weighted_median")) {
     test(s"$q is invariant to input file layout") {
       val fn = SparkEntry.queries(q)
       val a = canon(fn(spark, orig).collect())
