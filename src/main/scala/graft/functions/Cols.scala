@@ -26,4 +26,20 @@ object Cols {
 
   /** Final scalar back to double for a stable output schema. */
   def toD(c: Column): Column = c.cast("double")
+
+  import org.apache.spark.sql.functions.{floor, lit, pmod, unix_timestamp}
+
+  /** value → exact floor-cents (the q131/q135/q138 projection). ONE
+    * definition shared by batch queries and their streaming twins — a
+    * drifted private copy would silently break the online ≡ batch
+    * contract the twin specs pin (the bpeFoldCase doctrine). */
+  def cents(v: Column): Column = floor(v * lit(100)).cast("long")
+
+  /** timestamp → integer epoch-day. The subtraction makes the numerator
+    * exactly divisible, so the double division is exact for every sign
+    * and magnitude a timestamp can hold — bit-identical to the oracles'
+    * floor(epoch)//86400. */
+  def epochDay(ts: Column): Column =
+    ((unix_timestamp(ts) - pmod(unix_timestamp(ts), lit(86400L))) / 86400L)
+      .cast("long")
 }

@@ -630,9 +630,10 @@ object Profiling {
         |WHERE (gg.n * x.cents - gg.s) * (gg.n * x.cents - gg.s)
         |      > 4 * (gg.n * gg.q - gg.s * gg.s)
         |ORDER BY x.user_id, x.event_id""".stripMargin) { (s, dir) =>
-      val x = Tables(s, dir, "events")
-        .select(col("event_id"), col("user_id"),
-          floor(col("value") * 100).cast("long").as("cents"))
+      // literally the streaming twin's projection (drift-proof sharing)
+      val x = graft.streaming.IncrementalOutliers
+        .observations(Tables(s, dir, "events"))
+        .toDF("event_id", "user_id", "cents")
       val g = x.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
           sum(col("cents") * col("cents")).as("q"))

@@ -1069,9 +1069,8 @@ object Relational {
         |ORDER BY event_type, rnk""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       val d = Tables(s, dir, "events")
-        .select(col("event_type"),
-          expr("unix_timestamp(ts) div 86400").as("day"),
-          floor(col("value") * 100).cast("long").as("cents"))
+        .select(col("event_type"), epochDay(col("ts")).as("day"),
+          cents(col("value")).as("cents"))
         .groupBy(col("event_type"), col("day"))
         .agg(sum(col("cents")).as("c"))
       val w = Window.partitionBy(col("event_type"))

@@ -720,8 +720,10 @@ object Similarity {
     // ASC); ONE double division at the end. Headroom: |S| ≤ 3e6·n, so
     // the cross product stays under 2^63 while each half holds ≤ 1e6
     // vectors per label — guarded with error()/raise (q88 doctrine).
-    // Scale: one scan, a (label × 64)-key aggregate and a label-key
-    // aggregate, both map-side-partial; labels join broadcast.
+    // Scale: ONE scan feeding a (label × 64)-key aggregate that carries
+    // the per-dim sums AND the half counts together (every vector has
+    // every dim, so the per-dim count IS the half size), then a
+    // label-key argmax — both map-side-partial, no second scan, no join.
     QuerySpec.sqlBacked("q137_embedding_drift",
       """WITH x AS (SELECT label, vec_id % 2 AS half, embedding AS em
         |           FROM embeddings),
@@ -753,26 +755,28 @@ object Similarity {
         |  n0 * n1 AS shift_den,
         |  CAST(disp AS DOUBLE) / CAST(n0 * n1 AS DOUBLE) AS shift
         |FROM t WHERE rn = 1 ORDER BY label""".stripMargin) { (s, dir) =>
-      val x = Tables(s, dir, "embeddings")
+      // Genuinely ONE scan: per-(label, dim) sums AND half counts come
+      // out of the same aggregate (every vector carries every dim, so
+      // the per-dim half count IS the half size), then a label-keyed
+      // argmax — deriving the counts separately would scan embeddings
+      // twice for a broadcast side (caught in review).
+      val sums = Tables(s, dir, "embeddings")
         .select(col("label"), (col("vec_id") % 2).as("half"),
-          col("embedding").as("em"))
-      val n = x.groupBy(col("label"))
-        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
-          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
-        .withColumn("n0", when(col("n0") > 1000000L || col("n1") > 1000000L,
-          expr("raise_error('graft q137: half size exceeds the 2^63 " +
-            "displacement headroom - widen to DECIMAL')").cast("long"))
-          .otherwise(col("n0")))
-      val sums = x
-        .select(col("label"), col("half"), posexplode(col("em")))
+          posexplode(col("embedding")))
         .select(col("label"), col("half"),
           (col("pos") + 1).cast("long").as("d"),
           floor(col("col").cast("double") * 1000000 + 0.5).cast("long")
             .as("micro"))
         .groupBy(col("label"), col("d"))
         .agg(sum(when(col("half") === 0, col("micro")).otherwise(0L)).as("s0"),
-          sum(when(col("half") === 1, col("micro")).otherwise(0L)).as("s1"))
-      sums.join(broadcast(n), "label")
+          sum(when(col("half") === 1, col("micro")).otherwise(0L)).as("s1"),
+          sum(when(col("half") === 0, 1L).otherwise(0L)).as("n0"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("n1"))
+      sums
+        .withColumn("n0", when(col("n0") > 1000000L || col("n1") > 1000000L,
+          expr("raise_error('graft q137: half size exceeds the 2^63 " +
+            "displacement headroom - widen to DECIMAL')").cast("long"))
+          .otherwise(col("n0")))
         .withColumn("disp", abs(col("s0") * col("n1") - col("s1") * col("n0")))
         .groupBy(col("label"), col("n0"), col("n1"))
         .agg(min(struct((-col("disp")).as("nd"), col("d").as("dd"))).as("m"))

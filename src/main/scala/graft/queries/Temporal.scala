@@ -742,10 +742,10 @@ object Temporal {
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
         |ORDER BY user_id, day""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val d = Tables(s, dir, "events")
-        .select(col("user_id"),
-          expr("unix_timestamp(ts) div 86400").as("day"),
-          floor(col("value") * 100).cast("long").as("cents"))
+      // literally the streaming twin's projection (drift-proof sharing)
+      val d = graft.streaming.IncrementalFeatures
+        .observations(Tables(s, dir, "events"))
+        .toDF("user_id", "day", "cents")
         .groupBy(col("user_id"), col("day"))
         .agg(sum(col("cents")).as("day_cents"))
       val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
@@ -793,11 +793,10 @@ object Temporal {
         |       sum(cents) AS cents
         |FROM a GROUP BY channel ORDER BY channel""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val e = Tables(s, dir, "events")
-        .filter(col("event_type").isin("click", "view", "purchase"))
-        .select(col("event_id"), col("user_id"), col("event_type"),
-          unix_micros(col("ts")).as("us"),
-          floor(col("value") * 100).cast("long").as("cents"))
+      // literally the streaming twin's projection (drift-proof sharing)
+      val e = graft.streaming.IncrementalAttribution
+        .observations(Tables(s, dir, "events"))
+        .toDF("event_id", "user_id", "us", "event_type", "cents")
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, -1)

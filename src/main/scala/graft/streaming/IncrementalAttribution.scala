@@ -35,14 +35,16 @@ object IncrementalAttribution {
 
   val WindowUs: Long = 604800000000L // 7 days
 
-  /** Project a Tables-shaped events frame into the processor input. */
+  /** Project a Tables-shaped events frame into the processor input —
+    * the ONE projection batch q138 also builds from, so the ledger and
+    * the batch rollup cannot drift. */
   def observations(events: DataFrame): Dataset[Ev] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.filter(col("event_type").isin("click", "view", "purchase"))
       .select(col("event_id").as("eventId"), col("user_id").as("userId"),
         unix_micros(col("ts")).as("us"), col("event_type").as("eventType"),
-        floor(col("value") * 100).cast("long").as("cents"))
+        graft.functions.Cols.cents(col("value")).as("cents"))
       .as[Ev]
   }
 }
@@ -81,19 +83,21 @@ class IncrementalAttributionProcessor
     }
     seq.update(s)
     val allTouches = touches.get().toSeq
+    val newPurchaseIds = newPurchases.map(_.eventId).toSet
     // a purchase needs re-evaluation when it is new, or when a new touch
     // lands inside its attribution window and precedes it
     val affected = purchases.get().filter { p =>
-      newPurchases.exists(_.eventId == p.eventId) ||
+      newPurchaseIds.contains(p.eventId) ||
         newTouches.exists(t => Ordering[(Long, Long)].lt(order(t), order(p)) &&
           p.us - t.us <= WindowUs)
     }
     val sq = s
     affected.map { p =>
+      // maxByOption, not sort: O(touches) per re-evaluation, no copy
       val credited = allTouches
         .filter(t => Ordering[(Long, Long)].lt(order(t), order(p)) &&
           p.us - t.us <= WindowUs)
-        .sortBy(order).lastOption
+        .maxByOption(order)
       Att(key, p.eventId, credited.map(_.eventType).getOrElse("direct"),
         p.cents, sq)
     }

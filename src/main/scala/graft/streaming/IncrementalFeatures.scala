@@ -34,13 +34,16 @@ object IncrementalFeatures {
   case class Feature(userId: Long, day: Long, dayCents: Long,
       t7Cents: Long, t7Days: Long, seq: Long)
 
-  /** Project a Tables-shaped events frame into the processor input. */
+  /** Project a Tables-shaped events frame into the processor input —
+    * the ONE (user, day, cents) projection batch q135 also builds from
+    * (Cols.cents/epochDay), so online and backfill cannot drift. */
   def observations(events: DataFrame): Dataset[Ev] = {
     val spark = events.sparkSession
     import spark.implicits._
+    import graft.functions.Cols
     events.select(col("user_id").as("userId"),
-      expr("unix_timestamp(ts) div 86400").as("day"),
-      floor(col("value") * 100).cast("long").as("cents"))
+      Cols.epochDay(col("ts")).as("day"),
+      Cols.cents(col("value")).as("cents"))
       .as[Ev]
   }
 }

@@ -41,13 +41,15 @@ object IncrementalOutliers {
   /** Running moments. */
   case class Stats(n: Long, s: Long, q: Long)
 
-  /** Project a Tables-shaped events frame into the processor input. */
+  /** Project a Tables-shaped events frame into the processor input —
+    * the ONE projection batch q131 also builds from, so the monitor and
+    * the batch audit cannot drift. */
   def observations(events: DataFrame): Dataset[Ev] = {
     val spark = events.sparkSession
     import spark.implicits._
     events.select(col("event_id").as("eventId"),
       col("user_id").as("userId"),
-      floor(col("value") * 100).cast("long").as("cents"))
+      graft.functions.Cols.cents(col("value")).as("cents"))
       .as[Ev]
   }
 }

@@ -147,11 +147,17 @@ class WarehouseOpsSpec extends SparkSpec {
         assert(t7d == in.size.toLong, s"user $u day $day t7_days")
       }
     }
-    // the RANGE frame must skip inactive days: at least one user has a
-    // gap inside some 7-day window (t7_days < 7 with history >= 7 days)
+    // the RANGE frame must skip inactive days, and the corpus must
+    // actually EXERCISE that: some row far enough from its user's first
+    // active day to have a full 7-day window still reports fewer than 7
+    // active days — a ROWS frame (or gap-free data) cannot produce this,
+    // so a wrong frame OR a corpus that stopped testing the distinction
+    // fails here (the first cut of this assertion was a tautology:
+    // early rows always have t7_days < 7).
     assert(byUser.values.exists { rs =>
-      rs.size >= 7 && rs.exists(_._5 < 7L)
-    } || byUser.values.forall(_.size < 7))
+      val first = rs.map(_._2).min
+      rs.exists(r => r._2 - first >= 6 && r._5 < 7L)
+    }, "no sparse trailing frame found - RANGE vs ROWS is not exercised")
   }
 
   test("q136 hot keys match a direct computation") {
