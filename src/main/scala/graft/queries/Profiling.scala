@@ -29,6 +29,30 @@ object Profiling {
     ("lineitem", "l_orderkey"), ("orders", "o_custkey"),
     ("events", "user_id"))
 
+  /** Shared machinery of q143/q144: lineitem rows stamped with their
+    * within-flag cumulative quantity (`cumw`) and flag total (`tw`),
+    * via ONE PrefixSum range shuffle + a 3-row offset aggregate —
+    * never a per-flag single-task window. One definition so the two
+    * weighted-quantile queries cannot drift (the skewEdges doctrine). */
+  private def flagCumQty(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val x = Tables(s, dir, "lineitem")
+      .select(col("l_returnflag").as("f"),
+        col("l_extendedprice").as("p"),
+        col("l_quantity").cast("long").as("q"),
+        col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+    val cum = graft.operators.PrefixSum.inclusive(x,
+      Seq(col("f"), col("p"), col("ok"), col("ln")), "q", "cum")
+    val offs = x.groupBy(col("f")).agg(sum(col("q")).as("tw"))
+      .withColumn("off", coalesce(
+        sum(col("tw")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("f"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+    cum.join(broadcast(offs), "f")
+      .withColumn("cumw", col("cum") - col("off"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -677,26 +701,55 @@ object Profiling {
         |SELECT f AS l_returnflag, tw AS total_qty, p AS median_price
         |FROM m WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) {
       (s, dir) =>
-      val x = Tables(s, dir, "lineitem")
-        .select(col("l_returnflag").as("f"),
-          col("l_extendedprice").as("p"),
-          col("l_quantity").cast("long").as("q"),
-          col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
-      val cum = graft.operators.PrefixSum.inclusive(x,
-        Seq(col("f"), col("p"), col("ok"), col("ln")), "q", "cum")
-      val totals = x.groupBy(col("f")).agg(sum(col("q")).as("tw"))
-      val offs = totals
-        .withColumn("off", coalesce(
-          sum(col("tw")).over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("f"))
-            .rowsBetween(org.apache.spark.sql.expressions.Window
-              .unboundedPreceding, -1)), lit(0L)))
-      cum.join(broadcast(offs), "f")
-        .filter(lit(2) * (col("cum") - col("off")) >= col("tw"))
+      flagCumQty(s, dir)
+        .filter(lit(2) * col("cumw") >= col("tw"))
         .groupBy(col("f"), col("tw"))
         .agg(min(struct(col("p"), col("ok"), col("ln"))).as("m"))
         .select(col("f").as("l_returnflag"), col("tw").as("total_qty"),
           col("m.p").as("median_price"))
+        .orderBy(col("l_returnflag"))
+    },
+
+    // ------------------------------------------------------------------
+    // q144: one-pass weighted quartiles — q143 generalized: p25/p50/p75
+    // of the quantity-weighted price distribution per flag, all three
+    // crossing rows selected from the SAME PrefixSum-stamped frame in
+    // ONE aggregate (min-struct over a threshold-filtered when() per
+    // quantile) — three quantiles for the price of one range shuffle,
+    // where the oracle's window form pays a per-flag serialized cumsum
+    // and three ranked scans. Thresholds compare exact integers
+    // (4·cum ≥ k·total), so every crossing row is engine-identical.
+    QuerySpec.sqlBacked("q144_weighted_quartiles",
+      """WITH x AS (SELECT l_returnflag AS f, l_extendedprice AS p,
+        |    CAST(l_quantity AS BIGINT) AS q, l_orderkey AS ok,
+        |    l_linenumber AS ln FROM lineitem),
+        |c AS (SELECT *, sum(q) OVER (PARTITION BY f ORDER BY p, ok, ln
+        |        ROWS UNBOUNDED PRECEDING) AS cw,
+        |      sum(q) OVER (PARTITION BY f) AS tw FROM x),
+        |m1 AS (SELECT f, tw, p, row_number() OVER (PARTITION BY f
+        |         ORDER BY p, ok, ln) AS rn FROM c WHERE 4 * cw >= tw),
+        |m2 AS (SELECT f, p, row_number() OVER (PARTITION BY f
+        |         ORDER BY p, ok, ln) AS rn FROM c WHERE 2 * cw >= tw),
+        |m3 AS (SELECT f, p, row_number() OVER (PARTITION BY f
+        |         ORDER BY p, ok, ln) AS rn FROM c WHERE 4 * cw >= 3 * tw)
+        |SELECT m1.f AS l_returnflag, m1.tw AS total_qty,
+        |       m1.p AS p25_price, m2.p AS median_price, m3.p AS p75_price
+        |FROM m1 JOIN m2 ON m1.f = m2.f AND m2.rn = 1
+        |        JOIN m3 ON m1.f = m3.f AND m3.rn = 1
+        |WHERE m1.rn = 1 ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      def pick(cond: org.apache.spark.sql.Column) =
+        min(when(cond, col("s")))
+      flagCumQty(s, dir)
+        // build the comparable struct ONCE per row; the three quantile
+        // arms share it (3x fewer struct allocations in the aggregate)
+        .withColumn("s", struct(col("p"), col("ok"), col("ln")))
+        .groupBy(col("f"), col("tw"))
+        .agg(pick(lit(4) * col("cumw") >= col("tw")).as("q1"),
+          pick(lit(2) * col("cumw") >= col("tw")).as("q2"),
+          pick(lit(4) * col("cumw") >= lit(3) * col("tw")).as("q3"))
+        .select(col("f").as("l_returnflag"), col("tw").as("total_qty"),
+          col("q1.p").as("p25_price"), col("q2.p").as("median_price"),
+          col("q3.p").as("p75_price"))
         .orderBy(col("l_returnflag"))
     },
 
