@@ -14,6 +14,60 @@ import graft.sources.Tables
   */
 object Temporal {
 
+  /** q138/q145's shared oracle body: the OBVIOUS attribution formulation
+    * — a LEFT LATERAL top-1 probe per purchase, carrying the credited
+    * channel AND the touch→purchase lag. One string so the two gates
+    * prove the same frame (the flagCumQty/skewEdges anti-drift rule). */
+  private lazy val attributionCtes =
+    """e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_type, CAST(floor(value * 100) AS BIGINT) AS cents
+      |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
+      |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+      |t AS (SELECT * FROM e WHERE event_type <> 'purchase'),
+      |a AS (SELECT p.event_id, p.cents,
+      |        coalesce(l.event_type, 'direct') AS channel,
+      |        epoch_us(p.ts) - l.tus AS lag_us
+      |      FROM p LEFT JOIN LATERAL (
+      |        SELECT t.event_type, epoch_us(t.ts) AS tus FROM t
+      |        WHERE t.user_id = p.user_id
+      |          AND (epoch_us(t.ts) < epoch_us(p.ts)
+      |               OR (epoch_us(t.ts) = epoch_us(p.ts)
+      |                   AND t.event_id < p.event_id))
+      |          AND epoch_us(t.ts) >= epoch_us(p.ts) - 604800000000
+      |        ORDER BY epoch_us(t.ts) DESC, t.event_id DESC
+      |        LIMIT 1) l ON true)""".stripMargin
+
+  /** q138/q145's shared Spark frame: per purchase, the credited channel,
+    * revenue cents, and touch→purchase lag (NULL for 'direct') — the
+    * SCALABLE union+window formulation (one user-keyed exchange carrying
+    * the running latest touch; the lateral probe appears nowhere). Built
+    * from the streaming twin's projection, so ledger ≡ batch cannot
+    * drift either. */
+  private def attributedPurchases(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = graft.streaming.IncrementalAttribution
+      .observations(Tables(s, dir, "events"))
+      .toDF("event_id", "user_id", "us", "event_type", "cents")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    e.withColumn("touch",
+        when(col("event_type") =!= "purchase",
+          struct(col("us").as("tus"), col("event_id").as("tid"),
+            col("event_type").as("tch"))))
+      .withColumn("last_touch", max(col("touch")).over(w))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_touch").isNull ||
+          col("us") - col("last_touch.tus") > 604800000000L, "direct")
+          .otherwise(col("last_touch.tch")))
+      .withColumn("lag_us",
+        when(col("channel") =!= "direct",
+          col("us") - col("last_touch.tus")))
+      .select(col("event_id"), col("cents"), col("channel"), col("lag_us"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -773,46 +827,59 @@ object Temporal {
     // breaks same-timestamp ties identically in both engines; the
     // 7-day cutoff compares exact epoch-µs BIGINTs.
     QuerySpec.sqlBacked("q138_attribution",
-      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    event_type, CAST(floor(value * 100) AS BIGINT) AS cents
-        |  FROM events WHERE event_type IN ('click', 'view', 'purchase')),
-        |p AS (SELECT * FROM e WHERE event_type = 'purchase'),
-        |t AS (SELECT * FROM e WHERE event_type <> 'purchase'),
-        |a AS (SELECT p.event_id, p.cents,
-        |        coalesce(l.event_type, 'direct') AS channel
-        |      FROM p LEFT JOIN LATERAL (
-        |        SELECT t.event_type FROM t
-        |        WHERE t.user_id = p.user_id
-        |          AND (epoch_us(t.ts) < epoch_us(p.ts)
-        |               OR (epoch_us(t.ts) = epoch_us(p.ts)
-        |                   AND t.event_id < p.event_id))
-        |          AND epoch_us(t.ts) >= epoch_us(p.ts) - 604800000000
-        |        ORDER BY epoch_us(t.ts) DESC, t.event_id DESC
-        |        LIMIT 1) l ON true)
+      s"""WITH $attributionCtes
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
         |       sum(cents) AS cents
         |FROM a GROUP BY channel ORDER BY channel""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      // literally the streaming twin's projection (drift-proof sharing)
-      val e = graft.streaming.IncrementalAttribution
-        .observations(Tables(s, dir, "events"))
-        .toDF("event_id", "user_id", "us", "event_type", "cents")
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("us"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      e.withColumn("touch",
-          when(col("event_type") =!= "purchase",
-            struct(col("us").as("tus"), col("event_id").as("tid"),
-              col("event_type").as("tch"))))
-        .withColumn("last_touch", max(col("touch")).over(w))
-        .filter(col("event_type") === "purchase")
-        .withColumn("channel",
-          when(col("last_touch").isNull ||
-            col("us") - col("last_touch.tus") > 604800000000L, "direct")
-            .otherwise(col("last_touch.tch")))
+      attributedPurchases(s, dir)
         .groupBy(col("channel"))
         .agg(count(lit(1)).cast("long").as("n_purchases"),
           sum(col("cents")).as("cents"))
+        .orderBy(col("channel"))
+    },
+
+    // ------------------------------------------------------------------
+    // q145: conversion-lag distribution — per channel, HOW LONG after
+    // the credited touch do purchases land: the median touch→purchase
+    // lag, the time-to-convert number a growth team reads next to
+    // q138's revenue split. Built on the SAME attributed frame as q138
+    // (one helper, one oracle CTE chain — the flagCumQty/skewEdges
+    // anti-drift doctrine), then the median lag per channel is the
+    // q143 crossing-row selection on a PrefixSum-stamped frame: one
+    // range shuffle, channel offsets from a 2-row aggregate, argmin
+    // struct — the per-channel serialized window the oracle runs
+    // appears nowhere.
+    QuerySpec.sqlBacked("q145_conversion_lag",
+      s"""WITH $attributionCtes,
+        |a2 AS (SELECT event_id, channel, lag_us FROM a
+        |       WHERE channel <> 'direct'),
+        |c AS (SELECT *, sum(1) OVER (PARTITION BY channel
+        |        ORDER BY lag_us, event_id ROWS UNBOUNDED PRECEDING) AS cw,
+        |      count(*) OVER (PARTITION BY channel) AS tw FROM a2),
+        |m AS (SELECT channel, tw, lag_us, row_number() OVER
+        |        (PARTITION BY channel ORDER BY lag_us, event_id) AS rn
+        |      FROM c WHERE 2 * cw >= tw)
+        |SELECT channel, CAST(tw AS BIGINT) AS n_conversions,
+        |       lag_us AS median_lag_us
+        |FROM m WHERE rn = 1 ORDER BY channel""".stripMargin) { (s, dir) =>
+      val a = attributedPurchases(s, dir)
+        .filter(col("channel") =!= "direct")
+        .select(col("channel"), col("lag_us"), col("event_id"))
+        .withColumn("w", lit(1L))
+      val cum = graft.operators.PrefixSum.inclusive(a,
+        Seq(col("channel"), col("lag_us"), col("event_id")), "w", "cum")
+      val offs = a.groupBy(col("channel")).agg(sum(col("w")).as("tw"))
+        .withColumn("off", coalesce(
+          sum(col("tw")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("channel"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+      cum.join(broadcast(offs), "channel")
+        .filter(lit(2) * (col("cum") - col("off")) >= col("tw"))
+        .groupBy(col("channel"), col("tw"))
+        .agg(min(struct(col("lag_us"), col("event_id"))).as("m"))
+        .select(col("channel"), col("tw").as("n_conversions"),
+          col("m.lag_us").as("median_lag_us"))
         .orderBy(col("channel"))
     },
 
