@@ -187,6 +187,15 @@ object Plans {
         "disappears; nothing in the plan ever shuffles document text.",
       details = Seq("PushedFilters"))
   ,
+    Entry("q143_weighted_median",
+      "Weighted quantile without a serialized window: the plan shows " +
+        "RangePartitioning (the ONE PrefixSum shuffle over the " +
+        "(flag, price, orderkey, linenumber) total order) feeding the " +
+        "narrow cumulative stamp, a 3-row offset aggregate joined as a " +
+        "BroadcastHashJoin build side, and the crossing row selected by " +
+        "a min-struct HashAggregate - the oracle's per-flag " +
+        "sum() OVER (PARTITION ... ROWS UNBOUNDED PRECEDING) cumsum, " +
+        "which serializes each flag through one task, appears nowhere."),
     Entry("q138_attribution",
       "As-of rewrite under the gate: ONE scan of the three event types " +
         "(filter pushed to parquet), one user-keyed exchange feeding a " +
