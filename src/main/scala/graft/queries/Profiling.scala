@@ -698,7 +698,8 @@ object Profiling {
         |m AS (SELECT f, tw, p, row_number() OVER (PARTITION BY f
         |        ORDER BY p, ok, ln) AS rn
         |      FROM c WHERE 2 * cw >= tw)
-        |SELECT f AS l_returnflag, tw AS total_qty, p AS median_price
+        |SELECT f AS l_returnflag, CAST(tw AS BIGINT) AS total_qty,
+        |       p AS median_price
         |FROM m WHERE rn = 1 ORDER BY l_returnflag""".stripMargin) {
       (s, dir) =>
       flagCumQty(s, dir)
@@ -732,7 +733,7 @@ object Profiling {
         |         ORDER BY p, ok, ln) AS rn FROM c WHERE 2 * cw >= tw),
         |m3 AS (SELECT f, p, row_number() OVER (PARTITION BY f
         |         ORDER BY p, ok, ln) AS rn FROM c WHERE 4 * cw >= 3 * tw)
-        |SELECT m1.f AS l_returnflag, m1.tw AS total_qty,
+        |SELECT m1.f AS l_returnflag, CAST(m1.tw AS BIGINT) AS total_qty,
         |       m1.p AS p25_price, m2.p AS median_price, m3.p AS p75_price
         |FROM m1 JOIN m2 ON m1.f = m2.f AND m2.rn = 1
         |        JOIN m3 ON m1.f = m3.f AND m3.rn = 1
@@ -769,7 +770,7 @@ object Profiling {
         val e = if (t == "events")
           "SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events"
         else s"SELECT * FROM $t"
-        s"""SELECT '$t.$k' AS key_col, sum(c) AS n_rows,
+        s"""SELECT '$t.$k' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
            |  CAST(count(*) AS BIGINT) AS n_keys,
            |  (SELECT k FROM (SELECT $k AS k, count(*) AS c FROM ($e)
            |     GROUP BY $k) ORDER BY c DESC, k LIMIT 1) AS hot_key,

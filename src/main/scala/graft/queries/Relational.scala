@@ -1055,7 +1055,7 @@ object Relational {
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
         |      AS day,
         |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
-        |d AS (SELECT event_type, day, sum(cents) AS c
+        |d AS (SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS c
         |      FROM e GROUP BY event_type, day)
         |SELECT event_type, day, c,
         |  CAST(rank() OVER w AS BIGINT) AS rnk,

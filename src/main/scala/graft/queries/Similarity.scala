@@ -751,8 +751,9 @@ object Similarity {
         |        row_number() OVER (PARTITION BY s.label
         |          ORDER BY abs(s0 * n1 - s1 * n0) DESC, s.d) AS rn
         |      FROM s JOIN nn ON s.label = nn.label)
-        |SELECT label, n0, n1, d AS dim, disp AS shift_num,
-        |  n0 * n1 AS shift_den,
+        |SELECT label, n0, n1, d AS dim,
+        |  CAST(disp AS BIGINT) AS shift_num,
+        |  CAST(n0 * n1 AS BIGINT) AS shift_den,
         |  CAST(disp AS DOUBLE) / CAST(n0 * n1 AS DOUBLE) AS shift
         |FROM t WHERE rn = 1 ORDER BY label""".stripMargin) { (s, dir) =>
       // Genuinely ONE scan: per-(label, dim) sums AND half counts come

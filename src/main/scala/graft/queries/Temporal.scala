@@ -787,10 +787,10 @@ object Temporal {
         |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
         |      AS day,
         |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
-        |d AS (SELECT user_id, day, sum(cents) AS day_cents
+        |d AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS day_cents
         |      FROM e GROUP BY user_id, day)
         |SELECT user_id, day, day_cents,
-        |  sum(day_cents) OVER w AS t7_cents,
+        |  CAST(sum(day_cents) OVER w AS BIGINT) AS t7_cents,
         |  CAST(count(*) OVER w AS BIGINT) AS t7_days
         |FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day
         |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
@@ -829,7 +829,7 @@ object Temporal {
     QuerySpec.sqlBacked("q138_attribution",
       s"""WITH $attributionCtes
         |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
-        |       sum(cents) AS cents
+        |       CAST(sum(cents) AS BIGINT) AS cents
         |FROM a GROUP BY channel ORDER BY channel""".stripMargin) { (s, dir) =>
       attributedPurchases(s, dir)
         .groupBy(col("channel"))

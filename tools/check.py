@@ -18,6 +18,16 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def hugeint_cols(rel):
+    """Oracle columns whose DuckDB type the driver's pandas hasher would
+    render as float64 (`123.0` vs the Spark parquet's `123`), silently
+    breaking the driver's hash gate while value comparison still passes.
+    DuckDB promotes sum(BIGINT) to HUGEINT, so any un-cast sum-derived
+    output lands here. Hard-fail locally: cast your sums."""
+    return [c for c, t in zip([d[0] for d in rel.description], rel.types)
+            if str(t).upper() in ("HUGEINT", "UHUGEINT")]
+
+
 def canon(con, rel):
     df = rel.fetchall()
     cols = [d[0] for d in rel.description]
@@ -48,7 +58,16 @@ def main(sf_dir, out_dir):
     for name in sorted(oracles):
         sql = oracles[name]
         try:
-            ocols, orows = canon(con, con.sql(sql))
+            orel = con.sql(sql)
+            huge = hugeint_cols(orel)
+            if huge:
+                print(f"FAIL {name}: oracle columns {huge} are DuckDB "
+                      f"HUGEINT — the driver's pandas hasher renders these "
+                      f"as float64 and the hash gate WILL go red even if "
+                      f"values match. CAST(... AS BIGINT) your sums.")
+                n_fail += 1
+                continue
+            ocols, orows = canon(con, orel)
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
