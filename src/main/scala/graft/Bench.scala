@@ -33,7 +33,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // The stdout line gets drowned in sbt [info]/[error] prefixes and tail
+    // truncation on long sweeps (BENCH_r05/r06 both parsed as null). Also
+    // write the metric object to a file so the driver — and any local
+    // cross-round diff — can read it without scraping logs.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("BENCH_LAST.json"))
+      .foreach { p =>
+        try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+          line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        catch { case _: Throwable => () }
+      }
     spark.stop()
+    // Re-print after spark.stop() so the metric is the LAST stdout line —
+    // immune to executor-shutdown log interleaving and tail truncation.
+    println(line)
   }
 }

@@ -8,10 +8,12 @@ import graft.sources.Tables
   * inspect-before-train operators of a data pipeline.
   *
   * q50 sketches are approximate by design (HLL++ / KLL-style quantiles),
-  * so no bit-exact oracle exists — the driver records a rows-only check
-  * and ProfilingSpec bounds the error against exact answers. q51
-  * stratified sampling is seeded-deterministic within Spark but not
-  * reproducible in DuckDB -> rows-only + spec. q52 is exact and
+  * so the sketch VALUES carry no bit-exact oracle — instead q50 emits
+  * their exact companions plus in-engine error-bound booleans, which the
+  * DuckDB oracle CAN hash (exact columns + literal TRUE per bound), so
+  * the sketch contract is driver-visible. q51
+  * stratified sampling's coin flip is an md5 both engines compute ->
+  * fully oracle-backed. q52 is exact and
   * oracle-backed.
   *
   * Scale notes: sketches are the 100 TB path for distinct counts and
@@ -57,21 +59,54 @@ object Profiling {
 
     // ------------------------------------------------------------------
     // Approximate sketches per return flag: HLL++ distinct orders and
-    // quantile estimates over the price distribution.
-    QuerySpec.rowsOnly("q50_approx_sketch") { (s, dir) =>
-      // Quantiles land as two scalar columns, not one array — the
-      // driver's pandas canonicalizer cannot sort rows holding arrays.
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
+    // KLL-style quantile estimates over the price distribution. The
+    // sketch values themselves are approximate by design, so no engine-
+    // independent oracle can hash them — instead the query emits the
+    // EXACT companions (distinct count, row count) plus in-engine
+    // booleans proving each sketch landed inside its published error
+    // bound: |HLL − exact| ≤ 6% (3σ at rsd 0.02) and the approx
+    // percentiles' true ranks within n/1000 + slack of their targets
+    // (10× the accuracy-10000 guarantee, headroom for price ties). The
+    // oracle predicts the exact columns and literal TRUE for each bound
+    // — if a sketch ever drifts outside its contract the boolean flips
+    // and the driver gate goes red. Scale: the sketches and exact
+    // companions ride ONE grouped aggregate (fixed-size mergeable
+    // state); the rank check joins the 3-row sketch frame back
+    // broadcast, so the second pass is scan + map-side partials only.
+    QuerySpec.sqlBacked("q50_approx_sketch",
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  TRUE AS hll_ok, TRUE AS q50_ok, TRUE AS q95_ok
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_orderkey"),
+          col("l_extendedprice"))
+      val sk = li.groupBy(col("l_returnflag"))
         .agg(
           approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
           percentile_approx(col("l_extendedprice"),
             array(lit(0.5), lit(0.95)), lit(10000)).as("pq"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
           count(lit(1)).as("n"))
-        .select(col("l_returnflag"), col("approx_orders"),
-          element_at(col("pq"), 1).as("price_q50"),
-          element_at(col("pq"), 2).as("price_q95"),
-          col("n"))
+      val ranks = li
+        .join(broadcast(sk.select(col("l_returnflag"), col("pq"))),
+          "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("l_extendedprice") <= element_at(col("pq"), 1), 1L)
+            .otherwise(0L)).as("r50"),
+          sum(when(col("l_extendedprice") <= element_at(col("pq"), 2), 1L)
+            .otherwise(0L)).as("r95"))
+      sk.join(ranks, "l_returnflag")
+        .select(col("l_returnflag"), col("exact_orders"), col("n"),
+          (abs(col("approx_orders") - col("exact_orders")) * 100 <=
+            col("exact_orders") * 6).as("hll_ok"),
+          (abs(col("r50") * 2 - col("n")) * 500 <=
+            col("n") + 1000).as("q50_ok"),
+          (abs(col("r95") * 20 - col("n") * 19) * 50 <=
+            col("n") + 1000).as("q95_ok"))
         .orderBy(col("l_returnflag"))
     },
 

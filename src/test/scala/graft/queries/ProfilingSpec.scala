@@ -11,22 +11,24 @@ class ProfilingSpec extends SparkSpec {
   private def run(name: String) =
     Profiling.specs.find(_.name == name).get.run(spark, dir)
 
-  test("q50 sketches: HLL distinct within 5%, quantiles within bounds") {
+  test("q50 sketches: exact companions match, in-engine bounds all true") {
     val exact = graft.sources.Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")
       .agg(org.apache.spark.sql.functions.countDistinct("l_orderkey").as("d"),
-        org.apache.spark.sql.functions.min("l_extendedprice").as("lo"),
-        org.apache.spark.sql.functions.max("l_extendedprice").as("hi"))
-      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2),
-        r.getDouble(3))).toMap
-    run("q50_approx_sketch").collect().foreach { r =>
-      val (d, lo, hi) = exact(r.getString(0))
-      val approx = r.getLong(1)
-      assert(math.abs(approx - d).toDouble / d <= 0.05,
-        s"HLL off by >5%: $approx vs $d")
-      val qs = Seq(r.getDouble(2), r.getDouble(3)) // price_q50, price_q95
-      assert(qs.forall(q => q >= lo && q <= hi))
-      assert(qs(0) <= qs(1)) // median <= p95
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    val rows = run("q50_approx_sketch").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, n) = exact(r.getString(0))
+      assert(r.getLong(1) == d, s"exact_orders ${r.getLong(1)} != $d")
+      assert(r.getLong(2) == n, s"n ${r.getLong(2)} != $n")
+      // the driver-visible sketch contract: every bound boolean TRUE
+      assert(r.getBoolean(3), "hll_ok false")
+      assert(r.getBoolean(4), "q50_ok false")
+      assert(r.getBoolean(5), "q95_ok false")
     }
   }
 
