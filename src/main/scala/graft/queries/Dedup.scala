@@ -1135,8 +1135,25 @@ object Dedup {
       val tau = 0.5
       val base = shingled(s, dir)
       withScratch(base) {
+        // (set size, doc id) packed into ONE long — 23+40 bits with a
+        // fail-loud headroom guard (the q88 doctrine; 2^40 docs clears
+        // a 100 TB corpus at any plausible doc size). Packing lets the
+        // posting lists carry lengths for free: sort_array orders them
+        // size-ascending, and LengthBoundedPairs fuses PPJoin's length
+        // filter INTO pair emission (break at the first too-long
+        // partner), so the r6 plan's two doc-length broadcast joins and
+        // its separate filter stage disappear, and provably-dead pairs
+        // never reach the distinct exchange. Lossless: the size test is
+        // the same double multiply the filter form ran, just earlier.
+        val pid = when(col("doc_id") >= lit(1L << 40) ||
+            col("n") >= lit(1 << 23),
+            expr("raise_error('graft q120: doc_id/set-size exceed the " +
+              "(40,23)-bit packing headroom - widen the pack')")
+              .cast("long"))
+          .otherwise(shiftleft(col("n").cast("long"), 40) + col("doc_id"))
         val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
-          explode(col("sh")).as("s"))
+            explode(col("sh")).as("s"))
+          .select(pid.as("pid"), col("s"))
         val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
         // rarest-first canonical order: (df, shingle) total order; the
         // tie-break never affects correctness (the oracle is exact
@@ -1149,42 +1166,44 @@ object Dedup {
         // quadratic-memory wrong at 100 TB. If the vocabulary outgrows
         // broadcast range, drop the hint and this becomes a token-keyed
         // shuffle join — the documented price of losslessness.
+        val nCol = shiftrightunsigned(col("pid"), 40)
         val prefixTokens = ex.join(broadcast(dfreq), "s")
-          .groupBy(col("doc_id"))
-          .agg(max(col("n")).as("n"),
-            array_sort(collect_list(struct(col("df"), col("s")))).as("srt"))
-          .select(col("doc_id"), explode(slice(col("srt"), lit(1),
-            (col("n") - ceil(col("n") * tau) + 1).cast("int"))).as("p"))
-          .select(col("doc_id"), col("p.s").as("s"))
+          .groupBy(col("pid"))
+          .agg(array_sort(collect_list(struct(col("df"), col("s"))))
+            .as("srt"))
+          .select(col("pid"), explode(slice(col("srt"), lit(1),
+            (nCol - ceil(nCol * tau) + 1).cast("int"))).as("p"))
+          .select(col("pid"), col("p.s").as("s"))
         val cands = prefixTokens
           .groupBy(col("s"))
-          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .agg(sort_array(collect_list(col("pid"))).as("ds"))
           .filter(size(col("ds")) >= 2)
-          .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+          .select(graft.plans.LengthBoundedPairs(col("ds"), tau)
+            .as(Seq("a", "b")))
           .select(col("a").as("a_id"), col("b").as("b_id"))
           .distinct()
-        // PPJoin's length filter, applied BEFORE the shingle-array
-        // fetch: J(A,B) <= min(|A|,|B|)/max(|A|,|B|), so a pair whose
-        // sizes differ by more than tau is dead on arrival. The length
-        // frame is doc-count-sized (one int per doc — broadcast here,
-        // key-shuffled at 100 TB); candidates that fail never join the
-        // arrays, which is the expensive exchange this prunes. Lossless:
-        // verification is exact Jaccard, and every true pair passes.
-        val lens = base.select(col("doc_id"), size(col("sh")).as("ln"))
-        val sized = cands
-          .join(broadcast(lens.select(col("doc_id").as("a_id"), col("ln").as("na"))), "a_id")
-          .join(broadcast(lens.select(col("doc_id").as("b_id"), col("ln").as("nb"))), "b_id")
-          .filter(least(col("na"), col("nb")).cast("double") >=
-            greatest(col("na"), col("nb")).cast("double") * tau)
-          .select(col("a_id"), col("b_id"))
-        val sets = base.select(col("doc_id"), col("sh"))
-        sized
-          .join(sets.select(col("doc_id").as("a_id"), col("sh").as("sa")), "a_id")
-          .join(sets.select(col("doc_id").as("b_id"), col("sh").as("sb")), "b_id")
+          // materialize the id-pair frame (two longs per row — KBs-to-
+          // MBs at any corpus the candidate regime admits) so the
+          // verify joins plan against its REAL size: in one lazy plan
+          // the static optimizer broadcast the whole candidate pipeline
+          // AND the shingle-array frame (measured 15 s vs 5 s at
+          // sf0.1); with the checkpoint the planner broadcasts the
+          // small pair side and the arrays never cross an exchange.
+          .localCheckpoint()
+        // sorted view of the shingle sets — pure projection off the
+        // base cache (no join, no regroup): sort once per DOC so the
+        // native SortedIntersectCount merge (exact, allocation-free)
+        // replaces array_intersect's per-PAIR hash-set build, the
+        // dominant verify cost at millions of candidates.
+        val sets = base.select(col("doc_id"), array_sort(col("sh")).as("st"))
+        cands
+          .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
+          .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")
           // intersect once per pair: it is the dominant verify cost and
           // appears in both numerator and union-size denominator
           .select(col("a_id"), col("b_id"),
-            size(array_intersect(col("sa"), col("sb"))).as("inter"),
+            graft.plans.SortedIntersectCount(col("sa"), col("sb"))
+              .as("inter"),
             size(col("sa")).as("na"), size(col("sb")).as("nb"))
           .select(col("a_id"), col("b_id"),
             (col("inter").cast("double") /
