@@ -698,11 +698,10 @@ object Similarity {
     QuerySpec.sqlBacked("q114_knn_batch_topk", lshOracleSql) { (s, dir) =>
       lshCandidates(s, dir)
         .groupBy(col("q_id"))
-        .agg(graft.plans.TopKAgg(
-          struct(col("cos").as("c"), (-col("nb_id")).as("nk")), K).as("top"))
+        .agg(graft.plans.TopKScoreId(col("cos"), -col("nb_id"), K).as("top"))
         .select(col("q_id"), posexplode(col("top")).as(Seq("i", "t")))
-        .select(col("q_id"), (-col("t.nk")).as("nb_id"),
-          (col("i") + 1).cast("long").as("rn"), col("t.c").as("cos"))
+        .select(col("q_id"), (-col("t.id")).as("nb_id"),
+          (col("i") + 1).cast("long").as("rn"), col("t.score").as("cos"))
         .orderBy(col("q_id"), col("rn"))
     },
 
