@@ -31,6 +31,55 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** One-pass q136-style pre-flight audit of `key` in `facts`:
+    * (n_rows, hot_n) — total rows and the hottest key's rows. Both
+    * aggregate levels are map-side-partial and the result is ONE row;
+    * the collect is the same bounded-driver-state contract as the
+    * k-means centroid frames. */
+  def audit(facts: DataFrame, key: String): (Long, Long) = {
+    val r = facts.groupBy(col(key)).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c")), max(col("c"))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** Salt-cell count for a measured hot-key share: enough cells that
+    * the hot key's per-cell rows sink to the average reducer load
+    * (hot rows h split s ways vs ideal load n/P ⇒ s >= h*P/n =
+    * share*P), capped at the partition count (finer fan-out cannot
+    * spread further) and floored at 1 (= no salting) when the hot key
+    * would not dominate a reducer anyway. */
+  def saltsFor(hotShare: Double, partitions: Int): Int = {
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    math.min(partitions, math.ceil(hotShare * partitions).toInt).max(1)
+  }
+
+  /** [[salted]] with the salt count DERIVED from a pre-flight audit of
+    * the fact side (the q136 skew report feeding the join decision,
+    * closed-loop): measures the hot key's share, sizes the salt fan-out
+    * with [[saltsFor]], and skips the salt plumbing entirely (plain
+    * join, no extra exchange keys, no dim replication) when the hot
+    * key would not dominate a reducer. The audit is one extra
+    * map-side-partial pass over the facts — the price a 100 TB join
+    * pays once to avoid a straggler stage. */
+  /** The salt count [[audited]] will use: audit + [[saltsFor]] under
+    * the session's shuffle-partition count. Exposed so callers (and
+    * the spec) can see the derived fan-out. */
+  def auditedSaltCount(facts: DataFrame, key: String): Int = {
+    val (nRows, hotN) = audit(facts, key)
+    val p = facts.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (nRows == 0L) 1 else saltsFor(hotN.toDouble / nRows.toDouble, p)
+  }
+
+  def audited(facts: DataFrame, dim: DataFrame, key: String,
+      saltBy: Column): DataFrame = {
+    val salts = auditedSaltCount(facts, key)
+    if (salts <= 1) {
+      val d = dim.withColumnRenamed(key, "graft_dim_key")
+      facts.join(d, facts(key) === d("graft_dim_key"))
+        .drop("graft_dim_key")
+    } else salted(facts, dim, key, salts, saltBy)
+  }
+
   /** Inner-join `facts` to `dim` on `key`, salted `salts` ways.
     * `saltBy` is any fact column with high cardinality (a row id); the
     * salt is derived from it, not random, so results are reproducible.
