@@ -23,6 +23,20 @@ import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode,
   * state discipline with ValueState-only layout — the simplest of the
   * five streaming twins, because upsert-compaction IS the primitive the
   * others build on.
+  *
+  * ==Retention contract==
+  * An online CDC table cannot accept arbitrarily late changes forever:
+  * a change arriving more than `retentionMicros` behind the key's own
+  * event-time high water mark is NOT absorbed (it neither advances
+  * `nChanges` nor can resurrect superseded state) — it is counted per
+  * key and REPORTED as a `late = true` row carrying the rejected
+  * change's fields with the key's cumulative late count in `nChanges`,
+  * so every drop is auditor-visible. Within-retention out-of-order
+  * changes keep the existing semantics (absorbed into `nChanges`, win
+  * or lose by the deterministic (ts, event_id) order). The default
+  * (`Long.MaxValue`) accepts forever — the backfill-parity
+  * configuration IncrementalCompactionSpec's snapshot-equality runs
+  * under.
   */
 object IncrementalCompaction {
 
@@ -32,9 +46,13 @@ object IncrementalCompaction {
       eventType: String, cents: Long)
 
   /** A key's compacted state: the winning change + how many changes the
-    * key has absorbed; `live = false` = latest change is a tombstone. */
+    * key has absorbed; `live = false` = latest change is a tombstone.
+    * `late = true` rows are the retention REPORT channel: the fields
+    * are the REJECTED change's, `nChanges` is the key's cumulative
+    * late-drop count — never snapshot rows. */
   case class Snapshot(userId: Long, tsMicros: Long, eventId: Long,
-      eventType: String, cents: Long, nChanges: Long, live: Boolean)
+      eventType: String, cents: Long, nChanges: Long, live: Boolean,
+      late: Boolean = false)
 
   /** Project a Tables-shaped events frame (streaming or batch) into the
     * processor's input: stateless, so it applies to readStream inputs
@@ -53,21 +71,44 @@ object IncrementalCompaction {
 }
 
 /** Keyed latest-state store; top-level class so the closure serializes
-  * without a spec/session reference. */
-class IncrementalCompactionProcessor extends StatefulProcessor[
+  * without a spec/session reference. Default retention accepts forever
+  * (the backfill-parity configuration); production passes a finite
+  * horizon — see the retention contract above. */
+class IncrementalCompactionProcessor(retentionMicros: Long = Long.MaxValue)
+    extends StatefulProcessor[
     Long, IncrementalCompaction.Change, IncrementalCompaction.Snapshot] {
   import IncrementalCompaction.{Change, Snapshot}
 
-  @transient private var state: ValueState[Snapshot] = _
+  require(retentionMicros > 0, "retentionMicros must be positive")
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  @transient private var state: ValueState[Snapshot] = _
+  @transient private var hwm: ValueState[Long] = _
+  @transient private var nLate: ValueState[Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     state = getHandle.getValueState[Snapshot]("latest",
       Encoders.product[Snapshot], TTLConfig.NONE)
+    hwm = getHandle.getValueState[Long]("hwm",
+      Encoders.scalaLong, TTLConfig.NONE)
+    nLate = getHandle.getValueState[Long]("nLate",
+      Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(key: Long, rows: Iterator[Change],
       timerValues: TimerValues): Iterator[Snapshot] = {
+    val cs = rows.toSeq
+    // batch-wide event-time high water mark first, so acceptance does
+    // not depend on within-batch row order (determinism doctrine)
+    val wm = (Option(hwm.get()).getOrElse(Long.MinValue) +:
+      cs.map(_.tsMicros)).max
+    hwm.update(wm)
+    val cutoff =
+      if (retentionMicros == Long.MaxValue) Long.MinValue
+      else wm - retentionMicros
+    val (lateCs, liveCs) = cs.partition(_.tsMicros < cutoff)
+
     var cur = if (state.exists()) state.get() else null
-    rows.foreach { c =>
+    liveCs.foreach { c =>
       val supersedes = cur == null ||
         c.tsMicros > cur.tsMicros ||
         (c.tsMicros == cur.tsMicros && c.eventId > cur.eventId)
@@ -78,7 +119,17 @@ class IncrementalCompactionProcessor extends StatefulProcessor[
             live = c.eventType != "error")
         else cur.copy(nChanges = cur.nChanges + 1)
     }
-    state.update(cur)
-    Iterator.single(cur)
+    if (cur != null) state.update(cur)
+
+    var lateCount = Option(nLate.get()).getOrElse(0L)
+    val lateRows = lateCs.map { c =>
+      lateCount = Math.addExact(lateCount, 1L)
+      Snapshot(key, c.tsMicros, c.eventId, c.eventType, c.cents,
+        lateCount, live = false, late = true)
+    }
+    if (lateRows.nonEmpty) nLate.update(lateCount)
+
+    lateRows.iterator ++
+      (if (liveCs.nonEmpty) Iterator.single(cur) else Iterator.empty)
   }
 }

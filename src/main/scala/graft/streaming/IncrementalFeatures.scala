@@ -22,6 +22,22 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
   * State per key is the user's own day map (the q113/q133 per-entity
   * boundedness contract); arithmetic is Math.*Exact — overflow fails
   * loudly (the determinism doctrine's streaming face).
+  *
+  * ==Retention contract==
+  * A 100 TB online store cannot absorb arbitrarily late data forever —
+  * unbounded lateness means unbounded day cells per key. The processor
+  * takes `retentionDays`: each key tracks its own event-time high water
+  * mark (max day seen), and an event landing more than `retentionDays`
+  * behind it is NOT absorbed — it is counted per key and REPORTED as a
+  * `late = true` row carrying the rejected (day, cents) and the key's
+  * cumulative late count in `seq`, so a downstream auditor sees every
+  * drop (never silent absorption, never silent loss). Day cells more
+  * than `retentionDays + 6` behind the watermark are purged (the +6
+  * keeps every accepted event's trailing frame exact — a cell just
+  * inside the horizon still contributes to frames up to 6 days ahead).
+  * Within-retention results are batch-identical: on-time parity is
+  * unconditional, and the default (`Long.MaxValue`) retains forever,
+  * which IncrementalFeaturesSpec's backfill-equality test runs under.
   */
 object IncrementalFeatures {
 
@@ -30,9 +46,12 @@ object IncrementalFeatures {
   case class Ev(userId: Long, day: Long, cents: Long)
 
   /** A current feature row for (userId, day); seq = the user's event
-    * count when this row was computed (monotone — readers keep max). */
+    * count when this row was computed (monotone — readers keep max).
+    * `late = true` rows are the retention REPORT channel: day/cents are
+    * the rejected event's, seq is the key's cumulative late-drop count,
+    * and the frame columns are zero — never feature rows. */
   case class Feature(userId: Long, day: Long, dayCents: Long,
-      t7Cents: Long, t7Days: Long, seq: Long)
+      t7Cents: Long, t7Days: Long, seq: Long, late: Boolean = false)
 
   /** Project a Tables-shaped events frame into the processor input —
     * the ONE (user, day, cents) projection batch q135 also builds from
@@ -49,40 +68,77 @@ object IncrementalFeatures {
 }
 
 /** Keyed day-cell store; top-level class so the closure serializes
-  * without a spec/session reference. */
-class IncrementalFeaturesProcessor
+  * without a spec/session reference. Default retention keeps every day
+  * cell forever (the backfill-parity configuration); production passes
+  * a finite horizon — see the retention contract above. */
+class IncrementalFeaturesProcessor(retentionDays: Long = Long.MaxValue)
     extends StatefulProcessor[Long, IncrementalFeatures.Ev,
       IncrementalFeatures.Feature] {
   import IncrementalFeatures.{Ev, Feature}
 
+  require(retentionDays > 0, "retentionDays must be positive")
+
   @transient private var cells: MapState[Long, Long] = _
   @transient private var seq: ValueState[Long] = _
+  @transient private var hwm: ValueState[Long] = _
+  @transient private var nLate: ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     cells = getHandle.getMapState[Long, Long]("cells",
       Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
     seq = getHandle.getValueState[Long]("seq",
       Encoders.scalaLong, TTLConfig.NONE)
+    hwm = getHandle.getValueState[Long]("hwm",
+      Encoders.scalaLong, TTLConfig.NONE)
+    nLate = getHandle.getValueState[Long]("nLate",
+      Encoders.scalaLong, TTLConfig.NONE)
   }
 
   override def handleInputRows(key: Long, rows: Iterator[Ev],
       timerValues: TimerValues): Iterator[Feature] = {
+    val evs = rows.toSeq
+    // the key's event-time high water mark across ALL of this batch —
+    // computed up front so acceptance is batch-order-independent
+    // (determinism doctrine: same inputs, same drops, any row order)
+    val wm = (Option(hwm.get()).getOrElse(Long.MinValue) +: evs.map(_.day)).max
+    hwm.update(wm)
+    val cutoff =
+      if (retentionDays == Long.MaxValue) Long.MinValue
+      else wm - retentionDays
+    val (lateEvs, liveEvs) = evs.partition(_.day < cutoff)
+
     var s = Option(seq.get()).getOrElse(0L)
     val touched = scala.collection.mutable.Set.empty[Long]
-    rows.foreach { e =>
+    liveEvs.foreach { e =>
       val cur = if (cells.containsKey(e.day)) cells.getValue(e.day) else 0L
       cells.updateValue(e.day, Math.addExact(cur, e.cents))
       touched += e.day
       s = Math.addExact(s, 1L)
     }
     seq.update(s)
+
+    // report (never absorb) the beyond-horizon stragglers
+    var lateCount = Option(nLate.get()).getOrElse(0L)
+    val lateRows = lateEvs.map { e =>
+      lateCount = Math.addExact(lateCount, 1L)
+      Feature(key, e.day, e.cents, 0L, 0L, lateCount, late = true)
+    }
+    if (lateRows.nonEmpty) nLate.update(lateCount)
+
+    // purge cells past frame reach of the horizon (cutoff - 6 keeps
+    // every within-retention frame exact)
+    if (cutoff != Long.MinValue) {
+      val purgeBelow = cutoff - 6
+      cells.keys().filter(_ < purgeBelow).toSeq.foreach(cells.removeKey)
+    }
+
     val all: Map[Long, Long] = cells.iterator().toMap
     // a fresh cell at day t changes the frames of rows t .. t+6 (only
     // days that HAVE activity emit a row — the RANGE-frame contract)
     val affected = all.keySet.filter(d =>
       touched.exists(t => d >= t && d <= t + 6)).toSeq.sorted
     val sq = s
-    affected.iterator.map { d =>
+    lateRows.iterator ++ affected.iterator.map { d =>
       val frame = all.filter { case (k, _) => k >= d - 6 && k <= d }
       Feature(key, d, all(d),
         frame.valuesIterator.foldLeft(0L)(Math.addExact),

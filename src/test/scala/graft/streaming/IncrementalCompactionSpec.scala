@@ -74,4 +74,46 @@ class IncrementalCompactionSpec extends SparkSpec {
         "tombstones must be exactly the batch-dropped keys")
     } finally spark.conf.set(provider, prev)
   }
+
+  test("beyond-retention changes are reported late rows, never absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    import IncrementalCompaction.{Change, Snapshot}
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val in = MemoryStream[Change]
+    val snaps = StreamEnv(spark).fromDataset(in.toDS())
+      .keyBy(_.userId)
+      .transformWithState(
+        new IncrementalCompactionProcessor(retentionMicros = 1000L),
+        TimeMode.None(), OutputMode.Update())
+      .toDataset
+    val q = snaps.writeStream.format("memory").queryName("inc_comp_ret")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Seq(Change(1L, 10000L, 1L, "click", 5L)))
+      q.processAllAvailable()
+      // 9000 us and 8500 us behind the key's watermark: both > 1000 us
+      // retention, both must be rejected and reported
+      in.addData(Seq(Change(1L, 1000L, 2L, "view", 7L),
+        Change(1L, 1500L, 3L, "error", 9L)))
+      q.processAllAvailable()
+      // an in-retention out-of-order change still absorbs (loses by ts)
+      in.addData(Seq(Change(1L, 9500L, 4L, "view", 11L)))
+      q.processAllAvailable()
+
+      val rows = spark.table("inc_comp_ret").as[Snapshot].collect().toSeq
+      val late = rows.filter(_.late)
+      assert(late.map(c => (c.tsMicros, c.eventId)).toSet ==
+        Set((1000L, 2L), (1500L, 3L)))
+      assert(late.map(_.nChanges).sorted == Seq(1L, 2L))
+      // the snapshot never saw the stragglers: still the first change's
+      // payload, nChanges counts only absorbed rows (1 win + 1 loser)
+      val last = rows.filter(r => !r.late).maxBy(_.nChanges)
+      assert(last.eventId == 1L && last.cents == 5L && last.nChanges == 2L)
+    } finally q.stop()
+    } finally spark.conf.set(provider, prev)
+  }
 }

@@ -43,6 +43,8 @@ class IncrementalFeaturesSpec extends SparkSpec {
       } finally q.stop()
 
       val emitted = spark.table("inc_features")
+        .filter(!col("late"))
+        .drop("late")
         .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
       val got = emitted.groupBy(r => (r._1, r._2)).map { case (_, rs) =>
         val last = rs.maxBy(_._6)
@@ -53,6 +55,48 @@ class IncrementalFeaturesSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Long)].collect().toSet
       assert(got == want,
         s"extra=${(got -- want).take(5)}\nmissing=${(want -- got).take(5)}")
+    } finally spark.conf.set(provider, prev)
+  }
+
+  test("beyond-retention events are reported late rows, never absorbed") {
+    implicit val sqlCtx = spark.sqlContext
+    import IncrementalFeatures.Ev
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val in = MemoryStream[Ev]
+    val feats = StreamEnv(spark).fromDataset(in.toDS())
+      .keyBy(_.userId)
+      .transformWithState(new IncrementalFeaturesProcessor(retentionDays = 10),
+        TimeMode.None(), OutputMode.Update())
+      .toDataset
+    val q = feats.writeStream.format("memory").queryName("inc_feat_ret")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // on-time history, then two stragglers 90 days behind the key's
+      // own high water mark — far past the 10-day horizon
+      in.addData(Seq(Ev(1L, 100L, 5L), Ev(1L, 103L, 7L)))
+      q.processAllAvailable()
+      in.addData(Seq(Ev(1L, 13L, 999L), Ev(1L, 10L, 111L)))
+      q.processAllAvailable()
+
+      val rows = spark.table("inc_feat_ret")
+        .as[IncrementalFeatures.Feature].collect().toSeq
+      val late = rows.filter(_.late)
+      // both stragglers reported with their rejected payload and a
+      // cumulative per-key drop count
+      assert(late.map(e => (e.day, e.dayCents)).toSet ==
+        Set((13L, 999L), (10L, 111L)))
+      assert(late.map(_.seq).sorted == Seq(1L, 2L))
+      // and never absorbed: no feature row exists for the late days,
+      // and the on-time rows kept their pre-straggler values
+      val features = rows.filter(!_.late)
+      assert(!features.exists(f => f.day == 13L || f.day == 10L))
+      // frame 97..103 holds days 100 (5c) and 103 (7c)
+      assert(features.filter(_.day == 103L).map(_.t7Cents).max == 12L)
+    } finally q.stop()
     } finally spark.conf.set(provider, prev)
   }
 }
