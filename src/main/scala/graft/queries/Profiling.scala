@@ -668,21 +668,23 @@ object Profiling {
     // aggregate with map-side partials (state = 3 longs/user), stats
     // joined back on user_id (broadcast at test SF, an equi-shuffle at
     // 100 TB — both sides key-partitioned, never wider than the event
-    // row), filter is a projection. Headroom: |nx − s| ≤ 2·n·max(x);
-    // with cents ≤ ~1e5 the square stays under 2^63 while n ≤ ~1.5e4
-    // events/user — generous for per-user history, and the oracle's
-    // raise_error guard (mirrored in the Spark plan via the same CASE)
-    // makes a corpus beyond it fail loudly, not wrap (q88 doctrine).
+    // row), filter is a projection. Headroom: |nx − s| ≤ 2·n·max|x| and
+    // n·q ≤ (n·max|x|)², so n·max|cents| ≤ ~1.5e9 keeps both squared
+    // terms inside 2^63 — guarded on the measured per-user product
+    // (divide-compare, so the guard itself cannot wrap), mirrored in
+    // the oracle's error() CASE, and matched by the streaming twin's
+    // multiplyExact: all three evaluators fail loudly, none wraps
+    // (q88 doctrine).
     QuerySpec.sqlBacked("q131_outlier_events",
       """WITH x AS (SELECT event_id, user_id,
         |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
         |g AS (SELECT user_id, count(*) AS n, sum(cents) AS s,
-        |        sum(cents * cents) AS q
+        |        sum(cents * cents) AS q, max(abs(cents)) AS mx
         |      FROM x GROUP BY user_id HAVING count(*) >= 12),
-        |gg AS (SELECT CASE WHEN n > 15000 THEN CAST(error(
-        |    'graft q131: per-user event count exceeds the BIGINT z-score
-        | headroom (n*max_cents must stay under ~3e9 so its square fits
-        | 2^63) - widen to DECIMAL before running at this scale') AS
+        |gg AS (SELECT CASE WHEN mx > 1500000000 // n THEN CAST(error(
+        |    'graft q131: n * max|cents| exceeds the BIGINT z-score
+        | headroom (must stay under ~1.5e9 so (n*x-s)^2 and 4*(n*q-s*s)
+        | fit 2^63) - widen to DECIMAL before running at this scale') AS
         |    BIGINT) ELSE n END AS n, user_id, s, q FROM g)
         |SELECT x.event_id, x.user_id, x.cents, gg.n
         |FROM x JOIN gg USING (user_id)
@@ -695,12 +697,20 @@ object Profiling {
         .toDF("event_id", "user_id", "cents")
       val g = x.groupBy(col("user_id"))
         .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"),
-          sum(col("cents") * col("cents")).as("q"))
+          sum(col("cents") * col("cents")).as("q"),
+          max(abs(col("cents"))).as("mx"))
         .filter(col("n") >= 12)
-        .withColumn("n", when(col("n") > 15000, expr(
-          "raise_error('graft q131: per-user event count exceeds the " +
+        // overflow-safe product guard (divide, never multiply — the
+        // guard itself must not wrap): n * max|cents| <= ~1.5e9 keeps
+        // (n*x - s)^2 and 4*(n*q - s^2) inside 2^63, so the plain-Long
+        // batch decision cannot wrap where DuckDB promotes to HUGEINT
+        // and the streaming twin multiplyExact-throws — all three
+        // evaluators now fail loudly at the same documented boundary
+        .withColumn("n", when(col("mx") > expr("1500000000L div n"), expr(
+          "raise_error('graft q131: n * max|cents| exceeds the " +
             "BIGINT z-score headroom - widen to DECIMAL')").cast("long"))
           .otherwise(col("n")))
+        .drop("mx")
       x.join(g, "user_id")
         .filter((col("n") * col("cents") - col("s"))
           * (col("n") * col("cents") - col("s"))

@@ -255,6 +255,40 @@ class WarehouseOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("q132 anti-pushdown barrier: verify filter stays above the join") {
+    // the barrier (pad char derived from the candidate side) only works
+    // while Catalyst does NOT constant-fold the when() via constraint
+    // propagation from the ng == #grams candidate filter; an optimizer
+    // upgrade that defeats it would silently push contains() below the
+    // join and restore the full-corpus verify scan with every
+    // functional test still green. Pin the plan shape: the contains
+    // Filter sits ABOVE the join, never under it.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter,
+      Join => LJoin}
+    val lp = graft.SparkEntry.queries("q132_phrase_search")(spark, dir)
+      .queryExecution.optimizedPlan
+    val joins = lp.collect { case j: LJoin => j }
+    assert(joins.nonEmpty, s"expected a join in q132's plan:\n$lp")
+    def hasContains(f: LFilter): Boolean =
+      f.condition.toString.toLowerCase.contains("contains")
+    val pushedBelow = joins.exists(_.children.exists(_.collect {
+      case f: LFilter if hasContains(f) => f
+    }.nonEmpty))
+    assert(!pushedBelow,
+      s"contains() was pushed below the join — barrier defeated:\n$lp")
+    // the surviving forms: a Filter node above the join, or the
+    // predicate folded into the join condition itself (evaluated on
+    // matched pairs — candidates only, the same barrier guarantee)
+    val aboveJoin = lp.collect {
+      case f: LFilter if hasContains(f) &&
+        f.find { case _: LJoin => true; case _ => false }.isDefined => f
+    }
+    val inJoinCond = joins.exists(
+      _.condition.exists(_.toString.toLowerCase.contains("contains")))
+    assert(aboveJoin.nonEmpty || inJoinCond,
+      s"expected contains() above the join or in its condition:\n$lp")
+  }
+
   test("q133 history is a valid interval partition per user") {
     val h = graft.SparkEntry.queries("q133_scd2_history")(spark, dir)
       .select(col("user_id"), col("status"), col("valid_from"),
