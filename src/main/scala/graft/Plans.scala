@@ -99,12 +99,15 @@ object Plans {
         "a 1-row build side), so scoring is a pure projection."),
     Entry("q114_knn_batch_topk",
       "Batch-ANN top-k via the bounded heap: the candidate stream feeds " +
-        "an ObjectHashAggregate partial/final pair running graft_topk - " +
-        "at most K rows per query cross the exchange, and there is NO " +
-        "Window node sorting candidates per q_id (q41's window tail, " +
-        "kept there for few-query serving, would sort every candidate " +
-        "of every query at a million-query batch scale).",
-      details = Seq("graft_topk")),
+        "an ObjectHashAggregate partial/final pair running " +
+        "graft_topk_score_id (the primitive-array heap - two field " +
+        "evals and primitive compares per row, zero allocation once " +
+        "the heap fills) - at most K rows per query cross the " +
+        "exchange, and there is NO Window node sorting candidates per " +
+        "q_id (q41's window tail, kept there for few-query serving, " +
+        "would sort every candidate of every query at a million-query " +
+        "batch scale).",
+      details = Seq("graft_topk_score_id")),
     Entry("q115_heavy_hitters",
       "Sketch-then-confirm: the Misra-Gries pass is an " +
         "ObjectHashAggregate partial/final pair over the token scan " +
@@ -140,10 +143,13 @@ object Plans {
       "Lossless candidate generation: the vocabulary df frame is the " +
         "PINNED broadcast build side of the rank join (without the hint " +
         "Spark's cache-derived estimates broadcast the exploded corpus " +
-        "- memory-quadratic wrong at scale), and PPJoin's length filter " +
-        "runs against doc-count-sized length frames BEFORE the " +
-        "shingle-array fetch, so size-incompatible pairs never reach " +
-        "the expensive join."),
+        "- memory-quadratic wrong at scale); PPJoin's length filter is " +
+        "FUSED into pair emission (LengthBoundedPairs over packed " +
+        "size|id posting lists - size-incompatible pairs are never " +
+        "emitted, deduplicated, or joined), and verification intersects " +
+        "per-doc-SORTED arrays with the native SortedIntersectCount " +
+        "merge off the checkpointed id-pair frame - the shingle arrays " +
+        "never cross an exchange as a join build side."),
     Entry("q123_pps_sample",
       "Weighted sampling without the single-task window: the " +
         "cumulative-weight axis comes from operators.PrefixSum - ONE " +

@@ -164,7 +164,56 @@ def dims(out, src_dir="/root/testdata/sf0.1"):
                        f"{out}/{name}.parquet")
 
 
+def documents100(out):
+    """Seeded 100x documents corpus (500k rows) for the second-decade
+    dedup probes (VERDICT r6 #8; q35/q36/q37/q63/q65 only — the other
+    tables are deliberately not generated, keeping the artifact
+    budget-bound). Vocabulary continues the Heaps-style growth the 10x
+    table set up (30 common tokens at sf0.1 -> 65 at 10x -> 140 at
+    100x, ~V n^0.33) so the 3-gram shingle-df distribution keeps
+    tracking real corpus growth instead of saturating the posting-list
+    cap; doc lengths, language/source splits, and the ~0.3% exact-dup
+    rate match documents()."""
+    rng = np.random.default_rng(SEED + 3)
+    base = ["key", "agg", "row", "scan", "slow", "fast", "table", "value",
+            "part", "hash", "merge", "batch", "spark", "a", "the", "line",
+            "sort", "window", "order", "data", "column", "join", "small",
+            "customer", "query", "big", "stream", "group", "vector",
+            "filter"]
+    extra = [f"tok{i}" for i in range(110)]  # 30 -> 140 common (~4.7x)
+    vocab = np.array(base + extra)
+    n = 500000
+    langs = np.array(["en", "de", "es", "fr", "zh"])
+    lang = langs[rng.choice(5, size=n, p=[0.4, 0.15, 0.15, 0.15, 0.15])]
+    source = np.array([f"src{i}" for i in rng.integers(0, 20, size=n)])
+    lens = rng.integers(10, 101, size=n)
+    texts = []
+    for i in range(n):
+        words = vocab[rng.integers(0, len(vocab), size=lens[i])].tolist()
+        if rng.random() < 0.005:
+            words[int(rng.integers(0, len(words)))] = "dup"
+        texts.append(" ".join(words))
+    for _ in range(1500):
+        j = int(rng.integers(1, n))
+        texts[j] = texts[int(rng.integers(0, j))]
+    tbl = pa.table({
+        "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(lang, pa.string()),
+        "source": pa.array(source, pa.string()),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     dtype=np.int64)),
+    })
+    pq.write_table(tbl, f"{out}/documents.parquet")
+
+
 def main(out="target/scale10"):
+    if out == "--100x":
+        out100 = "target/scale100"
+        os.makedirs(out100, exist_ok=True)
+        documents100(out100)
+        print(f"wrote the 100x documents corpus under {out100}")
+        return
     os.makedirs(out, exist_ok=True)
     documents(out)
     embeddings(out)
