@@ -666,6 +666,62 @@ final class StreamEnv(val spark: SparkSession) {
   /** Unbounded source ≙ env.addSource(SourceFunction): tests feed a
     * MemoryStream; production sources are `spark.readStream` formats. */
   def fromDataset[T](ds: Dataset[T]): GStream[T] = new GStream(ds)
+
+  /** ≙ env.executeAsync(jobName) → JobClient (StreamExecutionEnvironment
+    * .java:201-229; flink-core JobClient): detached handle over the
+    * job's running queries. In the reference, execute() submits the
+    * built StreamGraph; here every facade sink already started its
+    * Structured Streaming query eagerly (Spark owns the job graph), so
+    * the handle snapshots the session's active queries — status, cancel
+    * and await compose over them exactly like the reference's client
+    * does over its one JobGraph. */
+  def executeAsync(jobName: String = "graft-job"): JobClient =
+    new JobClient(jobName, spark.streams.active.toSeq,
+      System.currentTimeMillis())
+
+  /** ≙ env.execute(jobName) → JobExecutionResult (StreamExecution
+    * Environment.java:201-214): BLOCK until every query of the job
+    * terminates (for an unbounded job that means until cancel/stop —
+    * the reference's semantics too), then report the job's wall-clock
+    * runtime. Accumulator results live on GMetrics (§2.3), matching
+    * where this facade moved the reference's accumulator map. */
+  def execute(jobName: String = "graft-job"): JobResult =
+    executeAsync(jobName).getJobExecutionResult
+}
+
+/** ≙ JobExecutionResult (flink-core api/common/JobExecutionResult.java):
+  * the blocking execute()'s summary — job identity + runtime. */
+final case class JobResult(jobId: java.util.UUID, jobName: String,
+    runtimeMs: Long)
+
+/** ≙ JobClient (flink-core/execution/JobClient.java:40-75): job-level
+  * status/cancel/await over the queries the job comprises. Status is the
+  * reference's JobStatus surface collapsed to the three states Spark
+  * exposes: RUNNING (any query active), FAILED (any query terminated
+  * with an exception), FINISHED. */
+final class JobClient private[streaming] (val jobName: String,
+    queries: Seq[org.apache.spark.sql.streaming.StreamingQuery],
+    startedAtMs: Long) {
+
+  /** ≙ JobClient.getJobID. */
+  val jobId: java.util.UUID = java.util.UUID.randomUUID()
+
+  /** ≙ JobClient.getJobStatus (non-blocking). */
+  def getJobStatus: String =
+    if (queries.exists(_.isActive)) "RUNNING"
+    else if (queries.exists(_.exception.isDefined)) "FAILED"
+    else "FINISHED"
+
+  /** ≙ JobClient.cancel: stop every still-active query of the job. */
+  def cancel(): Unit = queries.foreach(q => if (q.isActive) q.stop())
+
+  /** ≙ JobClient.getJobExecutionResult: block until the job terminates
+    * (rethrows the first query failure, like the reference's
+    * ExecutionException path), then report identity + runtime. */
+  def getJobExecutionResult: JobResult = {
+    queries.foreach(_.awaitTermination())
+    JobResult(jobId, jobName, System.currentTimeMillis() - startedAtMs)
+  }
 }
 
 object StreamEnv {
