@@ -61,6 +61,40 @@ object KMeans {
         col("best.cid").as("cid"), col("best.d").as("dist"))
   }
 
+  /** The trained centroid table (cid: int, cv: array<long>) after
+    * `iters` Lloyd update rounds over `vecs` (two columns: id,
+    * qv-array<long> of length `dim`) — exposed separately from
+    * [[assign]] so a trainer can fit on a SAMPLE and encode the full
+    * corpus against the result (the PQ/IVF build shape: q146 trains on
+    * a mod-sample, then encodes everything in one scan). The caller
+    * owns vecs' cache scope (consumed iters times here). */
+  def centroids(vecs: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    require(k >= 1 && iters >= 1 && dim >= 1)
+    val v = vecs.select(col(vecs.columns(0)).as("id"),
+      col(vecs.columns(1)).as("qv"))
+
+    // init: the k lowest ids' vectors, cid = rank within that k-row set
+    // (the window runs over k rows post-limit, never the corpus)
+    var cent = v.orderBy(col("id")).limit(k)
+      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"),
+        col("qv").as("cv"))
+      .localCheckpoint()
+
+    val sumCols = (0 until dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
+    val divCols = (0 until dim).map(i => expr(s"s$i div n"))
+    for (_ <- 1 to iters) {
+      val sums = assignUnder(v, cent)
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+      cent = cent.join(sums, Seq("cid"), "left")
+        .select(col("cid"),
+          when(col("n").isNull, col("cv"))
+            .otherwise(array(divCols: _*)).as("cv"))
+        .localCheckpoint() // k rows; truncates per-round lineage
+    }
+    cent
+  }
+
   /** vecs: two-column DataFrame (id: long, qv: array<long>), every qv of
     * length `dim`. Returns (id, cluster: int, dist: long) — the
     * assignment under the centroids after `iters` Lloyd update rounds,
@@ -70,33 +104,9 @@ object KMeans {
     * scratch contract (Dedup.withScratch) when caching.
     */
   def assign(vecs: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
-    require(k >= 1 && iters >= 1 && dim >= 1)
-    val id = vecs.columns(0)
-    val qv = vecs.columns(1)
-    val v = vecs.select(col(id).as("id"), col(qv).as("qv"))
-
-    // init: the k lowest ids' vectors, cid = rank within that k-row set
-    // (the window runs over k rows post-limit, never the corpus)
-    var cent = v.orderBy(col("id")).limit(k)
-      .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"),
-        col("qv").as("cv"))
-      .localCheckpoint()
-
-    def assignUnder(c: DataFrame): DataFrame = KMeans.assignUnder(v, c)
-
-    val sumCols = (0 until dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
-    val divCols = (0 until dim).map(i => expr(s"s$i div n"))
-    for (_ <- 1 to iters) {
-      val sums = assignUnder(cent)
-        .groupBy(col("cid"))
-        .agg(count(lit(1)).as("n"), sumCols: _*)
-      cent = cent.join(sums, Seq("cid"), "left")
-        .select(col("cid"),
-          when(col("n").isNull, col("cv"))
-            .otherwise(array(divCols: _*)).as("cv"))
-        .localCheckpoint() // k rows; truncates per-round lineage
-    }
-    assignUnder(cent)
+    val v = vecs.select(col(vecs.columns(0)).as("id"),
+      col(vecs.columns(1)).as("qv"))
+    assignUnder(v, centroids(v, k, iters, dim))
       .select(col("id"), col("cid").as("cluster"), col("dist"))
   }
 }

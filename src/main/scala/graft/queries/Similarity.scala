@@ -58,6 +58,54 @@ object Similarity {
   private val KmIters = 3  // q98/q102/q103 Lloyd update rounds
   private val NProbe = 5   // q102 probed learned lists per query
   private val SemThr = 0.4 // q103 semdedup cosine cutoff (q39's convention)
+
+  private val PqM = 4        // q146 subspaces
+  private val PqSub = 16     // q146 dims per subspace (PqM * PqSub = Dim)
+  private val PqKs = 8       // q146 codebook entries per subspace
+  private val PqIters = 2    // q146 Lloyd rounds per codebook
+  private val PqTrainMod = 5 // q146 trains on vec_id % 5 = 0 (20% sample)
+
+  /** One subspace's PQ codebook training + full-corpus assignment as
+    * DuckDB CTEs, all names suffixed `_m` so the [[PqM]] codebooks
+    * unroll independently in ONE oracle query: integer-quantized slice
+    * (the kmeansCtes convention), Lloyd on the mod-sample, final
+    * `asg_m(id, cid, d)` over EVERY vector. */
+  private def pqSubspaceCtes(m: Int): String = {
+    val off = m * PqSub
+    val qArr = (1 to PqSub).map(i =>
+      s"CAST(floor(CAST(embedding[${off + i}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+      .mkString("[", ", ", "]")
+    val dist = (1 to PqSub)
+      .map(i => s"(q.qv[$i] - c.cv[$i]) * (q.qv[$i] - c.cv[$i])")
+      .mkString("(", " + ", ")")
+    val sums = (1 to PqSub).map(i => s"sum(qv[$i]) AS s$i").mkString(", ")
+    val divs = (1 to PqSub).map(i => s"CAST(s.s$i AS BIGINT) // s.n")
+      .mkString("[", ", ", "]")
+    val rounds = (1 to PqIters).map { t =>
+      s"""a${t}_$m AS (SELECT id, qv, cid FROM (
+         |  SELECT id, qv, cid,
+         |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+         |  FROM (SELECT q.id, q.qv, c.cid, $dist AS d
+         |        FROM t_$m q, c${t - 1}_$m c)) WHERE rn = 1),
+         |s${t}_$m AS (SELECT cid, count(*) AS n, $sums
+         |             FROM a${t}_$m GROUP BY cid),
+         |c${t}_$m AS (SELECT c.cid,
+         |          CASE WHEN s.cid IS NULL THEN c.cv ELSE $divs END AS cv
+         |        FROM c${t - 1}_$m c
+         |        LEFT JOIN s${t}_$m s ON c.cid = s.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""q_$m AS (SELECT vec_id AS id, $qArr AS qv FROM embeddings),
+       |t_$m AS (SELECT id, qv FROM q_$m WHERE id % $PqTrainMod = 0),
+       |c0_$m AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1
+       |            AS INTEGER) AS cid, qv AS cv
+       |          FROM (SELECT id, qv FROM t_$m ORDER BY id LIMIT $PqKs)),
+       |$rounds,
+       |asg_$m AS (SELECT id, cid, d FROM (
+       |  SELECT id, cid, d,
+       |    row_number() OVER (PARTITION BY id ORDER BY d, cid) AS rn
+       |  FROM (SELECT q.id, c.cid, $dist AS d
+       |        FROM q_$m q, c${PqIters}_$m c)) WHERE rn = 1)""".stripMargin
+  }
   private val TriThr = 0.3 // q110 cohesion-graph cutoff (denser than q103:
                            // cohesion needs the near-miss band too)
 
@@ -786,6 +834,66 @@ object Similarity {
           ((-col("m.nd")).cast("double") /
             (col("n0") * col("n1")).cast("double")).as("shift"))
         .orderBy(col("label"))
+    },
+
+    // ------------------------------------------------------------------
+    // q146: product-quantization encoding — the compression step of an
+    // IVF-PQ index (Jégou et al. TPAMI'11), completing the ANN family:
+    // q40 brute → q41 LSH → q42/q102 IVF lists → PQ codes. Each 64-dim
+    // vector splits into 4 x 16-dim subspaces; per subspace an 8-entry
+    // codebook is TRAINED ON A 20% SAMPLE (vec_id mod 5 — the
+    // production shape: at 100 TB the trainer never scans the corpus)
+    // with the q98 integer-Lloyd recipe (micro-unit quantization,
+    // lowest-id init, truncating-div means — engine-exact, so the full
+    // train+encode pipeline is hash-oracled, which float PQ never is),
+    // and every vector is then ENCODED in ONE scan: the 4 codebooks
+    // collapse into 4 broadcast single-row lists, each subspace's code
+    // an array_min(transform(...)) argmin projection — no join, no
+    // shuffle, 32 bits per vector on the wire where the raw embedding
+    // is 256 bytes. qerr = the exact integer squared reconstruction
+    // error Σ_m |sub_m − codeword_m|² — the fidelity number an index
+    // builder watches when choosing M/ks. Output: one row per vector
+    // with its 4 codes + qerr.
+    QuerySpec.sqlBacked("q146_pq_encode", {
+      val ctes = (0 until PqM).map(pqSubspaceCtes).mkString(",\n")
+      val joins = (1 until PqM)
+        .map(m => s"JOIN asg_$m a$m ON a0.id = a$m.id").mkString("\n")
+      val codes = (0 until PqM).map(m => s"a$m.cid AS c$m").mkString(", ")
+      val err = (0 until PqM).map(m => s"a$m.d").mkString(" + ")
+      s"""WITH $ctes
+         |SELECT a0.id AS vec_id, $codes,
+         |  CAST($err AS BIGINT) AS qerr
+         |FROM asg_0 a0
+         |$joins
+         |ORDER BY vec_id""".stripMargin
+    }) { (s, dir) =>
+      val v = quantized(s, dir)
+      Dedup.withScratch(v) {
+        // per-subspace codebooks, trained on the mod-sample only
+        val ones = (0 until PqM).map { m =>
+          val sub = v.filter(col("vec_id") % PqTrainMod === 0)
+            .select(col("vec_id").as("id"),
+              expr(s"slice(qv, ${m * PqSub + 1}, $PqSub)").as("qv"))
+          graft.operators.KMeans.centroids(sub, PqKs, PqIters, PqSub)
+            .agg(collect_list(struct(col("cid"), col("cv")))
+              .as(s"cents$m"))
+        }
+        // one-pass encode: every subspace's argmin is a projection
+        // against its broadcast codebook row — the corpus is scanned
+        // ONCE and nothing corpus-sized crosses an exchange
+        def bestM(m: Int) = expr(
+          s"""array_min(transform(cents$m, c -> struct(
+             |  aggregate(zip_with(slice(qv, ${m * PqSub + 1}, $PqSub),
+             |    c.cv, (x, y) -> (x - y) * (x - y)),
+             |    0L, (acc, d) -> acc + d) AS d,
+             |  c.cid AS cid)))""".stripMargin).as(s"b$m")
+        val enc = ones.foldLeft(v)((acc, one) => acc.crossJoin(broadcast(one)))
+          .select(col("vec_id") +: (0 until PqM).map(bestM): _*)
+        enc.select(col("vec_id") +:
+            (0 until PqM).map(m => col(s"b$m.cid").as(s"c$m")) :+
+            (0 until PqM).map(m => col(s"b$m.d")).reduce(_ + _).as("qerr"): _*)
+          .orderBy(col("vec_id"))
+      }
     }
   )
 }
