@@ -31,7 +31,7 @@ class AnnRecallSpec extends SparkSpec {
     // corpus fraction); its knee nprobe=5 measures 0.72, pinned at 0.7,
     // and the >=0.8 path at sublinear cost is the learned q102.
     for ((name, floor) <- Seq("q41_knn_lsh" -> 0.8, "q42_knn_ivf" -> 0.7,
-        "q102_ivf_learned" -> 0.8)) {
+        "q102_ivf_learned" -> 0.8, "q147_pq_adc_search" -> 0.8)) {
       val approx = topk(name)
       val recalls = exact.map { case (q, nbs) =>
         approx.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size

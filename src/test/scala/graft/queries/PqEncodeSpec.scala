@@ -20,10 +20,10 @@ class PqEncodeSpec extends SparkSpec {
       val n = df.count()
       assert(n > 0)
       // every code in [0, ks); every vector encoded exactly once
-      val codeCols = (0 until 4).map(m => col(s"c$m"))
-      val bad = df.filter(codeCols.map(c => c < 0 || c >= 8).reduce(_ || _))
+      val codeCols = (0 until 8).map(m => col(s"c$m"))
+      val bad = df.filter(codeCols.map(c => c < 0 || c >= 16).reduce(_ || _))
         .count()
-      assert(bad == 0, "code outside [0, 8)")
+      assert(bad == 0, "code outside [0, 16)")
       assert(df.filter(col("qerr") < 0).count() == 0)
       assert(df.select(col("vec_id")).distinct().count() == n)
     } finally df.unpersist()
