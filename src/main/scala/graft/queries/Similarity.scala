@@ -65,17 +65,28 @@ object Similarity {
   private val PqIters = 2    // q146 Lloyd rounds per codebook
   private val PqTrainMod = 5 // q146 trains on vec_id % 5 = 0 (20% sample)
   private val AdcFrac = 5    // q147 re-ranks corpus/AdcFrac ADC candidates
+  private val IvfPqFrac = 5  // q148 rerank budget denominator (lists already
+                             // pruned 3/8 of the corpus before ADC)
 
   /** One subspace's PQ codebook training + full-corpus assignment as
     * DuckDB CTEs, all names suffixed `_m` so the [[PqM]] codebooks
     * unroll independently in ONE oracle query: integer-quantized slice
     * (the kmeansCtes convention), Lloyd on the mod-sample, final
-    * `asg_m(id, cid, d)` over EVERY vector. */
-  private def pqSubspaceCtes(m: Int): String = {
+    * `asg_m(id, cid, d)` over EVERY vector. `src` overrides the vector
+    * source: a (table, idCol, arrayCol) whose array is ALREADY integer
+    * micro-units — q148 points it at the coarse-residual CTE. */
+  private def pqSubspaceCtes(m: Int,
+      src: Option[(String, String, String)] = None): String = {
     val off = m * PqSub
-    val qArr = (1 to PqSub).map(i =>
-      s"CAST(floor(CAST(embedding[${off + i}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
-      .mkString("[", ", ", "]")
+    val qArr = src match {
+      case Some((_, _, arr)) =>
+        (1 to PqSub).map(i => s"$arr[${off + i}]").mkString("[", ", ", "]")
+      case None => (1 to PqSub).map(i =>
+        s"CAST(floor(CAST(embedding[${off + i}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+        .mkString("[", ", ", "]")
+    }
+    val (srcTable, srcId) =
+      src.map(t => (t._1, t._2)).getOrElse(("embeddings", "vec_id"))
     val dist = (1 to PqSub)
       .map(i => s"(q.qv[$i] - c.cv[$i]) * (q.qv[$i] - c.cv[$i])")
       .mkString("(", " + ", ")")
@@ -95,7 +106,7 @@ object Similarity {
          |        FROM c${t - 1}_$m c
          |        LEFT JOIN s${t}_$m s ON c.cid = s.cid)""".stripMargin
     }.mkString(",\n")
-    s"""q_$m AS (SELECT vec_id AS id, $qArr AS qv FROM embeddings),
+    s"""q_$m AS (SELECT $srcId AS id, $qArr AS qv FROM $srcTable),
        |t_$m AS (SELECT id, qv FROM q_$m WHERE id % $PqTrainMod = 0),
        |c0_$m AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1
        |            AS INTEGER) AS cid, qv AS cv
@@ -127,9 +138,11 @@ object Similarity {
 
   /** One-pass PQ encode of `v` against broadcast codebook rows: every
     * subspace's argmin is a projection (array_min over a transform — no
-    * join, no shuffle), yielding (vec_id, b0..b{M-1}) where b_m is
-    * struct(d: squared reconstruction error, cid: code). */
-  private def pqEncoded(v: DataFrame, ones: Seq[DataFrame]): DataFrame = {
+    * join, no shuffle), yielding (vec_id, keep..., b0..b{M-1}) where b_m
+    * is struct(d: squared reconstruction error, cid: code). `keep` rides
+    * extra columns through (q148 carries the coarse list id). */
+  private def pqEncoded(v: DataFrame, ones: Seq[DataFrame],
+      keep: Seq[String] = Nil): DataFrame = {
     def bestM(m: Int) = expr(
       s"""array_min(transform(cents$m, c -> struct(
          |  aggregate(zip_with(slice(qv, ${m * PqSub + 1}, $PqSub),
@@ -137,7 +150,7 @@ object Similarity {
          |    0L, (acc, d) -> acc + d) AS d,
          |  c.cid AS cid)))""".stripMargin).as(s"b$m")
     ones.foldLeft(v)((acc, one) => acc.crossJoin(broadcast(one)))
-      .select(col("vec_id") +: (0 until PqM).map(bestM): _*)
+      .select(col("vec_id") +: keep.map(col) ++: (0 until PqM).map(bestM): _*)
   }
 
   /** DuckDB twin of [[graft.operators.KMeans.assign]]: the same exact
@@ -887,7 +900,7 @@ object Similarity {
     // builder watches when choosing M/ks. Output: one row per vector
     // with its 8 codes + qerr.
     QuerySpec.sqlBacked("q146_pq_encode", {
-      val ctes = (0 until PqM).map(pqSubspaceCtes).mkString(",\n")
+      val ctes = (0 until PqM).map(m => pqSubspaceCtes(m)).mkString(",\n")
       val joins = (1 until PqM)
         .map(m => s"JOIN asg_$m a$m ON a0.id = a$m.id").mkString("\n")
       val codes = (0 until PqM).map(m => s"a$m.cid AS c$m").mkString(", ")
@@ -934,7 +947,7 @@ object Similarity {
     // clears the suite's 0.8 production bar at every SF (pinned in
     // AnnRecallSpec + PqAdcSearchSpec).
     QuerySpec.sqlBacked("q147_pq_adc_search", {
-      val ctes = (0 until PqM).map(pqSubspaceCtes).mkString(",\n")
+      val ctes = (0 until PqM).map(m => pqSubspaceCtes(m)).mkString(",\n")
       val dist = (1 to PqSub)
         .map(i => s"(q.qv[$i] - c.cv[$i]) * (q.qv[$i] - c.cv[$i])")
         .mkString("(", " + ", ")")
@@ -1037,6 +1050,192 @@ object Similarity {
           .select(col("q_id"), col("nb_id"), col("rn"), col("adc"),
             col("cos"))
           .orderBy(col("q_id"), col("rn"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q148: IVF-PQ search (IVFADC, Jégou et al. TPAMI'11 §V) — the full
+    // production ANN index, composing everything the family built:
+    // q102's learned coarse lists route each query to nprobe lists;
+    // q146's product quantizer — here trained on and encoding the
+    // RESIDUAL (vector − its list's centroid), which is what makes
+    // IVF-PQ more accurate than IVF∘PQ: residual energy is a fraction
+    // of vector energy, so the same 32-bit budget quantizes far finer —
+    // and q147's ADC scores each probed list's members against a
+    // PER-(query, list) lookup table (the residual LUT differs per
+    // list, the asymmetric-distance subtlety that separates IVFADC from
+    // a naive compose). Exact cosine re-ranks the best corpus/5. At
+    // 100 TB: scan nprobe/k of the corpus, touching 32 bits per member
+    // — the two multiplicative reductions production indexes stack.
+    // All arithmetic is the q98 integer-Lloyd recipe end to end, so the
+    // complete coarse→residual→codebook→LUT→ADC→rerank pipeline is
+    // hash-oracled in DuckDB (coarse CTEs MATERIALIZED: 8 subspace
+    // chains re-inlining the Lloyd pipeline was a minutes-long oracle).
+    // Measured recall@5: 0.74/0.81 at sf0.01/sf0.1 — the ceiling is
+    // q102's exact-within-lists 0.86 (nprobe=5 of 8 lists); ADC code
+    // misranking past the rerank budget costs the rest. Pinned at 0.7
+    // (AnnRecallSpec), the q42 convention for ceiling-capped variants;
+    // the >=0.8 uncompressed path remains q102, and q147 shows PQ at
+    // >=0.8 when the whole corpus is scannable.
+    QuerySpec.sqlBacked("q148_ivfpq_search", {
+      val ctes = (0 until PqM)
+        .map(m => pqSubspaceCtes(m, Some(("res", "id", "rv"))))
+        .mkString(",\n")
+      val cSums = (1 to Vectors.Dim)
+        .map(i => s"CAST(sum(qv[$i]) AS BIGINT) // count(*)")
+        .mkString("[", ", ", "]")
+      val pDist = (1 to Vectors.Dim)
+        .map(i => s"(q.qv[$i] - t.cv[$i]) * (q.qv[$i] - t.cv[$i])")
+        .mkString("(", " + ", ")")
+      val resArr = (1 to Vectors.Dim).map(i => s"q.qv[$i] - t.cv[$i]")
+        .mkString("[", ", ", "]")
+      val luts = (0 until PqM).map { m =>
+        val off = m * PqSub
+        val d = (1 to PqSub)
+          .map(i => s"(s.rv[${off + i}] - k.cv[$i]) * (s.rv[${off + i}] - k.cv[$i])")
+          .mkString("(", " + ", ")")
+        s"""lut_$m AS (SELECT qid, cid, list(d ORDER BY kcid) AS lut FROM (
+           |  SELECT s.qid, s.cid, k.cid AS kcid, $d AS d
+           |  FROM qr s, c${PqIters}_$m k) GROUP BY qid, cid)""".stripMargin
+      }.mkString(",\n")
+      val codeCols = (0 until PqM).map(m => s"a$m.cid AS cid$m")
+        .mkString(", ")
+      val codeJoins = (0 until PqM)
+        .map(m => s"  JOIN asg_$m a$m ON a$m.id = r.id").mkString("\n")
+      val lutJoins = (1 until PqM)
+        .map(m => s"  JOIN lut_$m l$m ON l$m.cid = c.cluster" +
+          s" AND l$m.qid = l0.qid").mkString("\n")
+      val adcSum = (0 until PqM)
+        .map(m => s"l$m.lut[c.cid$m + 1]").mkString(" + ")
+      s"""WITH ${kmeansCtes(KmK, KmIters)},
+         |n AS ($corpusSql),
+         |cent AS MATERIALIZED (SELECT a.cid, $cSums AS cv
+         |         FROM asg a JOIN q ON q.id = a.id GROUP BY a.cid),
+         |res AS MATERIALIZED (SELECT a.id, a.cid AS cluster, $resArr AS rv
+         |        FROM asg a JOIN q ON q.id = a.id
+         |        JOIN cent t ON t.cid = a.cid),
+         |$ctes,
+         |probe AS (SELECT qid, cid FROM (
+         |    SELECT qid, cid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY pd, cid) AS crn
+         |    FROM (SELECT q.id AS qid, t.cid, $pDist AS pd
+         |          FROM q, cent t WHERE q.$isQueryId))
+         |  WHERE crn <= $NProbe),
+         |qr AS (SELECT p.qid, p.cid, $resArr AS rv
+         |       FROM probe p JOIN q ON q.id = p.qid
+         |       JOIN cent t ON t.cid = p.cid),
+         |$luts,
+         |codes AS (SELECT r.id, r.cluster, $codeCols
+         |  FROM res r
+         |$codeJoins),
+         |adc AS (
+         |  SELECT l0.qid AS q_id, c.id AS nb_id, $adcSum AS adc
+         |  FROM codes c
+         |  JOIN lut_0 l0 ON l0.cid = c.cluster
+         |$lutJoins
+         |  WHERE l0.qid <> c.id),
+         |cand AS (SELECT q_id, nb_id, adc FROM (
+         |  SELECT q_id, nb_id, adc, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY adc, nb_id) AS crn
+         |  FROM adc) WHERE crn <= greatest(${2 * K},
+         |    (SELECT count(*) FROM embeddings) // $IvfPqFrac)),
+         |scored AS (
+         |  SELECT c.q_id, c.nb_id, c.adc,
+         |    ${Vectors.dotSql("qn.embedding", "cn.embedding")}
+         |      / (qn.nrm * cn.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n qn ON qn.vec_id = c.q_id
+         |  JOIN n cn ON cn.vec_id = c.nb_id)
+         |SELECT q_id, nb_id, rn, CAST(adc AS BIGINT) AS adc, cos FROM (
+         |  SELECT q_id, nb_id, adc, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, nb_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      val v = quantized(s, dir)
+      Dedup.withScratch(v) {
+        val asg = graft.operators.KMeans
+          .assign(v, KmK, KmIters, Vectors.Dim)
+        Dedup.withScratch(asg) {
+          // per-list exact-integer centroid (q102's convention)
+          val sums = (0 until Vectors.Dim)
+            .map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
+          val cent = asg.join(v, asg("id") === v("vec_id"))
+            .groupBy(col("cluster")).agg(count(lit(1)).as("n"), sums: _*)
+            .select(col("cluster").as("cid"),
+              array((0 until Vectors.Dim)
+                .map(i => expr(s"s$i div n")): _*).as("cv"))
+          // residual corpus: ONE projection against the broadcast
+          // 8-row list table — nothing corpus-sized joins anything big
+          val res = asg.join(v, asg("id") === v("vec_id"))
+            .join(broadcast(cent), col("cluster") === col("cid"))
+            .select(col("id").as("vec_id"), col("cluster"),
+              expr("zip_with(qv, cv, (x, y) -> x - y)").as("qv"))
+          Dedup.withScratch(res) {
+            // residual-trained codebooks; codes carry the list id
+            val ones = pqCodebooks(res)
+            val codes = pqEncoded(res, ones, keep = Seq("cluster"))
+              .select(col("vec_id").as("nb_id") +: col("cluster") +:
+                (0 until PqM).map(m => col(s"b$m.cid").as(s"c$m")): _*)
+            // probe nprobe nearest lists; keep the QUERY RESIDUAL per
+            // probed list — the per-(query, list) LUT is what makes
+            // this asymmetric-distance IVFADC, not IVF∘PQ
+            val pd = expr("aggregate(zip_with(qv, cv, " +
+              "(x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)")
+            val wp = Window.partitionBy(col("qid"))
+              .orderBy(col("pd"), col("cid"))
+            val probe = v.filter(expr(isQuery)).crossJoin(broadcast(cent))
+              .select(col("vec_id").as("qid"), col("cid"), pd.as("pd"),
+                expr("zip_with(qv, cv, (x, y) -> x - y)").as("rv"))
+              .withColumn("crn", row_number().over(wp))
+              .filter(col("crn") <= NProbe)
+              .select(col("qid"), col("cid"), col("rv"))
+            def lutM(m: Int) = expr(
+              s"""transform(array_sort(cents$m), c ->
+                 |  aggregate(zip_with(slice(rv, ${m * PqSub + 1}, $PqSub),
+                 |    c.cv, (x, y) -> (x - y) * (x - y)),
+                 |    0L, (acc, d) -> acc + d))""".stripMargin).as(s"lut$m")
+            val qlut = ones.foldLeft(probe)(
+                (acc, one) => acc.crossJoin(one))
+              .select(col("qid").as("q_id") +: col("cid").as("pcid") +:
+                (0 until PqM).map(lutM): _*)
+            // ADC inside the probed lists only: the join key IS the
+            // list id, so unprobed lists' members never get scored
+            val adc = codes.join(broadcast(qlut),
+                col("pcid") === col("cluster") &&
+                  col("q_id") =!= col("nb_id"))
+              .select(col("q_id"), col("nb_id"),
+                (0 until PqM)
+                  .map(m => element_at(col(s"lut$m"), col(s"c$m") + 1))
+                  .reduce(_ + _).as("adc"))
+            val budget = math.max(2L * K, v.count() / IvfPqFrac)
+            val wC = Window.partitionBy(col("q_id"))
+              .orderBy(col("adc"), col("nb_id"))
+            val cand = adc.withColumn("crn", row_number().over(wC))
+              .filter(col("crn") <= budget)
+              .select(col("q_id"), col("nb_id"), col("adc"))
+            val c = corpus(s, dir)
+            val qe = c.filter(expr(isQuery))
+              .select(col("vec_id").as("qk"), col("embedding").as("qe"),
+                col("nrm").as("qn"))
+            val scored = c
+              .select(col("vec_id").as("nk"), col("embedding").as("ce"),
+                col("nrm").as("cn"))
+              .join(broadcast(cand.join(qe, col("q_id") === col("qk"))),
+                col("nb_id") === col("nk"))
+              .select(col("q_id"), col("nb_id"), col("adc"),
+                (Vectors.dot("qe", "ce") / (col("qn") * col("cn")))
+                  .as("cos"))
+            val wK = Window.partitionBy(col("q_id"))
+              .orderBy(col("cos").desc, col("nb_id"))
+            scored.withColumn("rn", row_number().over(wK))
+              .filter(col("rn") <= K)
+              .select(col("q_id"), col("nb_id"), col("rn"), col("adc"),
+                col("cos"))
+              .orderBy(col("q_id"), col("rn"))
+          }
+        }
       }
     }
   )

@@ -30,8 +30,12 @@ class AnnRecallSpec extends SparkSpec {
     // quantizer with a MEASURED recall ceiling (0.92 even at a 0.8
     // corpus fraction); its knee nprobe=5 measures 0.72, pinned at 0.7,
     // and the >=0.8 path at sublinear cost is the learned q102.
+    // q147 (full-corpus ADC + rerank) measures 0.90 here / 0.84 at
+    // sf0.1, pinned 0.8; q148 (IVFADC) measures 0.74 / 0.81 under
+    // q102's 0.86 within-lists ceiling, pinned 0.7 like q42.
     for ((name, floor) <- Seq("q41_knn_lsh" -> 0.8, "q42_knn_ivf" -> 0.7,
-        "q102_ivf_learned" -> 0.8, "q147_pq_adc_search" -> 0.8)) {
+        "q102_ivf_learned" -> 0.8, "q147_pq_adc_search" -> 0.8,
+        "q148_ivfpq_search" -> 0.7)) {
       val approx = topk(name)
       val recalls = exact.map { case (q, nbs) =>
         approx.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size
