@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -29,6 +30,9 @@ object TextOps {
       |    AND substr(acc, length(acc) - length(lhs), 1) = ' '))
       |  THEN substr(acc, 1, length(acc) - length(lhs)) || lhs || rhs
       |  ELSE acc || ' ' || x END)""".stripMargin
+
+  private val BpeRounds = 4 // q130/q149 merge rounds (must precede specs:
+                            // a forward-referenced val reads 0 mid-init)
 
   /** occurrences of `pat` in padded text, as an expression string usable in
     * both engines (portable: length/replace only). */
@@ -831,84 +835,141 @@ object TextOps {
     // including the "a a a" overlap case and multi-char symbol
     // boundaries, which naive string replace gets wrong — is the same
     // map everywhere. Emits (round, lhs, rhs, pair_count).
-    QuerySpec.sqlBacked("q130_bpe_merges", {
-      val fold = (b: String) => s"""list_reduce(string_split(repr, ' '),
-         |  (acc, x) -> CASE
-         |    WHEN x = $b.rhs AND (acc = $b.lhs OR (length(acc) > length($b.lhs)
-         |      AND substr(acc, length(acc) - length($b.lhs) + 1) = $b.lhs
-         |      AND substr(acc, length(acc) - length($b.lhs), 1) = ' '))
-         |    THEN substr(acc, 1, length(acc) - length($b.lhs)) || $b.lhs || $b.rhs
-         |    ELSE acc || ' ' || x END)""".stripMargin
-      def pairs(src: String) =
-        s"""(SELECT ss[i] AS lhs, ss[i+1] AS rhs, CAST(sum(n) AS BIGINT) AS c
-           |  FROM (SELECT n, string_split(repr, ' ') AS ss FROM $src),
-           |       unnest(range(1, len(ss))) AS t(i)
-           |  GROUP BY lhs, rhs)""".stripMargin
-      s"""WITH v0 AS (
-         |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n,
-         |         array_to_string(string_split(w, ''), ' ') AS repr
-         |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
-         |  WHERE len(w) > 0 GROUP BY w),
-         |p1 AS ${pairs("v0")},
-         |b1 AS (SELECT lhs, rhs, c FROM p1 ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |v1 AS (SELECT word, n, ${fold("b1")} AS repr FROM v0, b1),
-         |p2 AS ${pairs("v1")},
-         |b2 AS (SELECT lhs, rhs, c FROM p2 ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |v2 AS (SELECT word, n, ${fold("b2")} AS repr FROM v1, b2),
-         |p3 AS ${pairs("v2")},
-         |b3 AS (SELECT lhs, rhs, c FROM p3 ORDER BY c DESC, lhs, rhs LIMIT 1),
-         |v3 AS (SELECT word, n, ${fold("b3")} AS repr FROM v2, b3),
-         |p4 AS ${pairs("v3")},
-         |b4 AS (SELECT lhs, rhs, c FROM p4 ORDER BY c DESC, lhs, rhs LIMIT 1)
+    QuerySpec.sqlBacked("q130_bpe_merges",
+      s"""WITH ${bpeCtesSql(BpeRounds)}
          |SELECT * FROM (
-         |  SELECT CAST(1 AS BIGINT) AS round, lhs, rhs, c FROM b1 UNION ALL
-         |  SELECT 2, lhs, rhs, c FROM b2 UNION ALL
-         |  SELECT 3, lhs, rhs, c FROM b3 UNION ALL
-         |  SELECT 4, lhs, rhs, c FROM b4)
-         |ORDER BY round""".stripMargin
-    }) { (s, dir) =>
-      val rounds = 4
-      val foldCase = bpeFoldCase
-      var vocab = Tables.spread(s, dir, "documents")
-        .select(explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .groupBy(col("word")).agg(count(lit(1)).as("n"))
-        .withColumn("repr", concat_ws(" ", split(col("word"), "")))
-        .localCheckpoint()
-      var merges = Seq.empty[org.apache.spark.sql.DataFrame]
-      for (r <- 1 to rounds) {
-        val best = vocab
-          .select(col("n"), split(col("repr"), " ").as("ss"))
-          .filter(size(col("ss")) >= 2)
-          .select(col("n"), explode(expr(
-            "transform(sequence(0, size(ss) - 2), " +
-              "i -> struct(ss[i] AS lhs, ss[i + 1] AS rhs))")).as("p"))
-          .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-          .agg(sum(col("n")).as("c"))
-          .agg(min(struct((-col("c")).as("nc"), col("lhs").as("l"),
-            col("rhs").as("r"))).as("m"))
-          .select(col("m.l").as("lhs"), col("m.r").as("rhs"),
-            (-col("m.nc")).as("c"))
-          .localCheckpoint()
-        // fail-loud on a degenerate corpus (no adjacent pair anywhere):
-        // the aggregate would emit a NULL merge row where the oracle's
-        // LIMIT 1 over an empty pair table empties the vocabulary — the
-        // engines would silently diverge. One driver-side row on an
-        // already-materialized 1-row frame (the q39/PageRank doctrine).
-        require(best.head().getAs[String]("lhs") != null,
-          s"graft q130: merge round $r found no adjacent symbol pair - " +
-            "the corpus vocabulary is single-symbol; reduce rounds")
-        merges = merges :+ best.withColumn("round", lit(r.toLong))
-        vocab = vocab
-          .crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
-          .withColumn("ss", split(col("repr"), " "))
-          .withColumn("repr", expr(foldCase))
-          .select(col("word"), col("n"), col("repr"))
-          .localCheckpoint()
-      }
+         |${(1 to BpeRounds).map(r =>
+            if (r == 1) s"  SELECT CAST(1 AS BIGINT) AS round, lhs, rhs, c FROM b1"
+            else s"  SELECT $r, lhs, rhs, c FROM b$r")
+           .mkString(" UNION ALL\n")})
+         |ORDER BY round""".stripMargin) { (s, dir) =>
+      val (merges, _) = bpeTrain(s, dir, BpeRounds)
       merges.reduce(_ union _)
         .select(col("round"), col("lhs"), col("rhs"), col("c"))
         .orderBy(col("round"))
+    },
+
+    // ------------------------------------------------------------------
+    // q149: BPE tokenizer APPLICATION — encode the corpus with q130's
+    // learned merges, the other half of the tokenizer lifecycle (train
+    // on the histogram, then tokenize everything). The 100 TB shape is
+    // the same economy that makes q130 scale: every DISTINCT word is
+    // encoded ONCE on the vocab-bounded histogram (the merge fold never
+    // touches the corpus), and the per-document piece count is then a
+    // corpus scan joined to the (word → piece count) table — the join
+    // carries two integers per distinct word, never the merged symbol
+    // strings. Emits per doc: words, pieces, and the pieces/word
+    // fertility the q96 report aggregates by language — here at DOCUMENT
+    // grain, the pre-packing statistic q71's sequence packer consumes.
+    QuerySpec.sqlBacked("q149_bpe_encode",
+      s"""WITH ${bpeCtesSql(BpeRounds)},
+         |enc AS (SELECT word, CAST(len(string_split(repr, ' ')) AS BIGINT)
+         |          AS np
+         |        FROM v$BpeRounds),
+         |d AS (SELECT doc_id, w AS word
+         |      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+         |      WHERE len(w) > 0)
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+         |  CAST(sum(e.np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |    AS pieces_per_word
+         |FROM d JOIN enc e ON e.word = d.word
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val (_, vocab) = bpeTrain(s, dir, BpeRounds)
+      val enc = vocab
+        .select(col("word"),
+          size(split(col("repr"), " ")).cast("long").as("np"))
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(enc, "word")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+        .select(col("doc_id"), col("n_words"), col("n_pieces"),
+          (col("n_pieces").cast("double") / col("n_words").cast("double"))
+            .as("pieces_per_word"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** The q130 oracle's training chain as shared CTEs: v0 (word
+    * histogram, space-separated symbol repr) through b1/v1 … b{r}/v{r}
+    * — each round's argmax pair (count DESC, lhs, rhs tiebreak) and the
+    * vocabulary AFTER applying it. q130 reads the b's, q149 reads the
+    * final v. */
+  private def bpeCtesSql(rounds: Int): String = {
+    val fold = (b: String) => s"""list_reduce(string_split(repr, ' '),
+       |  (acc, x) -> CASE
+       |    WHEN x = $b.rhs AND (acc = $b.lhs OR (length(acc) > length($b.lhs)
+       |      AND substr(acc, length(acc) - length($b.lhs) + 1) = $b.lhs
+       |      AND substr(acc, length(acc) - length($b.lhs), 1) = ' '))
+       |    THEN substr(acc, 1, length(acc) - length($b.lhs)) || $b.lhs || $b.rhs
+       |    ELSE acc || ' ' || x END)""".stripMargin
+    def pairs(src: String) =
+      s"""(SELECT ss[i] AS lhs, ss[i+1] AS rhs, CAST(sum(n) AS BIGINT) AS c
+         |  FROM (SELECT n, string_split(repr, ' ') AS ss FROM $src),
+         |       unnest(range(1, len(ss))) AS t(i)
+         |  GROUP BY lhs, rhs)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""p$r AS ${pairs(s"v${r - 1}")},
+         |b$r AS (SELECT lhs, rhs, c FROM p$r ORDER BY c DESC, lhs, rhs LIMIT 1),
+         |v$r AS (SELECT word, n, ${fold(s"b$r")} AS repr FROM v${r - 1}, b$r)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""v0 AS (
+       |  SELECT w AS word, CAST(count(*) AS BIGINT) AS n,
+       |         array_to_string(string_split(w, ''), ' ') AS repr
+       |  FROM documents, unnest(string_split(text, ' ')) AS t(w)
+       |  WHERE len(w) > 0 GROUP BY w),
+       |$roundCtes""".stripMargin
+  }
+
+  /** The distributed BPE training loop shared by q130 (merge table) and
+    * q149 (final vocabulary): corpus scanned ONCE into the word
+    * histogram, each round = vocab-sized pair aggregate → ONE broadcast
+    * argmax row → projection fold, lineage cut per round. Returns the
+    * per-round 1-row merge frames and the vocabulary AFTER the last
+    * merge. */
+  private def bpeTrain(s: SparkSession, dir: String,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    val foldCase = bpeFoldCase
+    var vocab = Tables.spread(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .withColumn("repr", concat_ws(" ", split(col("word"), "")))
+      .localCheckpoint()
+    var merges = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = vocab
+        .select(col("n"), split(col("repr"), " ").as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(col("n"), explode(expr(
+          "transform(sequence(0, size(ss) - 2), " +
+            "i -> struct(ss[i] AS lhs, ss[i + 1] AS rhs))")).as("p"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("c"))
+        .agg(min(struct((-col("c")).as("nc"), col("lhs").as("l"),
+          col("rhs").as("r"))).as("m"))
+        .select(col("m.l").as("lhs"), col("m.r").as("rhs"),
+          (-col("m.nc")).as("c"))
+        .localCheckpoint()
+      // fail-loud on a degenerate corpus (no adjacent pair anywhere):
+      // the aggregate would emit a NULL merge row where the oracle's
+      // LIMIT 1 over an empty pair table empties the vocabulary — the
+      // engines would silently diverge. One driver-side row on an
+      // already-materialized 1-row frame (the q39/PageRank doctrine).
+      require(best.head().getAs[String]("lhs") != null,
+        s"graft q130: merge round $r found no adjacent symbol pair - " +
+          "the corpus vocabulary is single-symbol; reduce rounds")
+      merges = merges :+ best.withColumn("round", lit(r.toLong))
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
+        .withColumn("ss", split(col("repr"), " "))
+        .withColumn("repr", expr(foldCase))
+        .select(col("word"), col("n"), col("repr"))
+        .localCheckpoint()
+    }
+    (merges, vocab)
+  }
 }
