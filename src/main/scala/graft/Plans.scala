@@ -209,7 +209,26 @@ object Plans {
         "latest-touch struct, then the channel aggregate - the oracle's " +
         "per-purchase LATERAL probe appears nowhere. The window is " +
         "per-entity bounded; there is no join in the plan at all.",
-      details = Seq("PushedFilters")))
+      details = Seq("PushedFilters")),
+    Entry("q147_pq_adc_search",
+      "ADC serving economics in the plan: the corpus-side encode is a " +
+        "projection against broadcast codebook rows (crossJoin of 1-row " +
+        "frames - no corpus-sized exchange), and the ADC pass joins the " +
+        "4-byte code columns to the 10-row query-LUT side as a " +
+        "BroadcastNestedLoopJoin - the raw embedding column appears in " +
+        "exactly the codebook-training scan, the encode scan, and the " +
+        "bounded rerank join, never in the per-(query, vector) scoring. " +
+        "The rerank joins the corpus/5 candidate sliver back broadcast."),
+    Entry("q148_ivfpq_search",
+      "IVFADC's double reduction, visible as join keys: the ADC join " +
+        "condition is the COARSE LIST ID (pcid = cluster), so unprobed " +
+        "lists' members are pruned by the hash join itself - 3/8 of the " +
+        "corpus never gets scored - and what flows per member is the " +
+        "8-code struct, not the embedding. Residuals come from ONE " +
+        "projection against the broadcast 8-row centroid table; the " +
+        "per-(query, list) LUT frame is 50 rows broadcast. The only " +
+        "corpus-keyed exchanges are the coarse k-means training " +
+        "shuffles shared with q102."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -109,4 +109,52 @@ object KMeans {
     assignUnder(v, centroids(v, k, iters, dim))
       .select(col("id"), col("cid").as("cluster"), col("dist"))
   }
+
+  /** [[centroids]] for MANY independent problems at once: vecs carries a
+    * GROUP column (g: int, id: long, qv: array<long> of `dim`) and each
+    * group trains its own k-centroid codebook — bit-identically to
+    * running [[centroids]] per group (same lowest-id init ranked within
+    * the group, same argmin tiebreak, same truncating-div update), but
+    * in ONE job per round instead of one per group. This is what makes
+    * an M-subspace product quantizer trainable at the cost of a single
+    * k-means: the sequential per-subspace loop paid ~M× the stage count
+    * for the same arithmetic (the q146/q147/q148 bench finding).
+    * Returns (g, cid, cv). */
+  def groupedCentroids(vecs: DataFrame, k: Int, iters: Int,
+      dim: Int): DataFrame = {
+    require(k >= 1 && iters >= 1 && dim >= 1)
+    val v = vecs.select(col(vecs.columns(0)).as("g"),
+      col(vecs.columns(1)).as("id"), col(vecs.columns(2)).as("qv"))
+
+    // init: per group the k lowest ids' vectors, cid = rank - 1; the
+    // rank window shuffles once on g (k·|groups| rows survive)
+    val wg = Window.partitionBy(col("g")).orderBy(col("id"))
+    var cent = v
+      .withColumn("rn", row_number().over(wg)).filter(col("rn") <= k)
+      .select(col("g"), (col("rn") - 1).as("cid"), col("qv").as("cv"))
+      .localCheckpoint()
+
+    val sumCols = (0 until dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
+    val divCols = (0 until dim).map(i => expr(s"s$i div n"))
+    for (_ <- 1 to iters) {
+      // per-group codebook folded to one row, broadcast-joined on g —
+      // the grouped face of assignUnder's 1-row cross join
+      val one = cent.groupBy(col("g"))
+        .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+      val asg = v.join(broadcast(one), "g")
+        .select(col("g"), col("qv"), expr(
+          s"""array_min(transform(cents,
+             |  c -> struct(${distSql("qv", "c.cv")} AS d, c.cid AS cid)))"""
+            .stripMargin).as("best"))
+        .select(col("g"), col("qv"), col("best.cid").as("cid"))
+      val sums = asg.groupBy(col("g"), col("cid"))
+        .agg(count(lit(1)).as("n"), sumCols: _*)
+      cent = cent.join(sums, Seq("g", "cid"), "left")
+        .select(col("g"), col("cid"),
+          when(col("n").isNull, col("cv"))
+            .otherwise(array(divCols: _*)).as("cv"))
+        .localCheckpoint()
+    }
+    cent
+  }
 }

@@ -123,25 +123,36 @@ object Similarity {
 
   /** The [[PqM]] per-subspace PQ codebooks, each collapsed into a ONE-ROW
     * broadcastable frame `cents_m: array<struct<cid,cv>>` — trained on the
-    * mod-[[PqTrainMod]] sample with the q98 integer-Lloyd recipe. Shared
-    * by q146 (encode) and q147 (ADC search); `v` is the [[quantized]]
-    * frame, persisted by the caller. */
-  private def pqCodebooks(v: DataFrame): Seq[DataFrame] =
-    (0 until PqM).map { m =>
-      val sub = v.filter(col("vec_id") % PqTrainMod === 0)
-        .select(col("vec_id").as("id"),
-          expr(s"slice(qv, ${m * PqSub + 1}, $PqSub)").as("qv"))
-      graft.operators.KMeans.centroids(sub, PqKs, PqIters, PqSub)
-        .agg(collect_list(struct(col("cid"), col("cv")))
-          .as(s"cents$m"))
-    }
+    * mod-[[PqTrainMod]] sample with the q98 integer-Lloyd recipe, ALL
+    * SUBSPACES IN ONE GROUPED JOB (KMeans.groupedCentroids: the subspace
+    * index is the group key, so training costs one k-means' stages
+    * instead of M — bit-identical per-subspace results, same oracles).
+    * Shared by q146 (encode), q147 (ADC) and q148 (IVFADC residuals);
+    * `v` is a (vec_id, qv) frame, persisted by the caller. */
+  private def pqCodebooks(v: DataFrame): DataFrame = {
+    val sub = v.filter(col("vec_id") % PqTrainMod === 0)
+      .select(posexplode(expr(
+        s"""transform(sequence(0, ${PqM - 1}),
+           |  m -> slice(qv, m * $PqSub + 1, $PqSub))""".stripMargin))
+        .as(Seq("g", "sq")), col("vec_id"))
+      .select(col("g"), col("vec_id").as("id"), col("sq").as("qv"))
+    val cents = graft.operators.KMeans
+      .groupedCentroids(sub, PqKs, PqIters, PqSub)
+    // ONE wide row carrying every subspace's list (collect_list skips
+    // the nulls the when() leaves) — consumers broadcast it once, not M
+    // times
+    val lists = (0 until PqM).map(m =>
+      collect_list(when(col("g") === m,
+        struct(col("cid"), col("cv")))).as(s"cents$m"))
+    cents.groupBy().agg(lists.head, lists.tail: _*)
+  }
 
   /** One-pass PQ encode of `v` against broadcast codebook rows: every
     * subspace's argmin is a projection (array_min over a transform — no
     * join, no shuffle), yielding (vec_id, keep..., b0..b{M-1}) where b_m
     * is struct(d: squared reconstruction error, cid: code). `keep` rides
     * extra columns through (q148 carries the coarse list id). */
-  private def pqEncoded(v: DataFrame, ones: Seq[DataFrame],
+  private def pqEncoded(v: DataFrame, one: DataFrame,
       keep: Seq[String] = Nil): DataFrame = {
     def bestM(m: Int) = expr(
       s"""array_min(transform(cents$m, c -> struct(
@@ -149,7 +160,7 @@ object Similarity {
          |    c.cv, (x, y) -> (x - y) * (x - y)),
          |    0L, (acc, d) -> acc + d) AS d,
          |  c.cid AS cid)))""".stripMargin).as(s"b$m")
-    ones.foldLeft(v)((acc, one) => acc.crossJoin(broadcast(one)))
+    v.crossJoin(broadcast(one))
       .select(col("vec_id") +: keep.map(col) ++: (0 until PqM).map(bestM): _*)
   }
 
@@ -1000,8 +1011,8 @@ object Similarity {
     }) { (s, dir) =>
       val v = quantized(s, dir)
       Dedup.withScratch(v) {
-        val ones = pqCodebooks(v)
-        val enc = pqEncoded(v, ones)
+        val one = pqCodebooks(v)
+        val enc = pqEncoded(v, one)
           .select(col("vec_id").as("nb_id") +:
             (0 until PqM).map(m => col(s"b$m.cid").as(s"c$m")): _*)
         // per-query LUTs: codebooks sorted by cid (struct comparison is
@@ -1011,8 +1022,7 @@ object Similarity {
              |  aggregate(zip_with(slice(qv, ${m * PqSub + 1}, $PqSub),
              |    c.cv, (x, y) -> (x - y) * (x - y)),
              |    0L, (acc, d) -> acc + d))""".stripMargin).as(s"lut$m")
-        val q = ones.foldLeft(v.filter(expr(isQuery)))(
-            (acc, one) => acc.crossJoin(one))
+        val q = v.filter(expr(isQuery)).crossJoin(broadcast(one))
           .select(col("vec_id").as("q_id") +: (0 until PqM).map(lutM): _*)
         // ADC pass: codes-only scan against the broadcast query LUTs —
         // 4 element_at lookups per (query, vector), never the embedding
@@ -1157,25 +1167,30 @@ object Similarity {
       Dedup.withScratch(v) {
         val asg = graft.operators.KMeans
           .assign(v, KmK, KmIters, Vectors.Dim)
-        Dedup.withScratch(asg) {
+        // ONE corpus join carries the assignment's vectors; both the
+        // list centroids and the residuals derive from it (two asg⋈v
+        // joins would double the corpus-sized exchange)
+        val joined = asg.join(v, asg("id") === v("vec_id"))
+          .select(col("id"), col("cluster"), col("qv"))
+        Dedup.withScratch(joined) {
           // per-list exact-integer centroid (q102's convention)
           val sums = (0 until Vectors.Dim)
             .map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
-          val cent = asg.join(v, asg("id") === v("vec_id"))
+          val cent = joined
             .groupBy(col("cluster")).agg(count(lit(1)).as("n"), sums: _*)
             .select(col("cluster").as("cid"),
               array((0 until Vectors.Dim)
                 .map(i => expr(s"s$i div n")): _*).as("cv"))
           // residual corpus: ONE projection against the broadcast
           // 8-row list table — nothing corpus-sized joins anything big
-          val res = asg.join(v, asg("id") === v("vec_id"))
+          val res = joined
             .join(broadcast(cent), col("cluster") === col("cid"))
             .select(col("id").as("vec_id"), col("cluster"),
               expr("zip_with(qv, cv, (x, y) -> x - y)").as("qv"))
           Dedup.withScratch(res) {
             // residual-trained codebooks; codes carry the list id
-            val ones = pqCodebooks(res)
-            val codes = pqEncoded(res, ones, keep = Seq("cluster"))
+            val one = pqCodebooks(res)
+            val codes = pqEncoded(res, one, keep = Seq("cluster"))
               .select(col("vec_id").as("nb_id") +: col("cluster") +:
                 (0 until PqM).map(m => col(s"b$m.cid").as(s"c$m")): _*)
             // probe nprobe nearest lists; keep the QUERY RESIDUAL per
@@ -1196,8 +1211,7 @@ object Similarity {
                  |  aggregate(zip_with(slice(rv, ${m * PqSub + 1}, $PqSub),
                  |    c.cv, (x, y) -> (x - y) * (x - y)),
                  |    0L, (acc, d) -> acc + d))""".stripMargin).as(s"lut$m")
-            val qlut = ones.foldLeft(probe)(
-                (acc, one) => acc.crossJoin(one))
+            val qlut = probe.crossJoin(broadcast(one))
               .select(col("qid").as("q_id") +: col("cid").as("pcid") +:
                 (0 until PqM).map(lutM): _*)
             // ADC inside the probed lists only: the join key IS the

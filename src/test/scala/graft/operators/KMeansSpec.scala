@@ -71,6 +71,31 @@ class KMeansSpec extends SparkSpec {
     assert(base == repart)
   }
 
+  test("groupedCentroids equals per-group centroids() bit-for-bit") {
+    import spark.implicits._
+    // 4 subspaces of 16 dims as 4 groups — the q146 training shape; the
+    // grouped single-job trainer must reproduce the sequential
+    // per-subspace trainer exactly (init rank, argmin ties, div)
+    val m = 4; val sub = 16
+    val grouped = quantized.select(
+      posexplode(expr(s"transform(sequence(0, ${m - 1}), " +
+        s"g -> slice(qv, g * $sub + 1, $sub))")).as(Seq("g", "sq")),
+      col("vec_id"))
+      .select(col("g"), col("vec_id").as("id"), col("sq").as("qv"))
+    val got = KMeans.groupedCentroids(grouped, 8, 2, sub)
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Long](2).toSeq)
+      .toMap
+    val want = (0 until m).flatMap { g =>
+      KMeans.centroids(
+        quantized.select(col("vec_id").as("id"),
+          expr(s"slice(qv, ${g * sub + 1}, $sub)").as("qv")), 8, 2, sub)
+        .collect()
+        .map(r => (g, r.getInt(0)) -> r.getSeq[Long](1).toSeq)
+    }.toMap
+    assert(got == want, "grouped trainer diverged from the sequential one")
+  }
+
   test("a cluster that captures no points keeps its previous centroid") {
     import spark.implicits._
     // v2 duplicates v0, so init centroid 2 == centroid 0 and every point
