@@ -29,6 +29,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         foldInt(args(1), "graft_shingles k"),
         foldBool(args(2), "graft_shingles distinct"))))
     ext.injectFunction((
+      FunctionIdentifier("graft_repstats"),
+      new ExpressionInfo(classOf[RepetitionStats].getName, "graft_repstats"),
+      (args: Seq[Expression]) => RepetitionStats(args(0),
+        foldInt(args(1), "graft_repstats k"))))
+    ext.injectFunction((
       FunctionIdentifier("graft_minhash"),
       new ExpressionInfo(classOf[MinHashSig].getName, "graft_minhash"),
       (args: Seq[Expression]) => MinHashSig(args(0),

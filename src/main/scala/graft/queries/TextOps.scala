@@ -889,6 +889,56 @@ object TextOps {
           (col("n_pieces").cast("double") / col("n_words").cast("double"))
             .as("pieces_per_word"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q150: intra-document repetition profile — the Gopher/C4
+    // "repetitious document" quality rules (top-n-gram mass fraction,
+    // duplicated-n-gram mass fraction over word 3-grams), the standard
+    // pre-training filter the per-doc quality score (q32) does not see
+    // because it never looks at gram multiplicity. The whole statistic
+    // is per-document, so the native plans.RepetitionStats expression
+    // computes all four counts in ONE hash-map pass inside the
+    // projection: at 100 TB this is a corpus scan with ZERO shuffle,
+    // versus the oracle's explode → (doc, gram) count → re-aggregate
+    // shape (a corpus-sized exchange). Counts are exact integers;
+    // ratios are single double divisions; the filter decision
+    // cross-multiplies (dup_occ*5 >= n_grams, i.e. >= 20% duplicated
+    // gram mass) so no double ever decides a row — the q88 doctrine.
+    // Docs with fewer than 3 words have no grams and drop on both sides.
+    QuerySpec.sqlBacked("q150_doc_repetition",
+      """WITH g AS (
+        |  SELECT doc_id, ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2] AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents),
+        |       unnest(range(1, len(ss) - 1)) AS t(i)
+        |),
+        |c AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2)
+        |SELECT doc_id,
+        |  CAST(sum(c) AS BIGINT) AS n_grams,
+        |  CAST(count(*) AS BIGINT) AS n_distinct,
+        |  CAST(max(c) AS BIGINT) AS top_count,
+        |  CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_occ,
+        |  CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_frac,
+        |  CAST(COALESCE(sum(c) FILTER (WHERE c > 1), 0) AS DOUBLE)
+        |    / CAST(sum(c) AS DOUBLE) AS dup_frac,
+        |  COALESCE(sum(c) FILTER (WHERE c > 1), 0) * 5 >= sum(c)
+        |    AS is_repetitive
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.RepetitionStats(col("text"), 3).as("r"))
+        .select(col("doc_id"), col("r.n_grams").as("n_grams"),
+          col("r.n_distinct").as("n_distinct"),
+          col("r.top_count").as("top_count"), col("r.dup_occ").as("dup_occ"))
+        .filter(col("n_grams") > 0)
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          col("top_count"), col("dup_occ"),
+          (col("top_count").cast("double") / col("n_grams").cast("double"))
+            .as("top_frac"),
+          (col("dup_occ").cast("double") / col("n_grams").cast("double"))
+            .as("dup_frac"),
+          (col("dup_occ") * 5 >= col("n_grams")).as("is_repetitive"))
+        .orderBy(col("doc_id"))
     }
   )
 
