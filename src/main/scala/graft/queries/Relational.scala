@@ -1084,6 +1084,75 @@ object Relational {
           (col("c") - lag(col("c"), 1).over(w)).as("delta"),
           first_value(col("c")).over(w).as("best"))
         .orderBy(col("event_type"), col("rnk"))
+    },
+
+    // ------------------------------------------------------------------
+    // q151: materialized-rollup routing, driver-visible — the
+    // plans.SummaryRewrite optimizer rule carrying a real query. The run
+    // materializes a (returnflag, linestatus) rollup of lineitem to
+    // parquet, registers it, and then issues the FACT aggregate; the
+    // rule rewrites it to re-aggregate the 5-row summary (sum-of-sums,
+    // sum-of-counts, min-of-mins, max-of-maxes), and a fail-loud require
+    // pins that the optimized plan scans the rollup and NOT the fact —
+    // so a silently-defeated rewrite fails the sweep rather than passing
+    // as a plain aggregate. The oracle aggregates the fact directly:
+    // the driver's hash gate is exactly the algebraic-merge equivalence
+    // the rule's correctness rests on (quantities are integral doubles,
+    // so sum-of-partial-sums is order-exact). At 100 TB this is the
+    // warehouse move that makes the fact interactively queryable: the
+    // scan drops from the fact's size to the rollup's key cardinality.
+    QuerySpec.sqlBacked("q151_rollup_route",
+      """SELECT l_returnflag,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(l_extendedprice) AS min_price,
+        |  max(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+        LogicalRelation}
+      val factPath = s"$dir/lineitem.parquet"
+      // tiny (|flags|x|statuses| rows); left for tmp cleanup — it must
+      // outlive this call because the caller executes the frame lazily
+      val sumPath = java.nio.file.Files
+        .createTempDirectory("graft_rollup").resolve("rollup.parquet")
+        .toString
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("s_qty"), count(lit(1)).as("cnt"),
+          min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
+        .write.mode("overwrite").parquet(sumPath)
+      graft.plans.SummaryRewrite.register(s, factPath,
+        s.read.parquet(sumPath),
+        keys = Seq("l_returnflag", "l_linestatus"),
+        partials = Map(
+          ("sum", "l_quantity") -> "s_qty",
+          ("count", "*") -> "cnt",
+          ("min", "l_extendedprice") -> "mn",
+          ("max", "l_extendedprice") -> "mx"))
+      try {
+        val df = t(s, dir, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(sum(col("l_quantity")).as("sum_qty"),
+            count(lit(1)).as("n_rows"),
+            min(col("l_extendedprice")).as("min_price"),
+            max(col("l_extendedprice")).as("max_price"))
+          .orderBy(col("l_returnflag"))
+        // forcing optimizedPlan here pins the routed plan in this frame's
+        // queryExecution, so the post-clear() execution still routes
+        val scans = df.queryExecution.optimizedPlan.collect {
+          case lr: LogicalRelation => lr.relation match {
+            case fs: HadoopFsRelation =>
+              fs.location.rootPaths.map(_.toUri.getPath).toSet
+            case _ => Set.empty[String]
+          }
+        }.flatten.toSet
+        require(scans.exists(_.endsWith("rollup.parquet")) &&
+          !scans.exists(_.endsWith("lineitem.parquet")),
+          s"q151: aggregate was not routed to the rollup (scans: $scans)")
+        df
+      } finally graft.plans.SummaryRewrite.clear()
     }
   )
 
