@@ -1360,6 +1360,95 @@ object Dedup {
       graft.operators.Bfs.run(pr, seeds, 3)
         .select(col("node").as("doc_id"), col("hops"))
         .orderBy(col("hops"), col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q152: maximal cross-document repeated SPANS — the ExactSubstr
+    // dedup signal (Lee et al., "Deduplicating Training Data Makes
+    // Language Models Better"): not "are these docs similar" (q36/q37)
+    // but "exactly which spans are copied where", the per-span verdict
+    // a surgical dedup pass cuts on. Algorithm: anchor every word
+    // 8-gram with its position, posting-list the (doc, pos) occurrences
+    // per gram (packed into one long — ids and ints ONLY on the wire,
+    // never text), stream ordered pairs per gram (PostingPairs), then
+    // collapse chained matches islands-and-gaps style: matches of the
+    // same doc pair on the same DIAGONAL (pa − pb) at consecutive
+    // positions are one maximal span of length run + 7 words. Exact
+    // string anchors (no hashes), so every reported span is a true
+    // byte-for-byte repeat and maximality holds wherever anchors are
+    // complete; grams hotter than the occurrence cap are dropped from
+    // anchoring (the q36 df-cap doctrine — a span bridged only by a
+    // stop-phrase splits, reported honestly as two spans). Scale: one
+    // shuffle keyed by gram (bounded pair fan-out ≤ cap² per gram), one
+    // exchange keyed by (pair, diag) whose partitions are per-pair
+    // match counts — never corpus-sized; the window sees only integer
+    // positions.
+    QuerySpec.sqlBacked("q152_exact_substr",
+      """WITH g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2] || ' ' || ss[i+3]
+        |      || ' ' || ss[i+4] || ' ' || ss[i+5] || ' ' || ss[i+6]
+        |      || ' ' || ss[i+7] AS gram
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents),
+        |       unnest(range(1, len(ss) - 6)) AS t(i)
+        |),
+        |ok AS (SELECT gram FROM g GROUP BY gram
+        |       HAVING count(*) BETWEEN 2 AND 24),
+        |m AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+        |  FROM g a JOIN ok USING (gram) JOIN g b USING (gram)
+        |  WHERE a.doc_id < b.doc_id
+        |),
+        |runs AS (
+        |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+        |                            ORDER BY pa) AS isl
+        |  FROM m
+        |)
+        |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_pos,
+        |  CAST(min(pa) - diag AS BIGINT) AS b_pos,
+        |  CAST(count(*) + 7 AS BIGINT) AS span_words
+        |FROM runs GROUP BY doc_a, doc_b, diag, isl
+        |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin) { (s, dir) =>
+      val OccCap = 24
+      // pack (doc_id, pos) into one long so the posting lists ride the
+      // q36 PostingPairs path: doc-major order makes same-doc pairs a
+      // contiguous (dropped) prefix class, and unpacking is two shifts
+      val pid = when(col("doc_id") >= lit(1L << 42) ||
+          col("pos") >= lit(1 << 21),
+          expr("raise_error('graft q152: doc_id/pos exceed the " +
+            "(42,21)-bit packing headroom - widen the pack')")
+            .cast("long"))
+        .otherwise(shiftleft(col("doc_id"), 21) + col("pos"))
+      val g = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), posexplode(
+          graft.plans.WordShingles(col("text"), 8, distinct = false))
+          .as(Seq("pos", "gram")))
+        .select(col("gram"), pid.as("pid"))
+      val spans = g.groupBy(col("gram"))
+        .agg(sort_array(collect_list(col("pid"))).as("ps"))
+        .filter(size(col("ps")).between(2, OccCap))
+        .select(graft.plans.PostingPairs(col("ps")).as(Seq("a", "b")))
+        .select(shiftright(col("a"), 21).as("doc_a"),
+          shiftright(col("b"), 21).as("doc_b"),
+          (col("a").bitwiseAND(lit((1L << 21) - 1))).as("pa"),
+          (col("b").bitwiseAND(lit((1L << 21) - 1))).as("pb"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("pa"),
+          (col("pa") - col("pb")).as("diag"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))
+      spans
+        .select(col("doc_a"), col("doc_b"), col("diag"), col("pa"),
+          (col("pa") - row_number().over(w)).as("isl"))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+        .agg(min(col("pa")).as("a_pos"),
+          (min(col("pa")) - col("diag")).as("b_pos"),
+          (count(lit(1)) + 7).as("span_words"))
+        .select(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"),
+          col("span_words"))
+        .orderBy(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"))
     }
   )
 }
