@@ -1384,71 +1384,180 @@ object Dedup {
     // match counts — never corpus-sized; the window sees only integer
     // positions.
     QuerySpec.sqlBacked("q152_exact_substr",
-      """WITH g AS (
-        |  SELECT doc_id, i - 1 AS pos,
-        |    ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2] || ' ' || ss[i+3]
-        |      || ' ' || ss[i+4] || ' ' || ss[i+5] || ' ' || ss[i+6]
-        |      || ' ' || ss[i+7] AS gram
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents),
-        |       unnest(range(1, len(ss) - 6)) AS t(i)
-        |),
-        |ok AS (SELECT gram FROM g GROUP BY gram
-        |       HAVING count(*) BETWEEN 2 AND 24),
-        |m AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-        |  FROM g a JOIN ok USING (gram) JOIN g b USING (gram)
-        |  WHERE a.doc_id < b.doc_id
-        |),
-        |runs AS (
-        |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
-        |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
-        |                            ORDER BY pa) AS isl
-        |  FROM m
-        |)
-        |SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_pos,
-        |  CAST(min(pa) - diag AS BIGINT) AS b_pos,
-        |  CAST(count(*) + 7 AS BIGINT) AS span_words
-        |FROM runs GROUP BY doc_a, doc_b, diag, isl
+      s"""WITH $exactSpanCtes
+        |SELECT doc_a, doc_b, a_pos, b_pos, span_words FROM spans
         |ORDER BY doc_a, doc_b, a_pos, b_pos""".stripMargin) { (s, dir) =>
-      val OccCap = 24
-      // pack (doc_id, pos) into one long so the posting lists ride the
-      // q36 PostingPairs path: doc-major order makes same-doc pairs a
-      // contiguous (dropped) prefix class, and unpacking is two shifts
-      val pid = when(col("doc_id") >= lit(1L << 42) ||
-          col("pos") >= lit(1 << 21),
-          expr("raise_error('graft q152: doc_id/pos exceed the " +
-            "(42,21)-bit packing headroom - widen the pack')")
-            .cast("long"))
-        .otherwise(shiftleft(col("doc_id"), 21) + col("pos"))
-      val g = Tables.spread(s, dir, "documents")
-        .select(col("doc_id"), posexplode(
-          graft.plans.WordShingles(col("text"), 8, distinct = false))
-          .as(Seq("pos", "gram")))
-        .select(col("gram"), pid.as("pid"))
-      val spans = g.groupBy(col("gram"))
-        .agg(sort_array(collect_list(col("pid"))).as("ps"))
-        .filter(size(col("ps")).between(2, OccCap))
-        .select(graft.plans.PostingPairs(col("ps")).as(Seq("a", "b")))
-        .select(shiftright(col("a"), 21).as("doc_a"),
-          shiftright(col("b"), 21).as("doc_b"),
-          (col("a").bitwiseAND(lit((1L << 21) - 1))).as("pa"),
-          (col("b").bitwiseAND(lit((1L << 21) - 1))).as("pb"))
-        .filter(col("doc_a") < col("doc_b"))
-        .select(col("doc_a"), col("doc_b"), col("pa"),
-          (col("pa") - col("pb")).as("diag"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-        .orderBy(col("pa"))
-      spans
-        .select(col("doc_a"), col("doc_b"), col("diag"), col("pa"),
-          (col("pa") - row_number().over(w)).as("isl"))
-        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
-        .agg(min(col("pa")).as("a_pos"),
-          (min(col("pa")) - col("diag")).as("b_pos"),
-          (count(lit(1)) + 7).as("span_words"))
-        .select(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"),
-          col("span_words"))
+      exactSpans(s, dir)
         .orderBy(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"))
+    },
+
+    // ------------------------------------------------------------------
+    // q153: span-cut dedup — APPLY q152's verdicts, the transform half
+    // of ExactSubstr dedup: every repeated span loses its copy in the
+    // LATER doc (higher doc_id; the earlier occurrence is the keeper).
+    // A doc's cut spans from different pairings can overlap, so the
+    // intervals are union-merged first (running-max islands per doc —
+    // the same islands-and-gaps move as the span chaining, now on
+    // ranges), then the surviving words are re-joined in position order
+    // and fingerprinted. Emits every doc: words before/removed/after
+    // and md5 of the cleaned text, so the driver hash pins the EXACT
+    // post-cut corpus, not just the accounting. Scale: the interval
+    // frames are span-bounded (tiny next to the corpus); the only
+    // corpus-sized exchanges are the word explode keyed by doc and the
+    // doc-keyed rebuild aggregate — both per-doc bounded, text crosses
+    // the wire only inside its own doc's rebuild.
+    QuerySpec.sqlBacked("q153_span_cut",
+      s"""WITH $exactSpanCtes,
+        |ivl AS (SELECT DISTINCT doc_b AS doc_id, b_pos AS st,
+        |          b_pos + span_words AS en FROM spans),
+        |brk AS (SELECT doc_id, st, en,
+        |  CASE WHEN st > COALESCE(max(en) OVER (PARTITION BY doc_id
+        |      ORDER BY st, en ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), CAST(-1 AS BIGINT)) THEN 1 ELSE 0 END AS b
+        |  FROM ivl),
+        |grp AS (SELECT doc_id, st, en, sum(b) OVER (PARTITION BY doc_id
+        |          ORDER BY st, en ROWS UNBOUNDED PRECEDING) AS gid
+        |        FROM brk),
+        |merged AS (SELECT doc_id, min(st) AS st, max(en) AS en
+        |           FROM grp GROUP BY doc_id, gid),
+        |w AS (SELECT doc_id, i - 1 AS pos, ss[i] AS word
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS ss
+        |            FROM documents),
+        |           unnest(range(1, len(ss) + 1)) AS t(i)),
+        |kept AS (SELECT w.doc_id, w.pos, w.word FROM w
+        |         WHERE NOT EXISTS (SELECT 1 FROM merged m
+        |           WHERE m.doc_id = w.doc_id
+        |             AND w.pos >= m.st AND w.pos < m.en))
+        |SELECT d.doc_id,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS words_before,
+        |  CAST(COALESCE(r.removed, 0) AS BIGINT) AS words_removed,
+        |  CAST(len(string_split(d.text, ' ')) - COALESCE(r.removed, 0)
+        |    AS BIGINT) AS words_after,
+        |  md5(COALESCE(k.txt, '')) AS clean_fp
+        |FROM documents d
+        |LEFT JOIN (SELECT doc_id, sum(en - st) AS removed FROM merged
+        |           GROUP BY doc_id) r USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, string_agg(word, ' ' ORDER BY pos) AS txt
+        |           FROM kept GROUP BY doc_id) k USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ivl = exactSpans(s, dir)
+        .select(col("doc_b").as("doc_id"), col("b_pos").as("st"),
+          (col("b_pos") + col("span_words")).as("en"))
+        .distinct()
+      val wPrev = Window.partitionBy(col("doc_id"))
+        .orderBy(col("st"), col("en"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wRun = Window.partitionBy(col("doc_id"))
+        .orderBy(col("st"), col("en"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val merged = ivl
+        .select(col("doc_id"), col("st"), col("en"),
+          when(col("st") > coalesce(max(col("en")).over(wPrev), lit(-1L)),
+            lit(1)).otherwise(lit(0)).as("b"))
+        .select(col("doc_id"), col("st"), col("en"),
+          sum(col("b")).over(wRun).as("gid"))
+        .groupBy(col("doc_id"), col("gid"))
+        .agg(min(col("st")).as("st"), max(col("en")).as("en"))
+      val docs = Tables.spread(s, dir, "documents")
+      val words = docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+      val kept = words.join(merged,
+        words("doc_id") === merged("doc_id") &&
+          col("pos") >= col("st") && col("pos") < col("en"), "left_anti")
+      val rebuilt = kept.groupBy(col("doc_id"))
+        .agg(array_join(transform(
+          sort_array(collect_list(struct(col("pos"), col("word")))),
+          x => x.getField("word")), " ").as("txt"))
+      val removed = merged.groupBy(col("doc_id"))
+        .agg(sum(col("en") - col("st")).as("removed"))
+      docs
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("words_before"))
+        .join(removed, Seq("doc_id"), "left")
+        .join(rebuilt, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("words_before"),
+          coalesce(col("removed"), lit(0L)).as("words_removed"),
+          (col("words_before") - coalesce(col("removed"), lit(0L)))
+            .as("words_after"),
+          md5(coalesce(col("txt"), lit(""))).as("clean_fp"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** q152's maximal-span pipeline as shared DuckDB CTEs (through
+    * `spans`), consumed by q152 (report) and q153 (cut). (A `def`:
+    * `specs` initializes first and interpolates the oracle eagerly — a
+    * trailing val would still be null then, the BpeRounds lesson.) */
+  private def exactSpanCtes: String =
+    """g AS (
+  SELECT doc_id, i - 1 AS pos,
+    ss[i] || ' ' || ss[i+1] || ' ' || ss[i+2] || ' ' || ss[i+3] || ' ' ||
+    ss[i+4] || ' ' || ss[i+5] || ' ' || ss[i+6] || ' ' || ss[i+7] AS gram
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ss FROM documents),
+      |       unnest(range(1, len(ss) - 6)) AS t(i)
+      |),
+      |ok AS (SELECT gram FROM g GROUP BY gram
+      |       HAVING count(*) BETWEEN 2 AND 24),
+      |m AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+      |  FROM g a JOIN ok USING (gram) JOIN g b USING (gram)
+      |  WHERE a.doc_id < b.doc_id
+      |),
+      |runs AS (
+      |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+      |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb
+      |                            ORDER BY pa) AS isl
+      |  FROM m
+      |),
+      |spans AS (
+      |  SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS a_pos,
+      |    CAST(min(pa) - diag AS BIGINT) AS b_pos,
+      |    CAST(count(*) + 7 AS BIGINT) AS span_words
+      |  FROM runs GROUP BY doc_a, doc_b, diag, isl
+      |)""".stripMargin
+
+  /** q152's maximal-span pipeline (Spark side), unordered: every
+    * maximal cross-doc repeated word span detectable through non-hot
+    * 8-gram anchors, as (doc_a, doc_b, a_pos, b_pos, span_words). */
+  private def exactSpans(s: SparkSession, dir: String): DataFrame = {
+    val OccCap = 24
+    // pack (doc_id, pos) into one long so the posting lists ride the
+    // q36 PostingPairs path: doc-major order makes same-doc pairs a
+    // contiguous (dropped) prefix class, and unpacking is two shifts
+    val pid = when(col("doc_id") >= lit(1L << 42) ||
+        col("pos") >= lit(1 << 21),
+        expr("raise_error('graft q152: doc_id/pos exceed the " +
+          "(42,21)-bit packing headroom - widen the pack')")
+          .cast("long"))
+      .otherwise(shiftleft(col("doc_id"), 21) + col("pos"))
+    val g = Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), posexplode(
+        graft.plans.WordShingles(col("text"), 8, distinct = false))
+        .as(Seq("pos", "gram")))
+      .select(col("gram"), pid.as("pid"))
+    val matches = g.groupBy(col("gram"))
+      .agg(sort_array(collect_list(col("pid"))).as("ps"))
+      .filter(size(col("ps")).between(2, OccCap))
+      .select(graft.plans.PostingPairs(col("ps")).as(Seq("a", "b")))
+      .select(shiftright(col("a"), 21).as("doc_a"),
+        shiftright(col("b"), 21).as("doc_b"),
+        (col("a").bitwiseAND(lit((1L << 21) - 1))).as("pa"),
+        (col("b").bitwiseAND(lit((1L << 21) - 1))).as("pb"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("pa"),
+        (col("pa") - col("pb")).as("diag"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    matches
+      .select(col("doc_a"), col("doc_b"), col("diag"), col("pa"),
+        (col("pa") - row_number().over(w)).as("isl"))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("isl"))
+      .agg(min(col("pa")).as("a_pos"),
+        (min(col("pa")) - col("diag")).as("b_pos"),
+        (count(lit(1)) + 7).as("span_words"))
+      .select(col("doc_a"), col("doc_b"), col("a_pos"), col("b_pos"),
+        col("span_words"))
+  }
 }
