@@ -1251,6 +1251,115 @@ object Similarity {
           }
         }
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q154: exact corpus Gram matrix Σ v·vᵀ — the distributed-PCA /
+    // embedding-covariance primitive (whitening, decorrelation checks,
+    // SemDeDup preprocessing all start here). The native plans.GramAgg
+    // TypedImperativeAggregate carries a FIXED d² long state per partial
+    // (d=64 → 32 KB), merged associatively — the mergeable-summaries
+    // shape, except lossless: ONE corpus scan, map-side partials, an
+    // exchange of (#partitions × d²) longs, versus the oracle's
+    // explode-and-group form that pushes d² rows per vector through the
+    // aggregate. Vectors are quantized at 1e4 (coarser than the k-means
+    // family's 1e6 — products × corpus row counts must clear Long
+    // headroom at 100 TB scale; addExact/multiplyExact fail loudly at
+    // the boundary, the q88 doctrine), so every cell is an exact
+    // integer both engines reproduce bit-for-bit.
+    QuerySpec.sqlBacked("q154_gram_matrix",
+      s"""WITH $gramCtes
+         |SELECT i, j, g FROM gm ORDER BY i, j""".stripMargin) { (s, dir) =>
+      gramQuantized(s, dir)
+        .agg(graft.plans.GramAgg(col("qv")).as("gs"))
+        .select(posexplode(col("gs")).as(Seq("idx", "g")))
+        .select(expr(s"CAST(idx div ${Vectors.Dim} AS BIGINT)").as("i"),
+          expr(s"CAST(idx % ${Vectors.Dim} AS BIGINT)").as("j"), col("g"))
+        .orderBy(col("i"), col("j"))
+    },
+
+    // ------------------------------------------------------------------
+    // q155: principal-component projection by exact integer power
+    // iteration — PCA made oracle-able the q98 way. The dominant
+    // eigendirection of q154's Gram matrix is found by 3 rounds of
+    // w = G·v with L∞ normalization v' = (w·1e4) div max|w| (truncating
+    // division, bit-equal in BigInt and DuckDB HUGEINT `//`), starting
+    // from the all-ones direction — every step deterministic integer
+    // arithmetic, so the unrolled CTE oracle reproduces the direction
+    // exactly; each vector's projection ⟨qv, p⟩ is then an exact
+    // integer. Scale: the corpus is touched exactly twice — once by the
+    // Gram aggregate (fixed d² state), once by the projection scan
+    // against the broadcast 64-long direction; the iteration itself is
+    // driver-side O(d²) on a d×d matrix (the k-row-frame contract).
+    QuerySpec.sqlBacked("q155_pca_power", {
+      val d = Vectors.Dim
+      val rounds = (1 to PcaRounds).map { r =>
+        s"""w$r AS (SELECT gm.i AS i, sum(CAST(gm.g AS HUGEINT) * v${r - 1}.v)
+           |  AS w FROM gm JOIN v${r - 1} ON gm.j = v${r - 1}.i GROUP BY gm.i),
+           |v$r AS (SELECT i, (w * 10000) // (SELECT max(abs(w)) FROM w$r)
+           |  AS v FROM w$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gramCtes,
+         |v0 AS (SELECT i, CAST(10000 AS HUGEINT) AS v
+         |       FROM range(0, $d) AS t(i)),
+         |$rounds
+         |SELECT q.vec_id,
+         |  CAST(sum(CAST(qv[t.i + 1] AS HUGEINT) * p.v) AS BIGINT) AS proj
+         |FROM q, unnest(range(0, $d)) AS t(i), v$PcaRounds p
+         |WHERE p.i = t.i
+         |GROUP BY q.vec_id ORDER BY q.vec_id""".stripMargin
+    }) { (s, dir) =>
+      val d = Vectors.Dim
+      // d² longs on the driver — the k-row-frame contract (centroids/
+      // offsets precedent), not a corpus collect
+      val g = gramQuantized(s, dir)
+        .agg(graft.plans.GramAgg(col("qv")).as("gs"))
+        .head.getSeq[Long](0).toArray
+      require(g.length == d * d,
+        s"graft q155: Gram length ${g.length}, expected ${d * d}")
+      var v = Array.fill(d)(BigInt(10000))
+      for (_ <- 1 to PcaRounds) {
+        val w = Array.tabulate(d)(i =>
+          (0 until d).map(j => BigInt(g(i * d + j)) * v(j)).sum)
+        val m = w.map(_.abs).max
+        require(m > BigInt(0), "graft q155: zero Gram matvec - degenerate corpus")
+        v = w.map(x => x * 10000 / m) // BigInt / truncates ≙ HUGEINT //
+      }
+      val p = v.map(_.toLong) // |p| ≤ 1e4 by construction
+      gramQuantized(s, dir)
+        .select(col("vec_id"), expr(
+          s"aggregate(zip_with(qv, array(${p.mkString(",")}), " +
+            "(x, y) -> x * y), 0L, (a, b) -> a + b)").as("proj"))
+        .orderBy(col("vec_id"))
     }
   )
+
+  // q155 power-iteration rounds (a def: `specs` builds the oracle
+  // eagerly and this constant trails it — the BpeRounds init lesson)
+  private def PcaRounds = 3
+
+  /** Embeddings quantized at 1e4 for the Gram family (q154/q155) — ONE
+    * definition shared with the [[gramCtes]] oracle text. Coarser than
+    * [[quantized]]'s 1e6 on purpose: Gram cells accumulate q² products
+    * across the corpus, and 1e4 keeps them inside Long out to ~1e11
+    * rows where 1e6 would wrap at millions. */
+  private def gramQuantSql: String =
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT))"
+
+  private def gramQuantized(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "embeddings")
+      .select(col("vec_id"), expr(gramQuantSql).as("qv"))
+
+  /** The Gram pipeline as DuckDB CTEs: `q` (quantized vectors) and `gm`
+    * (row-major cell sums as (i, j, g)). */
+  private def gramCtes: String = {
+    val d = Vectors.Dim
+    s"""q AS (SELECT vec_id,
+       |  list_transform(embedding,
+       |    x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |gm AS (SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS g
+       |  FROM q, unnest(range(0, $d)) AS t(i), unnest(range(0, $d)) AS u(j)
+       |  GROUP BY i, j)""".stripMargin
+  }
 }
