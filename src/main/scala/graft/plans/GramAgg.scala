@@ -140,4 +140,26 @@ object GramAgg {
   def apply(c: Column): Column =
     org.apache.spark.sql.graft.bridge.column(GramAgg(
       org.apache.spark.sql.graft.bridge.expression(c)).toAggregateExpression())
+
+  /** Dominant eigendirection of a row-major d×d Gram matrix by exact
+    * integer power iteration: `rounds` of w = G·v with L∞ normalization
+    * v' = (w·1e4) div max|w| (BigInt `/` truncates toward zero,
+    * bit-equal to DuckDB HUGEINT `//` — the q155 oracle contract),
+    * from the all-ones direction. Deterministic; |result| ≤ 1e4.
+    * Shared by q155 and the [[graft.streaming.IncrementalGram]] twin so
+    * the streamed direction can never drift from the oracle-pinned one. */
+  def principal(g: Array[Long], d: Int, rounds: Int): Array[Long] = {
+    require(g.length == d * d,
+      s"graft_gram principal: length ${g.length}, expected ${d * d}")
+    var v = Array.fill(d)(BigInt(10000))
+    for (_ <- 1 to rounds) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).map(j => BigInt(g(i * d + j)) * v(j)).sum)
+      val m = w.map(_.abs).max
+      require(m > BigInt(0),
+        "graft_gram principal: zero matvec - degenerate corpus")
+      v = w.map(x => x * 10000 / m)
+    }
+    v.map(_.toLong)
+  }
 }

@@ -1315,17 +1315,8 @@ object Similarity {
       val g = gramQuantized(s, dir)
         .agg(graft.plans.GramAgg(col("qv")).as("gs"))
         .head.getSeq[Long](0).toArray
-      require(g.length == d * d,
-        s"graft q155: Gram length ${g.length}, expected ${d * d}")
-      var v = Array.fill(d)(BigInt(10000))
-      for (_ <- 1 to PcaRounds) {
-        val w = Array.tabulate(d)(i =>
-          (0 until d).map(j => BigInt(g(i * d + j)) * v(j)).sum)
-        val m = w.map(_.abs).max
-        require(m > BigInt(0), "graft q155: zero Gram matvec - degenerate corpus")
-        v = w.map(x => x * 10000 / m) // BigInt / truncates ≙ HUGEINT //
-      }
-      val p = v.map(_.toLong) // |p| ≤ 1e4 by construction
+      // exact iteration shared with the IncrementalGram twin; |p| ≤ 1e4
+      val p = graft.plans.GramAgg.principal(g, d, PcaRounds)
       gramQuantized(s, dir)
         .select(col("vec_id"), expr(
           s"aggregate(zip_with(qv, array(${p.mkString(",")}), " +
