@@ -228,7 +228,31 @@ object Plans {
         "projection against the broadcast 8-row centroid table; the " +
         "per-(query, list) LUT frame is 50 rows broadcast. The only " +
         "corpus-keyed exchanges are the coarse k-means training " +
-        "shuffles shared with q102."))
+        "shuffles shared with q102."),
+    Entry("q150_doc_repetition",
+      "The native-expression economy at its purest: the whole Gopher " +
+        "repetition profile is ONE codegen'd projection over the scan " +
+        "(graft_repstats: per-row hash map, per-doc memory envelope) - " +
+        "no explode, no (doc, gram) exchange anywhere in the plan. The " +
+        "only exchange is the output sort. At 100 TB this is a " +
+        "scan-bound quality filter.",
+      details = Seq("ReadSchema")),
+    Entry("q152_exact_substr",
+      "ExactSubstr candidate economics: the gram exchange carries " +
+        "(gram, packed (doc,pos) long) - document text reaches the " +
+        "shuffle ONLY as the 8-word anchor key, never as payload; " +
+        "pairs stream out of the sorted posting lists via the " +
+        "PostingPairs generator (no materialized bucket^2 arrays), and " +
+        "the span-chaining window partitions on (pair, diagonal) - " +
+        "every partition bounded by one pair's match count.",
+      details = Seq("ReadSchema")),
+    Entry("q154_gram_matrix",
+      "Distributed PCA's only corpus pass: a single ObjectHashAggregate " +
+        "over the scan with graft_gram's FIXED d^2-long state - the " +
+        "exchange carries (#partitions x 32 KB) partials, not rows, and " +
+        "the 4096-cell result explodes AFTER the aggregate. The " +
+        "explode-and-group alternative (the oracle's shape) would push " +
+        "64x the corpus through the aggregate hash map."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
