@@ -1153,6 +1153,55 @@ object Relational {
           s"q151: aggregate was not routed to the rollup (scans: $scans)")
         df
       } finally graft.plans.SummaryRewrite.clear()
+    },
+
+    // ------------------------------------------------------------------
+    // q156: co-located fact-fact join via bucketing, driver-visible —
+    // the q151 move for the OTHER big warehouse lever. Both join sides
+    // are written bucketed (+ sorted) by the join key into an external
+    // temp-path table, and the fact-fact join then runs as a
+    // SortMergeJoin with NO exchange under it — at 100 TB this is the
+    // difference between shuffling two fact tables per join and
+    // shuffling them once at layout time, amortized over every
+    // subsequent join on that key. A fail-loud require pins the
+    // no-shuffle shape (merge hint forces SMJ — the tiny test tables
+    // would otherwise auto-broadcast, proving nothing); the oracle runs
+    // the plain join, so the driver hash also proves bucketing changed
+    // the PLAN and not the ANSWER.
+    QuerySpec.sqlBacked("q156_bucketed_join",
+      """SELECT o_custkey,
+        |  sum(l_quantity) AS sum_qty,
+        |  CAST(count(*) AS BIGINT) AS n_rows
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Files.createTempDirectory("graft_bucketed")
+      for ((tbl, keyed) <- Seq(
+          ("graft_q156_li", t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_quantity"))),
+          ("graft_q156_ord", t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")))) ) {
+        s.sql(s"DROP TABLE IF EXISTS $tbl")
+        keyed.write.mode("overwrite")
+          .bucketBy(16, keyed.columns.head).sortBy(keyed.columns.head)
+          .option("path", s"$base/$tbl").saveAsTable(tbl)
+      }
+      val df = s.table("graft_q156_li").hint("merge")
+        .join(s.table("graft_q156_ord").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))
+        .orderBy(col("o_custkey"))
+      // bucketing is decided at planning, so the initial physical plan
+      // already shows it: SMJ present, no join-key exchange beneath it
+      val plan = df.queryExecution.executedPlan.toString
+      require(plan.contains("SortMergeJoin"),
+        s"q156: expected a sort-merge join in:\n$plan")
+      val joinSection = plan.split("SortMergeJoin")(1)
+      require(!joinSection.contains("Exchange hashpartitioning(l_orderkey")
+          && !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
+        s"q156: bucketed join still shuffles a side:\n$plan")
+      df
     }
   )
 
