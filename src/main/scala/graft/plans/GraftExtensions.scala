@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => TopKAgg(args(0),
         foldInt(args(1), "graft_topk k")).toAggregateExpression()))
     ext.injectFunction((
+      FunctionIdentifier("graft_gram"),
+      new ExpressionInfo(classOf[GramAgg].getName, "graft_gram"),
+      (args: Seq[Expression]) => GramAgg(args(0)).toAggregateExpression()))
+    ext.injectFunction((
       FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
       (args: Seq[Expression]) => HeavyHitters(args(0),
