@@ -234,8 +234,10 @@ object Plans {
         "repetition profile is ONE codegen'd projection over the scan " +
         "(graft_repstats: per-row hash map, per-doc memory envelope) - " +
         "no explode, no (doc, gram) exchange anywhere in the plan. The " +
-        "only exchange is the output sort. At 100 TB this is a " +
-        "scan-bound quality filter.",
+        "only exchanges are the output sort and Tables.spread's " +
+        "single-file test-corpus repartition (absent on a real " +
+        "multi-split corpus). At 100 TB this is a scan-bound quality " +
+        "filter.",
       details = Seq("ReadSchema")),
     Entry("q152_exact_substr",
       "ExactSubstr candidate economics: the gram exchange carries " +
