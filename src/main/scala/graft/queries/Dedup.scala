@@ -1482,6 +1482,38 @@ object Dedup {
             .as("words_after"),
           md5(coalesce(col("txt"), lit(""))).as("clean_fp"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q157: k-core of the near-dup graph (operators.KCore, the sixth
+    // graph operator) — the density cut before cluster resolution.
+    // q65's CC merges everything a chain of borderline pairs touches;
+    // the 2-core drops every node not embedded in at least a cycle of
+    // duplication evidence, so chains of stray pairs unravel from the
+    // ends inward instead of counting as clusters. 3 synchronous rounds
+    // (monotone — each round's survivors shrink), the fixed-rounds
+    // doctrine that makes the unrolled-CTE oracle exact; output = the
+    // surviving docs with their residual degree. No ties, no floats:
+    // the drop rule is an integer comparison per node per round.
+    QuerySpec.sqlBacked("q157_kcore", {
+      val rounds = (1 to 3).map { i =>
+        s"""n$i AS (SELECT u FROM e${i - 1} GROUP BY u
+           |        HAVING count(*) >= 2),
+           |e$i AS (SELECT e.u, e.v FROM e${i - 1} e
+           |        JOIN n$i a ON e.u = a.u JOIN n$i b ON e.v = b.u)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $jaccardPairsCtes,
+         |e0 AS (SELECT a_id AS u, b_id AS v FROM jp
+         |       UNION SELECT b_id, a_id FROM jp),
+         |$rounds
+         |SELECT u AS doc_id, CAST(count(*) AS BIGINT) AS deg
+         |FROM e3 GROUP BY u ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      graft.operators.KCore
+        .run(jaccardPairs(s, dir).select(col("a_id"), col("b_id")), 2, 3)
+        .select(col("node").as("doc_id"), col("deg"))
+        .orderBy(col("doc_id"))
     }
   )
 
