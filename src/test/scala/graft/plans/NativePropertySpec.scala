@@ -92,6 +92,27 @@ class NativePropertySpec extends SparkSpec {
     }
   }
 
+  test("RepetitionStats matches an independent model on random strings") {
+    def model(text: String): (Long, Long, Long, Long) = {
+      val ws = text.split(" ", -1)
+      if (ws.length < 3) return (0L, 0L, 0L, 0L)
+      val grams = ws.sliding(3).map(_.mkString(" ")).toVector
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      (grams.size.toLong, counts.size.toLong, counts.values.max,
+        counts.values.filter(_ > 1).sum)
+    }
+    val docs = (1 to 300).map(i => (i.toLong, randString(50)))
+    val got = docs.toDF("id", "text")
+      .select(col("id"), RepetitionStats(col("text"), 3).as("r"))
+      .select(col("id"), col("r.n_grams"), col("r.n_distinct"),
+        col("r.top_count"), col("r.dup_occ"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    for ((id, text) <- docs)
+      assert(got(id) == model(text), s"doc $id: '$text'")
+  }
+
   test("DotProduct matches a strict left-to-right JVM fold on random vectors") {
     val vecs = (1 to 100).map(i =>
       (i.toLong, Array.fill(64)(rnd.nextFloat() * 2 - 1)))
