@@ -254,7 +254,23 @@ object Plans {
         "exchange carries (#partitions x 32 KB) partials, not rows, and " +
         "the 4096-cell result explodes AFTER the aggregate. The " +
         "explode-and-group alternative (the oracle's shape) would push " +
-        "64x the corpus through the aggregate hash map."))
+        "64x the corpus through the aggregate hash map."),
+    Entry("q156_bucketed_join",
+      "Layout-time shuffle amortization: both fact sides are bucketed+" +
+        "sorted by the join key, so the SortMergeJoin shows NO exchange " +
+        "under it - the scans' bucket layout IS the join partitioning. " +
+        "The only exchanges left are the final group-by and sort. At " +
+        "100 TB this converts an every-query fact-fact shuffle into a " +
+        "once-per-layout cost; the in-query require would fail the " +
+        "sweep if an upgrade ever broke bucket-join planning."),
+    Entry("q158_lsh_index_serve",
+      "ANN serving economics: candidates come from a scan of the " +
+        "PERSISTED band index - (table_no, bucket, nb_id) ints, no " +
+        "embedding payload - joined to the broadcast banded queries; " +
+        "full vectors are read only to rerank the candidate sliver. " +
+        "The index scan appears in the plan (pinned by the in-query " +
+        "require); the q41 inline-build band explode does not.",
+      details = Seq("ReadSchema")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
