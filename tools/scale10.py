@@ -207,11 +207,30 @@ def documents100(out):
     pq.write_table(tbl, f"{out}/documents.parquet")
 
 
+def embeddings100(out):
+    """Seeded 100x embeddings (200k rows) for the second-decade Gram/PCA
+    probes (q154/q155) — same label-cluster structure as embeddings()."""
+    rng = np.random.default_rng(SEED + 4)
+    m, dim, k = 200000, 64, 10
+    label = rng.integers(0, k, size=m).astype(np.int32)
+    means = rng.normal(0.0, 0.02, size=(k, dim))
+    vecs = (means[label] + rng.normal(0.0, 0.12, size=(m, dim))) \
+        .astype(np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(m, dtype=np.int64)),
+        "embedding": pa.FixedSizeListArray.from_arrays(
+            pa.array(vecs.reshape(-1)), dim).cast(pa.list_(pa.float32())),
+        "label": pa.array(label),
+    })
+    pq.write_table(tbl, f"{out}/embeddings.parquet")
+
+
 def main(out="target/scale10"):
     if out == "--100x":
         out100 = "target/scale100"
         os.makedirs(out100, exist_ok=True)
         documents100(out100)
+        embeddings100(out100)
         print(f"wrote the 100x documents corpus under {out100}")
         return
     os.makedirs(out, exist_ok=True)
