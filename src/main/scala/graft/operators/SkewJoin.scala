@@ -39,7 +39,8 @@ object SkewJoin {
   def audit(facts: DataFrame, key: String): (Long, Long) = {
     val r = facts.groupBy(col(key)).agg(count(lit(1)).as("c"))
       .agg(sum(col("c")), max(col("c"))).head()
-    (r.getLong(0), r.getLong(1))
+    // empty facts: the global agg emits one all-NULL row, not zero rows
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
   }
 
   /** Salt-cell count for a measured hot-key share: enough cells that

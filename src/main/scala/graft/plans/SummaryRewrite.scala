@@ -77,8 +77,29 @@ object SummaryRewrite extends Rule[LogicalPlan] {
   /** Drop every registration (the rule stays installed as a no-op). */
   def clear(): Unit = regs.clear()
 
-  private def normalize(p: String): String =
-    new org.apache.hadoop.fs.Path(p).toUri.getPath
+  /** Root paths (path component) of every parquet scan in a frame's
+    * optimized plan — the shared introspection behind the plan-pinning
+    * queries' fail-loud requires (q151/q158). */
+  def scannedPaths(df: DataFrame): Set[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.map(_.toUri.getPath).toSet
+        case _ => Set.empty[String]
+      }
+    }.flatten.toSet
+
+  /** Canonical fully-qualified URI: "/x" and "file:/x" normalize to the
+    * same key, while s3://a/x and hdfs://b/x stay DISTINCT — a
+    * path-component-only key would let scans on a different filesystem
+    * collide with a registration. */
+  private def normalize(p: String): String = {
+    val path = new org.apache.hadoop.fs.Path(p)
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(s => s.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    path.getFileSystem(conf).makeQualified(path).toString
+  }
 
   /** The fact scan under an Aggregate child, looked at through any
     * stack of attribute/rename Projects: the path, plus the map from
@@ -89,8 +110,15 @@ object SummaryRewrite extends Rule[LogicalPlan] {
       : Option[(String, Map[Long, String])] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>
-        fs.location.rootPaths.headOption.map(p => (normalize(p.toString),
-          lr.output.map(a => a.exprId.id -> a.name).toMap))
+        // exactly ONE root path, compared with scheme/authority intact: a
+        // multi-path scan whose first path collides with the registration
+        // (or an s3://a vs hdfs://b path-component collision) must keep
+        // the fact scan, not silently drop the extra paths' rows
+        fs.location.rootPaths match {
+          case Seq(p) => Some((normalize(p.toString),
+            lr.output.map(a => a.exprId.id -> a.name).toMap))
+          case _ => None
+        }
       case _ => None
     }
     case Project(ps, child) =>
@@ -108,16 +136,21 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    case agg @ Aggregate(grouping, aggExprs, child, _)
-        if grouping.nonEmpty =>
-      factKey(child) match {
-        case Some((path, m)) if regs.containsKey(path) =>
-          rewrite(agg, grouping, aggExprs, regs.get(path), m)
-            .getOrElse(agg)
-        case _ => agg
-      }
-  }
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    // short-circuit when nothing is registered: the rule ships installed
+    // in GraftExtensions, so every session would otherwise pay the
+    // factKey walk on every Aggregate for nothing
+    if (regs.isEmpty) plan
+    else plan.transformUp {
+      case agg @ Aggregate(grouping, aggExprs, child, _)
+          if grouping.nonEmpty =>
+        factKey(child) match {
+          case Some((path, m)) if regs.containsKey(path) =>
+            rewrite(agg, grouping, aggExprs, regs.get(path), m)
+              .getOrElse(agg)
+          case _ => agg
+        }
+    }
 
   private def rewrite(agg: Aggregate, grouping: Seq[
       org.apache.spark.sql.catalyst.expressions.Expression],
@@ -160,13 +193,26 @@ object SummaryRewrite extends Rule[LogicalPlan] {
             .flatMap(n => reg.partials.get(("min", n))).map(c => Min(out(c)))
           case mx: Max => factCol(mx.child)
             .flatMap(n => reg.partials.get(("max", n))).map(c => Max(out(c)))
-          case c: Count if c.children.forall(_.isInstanceOf[Literal]) =>
-            reg.partials.get(("count", "*")).map(c2 => Sum(out(c2)))
+          // count(*) / count(lit) only when the literal is NON-null:
+          // count(NULL) is 0 per group, which sum-of-counts is not
+          case c: Count if c.children.forall {
+            case l: Literal => l.value != null
+            case _ => false
+          } => reg.partials.get(("count", "*")).map(c2 => Sum(out(c2)))
           case _ => None
         }
         merged match {
           case Some(f) =>
-            Alias(f.toAggregateExpression(), name)(exprId = al.exprId)
+            // the parent operators resolved this exprId at the ORIGINAL
+            // type; a re-aggregate can widen it (Sum over a decimal sum
+            // gains precision) — cast back so the rewrite stays
+            // type-transparent
+            val e = f.toAggregateExpression()
+            val typed =
+              if (e.dataType == ae.dataType) e
+              else org.apache.spark.sql.catalyst.expressions.Cast(
+                e, ae.dataType)
+            Alias(typed, name)(exprId = al.exprId)
           case None => return None
         }
       case _ => return None

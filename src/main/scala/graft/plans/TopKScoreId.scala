@@ -114,8 +114,15 @@ object TopKScoreId {
     val ids = new Array[Long](k)
     var n: Int = 0
 
-    private def less(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-      s1 < s2 || (s1 == s2 && i1 < i2)
+    // TOTAL order matching Spark SQL's double ordering: NaN compares as
+    // the largest double (IEEE < is false both ways for NaN, which would
+    // let a NaN root permanently reject every later offer), and -0.0
+    // is normalized to 0.0 by the +0.0 (Spark treats them equal, so the
+    // id tie-break must apply across them).
+    private def less(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+      val c = java.lang.Double.compare(s1 + 0.0, s2 + 0.0)
+      c < 0 || (c == 0 && i1 < i2)
+    }
 
     def offer(s: Double, i: Long): Unit = {
       if (n < k) {

@@ -1109,8 +1109,6 @@ object Relational {
         |  max(l_extendedprice) AS max_price
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
-        LogicalRelation}
       val factPath = s"$dir/lineitem.parquet"
       // tiny (|flags|x|statuses| rows); left for tmp cleanup — it must
       // outlive this call because the caller executes the frame lazily
@@ -1141,13 +1139,7 @@ object Relational {
           .orderBy(col("l_returnflag"))
         // forcing optimizedPlan here pins the routed plan in this frame's
         // queryExecution, so the post-clear() execution still routes
-        val scans = df.queryExecution.optimizedPlan.collect {
-          case lr: LogicalRelation => lr.relation match {
-            case fs: HadoopFsRelation =>
-              fs.location.rootPaths.map(_.toUri.getPath).toSet
-            case _ => Set.empty[String]
-          }
-        }.flatten.toSet
+        val scans = graft.plans.SummaryRewrite.scannedPaths(df)
         require(scans.exists(_.endsWith("rollup.parquet")) &&
           !scans.exists(_.endsWith("lineitem.parquet")),
           s"q151: aggregate was not routed to the rollup (scans: $scans)")

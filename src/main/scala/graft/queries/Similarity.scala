@@ -1339,8 +1339,6 @@ object Similarity {
     // index is O(L·n) ints amortized over every future query batch,
     // and the serve path touches full vectors only for candidates.
     QuerySpec.sqlBacked("q158_lsh_index_serve", lshOracleSql) { (s, dir) =>
-      import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
-        LogicalRelation}
       val tables = (0 until SrpTables).map(t =>
         concat((SrpBits * t until SrpBits * t + SrpBits)
           .map(j => Vectors.srpBit("embedding", j).cast("string")): _*))
@@ -1370,13 +1368,7 @@ object Similarity {
         col("embedding").as("ce"), col("nrm").as("cn"))
       val served = topK(scoreTyped(
         cand.join(broadcast(qv), "q_id").join(cv, "nb_id")))
-      val scans = served.queryExecution.optimizedPlan.collect {
-        case lr: LogicalRelation => lr.relation match {
-          case fs: HadoopFsRelation =>
-            fs.location.rootPaths.map(_.toUri.getPath).toSet
-          case _ => Set.empty[String]
-        }
-      }.flatten.toSet
+      val scans = graft.plans.SummaryRewrite.scannedPaths(served)
       require(scans.exists(_.endsWith("bands.parquet")),
         s"q158: serve path does not read the persisted index (scans: $scans)")
       served

@@ -706,10 +706,13 @@ final class JobClient private[streaming] (val jobName: String,
   /** ≙ JobClient.getJobID. */
   val jobId: java.util.UUID = java.util.UUID.randomUUID()
 
-  /** ≙ JobClient.getJobStatus (non-blocking). */
+  /** ≙ JobClient.getJobStatus (non-blocking). Failure wins over
+    * activity: a job with one dead and one live query reports FAILED
+    * immediately (the documented "any query terminated with an
+    * exception"), not RUNNING until the healthy query also stops. */
   def getJobStatus: String =
-    if (queries.exists(_.isActive)) "RUNNING"
-    else if (queries.exists(_.exception.isDefined)) "FAILED"
+    if (queries.exists(_.exception.isDefined)) "FAILED"
+    else if (queries.exists(_.isActive)) "RUNNING"
     else "FINISHED"
 
   /** ≙ JobClient.cancel: stop every still-active query of the job. */

@@ -74,12 +74,14 @@ object IncrementalCompaction {
   * without a spec/session reference. Default retention accepts forever
   * (the backfill-parity configuration); production passes a finite
   * horizon — see the retention contract above. */
-class IncrementalCompactionProcessor(retentionMicros: Long = Long.MaxValue)
+class IncrementalCompactionProcessor(retentionMicros: Long = Long.MaxValue,
+    maxFutureMicros: Long = Long.MaxValue)
     extends StatefulProcessor[
     Long, IncrementalCompaction.Change, IncrementalCompaction.Snapshot] {
   import IncrementalCompaction.{Change, Snapshot}
 
   require(retentionMicros > 0, "retentionMicros must be positive")
+  require(maxFutureMicros > 0, "maxFutureMicros must be positive")
 
   @transient private var state: ValueState[Snapshot] = _
   @transient private var hwm: ValueState[Long] = _
@@ -97,15 +99,23 @@ class IncrementalCompactionProcessor(retentionMicros: Long = Long.MaxValue)
   override def handleInputRows(key: Long, rows: Iterator[Change],
       timerValues: TimerValues): Iterator[Snapshot] = {
     val cs = rows.toSeq
-    // batch-wide event-time high water mark first, so acceptance does
-    // not depend on within-batch row order (determinism doctrine)
-    val wm = (Option(hwm.get()).getOrElse(Long.MinValue) +:
-      cs.map(_.tsMicros)).max
+    val prevHwm = Option(hwm.get()).getOrElse(Long.MinValue)
+    // forward-skew guard (the IncrementalFeatures contract): a corrupt
+    // far-future timestamp must not advance the hwm and poison the
+    // retention cutoff for every legitimate change behind it
+    val (futureCs, inCs) =
+      if (prevHwm == Long.MinValue || maxFutureMicros == Long.MaxValue)
+        (Seq.empty[Change], cs)
+      else cs.partition(_.tsMicros > prevHwm + maxFutureMicros)
+    // batch-wide event-time high water mark over ACCEPTED rows, so
+    // acceptance does not depend on within-batch row order
+    val wm = (prevHwm +: inCs.map(_.tsMicros)).max
     hwm.update(wm)
     val cutoff =
       if (retentionMicros == Long.MaxValue) Long.MinValue
       else wm - retentionMicros
-    val (lateCs, liveCs) = cs.partition(_.tsMicros < cutoff)
+    val (lateBehind, liveCs) = inCs.partition(_.tsMicros < cutoff)
+    val lateCs = futureCs ++ lateBehind
 
     var cur = if (state.exists()) state.get() else null
     liveCs.foreach { c =>

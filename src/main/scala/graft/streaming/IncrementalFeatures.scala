@@ -38,6 +38,17 @@ import org.apache.spark.sql.streaming.{MapState, OutputMode, StatefulProcessor,
   * Within-retention results are batch-identical: on-time parity is
   * unconditional, and the default (`Long.MaxValue`) retains forever,
   * which IncrementalFeaturesSpec's backfill-equality test runs under.
+  *
+  * The horizon has a FORWARD face too (`maxFutureDays`): with finite
+  * retention, a single corrupt far-future timestamp would otherwise
+  * advance the key's high-water mark irreversibly and reject every
+  * legitimate event behind the poisoned cutoff forever. Once a key has
+  * a reference hwm, events more than `maxFutureDays` ahead of it are
+  * routed to the same report channel as late drops — visible, never
+  * absorbed, never hwm-advancing. A real forward jump larger than the
+  * bound (pipeline downtime) shows up as reported rows, which is the
+  * alarm an operator wants anyway. Default: unbounded (backfill
+  * parity).
   */
 object IncrementalFeatures {
 
@@ -71,12 +82,14 @@ object IncrementalFeatures {
   * without a spec/session reference. Default retention keeps every day
   * cell forever (the backfill-parity configuration); production passes
   * a finite horizon — see the retention contract above. */
-class IncrementalFeaturesProcessor(retentionDays: Long = Long.MaxValue)
+class IncrementalFeaturesProcessor(retentionDays: Long = Long.MaxValue,
+    maxFutureDays: Long = Long.MaxValue)
     extends StatefulProcessor[Long, IncrementalFeatures.Ev,
       IncrementalFeatures.Feature] {
   import IncrementalFeatures.{Ev, Feature}
 
   require(retentionDays > 0, "retentionDays must be positive")
+  require(maxFutureDays > 0, "maxFutureDays must be positive")
 
   @transient private var cells: MapState[Long, Long] = _
   @transient private var seq: ValueState[Long] = _
@@ -97,15 +110,26 @@ class IncrementalFeaturesProcessor(retentionDays: Long = Long.MaxValue)
   override def handleInputRows(key: Long, rows: Iterator[Ev],
       timerValues: TimerValues): Iterator[Feature] = {
     val evs = rows.toSeq
-    // the key's event-time high water mark across ALL of this batch —
-    // computed up front so acceptance is batch-order-independent
+    val prevHwm = Option(hwm.get()).getOrElse(Long.MinValue)
+    // forward-skew guard: one corrupt far-future day must not advance
+    // the high-water mark and permanently reject every legitimate event
+    // behind the resulting cutoff. Once a reference hwm exists, events
+    // more than maxFutureDays ahead of it are REPORTED (the same
+    // never-silent channel as late drops), not absorbed.
+    val (futureEvs, inEvs) =
+      if (prevHwm == Long.MinValue || maxFutureDays == Long.MaxValue)
+        (Seq.empty[Ev], evs)
+      else evs.partition(_.day > prevHwm + maxFutureDays)
+    // the key's event-time high water mark across this batch's ACCEPTED
+    // rows — computed up front so acceptance is batch-order-independent
     // (determinism doctrine: same inputs, same drops, any row order)
-    val wm = (Option(hwm.get()).getOrElse(Long.MinValue) +: evs.map(_.day)).max
+    val wm = (prevHwm +: inEvs.map(_.day)).max
     hwm.update(wm)
     val cutoff =
       if (retentionDays == Long.MaxValue) Long.MinValue
       else wm - retentionDays
-    val (lateEvs, liveEvs) = evs.partition(_.day < cutoff)
+    val (lateBehind, liveEvs) = inEvs.partition(_.day < cutoff)
+    val lateEvs = futureEvs ++ lateBehind
 
     var s = Option(seq.get()).getOrElse(0L)
     val touched = scala.collection.mutable.Set.empty[Long]

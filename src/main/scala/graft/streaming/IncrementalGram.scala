@@ -45,7 +45,9 @@ final class IncrementalGram extends Serializable {
     * column `vecCol`): distributed Gram, driver-side add. */
   def update(batch: DataFrame, vecCol: String): Unit = {
     val row = batch
-      .agg(GramAgg(col(vecCol)).as("gs"), count(lit(1)).as("n"))
+      // count(vecCol), not count(*): GramAgg skips NULL vectors, and
+      // `total` must count what the Gram state actually absorbed
+      .agg(GramAgg(col(vecCol)).as("gs"), count(col(vecCol)).as("n"))
       .head()
     val g = row.getSeq[Long](0)
     if (g.nonEmpty) {

@@ -45,7 +45,7 @@ object IncrementalSessions {
     * frame (watermark is a no-op there) — the batch/streaming parity
     * the spec exploits. */
   def sessions(events: DataFrame, gap: String = "30 minutes",
-      lateness: String = "0 seconds"): DataFrame =
+      lateness: String): DataFrame =
     GWindows.session(
       events.select(col("user_id"), col("ts")).withWatermark("ts", lateness),
       "ts", gap, Seq("user_id"),

@@ -99,4 +99,42 @@ class IncrementalFeaturesSpec extends SparkSpec {
     } finally q.stop()
     } finally spark.conf.set(provider, prev)
   }
+
+  test("a corrupt far-future event is reported and cannot poison the hwm") {
+    import IncrementalFeatures.Ev
+    implicit val sqlCtx = spark.sqlContext
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val in = MemoryStream[Ev]
+    val feats = StreamEnv(spark).fromDataset(in.toDS())
+      .keyBy(_.userId)
+      .transformWithState(new IncrementalFeaturesProcessor(
+        retentionDays = 10, maxFutureDays = 30),
+        TimeMode.None(), OutputMode.Update())
+      .toDataset
+    val q = feats.writeStream.format("memory").queryName("inc_feat_fut")
+      .outputMode(OutputMode.Update).start()
+    try {
+      in.addData(Seq(Ev(1L, 100L, 5L))); q.processAllAvailable()
+      // corrupt timestamp 4900 days ahead: must be REPORTED, and must
+      // NOT advance the hwm (which would brick the key under the
+      // 10-day retention)
+      in.addData(Seq(Ev(1L, 5000L, 666L))); q.processAllAvailable()
+      // a legitimate on-time event afterwards is absorbed normally
+      in.addData(Seq(Ev(1L, 102L, 7L))); q.processAllAvailable()
+
+      val rows = spark.table("inc_feat_fut")
+        .as[IncrementalFeatures.Feature].collect().toSeq
+      val late = rows.filter(_.late)
+      assert(late.map(e => (e.day, e.dayCents)) == Seq((5000L, 666L)))
+      val features = rows.filter(!_.late)
+      assert(!features.exists(_.day == 5000L))
+      // day 102 absorbed, its trailing frame still sees day 100
+      assert(features.filter(_.day == 102L).map(_.t7Cents).max == 12L)
+    } finally q.stop()
+    } finally spark.conf.set(provider, prev)
+  }
 }

@@ -44,7 +44,7 @@ class IncrementalSessionsSpec extends SparkSpec {
 
   test("batch-mode operator equals q76 row-for-row") {
     val got = IncrementalSessions
-      .sessions(toFrame(events().toDS()))
+      .sessions(toFrame(events().toDS()), lateness = "0 seconds")
       .select(col("user_id"), unix_micros(col("start_ts")),
         unix_micros(col("end_ts")), col("n_events"), col("duration_us"))
       .as[(Long, Long, Long, Long, Long)].collect().toSet
@@ -62,7 +62,7 @@ class IncrementalSessionsSpec extends SparkSpec {
       .map { case Seq(a, b) => all.slice(a, b) }.toSeq :+
       Seq(SessEv(-1L, maxTs + 366L * 86400L * 1000000L))
     val in = MemoryStream[SessEv]
-    val q = IncrementalSessions.sessions(toFrame(in.toDS()))
+    val q = IncrementalSessions.sessions(toFrame(in.toDS()), lateness = "0 seconds")
       .writeStream.format("memory").queryName("sess_sliced")
       .outputMode(OutputMode.Append).start()
     try slices.foreach { s => in.addData(s); q.processAllAvailable() }
@@ -97,7 +97,7 @@ class IncrementalSessionsSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val base = 1700000000000000L
     val in = MemoryStream[SessEv]
-    val q = IncrementalSessions.sessions(toFrame(in.toDS()))
+    val q = IncrementalSessions.sessions(toFrame(in.toDS()), lateness = "0 seconds")
       .writeStream.format("memory").queryName("sess_late")
       .outputMode(OutputMode.Append).start()
     try {
