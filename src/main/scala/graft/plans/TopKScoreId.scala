@@ -68,8 +68,11 @@ case class TopKScoreId(
   }
 
   override def eval(buf: TopKScoreId.Buf): Any = {
-    // sort the <= k live entries descending by (score, id)
-    val idx = (0 until buf.n).sortBy(i => (-buf.scores(i), -buf.ids(i)))
+    // sort the <= k live entries descending by the SAME total order the
+    // heap uses (NaN greatest, -0.0 == 0.0) — a Scala tuple sortBy
+    // would place NaN last where the window form ranks it first
+    val idx = (0 until buf.n).sortWith((a, b) => TopKScoreId.totalLess(
+      buf.scores(b), buf.ids(b), buf.scores(a), buf.ids(a)))
     new GenericArrayData(idx.map { i =>
       new GenericInternalRow(
         Array[Any](buf.scores(i), buf.ids(i))): Any
@@ -106,6 +109,18 @@ case class TopKScoreId(
 
 object TopKScoreId {
 
+  /** TOTAL order matching Spark SQL's double ordering: NaN compares as
+    * the largest double (IEEE < is false both ways for NaN, which would
+    * let a NaN root permanently reject every later heap offer), and
+    * -0.0 is normalized to 0.0 by the +0.0 (Spark treats them equal, so
+    * the id tie-break must apply across them). Shared by the heap and
+    * the eval sort so retention and emission can never disagree. */
+  private[plans] def totalLess(s1: Double, i1: Long,
+      s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1 + 0.0, s2 + 0.0)
+    c < 0 || (c == 0 && i1 < i2)
+  }
+
   /** Binary MIN-heap over (score, id) pairs in two primitive arrays:
     * the root is the smallest kept pair, so a full heap rejects a
     * non-qualifying row with one comparison and zero writes. */
@@ -114,15 +129,8 @@ object TopKScoreId {
     val ids = new Array[Long](k)
     var n: Int = 0
 
-    // TOTAL order matching Spark SQL's double ordering: NaN compares as
-    // the largest double (IEEE < is false both ways for NaN, which would
-    // let a NaN root permanently reject every later offer), and -0.0
-    // is normalized to 0.0 by the +0.0 (Spark treats them equal, so the
-    // id tie-break must apply across them).
-    private def less(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
-      val c = java.lang.Double.compare(s1 + 0.0, s2 + 0.0)
-      c < 0 || (c == 0 && i1 < i2)
-    }
+    private def less(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+      totalLess(s1, i1, s2, i2)
 
     def offer(s: Double, i: Long): Unit = {
       if (n < k) {

@@ -91,6 +91,29 @@ class SummaryRewriteSpec extends SparkSpec {
     }
   }
 
+  test("count of a NULL literal keeps the fact scan (it is not count(*))") {
+    def q() = fact().groupBy(col("l_returnflag"))
+      .agg(count(lit(null)).as("n"))
+    val want = q().collect().map(_.toSeq).toSet // all-zero counts
+    withSummary { _ =>
+      assert(scanned(q()).contains(factPath),
+        "count(NULL) must not rewrite to sum-of-counts")
+      assert(q().collect().map(_.toSeq).toSet == want)
+    }
+  }
+
+  test("a multi-path scan sharing the registered path keeps the fact scan") {
+    withSummary { _ =>
+      // the second path's rows would silently vanish if the first-root
+      // match rewrote this to the rollup
+      val multi = spark.read
+        .parquet(factPath, "/root/testdata/sf0.001/lineitem.parquet")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(col("l_quantity")).as("q"))
+      assert(scanned(multi).contains(factPath))
+    }
+  }
+
   test("uncovered shapes keep the fact scan") {
     withSummary { _ =>
       // aggregate on a column with no registered partial

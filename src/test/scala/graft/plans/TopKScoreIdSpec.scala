@@ -50,4 +50,19 @@ class TopKScoreIdSpec extends SparkSpec {
       .select(col("t.score")).collect().map(_.getDouble(0)).toSeq
     assert(got == Seq(0.9, 0.3))
   }
+
+  test("a NaN score cannot poison the heap root") {
+    // NaN offered FIRST: under IEEE < it compares false both ways, so a
+    // naive heap would keep it at the root and reject every later
+    // offer once full. The total order ranks NaN greatest (Spark SQL's
+    // double ordering), so the top-2 is (NaN, 0.9) — and the real
+    // scores still flow through the heap.
+    val df = Seq((1, Double.NaN, 1L), (1, 0.7, 2L), (1, 0.9, 3L),
+      (1, 0.8, 4L)).toDF("g", "v", "id").coalesce(1)
+    val got = df.groupBy(col("g"))
+      .agg(TopKScoreId(col("v"), col("id"), 2).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("t.id")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(1L, 3L))
+  }
 }
