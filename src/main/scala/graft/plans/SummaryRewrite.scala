@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   Literal, NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
-  Count, Max, Min, Sum}
+  Average, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -19,9 +19,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
   * and aggregate functions are COVERED by a registered summary table is
   * rewritten to re-aggregate the summary instead of scanning the fact.
   * sum re-aggregates as sum-of-sums, count(*) as sum-of-counts, min/max
-  * as min-of-mins/max-of-maxes — the algebraic-merge property the
-  * engine's own partial aggregation already relies on, lifted from
-  * map-side combine to table granularity.
+  * as min-of-mins/max-of-maxes, and avg as sum-of-sums over
+  * sum-of-per-column-counts (double-typed only; the per-column count
+  * partial is required because avg ignores NULLs where count(*) does
+  * not) — the algebraic-merge property the engine's own partial
+  * aggregation already relies on, lifted from map-side combine to
+  * table granularity.
   *
   * Scope is deliberately strict (every condition is a correctness
   * boundary, not a convenience): the aggregate's child must be the bare
@@ -186,32 +189,53 @@ object SummaryRewrite extends Rule[LogicalPlan] {
           case a: AttributeReference => m.get(a.exprId.id)
           case _ => None
         }
-        val merged = ae.aggregateFunction match {
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Divide,
+          Expression => Expr}
+        val merged: Option[Expr] = ae.aggregateFunction match {
           case s: Sum => factCol(s.child)
-            .flatMap(n => reg.partials.get(("sum", n))).map(c => Sum(out(c)))
+            .flatMap(n => reg.partials.get(("sum", n)))
+            .map(c => Sum(out(c)).toAggregateExpression())
           case mi: Min => factCol(mi.child)
-            .flatMap(n => reg.partials.get(("min", n))).map(c => Min(out(c)))
+            .flatMap(n => reg.partials.get(("min", n)))
+            .map(c => Min(out(c)).toAggregateExpression())
           case mx: Max => factCol(mx.child)
-            .flatMap(n => reg.partials.get(("max", n))).map(c => Max(out(c)))
+            .flatMap(n => reg.partials.get(("max", n)))
+            .map(c => Max(out(c)).toAggregateExpression())
           // count(*) / count(lit) only when the literal is NON-null:
           // count(NULL) is 0 per group, which sum-of-counts is not
           case c: Count if c.children.forall {
             case l: Literal => l.value != null
             case _ => false
-          } => reg.partials.get(("count", "*")).map(c2 => Sum(out(c2)))
+          } => reg.partials.get(("count", "*"))
+            .map(c2 => Sum(out(c2)).toAggregateExpression())
+          // avg = sum-of-sums / sum-of-PER-COLUMN-counts. The
+          // denominator must be a registered ("count", col) partial —
+          // count(*) would overcount when the column has NULLs, and the
+          // rule cannot see nullness, so the registrar asserts it.
+          // Double-returning averages only: Decimal avg has its own
+          // scale/rounding contract a division would not reproduce.
+          case av: Average
+              if av.dataType == org.apache.spark.sql.types.DoubleType =>
+            for {
+              n <- factCol(av.child)
+              scol <- reg.partials.get(("sum", n))
+              ccol <- reg.partials.get(("count", n))
+            } yield Divide(
+              Cast(Sum(out(scol)).toAggregateExpression(),
+                org.apache.spark.sql.types.DoubleType),
+              Cast(Sum(out(ccol)).toAggregateExpression(),
+                org.apache.spark.sql.types.DoubleType))
           case _ => None
         }
         merged match {
-          case Some(f) =>
+          case Some(e) =>
             // the parent operators resolved this exprId at the ORIGINAL
             // type; a re-aggregate can widen it (Sum over a decimal sum
             // gains precision) — cast back so the rewrite stays
             // type-transparent
-            val e = f.toAggregateExpression()
             val typed =
               if (e.dataType == ae.dataType) e
-              else org.apache.spark.sql.catalyst.expressions.Cast(
-                e, ae.dataType)
+              else Cast(e, ae.dataType)
             Alias(typed, name)(exprId = al.exprId)
           case None => return None
         }

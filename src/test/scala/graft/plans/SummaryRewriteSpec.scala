@@ -46,6 +46,10 @@ class SummaryRewriteSpec extends SparkSpec {
       partials = Map(
         ("sum", "l_quantity") -> "sum_qty",
         ("count", "*") -> "cnt",
+        // l_quantity is non-null in this data, so its per-column count
+        // (avg's denominator) is the row count — the registrar's
+        // nullness assertion the avg rewrite documents
+        ("count", "l_quantity") -> "cnt",
         ("min", "l_extendedprice") -> "min_price",
         ("max", "l_extendedprice") -> "max_price"))
     try body(sumPath)
@@ -88,6 +92,23 @@ class SummaryRewriteSpec extends SparkSpec {
     withSummary { _ =>
       assert(scanned(q()).exists(_.contains("rollup.parquet")))
       assert(q().collect().map(_.toSeq).toSet == want)
+    }
+  }
+
+  test("avg reroutes as sum-of-sums over per-column counts, exactly") {
+    // quantities are integral doubles, so sum-of-partial-sums (and the
+    // final division) are order-exact — equality is bitwise
+    def q() = fact().groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("aq"))
+    val want = q().collect().map(_.toSeq).toSet
+    withSummary { _ =>
+      assert(scanned(q()).exists(_.contains("rollup.parquet")))
+      assert(q().collect().map(_.toSeq).toSet == want)
+      // avg of a column without the required (sum + per-column count)
+      // partials keeps the fact scan — min/max coverage is not enough
+      val noCnt = fact().groupBy(col("l_returnflag"))
+        .agg(avg(col("l_extendedprice")).as("ap"))
+      assert(scanned(noCnt).contains(factPath))
     }
   }
 
