@@ -1104,6 +1104,7 @@ object Relational {
     QuerySpec.sqlBacked("q151_rollup_route",
       """SELECT l_returnflag,
         |  sum(l_quantity) AS sum_qty,
+        |  avg(l_quantity) AS avg_qty,
         |  CAST(count(*) AS BIGINT) AS n_rows,
         |  min(l_extendedprice) AS min_price,
         |  max(l_extendedprice) AS max_price
@@ -1127,12 +1128,16 @@ object Relational {
         partials = Map(
           ("sum", "l_quantity") -> "s_qty",
           ("count", "*") -> "cnt",
+          // l_quantity is non-null, so its per-column count (the avg
+          // denominator) is the row count — the registrar's assertion
+          ("count", "l_quantity") -> "cnt",
           ("min", "l_extendedprice") -> "mn",
           ("max", "l_extendedprice") -> "mx"))
       try {
         val df = t(s, dir, "lineitem")
           .groupBy(col("l_returnflag"))
           .agg(sum(col("l_quantity")).as("sum_qty"),
+            avg(col("l_quantity")).as("avg_qty"),
             count(lit(1)).as("n_rows"),
             min(col("l_extendedprice")).as("min_price"),
             max(col("l_extendedprice")).as("max_price"))
