@@ -1199,6 +1199,44 @@ object Relational {
           && !joinSection.contains("Exchange hashpartitioning(o_orderkey"),
         s"q156: bucketed join still shuffles a side:\n$plan")
       df
+    },
+
+    // ------------------------------------------------------------------
+    // q159: hive-style partition pruning, driver-visible — the third
+    // leg of the layout triad next to q151 (rollup routing) and q156
+    // (bucketed co-location). The events fact is rewritten partitioned
+    // BY event_type; a one-type query must then prune at the FILE
+    // LISTING — the scan's PartitionFilters carries the predicate and
+    // the other partitions' files are never opened. At 100 TB this is
+    // the first and cheapest I/O lever: a 5-type corpus serves a
+    // one-type query at 1/5 the scan, before any row-level pushdown.
+    // The fail-loud require pins the PartitionFilters line; the oracle
+    // filters the flat table, so the driver hash proves the layout
+    // changed the listing, not the answer. (cents sum CAST to BIGINT —
+    // the DuckDB HUGEINT render doctrine.)
+    QuerySpec.sqlBacked("q159_partition_pruned",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS cents
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY event_type""".stripMargin) { (s, dir) =>
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_parted").resolve("events_by_type")
+        .toString
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("value"))
+        .write.mode("overwrite").partitionBy("event_type").parquet(base)
+      val df = s.read.parquet(base)
+        .filter(col("event_type") === "click")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("cents"))
+      val plan = df.queryExecution.executedPlan.toString
+      val pf = plan.linesIterator.find(_.contains("PartitionFilters"))
+      require(pf.exists(l => l.contains("(event_type") &&
+          l.contains("click")),
+        s"q159: predicate did not reach the partition listing:\n$plan")
+      df
     }
   )
 
