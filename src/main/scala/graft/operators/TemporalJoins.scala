@@ -92,4 +92,46 @@ object TemporalJoins {
         col("_rus") <= col("_lus") + upperUs)
       .drop("_rk", "_b", "_lus", "_rus")
   }
+
+  /** Interval-OVERLAP join: every (left, right) pair sharing `key` whose
+    * closed intervals [lStart, lEnd] × [rStart, rEnd] intersect
+    * (`lStart <= rEnd && rStart <= lEnd`; bounds are integral — epoch-µs
+    * columns, already-extracted longs). Returns left's columns plus
+    * `rightPayload` (caller pre-renames to avoid clashes). Inner-join
+    * semantics. Distinct from [[range]]: there the right side is POINTS
+    * probed by a fixed window around each left point; here BOTH sides are
+    * intervals of varying width — the validity-window / in-transit /
+    * observation-span shape ([[range]] is the degenerate case of
+    * zero-width rights).
+    *
+    * Candidate generation bins the time axis at `binUs`: each interval
+    * explodes to every bin it touches, candidates come from an equi-join
+    * on (key, bin), and the exact predicate kills bin-sharing
+    * non-overlaps. Exploding BOTH sides would emit a true pair once per
+    * SHARED bin — instead of a distinct-shuffle cleanup, the emit-once
+    * rule keeps a pair only in the bin containing max(lStart, rStart):
+    * overlap means both intervals cover that instant, so both cover its
+    * bin (exactly once each), and no other bin qualifies. Each exchange
+    * carries interval endpoints + ids only (payload stays narrow by
+    * caller contract); per-bucket work is |left∩bin|·|right∩bin| — the
+    * bucketed-candidate bound every dedup family op in this library
+    * rides, never the per-key cross product a naive inequality join
+    * plans. Pick `binUs` ≈ the typical interval span: wider bins cut the
+    * explode factor, narrower bins cut per-bucket products. */
+  def overlap(left: DataFrame, right: DataFrame, key: String,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      binUs: Long, rightPayload: Seq[String]): DataFrame = {
+    require(binUs > 0, "bin width must be positive")
+    def bins(s: Column, e: Column): Column =
+      sequence(floor(s / binUs), floor(e / binUs))
+    val l = left.withColumn("_b", explode(bins(col(lStart), col(lEnd))))
+    val r = right.select(
+      Seq(col(key).as("_rk"), col(rStart).as("_rs"), col(rEnd).as("_re")) ++
+        rightPayload.map(col): _*)
+      .withColumn("_rb", explode(bins(col("_rs"), col("_re"))))
+    l.join(r, l(key) === r("_rk") && col("_b") === col("_rb"))
+      .filter(col(lStart) <= col("_re") && col("_rs") <= col(lEnd) &&
+        col("_b") === floor(greatest(col(lStart), col("_rs")) / binUs))
+      .drop("_rk", "_b", "_rb", "_rs", "_re")
+  }
 }

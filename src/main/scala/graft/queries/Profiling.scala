@@ -838,6 +838,68 @@ object Profiling {
             (col("hot_n").cast("double") / col("n_rows").cast("double"))
               .as("hot_share"))
       }.reduce(_ union _).orderBy(col("key_col"))
+    },
+
+    // ------------------------------------------------------------------
+    // q162: EXACT-allocation stratified sample — per market segment,
+    // exactly ⌈n/10⌉ customers, selected as the stratum's smallest 10%
+    // by md5(key) (a deterministic uniform order, the q51 doctrine).
+    // q51 is the one-pass Bernoulli form: zero shuffle but binomial
+    // variance in the per-stratum counts; this is the form an eval-set
+    // builder needs when the allocation itself is the contract. The
+    // textbook formulation — row_number() per stratum — is the ORACLE
+    // below, and at 100 TB it is a per-stratum global sort landing a
+    // whole stratum on one task (|strata| is small: the q51 skew in its
+    // worst form). The Spark side instead does distributed SELECTION:
+    // (a) bucket rows by the hash's first byte; (b) one tiny aggregate
+    // — ≤ |strata|·256 rows, collected under the k-row-frame contract —
+    // gives each stratum's bucket histogram, from which the driver
+    // finds the boundary bucket where the cumulative count crosses
+    // k = ⌈n/10⌉ and how many rows it still needs from it; (c) buckets
+    // below the boundary pass WHOLE (no sort anywhere), and only the
+    // boundary bucket — 1/256 of one stratum, and geometrically smaller
+    // under a longer prefix if a task can't hold it — pays a rank. Two
+    // scan passes (whole-buckets + boundary), both pure projections
+    // against a broadcast 1-row-per-stratum cut frame.
+    QuerySpec.sqlBacked("q162_exact_stratified",
+      """WITH r AS (SELECT c_custkey, c_mktsegment,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer)
+        |SELECT c_custkey, c_mktsegment FROM r
+        |WHERE rn * 10 <= n + 9
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val base = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"),
+          md5(col("c_custkey").cast("string")).as("h"))
+        .withColumn("b", substring(col("h"), 1, 2))
+      // ≤ |strata|·256 rows — bounded driver state, not a corpus collect
+      val hist = base.groupBy(col("c_mktsegment"), col("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val cuts = hist.groupBy(_._1).map { case (seg, rows) =>
+        val n = rows.map(_._3).sum
+        val k = (n + 9) / 10 // ⌈n/10⌉; n ≥ 1 per grouped stratum
+        val byB = rows.sortBy(_._2)
+        val cum = byB.scanLeft(0L)(_ + _._3).tail
+        val i = cum.indexWhere(_ >= k) // exists: cum.last = n ≥ k
+        (seg, byB(i)._2, k - (if (i == 0) 0L else cum(i - 1)))
+      }.toSeq.toDF("c_mktsegment", "bb", "need")
+      val joined = base.join(broadcast(cuts), "c_mktsegment")
+      val whole = joined.filter(col("b") < col("bb"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_mktsegment"))
+        .orderBy(col("h"), col("c_custkey"))
+      val edge = joined.filter(col("b") === col("bb"))
+        .withColumn("rn", row_number().over(win))
+        .filter(col("rn") <= col("need"))
+        .select(col("c_custkey"), col("c_mktsegment"))
+      whole.unionAll(edge)
+        .orderBy(col("c_mktsegment"), col("c_custkey"))
     }
   )
 }

@@ -945,6 +945,105 @@ object Temporal {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("path"))
         .limit(15)
+    },
+
+    // ------------------------------------------------------------------
+    // q160: interval-OVERLAP self-join — the third temporal-join shape
+    // (asof q57 = latest-earlier point, range q58 = points in a fixed
+    // window; here BOTH sides are intervals of varying width). Each
+    // lineitem is in transit over [shipdate, shipdate + quantity days];
+    // per supplier, count the pairs of shipments whose transit windows
+    // intersect — the fleet-utilization / concurrent-exposure shape
+    // every logistics or validity-window pipeline needs. Spark side is
+    // operators.TemporalJoins.overlap: candidates from an equi-join on
+    // (supplier, 64-day bin), each true pair emitted exactly ONCE by
+    // the max-start-bin rule (no distinct cleanup), exchanges carry
+    // endpoints + ids only. The oracle runs the OBVIOUS per-key
+    // inequality self-join DuckDB can afford at test SF — quadratic per
+    // key, exactly the plan the binned form exists to avoid at 100 TB.
+    // Quantity → days uses floor() in both engines (CAST in DuckDB
+    // rounds-half-up where Spark's truncates — the q112/q123 doctrine).
+    QuerySpec.sqlBacked("q160_interval_overlap",
+      """WITH i AS (SELECT l_suppkey AS k,
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS s0,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP))
+        |      + CAST(floor(l_quantity) AS BIGINT) * 86400000000 AS e0
+        |  FROM lineitem)
+        |SELECT a.k AS suppkey, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM i a JOIN i b
+        |  ON a.k = b.k AND a.id < b.id AND a.s0 <= b.e0 AND b.s0 <= a.e0
+        |GROUP BY a.k ORDER BY suppkey""".stripMargin) { (s, dir) =>
+      val i = transitIntervals(s, dir)
+      TemporalJoins.overlap(i,
+          i.select(col("k"), col("s0").as("bs0"), col("e0").as("be0"),
+            col("id").as("bid")),
+          "k", "s0", "e0", "bs0", "be0",
+          64L * 86400000000L, Seq("bid"))
+        .filter(col("id") < col("bid"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("k").as("suppkey"), col("n_pairs"))
+        .orderBy(col("suppkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q161: peak interval concurrency — the AGGREGATE companion to
+    // q160's pair enumeration: per supplier, the maximum number of
+    // shipments simultaneously in transit, by the classic sweep (+1 at
+    // each start, −1 just past each inclusive end, running sum, max).
+    // Within one timestamp all +1s land before −1s (ORDER BY t, delta
+    // DESC — a fixed rule, identical in both engines, and the max is
+    // insensitive to order WITHIN an equal-(t, delta) run since those
+    // deltas are equal). The per-supplier window is per-entity bounded
+    // (the q113 contract: 2·|shipments per supplier| events), one keyed
+    // exchange, no pair materialization at all — where q160's output is
+    // Σ|pairs|, this is the O(n log n) summary a capacity planner
+    // actually reads.
+    QuerySpec.sqlBacked("q161_peak_concurrency",
+      """WITH i AS (SELECT l_suppkey AS k,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS s0,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP))
+        |      + CAST(floor(l_quantity) AS BIGINT) * 86400000000 AS e0
+        |  FROM lineitem),
+        |d AS (SELECT k, s0 AS t, 1 AS delta FROM i
+        |      UNION ALL SELECT k, e0 + 1, -1 FROM i),
+        |r AS (SELECT k, sum(delta) OVER (PARTITION BY k
+        |        ORDER BY t, delta DESC ROWS UNBOUNDED PRECEDING) AS c
+        |      FROM d)
+        |SELECT k AS suppkey, CAST(max(c) AS BIGINT) AS peak
+        |FROM r GROUP BY k ORDER BY suppkey""".stripMargin) { (s, dir) =>
+      val i = transitIntervals(s, dir)
+      val d = i.select(col("k"), col("s0").as("t"), lit(1L).as("delta"))
+        .unionAll(i.select(col("k"), (col("e0") + 1L).as("t"),
+          lit(-1L).as("delta")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("t"), col("delta").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, org.apache.spark.sql.expressions.Window
+          .currentRow)
+      d.select(col("k"), sum(col("delta")).over(w).as("c"))
+        .groupBy(col("k"))
+        .agg(max(col("c")).as("peak"))
+        .select(col("k").as("suppkey"), col("peak"))
+        .orderBy(col("suppkey"))
     }
   )
+
+  /** q160/q161's shared projection: each lineitem's in-transit interval
+    * [shipdate, shipdate + floor(quantity) days] as epoch-µs longs, with
+    * `id = orderkey·10 + linenumber` (linenumber ≤ 7 — unique, and an
+    * integer total order both engines share). ONE definition so the two
+    * gates provably sweep the same intervals. */
+  private def transitIntervals(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables(s, dir, "lineitem").select(
+      col("l_suppkey").as("k"),
+      (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+      // l_shipdate lands as TIMESTAMP_NTZ; session TZ is pinned UTC in
+      // every entrypoint, so this cast is the identity the oracle's
+      // CAST(... AS TIMESTAMP) also applies
+      unix_micros(col("l_shipdate").cast("timestamp")).as("s0"),
+      (unix_micros(col("l_shipdate").cast("timestamp")) +
+        floor(col("l_quantity")).cast("long") * 86400000000L).as("e0"))
 }

@@ -67,6 +67,51 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.getInt(0) == 77 && out.getInt(1) == 11 && out.isNullAt(2))
   }
 
+  // (key, start, end, id): varying widths (0 to ~12 bins at binUs=100),
+  // touching endpoints (closed-interval inclusivity), disjoint keys
+  private val ivlA = List.tabulate(90) { i =>
+    val s = rnd.nextInt(3000).toLong
+    (i % 4, s, s + rnd.nextInt(1200), 3000 + i)
+  }
+  private val ivlB = List.tabulate(110) { i =>
+    val s = rnd.nextInt(3000).toLong
+    (i % 4, s, s + rnd.nextInt(900), 4000 + i)
+  }
+
+  test("overlap join emits every intersecting pair exactly once") {
+    val a = ivlA.toDF("k", "s0", "e0", "aid")
+    val b = ivlB.toDF("k", "bs0", "be0", "bid")
+    for (binUs <- Seq(100L, 1L, 10000L)) { // spans≫bin, =1, bin≫spans
+      val got = TemporalJoins.overlap(a, b, "k", "s0", "e0",
+          "bs0", "be0", binUs, Seq("bid"))
+        .select(col("aid"), col("bid")).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toList
+      val expect = for {
+        (k, s, e, aid) <- ivlA
+        (bk, bs, be, bid) <- ivlB
+        if bk == k && s <= be && bs <= e
+      } yield (aid, bid)
+      assert(got.sorted == expect.sorted, s"binUs=$binUs") // exact multiset
+    }
+  }
+
+  test("overlap self-join under id dedup matches brute-force pairs") {
+    val a = ivlA.toDF("k", "s0", "e0", "aid")
+    val got = TemporalJoins.overlap(a,
+        a.select(col("k"), col("s0").as("bs0"), col("e0").as("be0"),
+          col("aid").as("bid")),
+        "k", "s0", "e0", "bs0", "be0", 500L, Seq("bid"))
+      .filter(col("aid") < col("bid"))
+      .select(col("aid"), col("bid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toList
+    val expect = for {
+      (k, s, e, aid) <- ivlA
+      (bk, bs, be, bid) <- ivlA
+      if bk == k && aid < bid && s <= be && bs <= e
+    } yield (aid, bid)
+    assert(got.sorted == expect.sorted)
+  }
+
   test("asof is partition-count invariant") {
     val base = TemporalJoins.asof(leftDf, rightDf, "k", "t", Seq("rid"))
       .collect().map(_.toSeq).toSet
