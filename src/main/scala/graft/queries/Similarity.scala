@@ -1372,6 +1372,117 @@ object Similarity {
       require(scans.exists(_.endsWith("bands.parquet")),
         s"q158: serve path does not read the persisted index (scans: $scans)")
       served
+    },
+
+    // ------------------------------------------------------------------
+    // q163: SQ8 flat search — SCALAR quantization, the remaining point
+    // on the family's compression spectrum (LSH q41 = 1 bit/dim·L, PQ
+    // q146-q148 = 1 byte per 8 dims, SQ8 = 1 byte/dim): each dimension
+    // is affinely mapped to a 0..255 code against per-dim corpus
+    // min/max, every vector becomes 64 bytes, and search is the
+    // "flat-with-codes" scan every vector store ships as its accuracy
+    // floor — asymmetric (exact query × decoded candidate, SQ's ADC),
+    // top corpus/5 by the integer proxy, exact-cosine re-rank (q147's
+    // budget shape). All quantizer arithmetic rides the SHARED 1e6
+    // micro-unit frame, so codes, decode, and the proxy are integers
+    // end-to-end — bit-exact in DuckDB with no new float doctrine; the
+    // only doubles are the proxy's final normalize and the re-rank
+    // cosine, both single correctly-rounded ops on exact operands. The
+    // per-dim (min, range) is a 64-row frame (k-row contract) folded
+    // into literals ≙ the broadcast codebook. Scale: still O(n·q)
+    // candidates like q40 — but touching 64 B/vector instead of 256 B
+    // floats, integer muls, and composable with q42's coarse lists for
+    // the multiplicative cut (IVF-SQ); the persisted-index form is
+    // q158's move applied to the codes column.
+    QuerySpec.sqlBacked("q163_sq8_search", {
+      val d = Vectors.Dim
+      def idot(a: String, b: String) = (1 to d)
+        .map(i => s"$a[$i] * $b[$i]").mkString("(", " + ", ")")
+      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+         |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |    AS qv FROM embeddings),
+         |mm AS (SELECT i, min(qv[i + 1]) AS mn,
+         |         max(qv[i + 1]) - min(qv[i + 1]) AS r
+         |       FROM q, range(0, $d) t(i) GROUP BY i),
+         |dec AS (SELECT vec_id AS nb_id,
+         |    list(mn + CASE WHEN r = 0 THEN 0
+         |      ELSE (((qv[i + 1] - mn) * 255 // r) * r) // 255 END
+         |      ORDER BY i) AS dv
+         |  FROM q, mm GROUP BY vec_id),
+         |dn AS (SELECT nb_id, dv,
+         |    sqrt(CAST(${idot("dv", "dv")} AS DOUBLE)) AS dn FROM dec),
+         |ap AS (SELECT qq.vec_id AS q_id, d.nb_id,
+         |    ${idot("qq.qv", "d.dv")} AS adot, d.dn
+         |  FROM q qq, dn d
+         |  WHERE qq.$isQuery AND qq.vec_id <> d.nb_id),
+         |cand AS (SELECT q_id, nb_id, adot FROM (
+         |  SELECT q_id, nb_id, adot, row_number() OVER (PARTITION BY q_id
+         |      ORDER BY CAST(adot AS DOUBLE) / dn DESC, nb_id) AS crn
+         |  FROM ap) WHERE crn <= greatest(${2 * K},
+         |    (SELECT count(*) FROM embeddings) // $AdcFrac)),
+         |n AS ($corpusSql),
+         |scored AS (SELECT c.q_id, c.nb_id, c.adot,
+         |    ${Vectors.dotSql("qn.embedding", "cn.embedding")}
+         |      / (qn.nrm * cn.nrm) AS cos
+         |  FROM cand c
+         |  JOIN n qn ON qn.vec_id = c.q_id
+         |  JOIN n cn ON cn.vec_id = c.nb_id)
+         |SELECT q_id, nb_id, rn, CAST(adot AS BIGINT) AS sq_dot, cos
+         |FROM (SELECT q_id, nb_id, adot, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, nb_id) AS rn
+         |  FROM scored)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      val v = quantized(s, dir)
+      // per-dim (min, range): a 64-row frame folded to literals — the
+      // broadcast-codebook shape (q155's principal-direction precedent)
+      val mm = v.select(posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(min(col("x")).as("mn"), (max(col("x")) - min(col("x"))).as("r"))
+        .orderBy(col("i")).collect()
+      val mnA = mm.map(_.getLong(1) + "L").mkString("array(", ",", ")")
+      val rA = mm.map(_.getLong(2) + "L").mkString("array(", ",", ")")
+      // quantize→decode in one integral expression chain (three
+      // zip_withs — no struct packing, stays a codegen'd projection);
+      // all operands non-negative, so div ≡ DuckDB's floor `//`
+      val dec = v.select(col("vec_id").as("nb_id"), expr(
+        s"""zip_with(zip_with(zip_with(qv, $mnA, (v, m) -> v - m), $rA,
+           |  (sv, r) -> IF(r = 0L, 0L, ((sv * 255L) div r) * r div 255L)),
+           |  $mnA, (dd, m) -> dd + m)""".stripMargin).as("dv"))
+        .withColumn("dn", sqrt(expr(
+          "aggregate(zip_with(dv, dv, (x, y) -> x * y), 0L, (a, b) -> a + b)")
+          .cast("double")))
+      val qs = v.filter(expr(isQuery))
+        .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+      val ap = dec.join(broadcast(qs), col("q_id") =!= col("nb_id"))
+        .select(col("q_id"), col("nb_id"),
+          expr("aggregate(zip_with(qqv, dv, (x, y) -> x * y), 0L, " +
+            "(a, b) -> a + b)").as("adot"), col("dn"))
+      val budget = math.max(2L * K, v.count() / AdcFrac)
+      val wC = Window.partitionBy(col("q_id"))
+        .orderBy((col("adot").cast("double") / col("dn")).desc, col("nb_id"))
+      val cand = ap.withColumn("crn", row_number().over(wC))
+        .filter(col("crn") <= budget)
+        .select(col("q_id"), col("nb_id"), col("adot"))
+      val c = corpus(s, dir)
+      val qe = c.filter(expr(isQuery))
+        .select(col("vec_id").as("qk"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val scored = c
+        .select(col("vec_id").as("nk"), col("embedding").as("ce"),
+          col("nrm").as("cn"))
+        .join(broadcast(cand.join(qe, col("q_id") === col("qk"))),
+          col("nb_id") === col("nk"))
+        .select(col("q_id"), col("nb_id"), col("adot"),
+          (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
+      val wK = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("nb_id"))
+      scored.withColumn("rn", row_number().over(wK))
+        .filter(col("rn") <= K)
+        .select(col("q_id"), col("nb_id"), col("rn"),
+          col("adot").as("sq_dot"), col("cos"))
+        .orderBy(col("q_id"), col("rn"))
     }
   )
 
