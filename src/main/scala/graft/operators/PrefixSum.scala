@@ -55,4 +55,29 @@ object PrefixSum {
       r.getLong(wIdx)
     }
   }
+
+  /** N inclusive running sums over ONE range shuffle — cumulative
+    * histograms with several measures on a shared axis (q164's
+    * two-sample CDFs). Same contract as [[inclusive]], per weight. */
+  def inclusiveMulti(df: DataFrame, sortCols: Seq[Column],
+      weightCols: Seq[String], outCols: Seq[String]): DataFrame = {
+    require(weightCols.size == outCols.size, "weight/out arity mismatch")
+    val idxs = weightCols.map { w =>
+      val i = df.schema.fieldIndex(w)
+      require(df.schema(i).dataType == LongType,
+        s"graft PrefixSum needs BIGINT weights, got " +
+          s"${df.schema(i).dataType.simpleString} for '$w'")
+      i
+    }.toArray
+    val buf = new Array[Long](idxs.length)
+    ScanStamp.multi(df, sortCols, outCols, stampAfter = true) { r =>
+      var j = 0
+      while (j < idxs.length) {
+        require(!r.isNullAt(idxs(j)), "graft PrefixSum: null weight")
+        buf(j) = r.getLong(idxs(j))
+        j += 1
+      }
+      buf
+    }
+  }
 }

@@ -31,6 +31,24 @@ private[operators] object ScanStamp {
 
   def apply(df: DataFrame, sortCols: Seq[Column], outCol: String,
       stampAfter: Boolean)(contrib: InternalRow => Long): DataFrame = {
+    // the buffer is reused per task — safe under multi's read-
+    // immediately contract, and keeps the single-column hot path
+    // allocation-free per row
+    val buf = new Array[Long](1)
+    multi(df, sortCols, Seq(outCol), stampAfter) { r =>
+      buf(0) = contrib(r); buf
+    }
+  }
+
+  /** N parallel accumulators over ONE range shuffle — the cumulative-
+    * histogram shape (q164's two-sample CDFs): each row contributes a
+    * vector, every component is scanned independently, and all N
+    * running sums are stamped as N BIGINT columns. `contrib` may reuse
+    * its returned array: both phases consume it before the next row is
+    * read (fold into the totals vector / copy into the stamp row). */
+  def multi(df: DataFrame, sortCols: Seq[Column], outCols: Seq[String],
+      stampAfter: Boolean)(contrib: InternalRow => Array[Long]): DataFrame = {
+    val n = outCols.size
     val spark = df.sparkSession
     val parts = spark.sparkContext.defaultParallelism
     val sorted = df
@@ -39,32 +57,44 @@ private[operators] object ScanStamp {
 
     val rdd = sorted.queryExecution.toRdd
 
-    // Phase-2a: per-partition contribution totals — #partitions longs to
-    // the driver, scanned into start offsets.
+    // Phase-2a: per-partition contribution totals — #partitions × N
+    // longs to the driver, scanned into start offsets.
     val totals = rdd.mapPartitionsWithIndex { (i, it) =>
-      var s = 0L
-      it.foreach(r => s = Math.addExact(s, contrib(r)))
+      val s = new Array[Long](n)
+      it.foreach { r =>
+        val c = contrib(r)
+        var j = 0
+        while (j < n) { s(j) = Math.addExact(s(j), c(j)); j += 1 }
+      }
       Iterator.single((i, s))
     }.collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(Math.addExact)
+    val offsets = totals.scanLeft(new Array[Long](n)) { (a, t) =>
+      Array.tabulate(n)(j => Math.addExact(a(j), t(j)))
+    }
 
     // Phase-2b: narrow stamping map reusing the shuffle files.
     val stamped = rdd.mapPartitionsWithIndex { (i, it) =>
-      var acc = offsets(i)
-      val idx = new GenericInternalRow(1)
+      val acc = offsets(i).clone()
+      val idx = new GenericInternalRow(n)
       val joined = new JoinedRow
       it.map { r =>
-        if (stampAfter) {
-          acc = Math.addExact(acc, contrib(r))
-          idx.setLong(0, acc)
-        } else {
-          idx.setLong(0, acc)
-          acc = Math.addExact(acc, contrib(r))
+        val c = contrib(r)
+        var j = 0
+        while (j < n) {
+          if (stampAfter) {
+            acc(j) = Math.addExact(acc(j), c(j))
+            idx.setLong(j, acc(j))
+          } else {
+            idx.setLong(j, acc(j))
+            acc(j) = Math.addExact(acc(j), c(j))
+          }
+          j += 1
         }
         joined(r, idx): InternalRow
       }
     }
     org.apache.spark.sql.graft.bridge.internalCreateDataFrame(spark, stamped,
-      sorted.schema.add(StructField(outCol, LongType, nullable = false)))
+      outCols.foldLeft(sorted.schema)((sc, c) =>
+        sc.add(StructField(c, LongType, nullable = false))))
   }
 }

@@ -900,6 +900,84 @@ object Profiling {
         .select(col("c_custkey"), col("c_mktsegment"))
       whole.unionAll(edge)
         .orderBy(col("c_mktsegment"), col("c_custkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q164: exact two-sample Kolmogorov–Smirnov drift — did the `value`
+    // distribution move between the corpus's first and second time
+    // half? The distributional companion to q128's categorical TV
+    // drift: KS D = max_x |F1(x) − F2(x)|, the standard continuous-
+    // drift statistic. Everything is integer-exact: the split point is
+    // the integral midpoint of the observed time span (2·ts < min+max),
+    // the support is floor-cents (the shared Cols.cents projection),
+    // and D is carried as the integer NUMERATOR max|cum1·n2 − cum2·n1|
+    // over the common denominator n1·n2 — no per-row double CDFs whose
+    // summation order could drift across engines. The cumulative pair
+    // (F1, F2) over the merged support is PrefixSum.inclusiveMulti:
+    // BOTH CDFs ride ONE range shuffle of the |support|-sized histogram
+    // (the oracle runs the textbook un-partitioned window DuckDB can
+    // afford at test SF — the exact single-task collapse the scan
+    // machinery exists to avoid). Cross-products are guarded fail-loud
+    // at 3e9 rows per side (n1·n2 ≤ 2^63 — the q131 magnitude
+    // doctrine; past that the numerator needs DECIMAL, a different
+    // contract than silent wrap).
+    QuerySpec.sqlBacked("q164_ks_drift",
+      """WITH e AS (SELECT CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |b AS (SELECT min(us) AS mn, max(us) AS mx FROM e),
+        |o AS (SELECT cents,
+        |    CASE WHEN 2 * us < mn + mx THEN 1 ELSE 0 END AS s1
+        |  FROM e, b),
+        |g AS (SELECT cents, CAST(sum(s1) AS BIGINT) AS c1,
+        |    CAST(sum(1 - s1) AS BIGINT) AS c2 FROM o GROUP BY cents),
+        |c AS (SELECT cents,
+        |    CAST(sum(c1) OVER w AS BIGINT) AS cum1,
+        |    CAST(sum(c2) OVER w AS BIGINT) AS cum2
+        |  FROM g WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+        |n AS (SELECT CAST(sum(s1) AS BIGINT) AS n1,
+        |    CAST(sum(1 - s1) AS BIGINT) AS n2 FROM o),
+        |d AS (SELECT cents, abs(cum1 * n2 - cum2 * n1) AS dn FROM c, n)
+        |SELECT (SELECT n1 FROM n) AS n1, (SELECT n2 FROM n) AS n2,
+        |  CAST(max(dn) AS BIGINT) AS d_num,
+        |  (SELECT cents FROM d ORDER BY dn DESC, cents LIMIT 1)
+        |    AS at_cents,
+        |  CAST(max(dn) AS DOUBLE) /
+        |    (CAST((SELECT n1 FROM n) AS DOUBLE) *
+        |     CAST((SELECT n2 FROM n) AS DOUBLE)) AS d_stat
+        |FROM d""".stripMargin) { (s, dir) =>
+      import graft.functions.Cols
+      val e = Tables(s, dir, "events")
+        .select(Cols.cents(col("value")).as("cents"),
+          unix_micros(col("ts")).as("us"))
+      val b = e.agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      val o = e.crossJoin(broadcast(b))
+        .select(col("cents"),
+          when(lit(2) * col("us") < col("mn") + col("mx"), 1L)
+            .otherwise(0L).as("s1"))
+      val g = o.groupBy(col("cents"))
+        .agg(sum(col("s1")).as("c1"), sum(lit(1L) - col("s1")).as("c2"))
+      val c = graft.operators.PrefixSum.inclusiveMulti(g,
+        Seq(col("cents")), Seq("c1", "c2"), Seq("cum1", "cum2"))
+      // 1-row side frame; the guard keeps cum·n inside Long (silent
+      // wrap would diverge from DuckDB's overflow ERROR — fail loudly
+      // at the same boundary instead)
+      val n = o.agg(sum(col("s1")).as("n1"),
+          sum(lit(1L) - col("s1")).as("n2"))
+        .select(expr("IF(n1 <= 3000000000 AND n2 <= 3000000000, n1, " +
+          "raise_error('graft q164: side beyond 3e9 rows; integer KS " +
+          "numerator would overflow — use a DECIMAL variant'))").as("n1"),
+          col("n2"))
+      val d = c.crossJoin(broadcast(n))
+        .select(col("n1"), col("n2"), col("cents"),
+          abs(col("cum1") * col("n2") - col("cum2") * col("n1")).as("dn"))
+      d.groupBy(col("n1"), col("n2"))
+        .agg(max(col("dn")).as("d_num"),
+          min(struct((-col("dn")).as("neg"), col("cents").as("at"))).as("m"))
+        .select(col("n1"), col("n2"), col("d_num"),
+          col("m.at").as("at_cents"),
+          (col("d_num").cast("double") /
+            (col("n1").cast("double") * col("n2").cast("double")))
+            .as("d_stat"))
     }
   )
 }

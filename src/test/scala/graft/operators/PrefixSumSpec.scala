@@ -31,6 +31,24 @@ class PrefixSumSpec extends SparkSpec {
     }
   }
 
+  test("inclusiveMulti stamps N axes identically to N single passes") {
+    val df = rows.map { case (k, w) => (k, w, (k * 13 % 17).toLong) }
+      .toDF("k", "w", "v")
+    val multi = PrefixSum.inclusiveMulti(df, Seq(col("k")),
+        Seq("w", "v"), Seq("cw", "cv"))
+      .select(col("k"), col("cw"), col("cv"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (k, a, b) => k -> (a, b) }.toMap
+    val single = {
+      val a = PrefixSum.inclusive(df, Seq(col("k")), "w", "cw")
+        .select(col("k"), col("cw")).as[(Int, Long)].collect().toMap
+      val b = PrefixSum.inclusive(df, Seq(col("k")), "v", "cv")
+        .select(col("k"), col("cv")).as[(Int, Long)].collect().toMap
+      a.map { case (k, x) => k -> (x, b(k)) }
+    }
+    assert(multi == single)
+  }
+
   test("matches the single-task window formulation") {
     val df = rows.toDF("k", "w")
     val window = df.selectExpr("k",
