@@ -93,6 +93,72 @@ object TemporalJoins {
       .drop("_rk", "_b", "_lus", "_rus")
   }
 
+  /** NEAREST as-of join (the merge-asof trio's third direction, after
+    * [[asof]]'s backward and the forward pass embedded here): for every
+    * left row, attach `rightPayload` from the right row of the same
+    * `key` whose `ts` is CLOSEST to the left's, within `toleranceUs`
+    * (inclusive); ties at equal distance prefer the backward partner
+    * (deterministic, documented); null payload when nothing is in
+    * tolerance. Also emits `gapCol` = the chosen |Δt| in µs (null when
+    * unmatched).
+    *
+    * Precondition: right unique per (key, ts) — dedup first.
+    *
+    * Mechanics: ONE union + ONE keyed sort carries BOTH directions —
+    * the backward candidate is [[asof]]'s running last() over the
+    * preceding frame, the forward candidate is the mirrored first()
+    * over the following frame, and both window passes share the same
+    * partitioning + order, so Catalyst computes them over a single
+    * exchange and sort. A right row at the left's exact ts sorts into
+    * the backward frame (tag order), giving it distance 0 there — which
+    * is why the forward frame being exclusive at equal ts loses no
+    * matches. Same scale shape as [[asof]]: no candidate-pair
+    * explosion, state per partition is two running structs. */
+  def nearest(left: DataFrame, right: DataFrame, key: String, ts: String,
+      rightPayload: Seq[String], toleranceUs: Long,
+      gapCol: String = "gap_us"): DataFrame = {
+    require(toleranceUs >= 0, "negative tolerance")
+    val lCols = left.columns.toSeq.filterNot(c => c == key || c == ts)
+    val rpType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("_rts",
+        org.apache.spark.sql.types.LongType) +:
+        rightPayload.map(p => right.schema(p)))
+    val l = left.select(
+      Seq(col(key), col(ts), lit(1).as("_tag")) ++ lCols.map(col) :+
+        lit(null).cast(rpType).as("_rp"): _*)
+    val r = right.select(
+      Seq(col(key), col(ts), lit(0).as("_tag")) ++
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(unix_micros(col(ts)).as("_rts") +: rightPayload.map(col): _*)
+          .as("_rp"): _*)
+    val w = Window.partitionBy(col(key)).orderBy(col(ts), col("_tag"))
+    val bw = last(col("_rp"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    val fw = first(col("_rp"), ignoreNulls = true)
+      .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    val lus = unix_micros(col(ts))
+    val bd = lus - col("_b").getField("_rts")
+    val fd = col("_f").getField("_rts") - lus
+    val bOk = col("_b").isNotNull && bd <= toleranceUs
+    val fOk = col("_f").isNotNull && fd <= toleranceUs
+    l.union(r)
+      .select(
+        Seq(col(key), col(ts), col("_tag")) ++ lCols.map(col) :+
+          bw.as("_b") :+ fw.as("_f"): _*)
+      .filter(col("_tag") === 1)
+      // (true OR null) = true, (false AND null) = false — the null
+      // three-valued cases a missing direction produces all resolve to
+      // the intended pick here
+      .withColumn("_pk",
+        when(bOk && (!fOk || bd <= fd), col("_b"))
+          .when(fOk, col("_f"))
+          .otherwise(lit(null).cast(rpType)))
+      .select(
+        Seq(col(key), col(ts)) ++ lCols.map(col) ++
+          rightPayload.map(p => col("_pk").getField(p).as(p)) :+
+          abs(lus - col("_pk").getField("_rts")).as(gapCol): _*)
+  }
+
   /** Interval-OVERLAP join: every (left, right) pair sharing `key` whose
     * closed intervals [lStart, lEnd] × [rStart, rEnd] intersect
     * (`lStart <= rEnd && rStart <= lEnd`; bounds are integral — epoch-µs

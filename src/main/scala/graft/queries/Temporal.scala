@@ -1027,8 +1027,66 @@ object Temporal {
         .agg(max(col("c")).as("peak"))
         .select(col("k").as("suppkey"), col("peak"))
         .orderBy(col("suppkey"))
+    },
+
+    // ------------------------------------------------------------------
+    // q165: nearest-context join — for each purchase, the click/view by
+    // the same user CLOSEST in time within ±1 hour, either direction
+    // (q138 credits only the preceding touch; the sensor-fusion /
+    // context-attach shape wants the nearest, which pandas ships as
+    // merge_asof direction='nearest'). Spark side is
+    // TemporalJoins.nearest: ONE union + ONE keyed sort computes both
+    // direction candidates as two window passes over the same exchange
+    // — no candidate pairs, no per-purchase probe. Backward wins
+    // distance ties (deterministic, the operator's documented rule);
+    // touches are pre-deduped per (user, ts) keeping the max event_id
+    // (the operator's right-uniqueness precondition — oracle applies
+    // the identical rule). The oracle is the OBVIOUS lateral nearest-1
+    // probe, quadratic-ish per user at scale — the gate proving the
+    // one-exchange form equals it is the point, exactly q138's pattern.
+    QuerySpec.sqlBacked("q165_nearest_context",
+      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+        |    event_type FROM events),
+        |p AS (SELECT event_id, user_id, ts FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, ts, event_type AS channel FROM (
+        |    SELECT user_id, ts, event_type, row_number() OVER (
+        |      PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type IN ('click', 'view')) WHERE rn = 1)
+        |SELECT p.event_id, coalesce(l.channel, 'none') AS channel,
+        |       l.gap_us
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT t.channel,
+        |    abs(epoch_us(t.ts) - epoch_us(p.ts)) AS gap_us
+        |  FROM t WHERE t.user_id = p.user_id
+        |    AND abs(epoch_us(t.ts) - epoch_us(p.ts)) <= 3600000000
+        |  ORDER BY gap_us,
+        |    CASE WHEN epoch_us(t.ts) <= epoch_us(p.ts) THEN 0 ELSE 1 END
+        |  LIMIT 1) l ON true
+        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+      val p = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      TemporalJoins.nearest(p, dedupedTouches(s, dir), "user_id", "ts",
+          Seq("channel"), 3600000000L)
+        .select(col("event_id"),
+          coalesce(col("channel"), lit("none")).as("channel"),
+          col("gap_us"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** q165's touch frame: non-purchase events deduped to one row per
+    * (user, ts) — [[TemporalJoins.nearest]]'s right-uniqueness
+    * precondition — keeping the max-event_id row (struct max, event_id
+    * leading; the same rule the oracle's row_number DESC applies). */
+  private def dedupedTouches(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(struct(col("event_id"), col("event_type"))).as("m"))
+      .select(col("user_id"), col("ts"), col("m.event_type").as("channel"))
 
   /** q160/q161's shared projection: each lineitem's in-transit interval
     * [shipdate, shipdate + floor(quantity) days] as epoch-µs longs, with

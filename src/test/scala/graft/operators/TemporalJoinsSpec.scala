@@ -67,6 +67,27 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(out.getInt(0) == 77 && out.getInt(1) == 11 && out.isNullAt(2))
   }
 
+  test("nearest matches brute force: tolerance, tie->backward, no-match") {
+    val tol = 400L
+    val got = TemporalJoins.nearest(leftDf, rightDf, "k", "t",
+        Seq("rid"), tol)
+      .select(col("lid"), col("rid"), col("gap_us")).collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some((r.getInt(1), r.getLong(2)))))
+      .toMap
+    val expect = leftRows.map { case (k, us, lid) =>
+      val cands = rightRows.filter(r => r._1 == k &&
+        math.abs(r._2 - us) <= tol)
+      lid -> (if (cands.isEmpty) None else {
+        // min |gap|; equal gaps prefer the backward (earlier-ts) row.
+        // rightRows is unique per (key, ts), so (gap, side) is total.
+        val best = cands.minBy(r => (math.abs(r._2 - us), r._2 > us))
+        Some((best._3, math.abs(best._2 - us)))
+      })
+    }.toMap
+    assert(got == expect)
+  }
+
   // (key, start, end, id): varying widths (0 to ~12 bins at binUs=100),
   // touching endpoints (closed-interval inclusivity), disjoint keys
   private val ivlA = List.tabulate(90) { i =>
