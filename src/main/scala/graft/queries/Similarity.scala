@@ -1446,19 +1446,29 @@ object Similarity {
       // quantize→decode in one integral expression chain (three
       // zip_withs — no struct packing, stays a codegen'd projection);
       // all operands non-negative, so div ≡ DuckDB's floor `//`
+      // decoded values and the exact query side are ≤ 1e6 in magnitude
+      // — integers inside float32's 2^24 exact range — and every
+      // product (≤ 1e12) and 64-term double accumulation (≤ 6.4e13)
+      // sits inside double's 2^53: scoring float-encoded integers
+      // through the codegen'd native DotProduct is BIT-EQUAL to the
+      // oracle's BIGINT fold while keeping the O(n·q) proxy scan out
+      // of interpreted higher-order-function eval (80 s → 21 s at the
+      // 10× probe, the knn family's documented cliff) and at raw-
+      // float32 scan width — the byte-code storage win on top is the
+      // q158 persisted-index move, orthogonal to this plan
       val dec = v.select(col("vec_id").as("nb_id"), expr(
         s"""zip_with(zip_with(zip_with(qv, $mnA, (v, m) -> v - m), $rA,
            |  (sv, r) -> IF(r = 0L, 0L, ((sv * 255L) div r) * r div 255L)),
-           |  $mnA, (dd, m) -> dd + m)""".stripMargin).as("dv"))
-        .withColumn("dn", sqrt(expr(
-          "aggregate(zip_with(dv, dv, (x, y) -> x * y), 0L, (a, b) -> a + b)")
-          .cast("double")))
+           |  $mnA, (dd, m) -> dd + m)""".stripMargin)
+          .cast("array<float>").as("dv"))
+        .withColumn("dn", sqrt(graft.plans.DotProduct(col("dv"), col("dv"))))
       val qs = v.filter(expr(isQuery))
-        .select(col("vec_id").as("q_id"), col("qv").as("qqv"))
+        .select(col("vec_id").as("q_id"),
+          col("qv").cast("array<float>").as("qqv"))
       val ap = dec.join(broadcast(qs), col("q_id") =!= col("nb_id"))
         .select(col("q_id"), col("nb_id"),
-          expr("aggregate(zip_with(qqv, dv, (x, y) -> x * y), 0L, " +
-            "(a, b) -> a + b)").as("adot"), col("dn"))
+          graft.plans.DotProduct(col("qqv"), col("dv")).cast("long")
+            .as("adot"), col("dn"))
       val budget = math.max(2L * K, v.count() / AdcFrac)
       val wC = Window.partitionBy(col("q_id"))
         .orderBy((col("adot").cast("double") / col("dn")).desc, col("nb_id"))
