@@ -14,6 +14,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     // materialized-rollup routing (no-op until a summary is registered)
     ext.injectOptimizerRule(_ => SummaryRewrite)
+    // PK-FK join elimination (no-op until an edge is declared)
+    ext.injectOptimizerRule(_ => JoinElim)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -96,7 +96,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * same key, while s3://a/x and hdfs://b/x stay DISTINCT — a
     * path-component-only key would let scans on a different filesystem
     * collide with a registration. */
-  private def normalize(p: String): String = {
+  private[plans] def normalize(p: String): String = {
     val path = new org.apache.hadoop.fs.Path(p)
     val conf = org.apache.spark.sql.SparkSession.getActiveSession
       .map(s => s.sessionState.newHadoopConf())
@@ -109,7 +109,7 @@ object SummaryRewrite extends Rule[LogicalPlan] {
     * each visible attribute's exprId to the UNDERLYING fact column name
     * (a `groupBy(col.as("x"))` leaves its Alias in a child Project, so
     * name identity alone would miss the key). */
-  private def factKey(plan: LogicalPlan)
+  private[plans] def factKey(plan: LogicalPlan)
       : Option[(String, Map[Long, String])] = plan match {
     case lr: LogicalRelation => lr.relation match {
       case fs: HadoopFsRelation =>

@@ -1237,6 +1237,41 @@ object Relational {
           l.contains("click")),
         s"q159: predicate did not reach the partition listing:\n$plan")
       df
+    },
+
+    // ------------------------------------------------------------------
+    // q166: PK-FK join ELIMINATION — the second driver-gated optimizer
+    // rule (plans.JoinElim; q151's SummaryRewrite is the first): the
+    // query textually joins `part` but reads nothing from it except the
+    // join key, and under the declared integrity edge lineitem.l_partkey
+    // → part.p_partkey (row 2 of q122's fkEdges — the audit that
+    // LICENSES the declaration: pk unique, fk non-null, zero orphans)
+    // the join is the identity on lineitem, so the rule deletes it and
+    // the fail-loud require pins that the optimized plan never scans
+    // part.parquet. The ORACLE runs the join — the driver's hash gate
+    // is therefore exactly the elimination's semantic-identity claim.
+    // At 100 TB this is a fact-wide shuffle or broadcast probe deleted
+    // outright — the constraint-driven rewrite every warehouse ships as
+    // RELY constraints and Spark has no metadata for.
+    QuerySpec.sqlBacked("q166_join_elim",
+      """SELECT l_partkey % 97 AS band, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY band ORDER BY band""".stripMargin) { (s, dir) =>
+      graft.plans.JoinElim.declare(s, s"$dir/lineitem.parquet",
+        "l_partkey", s"$dir/part.parquet", "p_partkey")
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"))
+      val pt = Tables(s, dir, "part").select(col("p_partkey"))
+      val df = li.join(pt, col("l_partkey") === col("p_partkey"))
+        .groupBy((col("p_partkey") % 97).as("band"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_quantity")).cast("long")).as("qty"))
+        .orderBy(col("band"))
+      val scans = graft.plans.SummaryRewrite.scannedPaths(df)
+      require(!scans.exists(_.endsWith("part.parquet")),
+        s"q166: the dimension join was not eliminated (scans: $scans)")
+      df
     }
   )
 
