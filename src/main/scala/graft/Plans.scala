@@ -270,6 +270,45 @@ object Plans {
         "full vectors are read only to rerank the candidate sliver. " +
         "The index scan appears in the plan (pinned by the in-query " +
         "require); the q41 inline-build band explode does not.",
+      details = Seq("ReadSchema")),
+    Entry("q160_interval_overlap",
+      "Interval-overlap candidates: both exploded interval sides meet " +
+        "in a ShuffledHashJoin on (supplier, 64-day bin) - pinned to a " +
+        "shuffle because Catalyst would size the build side from PRE-" +
+        "explode scan stats and broadcast-build a multi-million-row " +
+        "hashed relation (measured 2.3x slower). The max-start-bin " +
+        "emit-once predicate rides the join filter; exchanges carry " +
+        "endpoints + ids only.",
+      details = Seq("hashpartitioning")),
+    Entry("q163_sq8_search",
+      "SQ8 flat search: the O(n*q) proxy scan joins the code-decoded " +
+        "corpus to the BROADCAST query side and scores through the " +
+        "codegen'd graft_dot over float-encoded integers (bit-equal to " +
+        "the oracle's BIGINT fold; interpreted HOF scoring measured 6x " +
+        "slower at 10x) - then only the budgeted candidate sliver " +
+        "rejoins full vectors for the exact rerank.",
+      details = Seq("graft_dot")),
+    Entry("q164_ks_drift",
+      "Two-sample KS on ONE range shuffle: the support histogram " +
+        "feeds PrefixSum.inclusiveMulti, which stamps BOTH sample CDFs " +
+        "in a single repartitionByRange pass (RDD scan nodes in the " +
+        "tree); the oracle's un-partitioned window - the single-task " +
+        "collapse - appears nowhere. The max/argmax over |cum1*n2 - " +
+        "cum2*n1| is a 1-row aggregate against the broadcast counts."),
+    Entry("q165_nearest_context",
+      "Nearest as-of: ONE exchange + ONE sort on user_id carries BOTH " +
+        "direction candidates - the two Window frames (backward last, " +
+        "forward first) share partitioning and order, so Catalyst " +
+        "stacks them over a single Sort; no lateral probe, no " +
+        "candidate pairs.",
+      details = Seq("hashpartitioning")),
+    Entry("q166_join_elim",
+      "Constraint-driven join elimination: the query TEXT joins part, " +
+        "the optimized plan scans ONLY lineitem - plans.JoinElim " +
+        "deleted the dimension join under the declared (q122-audited) " +
+        "integrity edge and re-aliased pk onto fk. What remains is the " +
+        "bare fact aggregate; the in-query require fails the sweep if " +
+        "the rule ever stops firing.",
       details = Seq("ReadSchema")))
 
   def main(args: Array[String]): Unit = {
