@@ -185,13 +185,18 @@ object TemporalJoins {
     * plans. Pick `binUs` ≈ the typical interval span: wider bins cut the
     * explode factor, narrower bins cut per-bucket products.
     *
-    * The candidate join is pinned to a shuffle (`shuffle_hash` hint):
-    * Catalyst sizes the build side from the PRE-explode scan stats, so
-    * an interval table under the broadcast threshold can explode into a
-    * multi-million-row hashed relation built single-threaded on the
-    * driver — measured 2.3× slower than the shuffle at sf0.1 (7.4 →
-    * 3.2 s), and strictly worse at any larger scale, where overlap
-    * inputs are corpus-sized by nature. */
+    * The candidate join is pinned to a SORT-MERGE shuffle (`merge`
+    * hint): Catalyst sizes the build side from the PRE-explode scan
+    * stats, so an interval table under the broadcast threshold can
+    * explode into a multi-million-row hashed relation built
+    * single-threaded on the driver — measured 2.3× slower than a
+    * shuffle join at sf0.1 (7.4 → 3.2 s) and strictly worse at any
+    * larger scale, where overlap inputs are corpus-sized by nature.
+    * Merge rather than shuffle_hash on purpose: SMJ spills, while a
+    * forced SHJ's per-partition build map is memory-bound and OOMs
+    * exactly when a (key, bin) cell runs hot (reproduced at the 100×
+    * probe) — the hint must not trade the driver bottleneck for a
+    * task-memory cliff. */
   def overlap(left: DataFrame, right: DataFrame, key: String,
       lStart: String, lEnd: String, rStart: String, rEnd: String,
       binUs: Long, rightPayload: Seq[String]): DataFrame = {
@@ -203,7 +208,7 @@ object TemporalJoins {
       Seq(col(key).as("_rk"), col(rStart).as("_rs"), col(rEnd).as("_re")) ++
         rightPayload.map(col): _*)
       .withColumn("_rb", explode(bins(col("_rs"), col("_re"))))
-    l.join(r.hint("shuffle_hash"), l(key) === r("_rk") && col("_b") === col("_rb"))
+    l.join(r.hint("merge"), l(key) === r("_rk") && col("_b") === col("_rb"))
       .filter(col(lStart) <= col("_re") && col("_rs") <= col(lEnd) &&
         col("_b") === floor(greatest(col(lStart), col("_rs")) / binUs))
       .drop("_rk", "_b", "_rb", "_rs", "_re")

@@ -225,12 +225,62 @@ def embeddings100(out):
     pq.write_table(tbl, f"{out}/embeddings.parquet")
 
 
+def events100(out):
+    """Seeded 100x events (10M rows, 150k users — users scale OUT like
+    events(), so per-user session/feature regimes stay flat) for the
+    second-decade temporal probes (q164 KS scan, q165 nearest join).
+    Same nanos layout, span, and value law as events()."""
+    rng = np.random.default_rng(SEED + 12)
+    n, users = 10_000_000, 150_000
+    t0 = np.datetime64("2024-01-01T00:00:00", "ns").astype(np.int64)
+    span = 30 * 24 * 3600
+    ts = t0 + (rng.integers(0, span, size=n, dtype=np.int64) * 10**9
+               + rng.integers(0, 10**6, size=n, dtype=np.int64) * 10**3)
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    kv = rng.integers(0, 100, size=n)
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(n, dtype=np.int64)),
+        "ts": pa.array(np.sort(ts)).cast(pa.timestamp("ns")),
+        "user_id": pa.array(rng.integers(0, users, size=n,
+                                         dtype=np.int64)),
+        "event_type": pa.array(types[rng.integers(0, 5, size=n)],
+                               pa.string()),
+        "value": pa.array(np.round(rng.exponential(50.0, size=n), 2)),
+        "props": pa.array([json.dumps({"k": int(v)}) for v in kv],
+                          pa.string()),
+    })
+    pq.write_table(tbl, f"{out}/events.parquet")
+
+
+def lineitem100(out, src="/root/testdata/sf0.1/lineitem.parquet"):
+    """Seeded 100x lineitem (60M rows) for the second-decade interval
+    probes (q160/q161): lineitem()'s replicate-with-offset scheme at 100
+    copies — suppliers scale OUT, so the per-supplier interval density
+    (q160's pair regime) stays flat and total pairs grow linearly.
+    Written copy-by-copy through one ParquetWriter (a 60M-row concat
+    would hold ~5 GB in one table)."""
+    base = pq.read_table(src)
+    writer = pq.ParquetWriter(f"{out}/lineitem.parquet", base.schema)
+    for c in range(100):
+        t = base
+        for key, span in (("l_orderkey", 10_000_000),
+                          ("l_partkey", 1_000_000),
+                          ("l_suppkey", 100_000)):
+            idx = t.column_names.index(key)
+            t = t.set_column(idx, key,
+                             pa.compute.add(t.column(key), c * span))
+        writer.write_table(t)
+    writer.close()
+
+
 def main(out="target/scale10"):
     if out == "--100x":
         out100 = "target/scale100"
         os.makedirs(out100, exist_ok=True)
         documents100(out100)
         embeddings100(out100)
+        events100(out100)
+        lineitem100(out100)
         print(f"wrote the 100x documents corpus under {out100}")
         return
     os.makedirs(out, exist_ok=True)
