@@ -273,12 +273,14 @@ object Plans {
       details = Seq("ReadSchema")),
     Entry("q160_interval_overlap",
       "Interval-overlap candidates: both exploded interval sides meet " +
-        "in a ShuffledHashJoin on (supplier, 64-day bin) - pinned to a " +
+        "in a SortMergeJoin on (supplier, 64-day bin) - pinned to a " +
         "shuffle because Catalyst would size the build side from PRE-" +
         "explode scan stats and broadcast-build a multi-million-row " +
-        "hashed relation (measured 2.3x slower). The max-start-bin " +
-        "emit-once predicate rides the join filter; exchanges carry " +
-        "endpoints + ids only.",
+        "hashed relation (measured 2.3x slower), and to MERGE " +
+        "specifically because a forced SHJ's non-spilling build map " +
+        "OOMs on hot (key, bin) cells (reproduced at the 100x probe). " +
+        "The max-start-bin emit-once predicate rides the join filter; " +
+        "exchanges carry endpoints + ids only.",
       details = Seq("hashpartitioning")),
     Entry("q163_sq8_search",
       "SQ8 flat search: the O(n*q) proxy scan joins the code-decoded " +
@@ -296,11 +298,13 @@ object Plans {
         "collapse - appears nowhere. The max/argmax over |cum1*n2 - " +
         "cum2*n1| is a 1-row aggregate against the broadcast counts."),
     Entry("q165_nearest_context",
-      "Nearest as-of: ONE exchange + ONE sort on user_id carries BOTH " +
-        "direction candidates - the two Window frames (backward last, " +
-        "forward first) share partitioning and order, so Catalyst " +
-        "stacks them over a single Sort; no lateral probe, no " +
-        "candidate pairs.",
+      "Nearest as-of: a SINGLE Window node carries BOTH direction " +
+        "candidates - backward last() and forward first() share " +
+        "partitioning and order, so Catalyst stacks them over one " +
+        "exchange + sort on user_id; no lateral probe, no candidate " +
+        "pairs. The one other exchange belongs to the (user, ts) " +
+        "touch-dedup aggregate feeding the union - different keys, " +
+        "not reusable.",
       details = Seq("hashpartitioning")),
     Entry("q166_join_elim",
       "Constraint-driven join elimination: the query TEXT joins part, " +
