@@ -560,22 +560,9 @@ object Similarity {
     // query — the same sub-linear path as q42 but with lists that track
     // the data distribution instead of a pre-labeled partition.
     QuerySpec.sqlBacked("q102_ivf_learned", {
-      val cSums = (1 to Vectors.Dim)
-        .map(i => s"CAST(sum(qv[$i]) AS BIGINT) // count(*)")
-        .mkString("[", ", ", "]")
-      val pDist = (1 to Vectors.Dim)
-        .map(i => s"(q.qv[$i] - t.cv[$i]) * (q.qv[$i] - t.cv[$i])")
-        .mkString("(", " + ", ")")
       s"""WITH ${kmeansCtes(KmK, KmIters)},
          |n AS ($corpusSql),
-         |cent AS (SELECT a.cid, $cSums AS cv
-         |         FROM asg a JOIN q ON q.id = a.id GROUP BY a.cid),
-         |probe AS (SELECT qid, cid FROM (
-         |    SELECT qid, cid,
-         |      row_number() OVER (PARTITION BY qid ORDER BY pd, cid) AS crn
-         |    FROM (SELECT q.id AS qid, t.cid, $pDist AS pd
-         |          FROM q, cent t WHERE q.id % 50 = 0))
-         |  WHERE crn <= $NProbe)
+         |${ivfProbeCtes()}
          |SELECT q_id, nb_id, rn, cos FROM (
          |  SELECT p.qid AS q_id, c.vec_id AS nb_id,
          |    ${Vectors.dotSql("qn.embedding", "c.embedding")}/(qn.nrm*c.nrm) AS cos,
@@ -594,23 +581,7 @@ object Similarity {
         // asg feeds the list build, the member join AND (recomputed)
         // nothing else — persist it for the two consumers
         Dedup.withScratch(asg) {
-          // per-list exact-integer centroid: same sum-div convention as
-          // the Lloyd update itself (group-by only yields non-empty lists)
-          val sums = (0 until Vectors.Dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
-          val cent = asg.join(v, asg("id") === v("vec_id"))
-            .groupBy(col("cluster")).agg(count(lit(1)).as("n"), sums: _*)
-            .select(col("cluster").as("cid"),
-              array((0 until Vectors.Dim).map(i => expr(s"s$i div n")): _*).as("cv"))
-          // probe: nprobe nearest lists by exact integer L2 (broadcast k rows)
-          val pd = expr(
-            "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)")
-          val wp = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
-          val probe = v.filter(expr(isQuery))
-            .crossJoin(broadcast(cent))
-            .select(col("vec_id").as("qid"), col("cid"), pd.as("pd"))
-            .withColumn("crn", row_number().over(wp))
-            .filter(col("crn") <= NProbe)
-            .select(col("qid"), col("cid"))
+          val probe = ivfProbe(v, asg)
           // exact cosine inside the probed lists only
           val n = corpus(s, dir)
           val qn = n.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
@@ -1395,73 +1366,19 @@ object Similarity {
     // the multiplicative cut (IVF-SQ); the persisted-index form is
     // q158's move applied to the codes column.
     QuerySpec.sqlBacked("q163_sq8_search", {
-      val d = Vectors.Dim
-      def idot(a: String, b: String) = (1 to d)
-        .map(i => s"$a[$i] * $b[$i]").mkString("(", " + ", ")")
-      s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+      s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
          |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
          |    AS qv FROM embeddings),
-         |mm AS (SELECT i, min(qv[i + 1]) AS mn,
-         |         max(qv[i + 1]) - min(qv[i + 1]) AS r
-         |       FROM q, range(0, $d) t(i) GROUP BY i),
-         |dec AS (SELECT vec_id AS nb_id,
-         |    list(mn + CASE WHEN r = 0 THEN 0
-         |      ELSE (((qv[i + 1] - mn) * 255 // r) * r) // 255 END
-         |      ORDER BY i) AS dv
-         |  FROM q, mm GROUP BY vec_id),
-         |dn AS (SELECT nb_id, dv,
-         |    sqrt(CAST(${idot("dv", "dv")} AS DOUBLE)) AS dn FROM dec),
-         |ap AS (SELECT qq.vec_id AS q_id, d.nb_id,
-         |    ${idot("qq.qv", "d.dv")} AS adot, d.dn
-         |  FROM q qq, dn d
-         |  WHERE qq.$isQuery AND qq.vec_id <> d.nb_id),
-         |cand AS (SELECT q_id, nb_id, adot FROM (
-         |  SELECT q_id, nb_id, adot, row_number() OVER (PARTITION BY q_id
-         |      ORDER BY CAST(adot AS DOUBLE) / dn DESC, nb_id) AS crn
-         |  FROM ap) WHERE crn <= greatest(${2 * K},
-         |    (SELECT count(*) FROM embeddings) // $AdcFrac)),
+         |${sqCtes()},
+         |ap AS (SELECT qq.id AS q_id, d.nb_id,
+         |    ${sqIdot("qq.qv", "d.dv")} AS adot, d.dn
+         |  FROM q qq, sdec d
+         |  WHERE qq.$isQueryId AND qq.id <> d.nb_id),
          |n AS ($corpusSql),
-         |scored AS (SELECT c.q_id, c.nb_id, c.adot,
-         |    ${Vectors.dotSql("qn.embedding", "cn.embedding")}
-         |      / (qn.nrm * cn.nrm) AS cos
-         |  FROM cand c
-         |  JOIN n qn ON qn.vec_id = c.q_id
-         |  JOIN n cn ON cn.vec_id = c.nb_id)
-         |SELECT q_id, nb_id, rn, CAST(adot AS BIGINT) AS sq_dot, cos
-         |FROM (SELECT q_id, nb_id, adot, cos,
-         |    row_number() OVER (PARTITION BY q_id
-         |      ORDER BY cos DESC, nb_id) AS rn
-         |  FROM scored)
-         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+         |$sqTailSql""".stripMargin
     }) { (s, dir) =>
       val v = quantized(s, dir)
-      // per-dim (min, range): a 64-row frame folded to literals — the
-      // broadcast-codebook shape (q155's principal-direction precedent)
-      val mm = v.select(posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("i"))
-        .agg(min(col("x")).as("mn"), (max(col("x")) - min(col("x"))).as("r"))
-        .orderBy(col("i")).collect()
-      val mnA = mm.map(_.getLong(1) + "L").mkString("array(", ",", ")")
-      val rA = mm.map(_.getLong(2) + "L").mkString("array(", ",", ")")
-      // quantize→decode in one integral expression chain (three
-      // zip_withs — no struct packing, stays a codegen'd projection);
-      // all operands non-negative, so div ≡ DuckDB's floor `//`
-      // decoded values and the exact query side are ≤ 1e6 in magnitude
-      // — integers inside float32's 2^24 exact range — and every
-      // product (≤ 1e12) and 64-term double accumulation (≤ 6.4e13)
-      // sits inside double's 2^53: scoring float-encoded integers
-      // through the codegen'd native DotProduct is BIT-EQUAL to the
-      // oracle's BIGINT fold while keeping the O(n·q) proxy scan out
-      // of interpreted higher-order-function eval (80 s → 21 s at the
-      // 10× probe, the knn family's documented cliff) and at raw-
-      // float32 scan width — the byte-code storage win on top is the
-      // q158 persisted-index move, orthogonal to this plan
-      val dec = v.select(col("vec_id").as("nb_id"), expr(
-        s"""zip_with(zip_with(zip_with(qv, $mnA, (v, m) -> v - m), $rA,
-           |  (sv, r) -> IF(r = 0L, 0L, ((sv * 255L) div r) * r div 255L)),
-           |  $mnA, (dd, m) -> dd + m)""".stripMargin)
-          .cast("array<float>").as("dv"))
-        .withColumn("dn", sqrt(graft.plans.DotProduct(col("dv"), col("dv"))))
+      val dec = sqDecoded(v)
       val qs = v.filter(expr(isQuery))
         .select(col("vec_id").as("q_id"),
           col("qv").cast("array<float>").as("qqv"))
@@ -1469,36 +1386,212 @@ object Similarity {
         .select(col("q_id"), col("nb_id"),
           graft.plans.DotProduct(col("qqv"), col("dv")).cast("long")
             .as("adot"), col("dn"))
-      val budget = math.max(2L * K, v.count() / AdcFrac)
-      val wC = Window.partitionBy(col("q_id"))
-        .orderBy((col("adot").cast("double") / col("dn")).desc, col("nb_id"))
-      val cand = ap.withColumn("crn", row_number().over(wC))
-        .filter(col("crn") <= budget)
-        .select(col("q_id"), col("nb_id"), col("adot"))
-      val c = corpus(s, dir)
-      val qe = c.filter(expr(isQuery))
-        .select(col("vec_id").as("qk"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      val scored = c
-        .select(col("vec_id").as("nk"), col("embedding").as("ce"),
-          col("nrm").as("cn"))
-        .join(broadcast(cand.join(qe, col("q_id") === col("qk"))),
-          col("nb_id") === col("nk"))
-        .select(col("q_id"), col("nb_id"), col("adot"),
-          (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
-      val wK = Window.partitionBy(col("q_id"))
-        .orderBy(col("cos").desc, col("nb_id"))
-      scored.withColumn("rn", row_number().over(wK))
-        .filter(col("rn") <= K)
-        .select(col("q_id"), col("nb_id"), col("rn"),
-          col("adot").as("sq_dot"), col("cos"))
-        .orderBy(col("q_id"), col("rn"))
+      sqTail(s, dir, v, ap)
+    },
+
+    // ------------------------------------------------------------------
+    // q167: IVF-SQ search — the composition q163's scale note promises
+    // as evidence, not comment: q102's learned coarse lists cut the
+    // candidate set to nprobe/k of the corpus, SQ8 codes score the
+    // probed members (the q163 proxy, byte-per-dim), and exact cosine
+    // re-ranks the budgeted sliver. The two multiplicative reductions
+    // every production SQ index stacks (a FAISS IVF,SQ8), with every
+    // shared stage SHARED in code: coarse routing = ivfProbeCtes/
+    // ivfProbe (q102's), quantizer = sqCtes/sqDecoded (q163's), tail =
+    // sqTailSql/sqTail (q163's) — none of the three can drift between
+    // their gates. At 100 TB this is the SQ serve shape: scan nprobe/k
+    // of the corpus at 64 B/vector, touch raw floats only for the
+    // rerank sliver.
+    QuerySpec.sqlBacked("q167_ivf_sq_search", {
+      s"""WITH ${kmeansCtes(KmK, KmIters)},
+         |n AS ($corpusSql),
+         |${ivfProbeCtes()},
+         |${sqCtes()},
+         |ap AS (SELECT p.qid AS q_id, m.id AS nb_id,
+         |    ${sqIdot("qq.qv", "d.dv")} AS adot, d.dn
+         |  FROM probe p
+         |  JOIN q qq ON qq.id = p.qid
+         |  JOIN asg m ON m.cid = p.cid AND m.id <> p.qid
+         |  JOIN sdec d ON d.nb_id = m.id),
+         |$sqTailSql""".stripMargin
+    }) { (s, dir) =>
+      val v = quantized(s, dir)
+      Dedup.withScratch(v) {
+        val asg = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+        Dedup.withScratch(asg) {
+          val probe = ivfProbe(v, asg)
+          val dec = sqDecoded(v)
+          val qs = v.filter(expr(isQuery))
+            .select(col("vec_id").as("q_id"),
+              col("qv").cast("array<float>").as("qqv"))
+          val ap = asg
+            .select(col("id").as("nb_id"), col("cluster").as("mcid"))
+            .join(dec, "nb_id")
+            .join(broadcast(probe.join(qs, col("qid") === col("q_id"))),
+              col("mcid") === col("cid") && col("q_id") =!= col("nb_id"))
+            .select(col("q_id"), col("nb_id"),
+              graft.plans.DotProduct(col("qqv"), col("dv")).cast("long")
+                .as("adot"), col("dn"))
+          sqTail(s, dir, v, ap)
+        }
+      }
     }
   )
 
   // q155 power-iteration rounds (a def: `specs` builds the oracle
   // eagerly and this constant trails it — the BpeRounds init lesson)
   private def PcaRounds = 3
+
+  /** Integer dot over two DuckDB BIGINT lists — fixed term order. */
+  private def sqIdot(a: String, b: String): String = (1 to Vectors.Dim)
+    .map(i => s"$a[$i] * $b[$i]").mkString("(", " + ", ")")
+
+  /** The SQ search tail as DuckDB SQL: proxy top-budget cut over an
+    * `ap`(q_id, nb_id, adot, dn) CTE, exact-cosine rerank against `n`,
+    * final top-K. ONE string shared by q163 and q167. */
+  private def sqTailSql: String =
+    s"""cand AS (SELECT q_id, nb_id, adot FROM (
+       |  SELECT q_id, nb_id, adot, row_number() OVER (PARTITION BY q_id
+       |      ORDER BY CAST(adot AS DOUBLE) / dn DESC, nb_id) AS crn
+       |  FROM ap) WHERE crn <= greatest(${2 * K},
+       |    (SELECT count(*) FROM embeddings) // $AdcFrac)),
+       |scored AS (SELECT c.q_id, c.nb_id, c.adot,
+       |    ${Vectors.dotSql("qn.embedding", "cn.embedding")}
+       |      / (qn.nrm * cn.nrm) AS cos
+       |  FROM cand c
+       |  JOIN n qn ON qn.vec_id = c.q_id
+       |  JOIN n cn ON cn.vec_id = c.nb_id)
+       |SELECT q_id, nb_id, rn, CAST(adot AS BIGINT) AS sq_dot, cos
+       |FROM (SELECT q_id, nb_id, adot, cos,
+       |    row_number() OVER (PARTITION BY q_id
+       |      ORDER BY cos DESC, nb_id) AS rn
+       |  FROM scored)
+       |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+
+  /** Spark twin of [[sqTailSql]]: budgeted proxy cut + exact rerank
+    * over an `ap`(q_id, nb_id, adot, dn) frame → (q_id, nb_id, rn,
+    * sq_dot, cos). The rerank broadcasts only the candidate sliver. */
+  private def sqTail(s: SparkSession, dir: String, v: DataFrame,
+      ap: DataFrame): DataFrame = {
+    val budget = math.max(2L * K, v.count() / AdcFrac)
+    val wC = Window.partitionBy(col("q_id"))
+      .orderBy((col("adot").cast("double") / col("dn")).desc, col("nb_id"))
+    val cand = ap.withColumn("crn", row_number().over(wC))
+      .filter(col("crn") <= budget)
+      .select(col("q_id"), col("nb_id"), col("adot"))
+    val c = corpus(s, dir)
+    val qe = c.filter(expr(isQuery))
+      .select(col("vec_id").as("qk"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val scored = c
+      .select(col("vec_id").as("nk"), col("embedding").as("ce"),
+        col("nrm").as("cn"))
+      .join(broadcast(cand.join(qe, col("q_id") === col("qk"))),
+        col("nb_id") === col("nk"))
+      .select(col("q_id"), col("nb_id"), col("adot"),
+        (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
+    val wK = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("nb_id"))
+    scored.withColumn("rn", row_number().over(wK))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("nb_id"), col("rn"),
+        col("adot").as("sq_dot"), col("cos"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Learned-list routing as DuckDB CTEs against kmeansCtes' `q`/`asg`:
+    * `cent` = exact-integer per-list centroids (the Lloyd sum-div
+    * convention), `probe` = each query's NProbe nearest lists. ONE
+    * definition shared by q102 and q167 (anti-drift). Trailing comma:
+    * callers append their own final SELECT. */
+  private def ivfProbeCtes(): String = {
+    val cSums = (1 to Vectors.Dim)
+      .map(i => s"CAST(sum(qv[$i]) AS BIGINT) // count(*)")
+      .mkString("[", ", ", "]")
+    val pDist = (1 to Vectors.Dim)
+      .map(i => s"(q.qv[$i] - t.cv[$i]) * (q.qv[$i] - t.cv[$i])")
+      .mkString("(", " + ", ")")
+    s"""cent AS (SELECT a.cid, $cSums AS cv
+       |         FROM asg a JOIN q ON q.id = a.id GROUP BY a.cid),
+       |probe AS (SELECT qid, cid FROM (
+       |    SELECT qid, cid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY pd, cid) AS crn
+       |    FROM (SELECT q.id AS qid, t.cid, $pDist AS pd
+       |          FROM q, cent t WHERE q.$isQueryId))
+       |  WHERE crn <= $NProbe)""".stripMargin
+  }
+
+  /** Spark twin of [[ivfProbeCtes]]: (qid, cid) — each query's NProbe
+    * nearest learned lists. `asg` must be KMeans.assign's frame, already
+    * scratch-persisted by the caller. */
+  private def ivfProbe(v: DataFrame, asg: DataFrame): DataFrame = {
+    // per-list exact-integer centroid: same sum-div convention as the
+    // Lloyd update itself (group-by only yields non-empty lists)
+    val sums = (0 until Vectors.Dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
+    val cent = asg.join(v, asg("id") === v("vec_id"))
+      .groupBy(col("cluster")).agg(count(lit(1)).as("n"), sums: _*)
+      .select(col("cluster").as("cid"),
+        array((0 until Vectors.Dim).map(i => expr(s"s$i div n")): _*).as("cv"))
+    // probe: nprobe nearest lists by exact integer L2 (broadcast k rows)
+    val pd = expr(
+      "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)")
+    val wp = Window.partitionBy(col("qid")).orderBy(col("pd"), col("cid"))
+    v.filter(expr(isQuery))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id").as("qid"), col("cid"), pd.as("pd"))
+      .withColumn("crn", row_number().over(wp))
+      .filter(col("crn") <= NProbe)
+      .select(col("qid"), col("cid"))
+  }
+
+  /** SQ8 quantizer as DuckDB CTEs against an existing `q`(id, qv) CTE
+    * (the kmeansCtes shape): `mm` = per-dim (min, range) over the
+    * corpus, `sdec` = (nb_id, decoded vector, decoded norm). ONE
+    * definition shared by q163's flat scan and q167's IVF-SQ — the
+    * codebook cannot drift between the two gates. All arithmetic
+    * non-negative-integral (floor `//` ≡ Spark's `div`). */
+  private def sqCtes(): String = {
+    val d = Vectors.Dim
+    s"""mm AS (SELECT i, min(qv[i + 1]) AS mn,
+       |         max(qv[i + 1]) - min(qv[i + 1]) AS r
+       |       FROM q, range(0, $d) t(i) GROUP BY i),
+       |sdec AS (SELECT nb_id, dv,
+       |    sqrt(CAST(${sqIdot("dv", "dv")} AS DOUBLE)) AS dn FROM (
+       |  SELECT id AS nb_id,
+       |    list(mn + CASE WHEN r = 0 THEN 0
+       |      ELSE (((qv[i + 1] - mn) * 255 // r) * r) // 255 END
+       |      ORDER BY i) AS dv
+       |  FROM q, mm GROUP BY id))""".stripMargin
+  }
+
+  /** Spark twin of [[sqCtes]]: the SQ8-decoded corpus (nb_id, dv, dn)
+    * from the shared 1e6 micro-unit frame `v`. Per-dim (min, range) is
+    * a 64-row frame folded to literals — the broadcast-codebook shape
+    * (q155's principal-direction precedent). Quantize→decode runs as
+    * one integral zip_with chain (all operands non-negative, so `div`
+    * ≡ DuckDB's floor `//`); decoded values and the query side are
+    * ≤ 1e6 — integers inside float32's 2^24 exact range — and every
+    * product (≤ 1e12) and 64-term double accumulation (≤ 6.4e13) sits
+    * inside double's 2^53, so scoring float-encoded integers through
+    * the codegen'd native DotProduct is BIT-EQUAL to the oracle's
+    * BIGINT fold while keeping the O(candidates) proxy scan out of
+    * interpreted higher-order-function eval (80 → 13.5 s at q163's 10×
+    * probe) at raw-float32 scan width. The byte-code storage win on
+    * top is the q158 persisted-index move, orthogonal to this plan. */
+  private def sqDecoded(v: DataFrame): DataFrame = {
+    val mm = v.select(posexplode(col("qv")).as(Seq("i", "x")))
+      .groupBy(col("i"))
+      .agg(min(col("x")).as("mn"), (max(col("x")) - min(col("x"))).as("r"))
+      .orderBy(col("i")).collect()
+    val mnA = mm.map(_.getLong(1) + "L").mkString("array(", ",", ")")
+    val rA = mm.map(_.getLong(2) + "L").mkString("array(", ",", ")")
+    v.select(col("vec_id").as("nb_id"), expr(
+      s"""zip_with(zip_with(zip_with(qv, $mnA, (v, m) -> v - m), $rA,
+         |  (sv, r) -> IF(r = 0L, 0L, ((sv * 255L) div r) * r div 255L)),
+         |  $mnA, (dd, m) -> dd + m)""".stripMargin)
+        .cast("array<float>").as("dv"))
+      .withColumn("dn", sqrt(graft.plans.DotProduct(col("dv"), col("dv"))))
+  }
 
   /** Embeddings quantized at 1e4 for the Gram family (q154/q155) — ONE
     * definition shared with the [[gramCtes]] oracle text. Coarser than

@@ -37,9 +37,13 @@ class AnnRecallSpec extends SparkSpec {
     // measures 1.00 at BOTH sf0.01 and sf0.1 — scalar quantization at
     // a byte per dimension is nearly lossless at d=64, which is why
     // vector stores ship it as the accuracy floor; pinned 0.95.
+    // q167 (IVF-SQ) measures 0.86 — EQUAL to q102's exact-within-lists
+    // ceiling: the byte codes + rerank lose nothing past the coarse
+    // routing; pinned 0.8 like q102.
     for ((name, floor) <- Seq("q41_knn_lsh" -> 0.8, "q42_knn_ivf" -> 0.7,
         "q102_ivf_learned" -> 0.8, "q147_pq_adc_search" -> 0.8,
-        "q148_ivfpq_search" -> 0.7, "q163_sq8_search" -> 0.95)) {
+        "q148_ivfpq_search" -> 0.7, "q163_sq8_search" -> 0.95,
+        "q167_ivf_sq_search" -> 0.8)) {
       val approx = topk(name)
       val recalls = exact.map { case (q, nbs) =>
         approx.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size
