@@ -76,6 +76,47 @@ class JoinElimSpec extends SparkSpec {
     assert(scans(df).exists(_.endsWith("part.parquet")))
   }
 
+  test("randomized differential: declared rewrites equal the real join") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_je").toString
+    // dim: unique pks 0..199 with a payload; fact: fks drawn FROM the
+    // pk set (referential integrity holds by construction), a value,
+    // and nulls nowhere — the declared contract
+    val pks = (0L until 200L).toSeq
+    Seq.fill(120)((pks(rnd.nextInt(200)), rnd.nextInt(1000)))
+      .toDF("fk", "v").write.mode("overwrite").parquet(s"$tmp/fact.parquet")
+    pks.map(k => (k, s"p$k")).toDF("pk", "name")
+      .write.mode("overwrite").parquet(s"$tmp/dim.parquet")
+    def fact() = spark.read.parquet(s"$tmp/fact.parquet")
+    def dim() = spark.read.parquet(s"$tmp/dim.parquet")
+    // query shapes over the join, all reading nothing from dim but pk
+    val shapes: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+      () => fact().join(dim().select(col("pk")), col("fk") === col("pk"))
+        .groupBy(col("pk")).agg(sum(col("v")).as("s")),
+      () => fact().filter(col("v") % 3 === 0)
+        .join(dim().select(col("pk")), col("fk") === col("pk"))
+        .groupBy((col("pk") % 7).as("b")).agg(count(lit(1)).as("n")),
+      () => fact().join(dim().select(col("pk")), col("pk") === col("fk"))
+        .select(col("pk"), col("v")).orderBy(col("pk"), col("v")),
+      () => fact().join(dim().select(col("pk")), col("fk") === col("pk"))
+        .agg(count(lit(1)).as("n"), sum(col("pk")).as("sk")))
+    JoinElim.clear()
+    val plain = shapes.map(q => q().collect().map(_.toSeq).toSeq.sorted(
+      Ordering.by((r: Seq[Any]) => r.mkString("|"))))
+    JoinElim.declare(spark, s"$tmp/fact.parquet", "fk",
+      s"$tmp/dim.parquet", "pk")
+    shapes.zip(plain).zipWithIndex.foreach { case ((q, want), i) =>
+      val df = q()
+      assert(!scans(df).exists(_.endsWith("dim.parquet")),
+        s"shape $i not eliminated")
+      val got = df.collect().map(_.toSeq).toSeq.sorted(
+        Ordering.by((r: Seq[Any]) => r.mkString("|")))
+      assert(got == want, s"shape $i answer changed under elimination")
+    }
+    JoinElim.clear()
+  }
+
   test("fact-side filters stay transparent to elimination") {
     declare()
     val df = li().filter(col("l_quantity") > 10)
