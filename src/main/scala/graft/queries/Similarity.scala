@@ -269,13 +269,16 @@ object Similarity {
   /** DuckDB twin of [[lshCandidates]] + top-k — the oracle both q41 and
     * q114 share (the two Spark plans differ only in HOW the top-k is
     * taken: ranking window vs bounded-heap aggregate). */
-  private def lshOracleSql: String = {
+  /** The [[lshCandidates]] stage as DuckDB CTE text (`n`/`b`/`e`/
+    * `cand`) — shared by [[lshOracleSql]] (q41/q114) and q168, whose
+    * gates must see one candidate definition. */
+  private def lshCandSql: String = {
     val tableSql = (0 until SrpTables).map(t =>
       (SrpBits * t until SrpBits * t + SrpBits)
         .map(j => s"(${Vectors.srpBitSql("embedding", j)})::VARCHAR")
         .mkString(" || ")).mkString("[", ", ", "]")
     val unnestSql = (0 until SrpTables).mkString("[", ",", "]")
-    s"""WITH n AS ($corpusSql),
+    s"""n AS ($corpusSql),
        |b AS (SELECT vec_id, embedding, nrm, $tableSql AS bks FROM n),
        |e AS (SELECT vec_id, embedding, nrm, j, bks[j+1] AS bkt
        |      FROM b, unnest($unnestSql) AS t(j)),
@@ -284,14 +287,17 @@ object Similarity {
        |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos
        |  FROM e q JOIN e c ON q.j = c.j AND q.bkt = c.bkt
        |    AND q.vec_id <> c.vec_id
-       |  WHERE q.$isQuery)
+       |  WHERE q.$isQuery)""".stripMargin
+  }
+
+  private def lshOracleSql: String =
+    s"""WITH $lshCandSql
        |SELECT q_id, nb_id, rn, cos FROM (
        |  SELECT q_id, nb_id, cos,
        |    row_number() OVER (PARTITION BY q_id
        |      ORDER BY cos DESC, nb_id) AS rn
        |  FROM cand)
        |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
-  }
 
   /** Top-K per query by cosine with deterministic id tiebreak. */
   private def topK(scored: DataFrame): DataFrame = {
@@ -1435,6 +1441,59 @@ object Similarity {
           sqTail(s, dir, v, ap)
         }
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q168: contrastive pair mining — for each anchor, its most similar
+    // SAME-label neighbor (the positive) and its most similar
+    // DIFFERENT-label neighbor (the hard negative): the training-pair
+    // construction step every contrastive / metric-learning embedding
+    // pipeline runs over its corpus (SimCLR/InfoNCE-style pairs, hard-
+    // negative mining). Candidates come from the SHARED q41 SRP-LSH
+    // stage (lshCandidates / lshCandSql — one definition, three gates),
+    // so mining cost is the banding join, not n²; per anchor the
+    // class-split argmax is a tiny two-row pivot. A class with no
+    // in-bucket candidate yields NULL (identically in both engines) —
+    // at 100 TB that is the signal to raise L for anchors the index
+    // under-serves, and the all-pairs form this replaces is exactly
+    // q39's gated quadratic baseline.
+    QuerySpec.sqlBacked("q168_contrastive_pairs",
+      s"""WITH $lshCandSql,
+         |pick AS (SELECT c.q_id, c.nb_id, c.cos,
+         |    CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END AS same,
+         |    row_number() OVER (
+         |      PARTITION BY c.q_id,
+         |        CASE WHEN ql.label = nl.label THEN 1 ELSE 0 END
+         |      ORDER BY c.cos DESC, c.nb_id) AS rn
+         |  FROM cand c
+         |  JOIN embeddings ql ON ql.vec_id = c.q_id
+         |  JOIN embeddings nl ON nl.vec_id = c.nb_id)
+         |SELECT q_id,
+         |  max(CASE WHEN same = 1 THEN nb_id END) AS pos_id,
+         |  max(CASE WHEN same = 1 THEN cos END) AS pos_cos,
+         |  max(CASE WHEN same = 0 THEN nb_id END) AS neg_id,
+         |  max(CASE WHEN same = 0 THEN cos END) AS neg_cos
+         |FROM pick WHERE rn = 1 GROUP BY q_id ORDER BY q_id""".stripMargin) {
+      (s, dir) =>
+      val labels = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"))
+      val cand = lshCandidates(s, dir)
+        .join(labels.select(col("vec_id").as("q_id"),
+          col("label").as("ql")), "q_id")
+        .join(labels.select(col("vec_id").as("nb_id"),
+          col("label").as("nl")), "nb_id")
+        .withColumn("same", when(col("ql") === col("nl"), 1).otherwise(0))
+      val w = Window.partitionBy(col("q_id"), col("same"))
+        .orderBy(col("cos").desc, col("nb_id"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("q_id"))
+        .agg(
+          max(when(col("same") === 1, col("nb_id"))).as("pos_id"),
+          max(when(col("same") === 1, col("cos"))).as("pos_cos"),
+          max(when(col("same") === 0, col("nb_id"))).as("neg_id"),
+          max(when(col("same") === 0, col("cos"))).as("neg_cos"))
+        .orderBy(col("q_id"))
     }
   )
 
