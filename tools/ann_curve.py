@@ -173,6 +173,78 @@ def ivf_learned_curve(ids, emb, qmask, exact, k, iters, nprobes):
     return out
 
 
+def sq_decode(emb):
+    # q163's quantizer: per-dim affine 0..255 codes over corpus min/max
+    # on the 1e6 micro-unit ints, integer floor-div decode
+    q = np.floor(emb.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    mn = q.min(axis=0)
+    r = q.max(axis=0) - mn
+    s = q - mn
+    code = np.where(r > 0, (s * 255) // np.maximum(r, 1), 0)
+    dec = mn + (code * r) // 255
+    return q, dec
+
+
+def sq8_curve(ids, emb, qmask, exact, budget_denoms):
+    """q163: full-corpus SQ proxy scan, exact rerank of the top n/denom.
+    cand_frac here = the EXACT-scored fraction (the proxy touches every
+    64-byte code row by design — that axis is storage, not selectivity)."""
+    q, dec = sq_decode(emb)
+    dnf = dec.astype(np.float64)
+    dn = np.sqrt((dnf * dnf).sum(axis=1))
+    e = emb.astype(np.float64)
+    nrm = np.sqrt((e * e).sum(axis=1))
+    n = len(ids)
+    out = []
+    for denom in budget_denoms:
+        budget = max(2 * K, n // denom)
+        recs = []
+        for qi in np.where(qmask)[0]:
+            proxy = (dnf @ q[qi].astype(np.float64)) / dn
+            proxy[qi] = -np.inf
+            sel = np.lexsort((ids, -proxy))[:budget]
+            cos = (e[sel] @ e[qi]) / (nrm[sel] * nrm[qi])
+            got = {nb for _, nb in sorted(zip(-cos, ids[sel]))[:K]}
+            recs.append(len(got & exact[ids[qi]]) / K)
+        out.append((f"SQ8 rerank=1/{denom}", float(np.mean(recs)),
+                    budget / (n - 1)))
+    return out
+
+
+def ivf_sq_curve(ids, emb, qmask, exact, k, iters, nprobes, denom):
+    """q167: learned coarse lists, SQ proxy inside probed lists, exact
+    rerank of the top n/denom. cand_frac = exact-scored fraction."""
+    qv = np.floor(emb.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
+    asg, _ = kmeans_assign(qv, k, iters)
+    cents = np.stack([qv[asg == cid].sum(axis=0) // (asg == cid).sum()
+                      for cid in range(k)])
+    q, dec = sq_decode(emb)
+    dnf = dec.astype(np.float64)
+    dn = np.sqrt((dnf * dnf).sum(axis=1))
+    e = emb.astype(np.float64)
+    nrm = np.sqrt((e * e).sum(axis=1))
+    n = len(ids)
+    out = []
+    for npb in nprobes:
+        budget = max(2 * K, n // denom)
+        recs, fracs = [], []
+        for qi in np.where(qmask)[0]:
+            d = ((qv[qi] - cents) ** 2).sum(axis=1)
+            probe = np.argsort(d, kind="stable")[:npb]
+            m = np.isin(asg, probe)
+            m[qi] = False
+            sel = np.where(m)[0]
+            proxy = (dnf[sel] @ q[qi].astype(np.float64)) / dn[sel]
+            keep = sel[np.lexsort((ids[sel], -proxy))][:budget]
+            fracs.append(len(keep) / (n - 1))
+            cos = (e[keep] @ e[qi]) / (nrm[keep] * nrm[qi])
+            got = {nb for _, nb in sorted(zip(-cos, ids[keep]))[:K]}
+            recs.append(len(got & exact[ids[qi]]) / K)
+        out.append((f"IVF-SQ k={k} nprobe={npb} rr=1/{denom}",
+                    float(np.mean(recs)), float(np.mean(fracs))))
+    return out
+
+
 def main():
     dirs = sys.argv[1:] or ["/root/testdata/sf0.01", "/root/testdata/sf0.1"]
     for sfdir in dirs:
@@ -192,6 +264,8 @@ def main():
         rows += ivf_learned_curve(ids, emb, qmask, exact, 8, 3, [3, 4, 5, 6])
         rows += ivf_learned_curve(ids, emb, qmask, exact, 16, 3,
                                   [4, 6, 8, 10])
+        rows += sq8_curve(ids, emb, qmask, exact, [40, 20, 10, 5])
+        rows += ivf_sq_curve(ids, emb, qmask, exact, 8, 3, [3, 5], 5)
         for name, r, f in rows:
             print(f"  {name:28s} recall@5={r:0.3f} cand_frac={f:0.3f}")
 
