@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => SummaryRewrite)
     // PK-FK join elimination (no-op until an edge is declared)
     ext.injectOptimizerRule(_ => JoinElim)
+    // native ASOF join planning (no-op unless an AsofJoinPlan is present)
+    ext.injectPlannerStrategy(_ => AsofStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

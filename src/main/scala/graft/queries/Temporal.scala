@@ -75,16 +75,7 @@ object Temporal {
     // before the click (sessionization's "attribute action to last
     // impression" primitive). (user_id, ts) is unique in the corpus, so
     // the as-of tiebreak is deterministic.
-    QuerySpec.sqlBacked("q57_asof_join",
-      """SELECT a.event_id, a.user_id, a.ts, b.event_id AS view_id,
-        |  b.value AS view_value
-        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
-        |      WHERE event_type = 'click') a
-        |ASOF LEFT JOIN
-        |     (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
-        |      WHERE event_type = 'view') b
-        |  ON a.user_id = b.user_id AND b.ts <= a.ts
-        |ORDER BY a.event_id""".stripMargin) { (s, dir) =>
+    QuerySpec.sqlBacked("q57_asof_join", asofOracleSql) { (s, dir) =>
       val ev = Tables(s, dir, "events")
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id"))
@@ -1073,8 +1064,51 @@ object Temporal {
           coalesce(col("channel"), lit("none")).as("channel"),
           col("gap_us"))
         .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q169: the NATIVE as-of join — q57's exact question answered by
+    // the library's first whole-operator extension (plans.AsofJoin:
+    // custom LogicalPlan + SparkStrategy + physical sort-merge exec,
+    // build-brief tier (c)) instead of the tier-(a) union+window
+    // composition. Both entries hash against the SAME DuckDB ASOF JOIN
+    // oracle text, so the driver gate is precisely the claim that the
+    // custom physical operator is answer-identical to the composed
+    // plan — while its plan carries no union null-padding and no
+    // window buffering: two co-partitioned sorts at native width and a
+    // single forward merge pass with one held payload row (the shape
+    // every database's ASOF JOIN implements). See AsofJoinSpec for the
+    // operator-level differentials (string keys, partition sweeps,
+    // no-match nulls).
+    QuerySpec.sqlBacked("q169_asof_native", asofOracleSql) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.plans.AsofJoin.join(clicks, views, "user_id", "ts",
+          Seq("view_id", "view_value"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("view_id"), col("view_value"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** q57/q169's shared oracle — DuckDB's NATIVE ASOF JOIN; both the
+    * tier-(a) composition and the tier-(c) physical operator hash
+    * against the same text, so the two Spark plans are provably
+    * answer-identical. */
+  private def asofOracleSql =
+    """SELECT a.event_id, a.user_id, a.ts, b.event_id AS view_id,
+      |  b.value AS view_value
+      |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+      |      WHERE event_type = 'click') a
+      |ASOF LEFT JOIN
+      |     (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+      |      WHERE event_type = 'view') b
+      |  ON a.user_id = b.user_id AND b.ts <= a.ts
+      |ORDER BY a.event_id""".stripMargin
 
   /** q165's touch frame: non-purchase events deduped to one row per
     * (user, ts) — [[TemporalJoins.nearest]]'s right-uniqueness

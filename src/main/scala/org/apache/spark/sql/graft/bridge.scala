@@ -37,6 +37,15 @@ object bridge {
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema)
 
+  /** DataFrame over a constructed LogicalPlan (`Dataset.ofRows` is
+    * private[sql]) — used by graft.plans.AsofJoin to hand its custom
+    * logical node to the planner. */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Register an expression builder as a SQL temp function on a session
     * (FunctionRegistry is private[sql]); lets `spark.sql` text call
     * native graft expressions like `graft_dot`. */
