@@ -90,6 +90,53 @@ class IncrementalAsofSpec extends SparkSpec {
       "disordered streaming as-of diverged from batch")
   }
 
+  test("pending lefts and right history survive a stop/restart") {
+    withRocks {
+      // memory sink can't recover; file source + foreachBatch->parquet
+      // is the recoverable shape (CheckpointRecoverySpec's pattern)
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_asof_src").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_asof_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_asof_out").toString
+      val base = java.time.Instant.parse("2024-02-01T00:00:00Z")
+      def startQuery() = IncrementalAsof.enriched(
+          spark.readStream
+            .schema("key LONG, ts TIMESTAMP, side INT, id LONG")
+            .parquet(srcDir).as[Ev], "1 hour")
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[Match], _: Long) =>
+            batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      // batch 1: a right and its left land; the watermark has not
+      // released the left when the query stops
+      Seq(Ev(3L, base, 0, 500L), Ev(3L, base.plusSeconds(60), 1, 600L))
+        .toDF().write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(srcDir)
+      val q1 = startQuery()
+      q1.processAllAvailable()
+      q1.stop()
+      // restart: only the watermark-advancing sentinel arrives after —
+      // the match can only be right if BOTH buffered sides recovered
+      Seq(Ev(-1L, base.plusSeconds(90000), 0, -1L))
+        .toDF().write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(srcDir)
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir).as[Match].collect().toSeq
+        assert(out.contains(Match(600L, 500L, matched = true)),
+          s"state lost across restart: $out")
+        assert(out.count(_.leftId == 600L) == 1, "duplicate emission")
+      } finally q2.stop()
+    }
+  }
+
   test("right history evicts to the horizon + shadow after the sweep") {
     withRocks {
     implicit val sqlCtx = spark.sqlContext
