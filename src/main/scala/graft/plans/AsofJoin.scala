@@ -137,6 +137,17 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     case other => other
   }
 
+  /** Null keys/timestamps are UNMATCHABLE (SQL equality semantics): a
+    * null-key/ts right row can never be anyone's partner and is
+    * skipped; a null-key/ts left row emits the null payload. Explicit,
+    * because the naive path would silently unbox null to 0L/compare a
+    * null UTF8String — either wrong answers or an NPE — and the
+    * composed union+window form instead CO-GROUPS nulls (a window
+    * partition of their own), which is not join semantics either; the
+    * divergence is this documented rule. */
+  private def isNullAt(e: Expression, row: InternalRow): Boolean =
+    e.eval(row) == null
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyB = BindReferences.bindReference(leftKey, left.output)
     val rKeyB = BindReferences.bindReference(rightKey, right.output)
@@ -155,24 +166,31 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       var held: InternalRow = null
       lIter.map { l =>
         val lk = lKeyB.eval(l)
-        val lt = lTsB.eval(l).asInstanceOf[Long]
-        var scan = true
-        while (scan && rBuf.hasNext) {
-          val r = rBuf.head
-          val cmp = keyOrd.compare(rKeyB.eval(r), lk)
-          if (cmp < 0) rBuf.next() // stale key: cursor past it, drop
-          else if (cmp == 0) {
-            if (rTsB.eval(r).asInstanceOf[Long] <= lt) {
-              held = payloadProj(r).copy()
-              heldKey = own(rKeyB.eval(r))
-              rBuf.next()
-            } else scan = false
-          } else scan = false
+        if (lk == null || isNullAt(lTsB, l)) joined(l, nullRow): InternalRow
+        else {
+          val lt = lTsB.eval(l).asInstanceOf[Long]
+          var scan = true
+          while (scan && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKeyB.eval(r)
+            if (rk == null || isNullAt(rTsB, r)) rBuf.next() // unmatchable
+            else {
+              val cmp = keyOrd.compare(rk, lk)
+              if (cmp < 0) rBuf.next() // stale key: cursor past it, drop
+              else if (cmp == 0) {
+                if (rTsB.eval(r).asInstanceOf[Long] <= lt) {
+                  held = payloadProj(r).copy()
+                  heldKey = own(rk)
+                  rBuf.next()
+                } else scan = false
+              } else scan = false
+            }
+          }
+          val p =
+            if (held != null && keyOrd.compare(heldKey, lk) == 0) held
+            else nullRow
+          joined(l, p): InternalRow
         }
-        val p =
-          if (held != null && keyOrd.compare(heldKey, lk) == 0) held
-          else nullRow
-        joined(l, p): InternalRow
       }
     }
   }

@@ -72,13 +72,18 @@ object JoinElim extends Rule[LogicalPlan] with PredicateHelper {
   /** Drop every declaration (the rule stays installed as a no-op). */
   def clear(): Unit = edges.clear()
 
-  /** The dim-side walk: Projects looked through as in
-    * [[SummaryRewrite.factKey]], Filters looked through but COLLECTED
-    * (split into conjuncts) for the caller's null-guard-only check. */
-  private def dimSide(plan: LogicalPlan)
+  /** ONE walk for both join sides: the scan under `plan` through
+    * Projects (attribute/rename mapping, as in
+    * [[SummaryRewrite.factKey]]) and Filters, returning the path, the
+    * exprId → underlying-column map (child-level ids kept — a filter
+    * below a projection references scan-level attributes), and every
+    * filter conjunct collected on the way. The CALLER decides what the
+    * filters may be: the fact side ignores them (row drops never break
+    * integrity), the dim side admits only IsNotNull(pk) guards. */
+  private def sideWalk(plan: LogicalPlan)
       : Option[(String, Map[Long, String], Seq[Expression])] = plan match {
     case Filter(cond, child) =>
-      dimSide(child).map { case (p, m, fs) =>
+      sideWalk(child).map { case (p, m, fs) =>
         (p, m, fs ++ splitConjunctivePredicates(cond))
       }
     case lr: LogicalRelation => lr.relation match {
@@ -90,7 +95,7 @@ object JoinElim extends Rule[LogicalPlan] with PredicateHelper {
       case _ => None
     }
     case Project(ps, child) =>
-      dimSide(child).flatMap { case (path, m, fs) =>
+      sideWalk(child).flatMap { case (path, m, fs) =>
         val mapped = ps.map {
           case a: AttributeReference =>
             m.get(a.exprId.id).map(a.exprId.id -> _)
@@ -99,39 +104,7 @@ object JoinElim extends Rule[LogicalPlan] with PredicateHelper {
           case _ => None
         }
         if (mapped.exists(_.isEmpty)) None
-        // keep the child-level ids too: a filter below the projection
-        // references scan-level attributes
         else Some((path, m ++ mapped.flatten.toMap, fs))
-      }
-    case _ => None
-  }
-
-  /** The scan under `plan` through Projects AND Filters (fact-side
-    * walk): the path plus exprId → underlying column name. Filters are
-    * transparent here — they drop rows, never alter or null a column —
-    * while any other node declines. */
-  private def factSide(plan: LogicalPlan)
-      : Option[(String, Map[Long, String])] = plan match {
-    case Filter(_, child) => factSide(child)
-    case lr: LogicalRelation => lr.relation match {
-      case fs: HadoopFsRelation => fs.location.rootPaths match {
-        case Seq(p) => Some((SummaryRewrite.normalize(p.toString),
-          lr.output.map(a => a.exprId.id -> a.name).toMap))
-        case _ => None
-      }
-      case _ => None
-    }
-    case Project(ps, child) =>
-      factSide(child).flatMap { case (path, m) =>
-        val mapped = ps.map {
-          case a: AttributeReference =>
-            m.get(a.exprId.id).map(a.exprId.id -> _)
-          case al @ Alias(a: AttributeReference, _) =>
-            m.get(a.exprId.id).map(al.exprId.id -> _)
-          case _ => None
-        }
-        if (mapped.exists(_.isEmpty)) None
-        else Some((path, mapped.flatten.toMap))
       }
     case _ => None
   }
@@ -157,7 +130,7 @@ object JoinElim extends Rule[LogicalPlan] with PredicateHelper {
       // (NullPropagation adds one under every inner equi-join; a null
       // pk never joins, so stripping it with the join loses nothing —
       // any OTHER predicate must block), output exactly the pk
-      (dimPath, dimMap, dimFilters) <- dimSide(dim)
+      (dimPath, dimMap, dimFilters) <- sideWalk(dim)
       _ <- Option.when(dim.output.map(_.exprId.id) == Seq(pkAttr.exprId.id))(())
       pkName <- dimMap.get(pkAttr.exprId.id)
       _ <- Option.when(dimFilters.forall {
@@ -165,7 +138,8 @@ object JoinElim extends Rule[LogicalPlan] with PredicateHelper {
           dimMap.get(a.exprId.id).contains(pkName)
         case _ => false
       })(())
-      (factPath, factMap) <- factSide(fact)
+      // fact: filters are transparent (row drops never break integrity)
+      (factPath, factMap, _) <- sideWalk(fact)
       fkName <- factMap.get(fkAttr.exprId.id)
       _ <- Option.when(
         edges.contains(Edge(factPath, fkName, dimPath, pkName)))(())

@@ -958,11 +958,13 @@ object Profiling {
         .agg(sum(col("s1")).as("c1"), sum(lit(1L) - col("s1")).as("c2"))
       val c = graft.operators.PrefixSum.inclusiveMulti(g,
         Seq(col("cents")), Seq("c1", "c2"), Seq("cum1", "cum2"))
-      // 1-row side frame; the guard keeps cum·n inside Long (silent
-      // wrap would diverge from DuckDB's overflow ERROR — fail loudly
-      // at the same boundary instead)
-      val n = o.agg(sum(col("s1")).as("n1"),
-          sum(lit(1L) - col("s1")).as("n2"))
+      // 1-row side frame: the side totals are the CDFs' final values,
+      // so max(cum) reads them back through the scan's own shuffle
+      // files (ScanStamp's reuse property) — re-aggregating `o` or `g`
+      // would re-scan events. The guard keeps cum·n inside Long
+      // (silent wrap would diverge from DuckDB's overflow ERROR —
+      // fail loudly at the same boundary instead)
+      val n = c.agg(max(col("cum1")).as("n1"), max(col("cum2")).as("n2"))
         .select(expr("IF(n1 <= 3000000000 AND n2 <= 3000000000, n1, " +
           "raise_error('graft q164: side beyond 3e9 rows; integer KS " +
           "numerator would overflow — use a DECIMAL variant'))").as("n1"),

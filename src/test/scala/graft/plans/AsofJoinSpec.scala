@@ -64,6 +64,21 @@ class AsofJoinSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("null keys and timestamps are unmatchable, not co-grouped") {
+    val l = Seq((Some(1), Some(100L), 1), (None, Some(100L), 2),
+        (Some(1), None, 3))
+      .toDF("k", "us", "lid")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("lid"))
+    val r = Seq((Some(1), Some(50L), 10), (None, Some(40L), 11),
+        (Some(1), None, 12))
+      .toDF("k", "us", "rid")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("rid"))
+    val got = collectPairs(AsofJoin.join(l, r, "k", "t", Seq("rid")))
+    // real pair matches; null-key left gets nothing (NOT the null-key
+    // right); null-ts left gets nothing; null-ts right never matches
+    assert(got == Map(1 -> Some(10), 2 -> None, 3 -> None))
+  }
+
   test("left keys absent from the right yield null payload") {
     val r = rightDf.filter(col("k") =!= 3)
     val got = collectPairs(AsofJoin.join(leftDf, r, "k", "t", Seq("rid")))

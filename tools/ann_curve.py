@@ -155,12 +155,18 @@ def kmeans_assign(q, k, iters):
     return d.argmin(axis=1), c
 
 
-def ivf_learned_curve(ids, emb, qmask, exact, k, iters, nprobes):
+def learned_lists(emb, k, iters):
+    """Shared q102/q167 coarse structure: assignments + per-list
+    truncating-div integer centroids (the Lloyd convention)."""
     qv = np.floor(emb.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
     asg, _ = kmeans_assign(qv, k, iters)
-    # q102 probe centroids: per-list truncating-div integer mean
     cents = np.stack([qv[asg == cid].sum(axis=0) // (asg == cid).sum()
                       for cid in range(k)])
+    return qv, asg, cents
+
+
+def ivf_learned_curve(ids, emb, qmask, exact, k, iters, nprobes):
+    qv, asg, cents = learned_lists(emb, k, iters)
     out = []
     for npb in nprobes:
         cands = {}
@@ -214,10 +220,7 @@ def sq8_curve(ids, emb, qmask, exact, budget_denoms):
 def ivf_sq_curve(ids, emb, qmask, exact, k, iters, nprobes, denom):
     """q167: learned coarse lists, SQ proxy inside probed lists, exact
     rerank of the top n/denom. cand_frac = exact-scored fraction."""
-    qv = np.floor(emb.astype(np.float64) * 1e6 + 0.5).astype(np.int64)
-    asg, _ = kmeans_assign(qv, k, iters)
-    cents = np.stack([qv[asg == cid].sum(axis=0) // (asg == cid).sum()
-                      for cid in range(k)])
+    qv, asg, cents = learned_lists(emb, k, iters)
     q, dec = sq_decode(emb)
     dnf = dec.astype(np.float64)
     dn = np.sqrt((dnf * dnf).sum(axis=1))
