@@ -1272,6 +1272,31 @@ object Relational {
       require(!scans.exists(_.endsWith("part.parquet")),
         s"q166: the dimension join was not eliminated (scans: $scans)")
       df
+    },
+
+    // ------------------------------------------------------------------
+    // q170: semi-structured processing through Spark 4's native VARIANT
+    // type — q24 re-asked the modern way: `parse_json` parses each
+    // props document ONCE into the binary variant encoding, every
+    // extraction is a typed `variant_get` over that parsed value (no
+    // per-path re-parse, the point of the type), and
+    // `schema_of_variant` surfaces the per-row inferred shape, which
+    // the gate pins as the corpus-wide constant it should be. At
+    // 100 TB variant is also the STORAGE answer (shredded parquet
+    // columns per field); here the ledger pins the compute surface:
+    // Spark's variant path must agree exactly with DuckDB's JSON
+    // extraction on the same documents.
+    QuerySpec.sqlBacked("q170_variant_json",
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        |  'OBJECT<k: BIGINT>' AS shape, CAST(count(*) AS BIGINT) AS n
+        |FROM events GROUP BY k ORDER BY k""".stripMargin) { (s, dir) =>
+      t(s, dir, "events")
+        .select(parse_json(col("props")).as("v"))
+        .select(variant_get(col("v"), "$.k", "int").as("k"),
+          schema_of_variant(col("v")).as("shape"))
+        .groupBy(col("k"), col("shape"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("k"))
     }
   )
 
