@@ -69,6 +69,23 @@ final class GStream[T](val ds: Dataset[T], val bufferTimeoutMs: Long = -1L) {
   /** ≙ DataStream.union — same-type stream merge (SURVEY §2.7). */
   def union(other: GStream[T]): GStream[T] = derive(ds.union(other.ds))
 
+  /** Engine-managed streaming deduplication within the event-time
+    * horizon (`Dataset.dropDuplicatesWithinWatermark`, Spark 3.5+):
+    * keeps the first arrival per `cols` tuple and drops re-arrivals
+    * until the watermark passes the kept row's event time — the
+    * at-least-once-source → effectively-once cleanup, with state the
+    * engine itself expires (unlike plain dropDuplicates on a stream,
+    * whose key set grows forever). The hand-built content twin
+    * (IncrementalDedup's MinHash machine) dedups by SIMILARITY; this
+    * is its exact-identity engine-native counterpart, the same
+    * native-vs-hand-built pairing as IncrementalSessions /
+    * session_window. Caller must have a watermark on the stream
+    * (withWatermark upstream); batch datasets fall back to plain
+    * dropDuplicates semantics. */
+  def deduplicateWithinWatermark(cols: Seq[String]): GStream[T] =
+    derive(if (ds.isStreaming) ds.dropDuplicatesWithinWatermark(cols)
+      else ds.dropDuplicates(cols))
+
   /** ≙ connect + CoMapFunction (cut from the reference, SURVEY §2.7):
     * two differently-typed streams mapped into one output type, then
     * merged. Spark has no binary operator node for this; mapping each

@@ -37,6 +37,36 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("GStream.deduplicateWithinWatermark: facade routing + batch fallback") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = Timestamp.valueOf(s)
+    val in = MemoryStream[(Timestamp, String)]
+    val out = StreamEnv(spark).fromDataset(in.toDS())
+      .withWatermark("_1", "10 minutes")
+      .deduplicateWithinWatermark(Seq("_2"))
+      .toDataset
+    val q = out.writeStream.format("memory").queryName("dd_facade")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData((ts("2024-01-01 00:00:01"), "a"),
+        (ts("2024-01-01 00:00:02"), "a"))
+      in.addData((ts("2024-01-01 00:00:03"), "a"),
+        (ts("2024-01-01 00:00:04"), "b"))
+      q.processAllAvailable()
+      val got = spark.table("dd_facade").select("_2").as[String]
+        .collect().sorted
+      assert(got.sameElements(Array("a", "b")))
+    } finally q.stop()
+    // batch frames take plain dropDuplicates semantics through the
+    // same facade call (no watermark machinery to engage)
+    val batch = StreamEnv(spark).fromDataset(
+        Seq((ts("2024-01-01 00:00:01"), "x"),
+          (ts("2024-01-01 00:00:09"), "x")).toDS())
+      .deduplicateWithinWatermark(Seq("_2"))
+      .toDataset.collect()
+    assert(batch.length == 1 && batch.head._2 == "x")
+  }
+
   test("stream-static join enriches events with a dimension table") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1, "gold"), (2, "silver")).toDF("uid", "tier")
