@@ -56,6 +56,17 @@ object IO {
   def writeOrc(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).orc(path)
 
+  /** XML (native in Spark 4 — the former spark-xml package absorbed
+    * into sql/core): one row per `rowTag` element, schema inferred the
+    * csv/json way. The last first-class text format the registry
+    * lacked; enterprise feeds still ship it. */
+  def readXml(s: SparkSession, path: String, rowTag: String = "row"): DataFrame =
+    s.read.option("rowTag", rowTag).xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .option("rootTag", "rows").option("rowTag", rowTag).xml(path)
+
   /** Hive-style partitioned layout (`path/col=value/part-*.parquet`):
     * the 100 TB directory shape — readers prune entire partitions from
     * the listing when a filter hits `cols` (PartitionFilters in the

@@ -49,6 +49,14 @@ class SourcesSinksSpec extends SparkSpec {
     graft.sources.IO.writeOrc(df, orcDir)
     assert(graft.sources.IO.readOrc(spark, orcDir).collect().length == 3)
 
+    // xml (native in Spark 4): values survive the round-trip
+    val xmlDir = Files.createTempDirectory("graft_xml").toString + "/t"
+    graft.sources.IO.writeXml(df, xmlDir)
+    val xb = graft.sources.IO.readXml(spark, xmlDir)
+      .select(col("k"), col("id"), col("v"))
+      .as[(String, Long, Double)].collect().toSet
+    assert(xb == Set(("a", 1L, 10.0), ("a", 2L, 20.0), ("b", 3L, 30.0)))
+
     val partDir = Files.createTempDirectory("graft_part").toString + "/t"
     graft.sources.IO.writePartitioned(df, partDir, "k")
     val back = graft.sources.IO.readParquet(spark, partDir)
