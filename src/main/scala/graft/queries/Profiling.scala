@@ -980,6 +980,106 @@ object Profiling {
           (col("d_num").cast("double") /
             (col("n1").cast("double") * col("n2").cast("double")))
             .as("d_stat"))
+    },
+
+    // ------------------------------------------------------------------
+    // q171: k-anonymity audit — the privacy-governance gate a corpus
+    // passes BEFORE release: every quasi-identifier combination
+    // (nation, market segment, coarsened balance bin) whose group holds
+    // fewer than k=5 individuals re-identifies its members and must be
+    // suppressed or generalized. The audit lists exactly those cells
+    // with their sizes — the suppression worklist. Companion to q85
+    // (pseudonymization hides direct identifiers; k-anonymity is about
+    // the indirect ones) and q101 (content PII). Scale: ONE hash
+    // aggregate keyed by the QI tuple (map-side partials), the k filter
+    // is post-aggregate, output bounded by the violating-cell count —
+    // nothing else crosses the exchange. The bin width is the
+    // generalization knob: widening it is how the pipeline iterates
+    // toward an anonymous release.
+    QuerySpec.sqlBacked("q171_kanonymity",
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bin,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM customer
+        |GROUP BY c_nationkey, c_mktsegment, bal_bin
+        |HAVING count(*) < 5
+        |ORDER BY c_nationkey, c_mktsegment, bal_bin""".stripMargin) {
+      (s, dir) =>
+      Tables(s, dir, "customer")
+        .groupBy(col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bin"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") < 5)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bin"))
+    },
+
+    // ------------------------------------------------------------------
+    // q173: winsorized robust statistics — per event type, the p10/p90
+    // cut points of the cents distribution and the mean AFTER clipping
+    // to them: the robust feature-scaling step that keeps one fat-tailed
+    // outlier from dominating a normalized feature (the practical
+    // alternative to q131's drop-the-outliers). Cut selection is the
+    // q143 crossing-row rule with weight 1 (10·rank ≥ n, 10·rank ≥ 9n)
+    // on exact integer cents, so the cuts — and therefore the clipped
+    // sum — are engine-identical; the winsorized mean is one exact
+    // integer ratio evaluated in double (the q99 convention). Scale:
+    // the FOURTH PrefixSum rank consumer — one range shuffle stamps
+    // global ranks, per-type offsets come from a |types|-row aggregate,
+    // BOTH cuts come from ONE min-when aggregate (the q144 trick), and
+    // the clip pass is a scan against the broadcast cut table with
+    // map-side partials. The oracle runs the per-type window form.
+    QuerySpec.sqlBacked("q173_winsorized_stats",
+      """WITH x AS (SELECT event_type AS t,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    event_id AS eid FROM events),
+        |c AS (SELECT *, row_number() OVER
+        |        (PARTITION BY t ORDER BY cents, eid) AS rn,
+        |      CAST(count(*) OVER (PARTITION BY t) AS BIGINT) AS n FROM x),
+        |cuts AS (SELECT t, n,
+        |    min(CASE WHEN 10 * rn >= n THEN cents END) AS lo_cents,
+        |    min(CASE WHEN 10 * rn >= 9 * n THEN cents END) AS hi_cents
+        |  FROM c GROUP BY t, n)
+        |SELECT k.t AS event_type, k.n, k.lo_cents, k.hi_cents,
+        |  CAST(sum(greatest(least(x.cents, k.hi_cents), k.lo_cents))
+        |    AS BIGINT) AS wsum,
+        |  CAST(CAST(sum(greatest(least(x.cents, k.hi_cents), k.lo_cents))
+        |    AS BIGINT) AS DOUBLE) / k.n AS wmean
+        |FROM x JOIN cuts k ON x.t = k.t
+        |GROUP BY k.t, k.n, k.lo_cents, k.hi_cents
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val x = Tables(s, dir, "events")
+        .select(col("event_type").as("t"),
+          floor(col("value") * 100).cast("long").as("cents"),
+          col("event_id").as("eid"))
+        .withColumn("w", lit(1L))
+      Dedup.withScratch(x) {
+        // global rank via the range shuffle; per-type rank = global − off
+        val cum = graft.operators.PrefixSum.inclusive(x,
+          Seq(col("t"), col("cents"), col("eid")), "w", "cum")
+        val offs = x.groupBy(col("t")).agg(sum(col("w")).as("n"))
+          .withColumn("off", coalesce(
+            sum(col("n")).over(org.apache.spark.sql.expressions.Window
+              .orderBy(col("t"))
+              .rowsBetween(org.apache.spark.sql.expressions.Window
+                .unboundedPreceding, -1)), lit(0L)))
+        val ranked = cum.join(broadcast(offs), "t")
+          .withColumn("rnw", col("cum") - col("off"))
+        def pick(cond: org.apache.spark.sql.Column) =
+          min(when(cond, col("cents")))
+        val cuts = ranked.groupBy(col("t"), col("n"))
+          .agg(pick(lit(10) * col("rnw") >= col("n")).as("lo_cents"),
+            pick(lit(10) * col("rnw") >= lit(9) * col("n")).as("hi_cents"))
+        x.join(broadcast(cuts), "t")
+          .select(col("t"), col("n"), col("lo_cents"), col("hi_cents"),
+            greatest(least(col("cents"), col("hi_cents")),
+              col("lo_cents")).as("wc"))
+          .groupBy(col("t"), col("n"), col("lo_cents"), col("hi_cents"))
+          .agg(sum(col("wc")).as("wsum"))
+          .select(col("t").as("event_type"), col("n"), col("lo_cents"),
+            col("hi_cents"), col("wsum"),
+            (col("wsum").cast("double") / col("n")).as("wmean"))
+          .orderBy(col("event_type"))
+      }
     }
   )
 }

@@ -1092,6 +1092,79 @@ object Temporal {
         .select(col("event_id"), col("user_id"), col("ts"),
           col("view_id"), col("view_value"))
         .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q172: per-entity changepoint detection — for every user with ≥ 8
+    // active days, the day that best splits their daily-spend history
+    // into a before/after with maximal level shift: argmax over split
+    // points i of |cum_i·n − total·i|, the cross-multiplied form of
+    // |prefix mean − overall mean| (q164's KS trick at per-key
+    // granularity — all-integer, so the winning split is
+    // engine-identical; ties break to the earliest day). The behavioral
+    // complement to q164's corpus-level drift: WHERE each entity's
+    // behavior broke, the churn/anomaly-attribution feature. Daily
+    // cents is q135's exact projection (shared via
+    // IncrementalFeatures.observations, the anti-drift doctrine).
+    // Scale: daily pre-aggregation shrinks the exchange to |user×day|,
+    // then ONE user-partitioned window pass — per-partition work
+    // bounded by per-entity history (the q113/q133 contract); the
+    // argmax is a max-struct aggregate, no second window. The guard
+    // fails loudly where total·n would leave Long (DuckDB errors on
+    // BIGINT overflow; Spark must not silently wrap past it).
+    QuerySpec.sqlBacked("q172_changepoint",
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT) // 86400
+        |      AS day,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents FROM events),
+        |d AS (SELECT user_id, day, CAST(sum(cents) AS BIGINT) AS c
+        |      FROM e GROUP BY user_id, day),
+        |w AS (SELECT user_id, day, c,
+        |    CAST(sum(c) OVER (PARTITION BY user_id ORDER BY day
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |      AS BIGINT) AS i,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n,
+        |    CAST(sum(c) OVER (PARTITION BY user_id) AS BIGINT) AS total
+        |  FROM d),
+        |s AS (SELECT user_id, day, i, n,
+        |    abs(cum * n - total * i) AS disc FROM w WHERE n >= 8),
+        |m AS (SELECT user_id, n AS n_days, day AS cp_day, i AS cp_i,
+        |    disc, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY disc DESC, i) AS rn FROM s)
+        |SELECT user_id, n_days, cp_i, cp_day, disc
+        |FROM m WHERE rn = 1 ORDER BY user_id""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val d = graft.streaming.IncrementalFeatures
+        .observations(Tables(s, dir, "events"))
+        .toDF("user_id", "day", "cents")
+        .groupBy(col("user_id"), col("day"))
+        .agg(sum(col("cents")).as("c"))
+      val wOrd = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      val wAll = Window.partitionBy(col("user_id"))
+      d.select(col("user_id"), col("day"),
+          sum(col("c")).over(wOrd).as("cum"),
+          row_number().over(wOrd).cast("long").as("i"),
+          count(lit(1)).over(wAll).cast("long").as("n"),
+          sum(col("c")).over(wAll).as("total"))
+        .filter(col("n") >= 8)
+        // divide-compare guard (never multiply — the guard must not
+        // wrap): |total|·n and cum·n inside Long keeps disc exact where
+        // DuckDB's BIGINT arithmetic would ERROR instead
+        .withColumn("n", when(
+          greatest(abs(col("total")), abs(col("cum")))
+            > expr("9000000000000000000L div n"),
+          expr("raise_error('graft q172: |total| * n exceeds BIGINT " +
+            "headroom - widen to DECIMAL')").cast("long"))
+          .otherwise(col("n")))
+        .select(col("user_id"), col("day"), col("i"), col("n"),
+          abs(col("cum") * col("n") - col("total") * col("i")).as("disc"))
+        .groupBy(col("user_id"), col("n").as("n_days"))
+        .agg(max(struct(col("disc"), (-col("i")).as("ni"),
+          col("day"))).as("m"))
+        .select(col("user_id"), col("n_days"), (-col("m.ni")).as("cp_i"),
+          col("m.day").as("cp_day"), col("m.disc").as("disc"))
+        .orderBy(col("user_id"))
     }
   )
 
