@@ -49,11 +49,21 @@ import org.apache.spark.unsafe.types.UTF8String
 object AsofJoin {
 
   /** The declarative surface: left's columns plus `rightPayload` from
-    * the latest right row at-or-before each left row's `ts`. Installs
-    * [[AsofStrategy]] into the session on first use (also ships in
-    * [[GraftExtensions]]). */
+    * the matching right row per `direction` — "backward" (the latest
+    * right at-or-before each left's `ts`, the ASOF default), "forward"
+    * (the earliest right strictly after), or "nearest" (whichever of
+    * the two is closer; backward wins distance ties — the
+    * [[graft.operators.TemporalJoins.nearest]] rule, pandas
+    * merge_asof's direction surface). `toleranceUs` bounds the match
+    * distance inclusively when set (right `ts` must be LONG-backed
+    * micros for the comparison). Installs [[AsofStrategy]] into the
+    * session on first use (also ships in [[GraftExtensions]]). */
   def join(left: DataFrame, right: DataFrame, key: String, ts: String,
-      rightPayload: Seq[String]): DataFrame = {
+      rightPayload: Seq[String], direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"graft AsofJoin: unknown direction '$direction'")
+    require(toleranceUs.forall(_ >= 0), "negative tolerance")
     import org.apache.spark.sql.functions.col
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsofStrategy))
@@ -75,7 +85,8 @@ object AsofJoin {
     org.apache.spark.sql.graft.bridge.ofRows(spark,
         AsofJoinPlan(l, r, attr(l, key), attr(r, key + sfx),
           attr(l, ts), attr(r, ts + sfx),
-          rightPayload.map(p => attr(r, p + sfx))))
+          rightPayload.map(p => attr(r, p + sfx)),
+          direction, toleranceUs))
       .select(left.columns.map(col) ++
         rightPayload.map(p => col(p + sfx).as(p)): _*)
   }
@@ -86,7 +97,9 @@ object AsofJoin {
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    payload: Seq[Attribute]) extends BinaryNode {
+    payload: Seq[Attribute],
+    direction: String = "backward",
+    toleranceUs: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -97,8 +110,9 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 /** Plans [[AsofJoinPlan]] as [[AsofJoinExec]]. */
 object AsofStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, p) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, p, d, tol) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, p, d,
+        tol) :: Nil
     case _ => Nil
   }
 }
@@ -109,7 +123,9 @@ object AsofStrategy extends SparkStrategy {
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
     leftTs: Expression, rightTs: Expression,
-    payload: Seq[Attribute]) extends BinaryExecNode {
+    payload: Seq[Attribute],
+    direction: String = "backward",
+    toleranceUs: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ payload.map(_.withNullability(true))
@@ -157,6 +173,9 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       .orderingFor(leftKey.dataType)
     val payloadAttrs = payload
     val rightOut = right.output
+    val fwdEnabled = direction != "backward"
+    val bwdEnabled = direction != "forward"
+    val tol = toleranceUs.getOrElse(Long.MaxValue)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadAttrs, rightOut)
       val rBuf = rIter.buffered
@@ -164,6 +183,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
       val nullRow = new GenericInternalRow(payloadAttrs.length)
       var heldKey: Any = null
       var held: InternalRow = null
+      var heldTs: Long = 0L
       lIter.map { l =>
         val lk = lKeyB.eval(l)
         if (lk == null || isNullAt(lTsB, l)) joined(l, nullRow): InternalRow
@@ -178,16 +198,43 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               val cmp = keyOrd.compare(rk, lk)
               if (cmp < 0) rBuf.next() // stale key: cursor past it, drop
               else if (cmp == 0) {
-                if (rTsB.eval(r).asInstanceOf[Long] <= lt) {
-                  held = payloadProj(r).copy()
-                  heldKey = own(rk)
+                val rts = rTsB.eval(r).asInstanceOf[Long]
+                if (rts <= lt) {
+                  if (bwdEnabled) { // forward-only never reads the hold
+                    held = payloadProj(r).copy()
+                    heldKey = own(rk)
+                    heldTs = rts
+                  }
                   rBuf.next()
                 } else scan = false
               } else scan = false
             }
           }
+          // backward candidate: the hold, if it is this key's and in
+          // tolerance (distance arithmetic is exact: rts <= lt here)
+          val bOk = bwdEnabled && held != null &&
+            keyOrd.compare(heldKey, lk) == 0 && lt - heldTs <= tol
+          // forward candidate: PEEK the head, never consume — the same
+          // row may be a later left's backward partner (the loop above
+          // absorbs it once lt passes its ts). Strictly after: a right
+          // at exactly lt is backward, matching the composed form's
+          // union tag order.
+          var fRow: InternalRow = null
+          var fd = 0L
+          if (fwdEnabled && rBuf.hasNext) {
+            val r = rBuf.head
+            val rk = rKeyB.eval(r)
+            if (rk != null && !isNullAt(rTsB, r) &&
+                keyOrd.compare(rk, lk) == 0) {
+              val rts = rTsB.eval(r).asInstanceOf[Long]
+              if (rts - lt <= tol) { fRow = r; fd = rts - lt }
+            }
+          }
+          // backward wins distance ties (bd <= fd) — the
+          // TemporalJoins.nearest rule
           val p =
-            if (held != null && keyOrd.compare(heldKey, lk) == 0) held
+            if (bOk && (fRow == null || lt - heldTs <= fd)) held
+            else if (fRow != null) payloadProj(fRow).copy()
             else nullRow
           joined(l, p): InternalRow
         }

@@ -1035,26 +1035,8 @@ object Temporal {
     // the identical rule). The oracle is the OBVIOUS lateral nearest-1
     // probe, quadratic-ish per user at scale — the gate proving the
     // one-exchange form equals it is the point, exactly q138's pattern.
-    QuerySpec.sqlBacked("q165_nearest_context",
-      """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
-        |    event_type FROM events),
-        |p AS (SELECT event_id, user_id, ts FROM e
-        |      WHERE event_type = 'purchase'),
-        |t AS (SELECT user_id, ts, event_type AS channel FROM (
-        |    SELECT user_id, ts, event_type, row_number() OVER (
-        |      PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
-        |    FROM e WHERE event_type IN ('click', 'view')) WHERE rn = 1)
-        |SELECT p.event_id, coalesce(l.channel, 'none') AS channel,
-        |       l.gap_us
-        |FROM p LEFT JOIN LATERAL (
-        |  SELECT t.channel,
-        |    abs(epoch_us(t.ts) - epoch_us(p.ts)) AS gap_us
-        |  FROM t WHERE t.user_id = p.user_id
-        |    AND abs(epoch_us(t.ts) - epoch_us(p.ts)) <= 3600000000
-        |  ORDER BY gap_us,
-        |    CASE WHEN epoch_us(t.ts) <= epoch_us(p.ts) THEN 0 ELSE 1 END
-        |  LIMIT 1) l ON true
-        |ORDER BY p.event_id""".stripMargin) { (s, dir) =>
+    QuerySpec.sqlBacked("q165_nearest_context", nearestOracleSql) {
+      (s, dir) =>
       val p = Tables(s, dir, "events")
         .filter(col("event_type") === "purchase")
         .select(col("event_id"), col("user_id"), col("ts"))
@@ -1165,8 +1147,63 @@ object Temporal {
         .select(col("user_id"), col("n_days"), (-col("m.ni")).as("cp_i"),
           col("m.day").as("cp_day"), col("m.disc").as("disc"))
         .orderBy(col("user_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q174: the NATIVE nearest join — q165's exact question answered by
+    // the physical ASOF operator in direction='nearest' with the ±1h
+    // tolerance (plans.AsofJoin grew the full merge-asof direction
+    // surface: backward / forward / nearest + tolerance). The exec's
+    // single forward merge pass holds ONE backward payload row and
+    // PEEKS the head as the forward candidate — no union null-padding,
+    // no double window pass over the unioned frame (the tier-(a)
+    // nearest pays both). Hashes against the SAME lateral-probe oracle
+    // text as q165, so the driver gate is the answer-identity of all
+    // three formulations: lateral top-1 (oracle), union+two-windows
+    // (q165), native merge (this). Touches are pre-deduped per
+    // (user, ts) — the operator's right-uniqueness precondition, same
+    // helper as q165.
+    QuerySpec.sqlBacked("q174_nearest_native", nearestOracleSql) {
+      (s, dir) =>
+      val p = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val touches = dedupedTouches(s, dir)
+        .withColumn("rts_us", unix_micros(col("ts")))
+      graft.plans.AsofJoin.join(p, touches, "user_id", "ts",
+          Seq("channel", "rts_us"), direction = "nearest",
+          toleranceUs = Some(3600000000L))
+        .select(col("event_id"),
+          coalesce(col("channel"), lit("none")).as("channel"),
+          abs(unix_micros(col("ts")) - col("rts_us")).as("gap_us"))
+        .orderBy(col("event_id"))
     }
   )
+
+  /** q165/q174's shared oracle — the OBVIOUS lateral nearest-1 probe;
+    * the tier-(a) union+window form and the tier-(c) native exec in
+    * direction='nearest' both hash against this text, so the driver
+    * gate is the answer-identity of the three formulations. */
+  private def nearestOracleSql =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    event_type FROM events),
+      |p AS (SELECT event_id, user_id, ts FROM e
+      |      WHERE event_type = 'purchase'),
+      |t AS (SELECT user_id, ts, event_type AS channel FROM (
+      |    SELECT user_id, ts, event_type, row_number() OVER (
+      |      PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+      |    FROM e WHERE event_type IN ('click', 'view')) WHERE rn = 1)
+      |SELECT p.event_id, coalesce(l.channel, 'none') AS channel,
+      |       l.gap_us
+      |FROM p LEFT JOIN LATERAL (
+      |  SELECT t.channel,
+      |    abs(epoch_us(t.ts) - epoch_us(p.ts)) AS gap_us
+      |  FROM t WHERE t.user_id = p.user_id
+      |    AND abs(epoch_us(t.ts) - epoch_us(p.ts)) <= 3600000000
+      |  ORDER BY gap_us,
+      |    CASE WHEN epoch_us(t.ts) <= epoch_us(p.ts) THEN 0 ELSE 1 END
+      |  LIMIT 1) l ON true
+      |ORDER BY p.event_id""".stripMargin
 
   /** q57/q169's shared oracle — DuckDB's NATIVE ASOF JOIN; both the
     * tier-(a) composition and the tier-(c) physical operator hash

@@ -85,4 +85,70 @@ class AsofJoinSpec extends SparkSpec {
     assert(leftRows.filter(_._1 == 3)
       .forall(t => got(t._3).isEmpty), "missing key did not null out")
   }
+
+  // reference model for the direction/tolerance surface: brute-force
+  // over the raw tuples, the TemporalJoins.nearest rules (strictly-after
+  // forward, inclusive tolerance, backward wins distance ties)
+  private def model(direction: String, tol: Long) =
+    leftRows.map { case (k, us, lid) =>
+      val b = rightRows.filter(x => x._1 == k && x._2 <= us && us - x._2 <= tol)
+        .sortBy(_._2).lastOption
+      val f = rightRows.filter(x => x._1 == k && x._2 > us && x._2 - us <= tol)
+        .sortBy(_._2).headOption
+      val pick = direction match {
+        case "backward" => b
+        case "forward" => f
+        case "nearest" => (b, f) match {
+          case (Some(bb), Some(ff)) =>
+            if (us - bb._2 <= ff._2 - us) Some(bb) else Some(ff)
+          case (x, y) => x.orElse(y)
+        }
+      }
+      lid -> pick.map(_._3)
+    }.toMap
+
+  test("direction/tolerance surface matches the brute-force model") {
+    for (dir <- Seq("backward", "forward", "nearest");
+         tol <- Seq(50L, 700L, Long.MaxValue)) {
+      val got = collectPairs(AsofJoin.join(leftDf, rightDf, "k", "t",
+        Seq("rid"), direction = dir,
+        toleranceUs = if (tol == Long.MaxValue) None else Some(tol)))
+      assert(got == model(dir, tol), s"diverged at ($dir, tol=$tol)")
+    }
+  }
+
+  test("nearest equals the tier-(a) union+window form") {
+    val tol = 900L
+    val native = collectPairs(AsofJoin.join(leftDf, rightDf, "k", "t",
+      Seq("rid"), direction = "nearest", toleranceUs = Some(tol)))
+    val composed = TemporalJoins
+      .nearest(leftDf, rightDf, "k", "t", Seq("rid"), tol)
+      .select(col("lid"), col("rid")).collect()
+      .map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    assert(native == composed)
+  }
+
+  test("nearest is partition-invariant (the peeked forward candidate)") {
+    val base = model("nearest", 700L)
+    for ((lp, rp) <- Seq((1, 5), (17, 2), (32, 32))) {
+      val got = collectPairs(AsofJoin.join(
+        leftDf.repartition(lp), rightDf.repartition(rp), "k", "t",
+        Seq("rid"), direction = "nearest", toleranceUs = Some(700L)))
+      assert(got == base, s"diverged at partitions ($lp, $rp)")
+    }
+  }
+
+  test("a right at exactly the left's ts is backward, never forward") {
+    val l = Seq((1, 100L, 1)).toDF("k", "us", "lid")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("lid"))
+    val r = Seq((1, 100L, 10), (1, 101L, 11)).toDF("k", "us", "rid")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("rid"))
+    val fwd = collectPairs(AsofJoin.join(l, r, "k", "t", Seq("rid"),
+      direction = "forward"))
+    assert(fwd == Map(1 -> Some(11)), "forward must be strictly after")
+    val near = collectPairs(AsofJoin.join(l, r, "k", "t", Seq("rid"),
+      direction = "nearest"))
+    assert(near == Map(1 -> Some(10)), "distance-0 backward must win")
+  }
 }
