@@ -55,6 +55,27 @@ object Profiling {
       .withColumn("cumw", col("cum") - col("off"))
   }
 
+  /** Rows of a (t, v, id) frame stamped with their within-t rank `rnw`
+    * (total order (t, v, id)) and group size `n` — the weight-1
+    * [[flagCumQty]] shape: ONE PrefixSum range shuffle plus a |t|-row
+    * offset aggregate, never a per-group single-task window. Shared by
+    * the rank-selection consumers q173/q175 (one definition, the
+    * skewEdges anti-drift doctrine). */
+  private def typedRank(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val x = df.withColumn("w", lit(1L))
+    val cum = graft.operators.PrefixSum.inclusive(x,
+      Seq(col("t"), col("v"), col("id")), "w", "cum")
+    val offs = x.groupBy(col("t")).agg(sum(col("w")).as("n"))
+      .withColumn("off", coalesce(
+        sum(col("n")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("t"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)), lit(0L)))
+    cum.join(broadcast(offs), "t")
+      .withColumn("rnw", col("cum") - col("off"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -1049,35 +1070,87 @@ object Profiling {
         |ORDER BY event_type""".stripMargin) { (s, dir) =>
       val x = Tables(s, dir, "events")
         .select(col("event_type").as("t"),
-          floor(col("value") * 100).cast("long").as("cents"),
-          col("event_id").as("eid"))
-        .withColumn("w", lit(1L))
+          floor(col("value") * 100).cast("long").as("v"),
+          col("event_id").as("id"))
       Dedup.withScratch(x) {
         // global rank via the range shuffle; per-type rank = global − off
-        val cum = graft.operators.PrefixSum.inclusive(x,
-          Seq(col("t"), col("cents"), col("eid")), "w", "cum")
-        val offs = x.groupBy(col("t")).agg(sum(col("w")).as("n"))
-          .withColumn("off", coalesce(
-            sum(col("n")).over(org.apache.spark.sql.expressions.Window
-              .orderBy(col("t"))
-              .rowsBetween(org.apache.spark.sql.expressions.Window
-                .unboundedPreceding, -1)), lit(0L)))
-        val ranked = cum.join(broadcast(offs), "t")
-          .withColumn("rnw", col("cum") - col("off"))
+        val ranked = typedRank(x)
         def pick(cond: org.apache.spark.sql.Column) =
-          min(when(cond, col("cents")))
+          min(when(cond, col("v")))
         val cuts = ranked.groupBy(col("t"), col("n"))
           .agg(pick(lit(10) * col("rnw") >= col("n")).as("lo_cents"),
             pick(lit(10) * col("rnw") >= lit(9) * col("n")).as("hi_cents"))
         x.join(broadcast(cuts), "t")
           .select(col("t"), col("n"), col("lo_cents"), col("hi_cents"),
-            greatest(least(col("cents"), col("hi_cents")),
+            greatest(least(col("v"), col("hi_cents")),
               col("lo_cents")).as("wc"))
           .groupBy(col("t"), col("n"), col("lo_cents"), col("hi_cents"))
           .agg(sum(col("wc")).as("wsum"))
           .select(col("t").as("event_type"), col("n"), col("lo_cents"),
             col("hi_cents"), col("wsum"),
             (col("wsum").cast("double") / col("n")).as("wmean"))
+          .orderBy(col("event_type"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q175: median/MAD robust outlier profile — per event type, the
+    // median, the median absolute deviation, and how many events sit
+    // beyond 3×MAD. The robust complement to q131's variance z-score:
+    // variance is dragged by the very outliers it hunts (breakdown
+    // point 0), median/MAD tolerates up to half the data being wild —
+    // the estimator a fat-tailed spend distribution actually needs.
+    // Both medians are LOWER medians by the crossing-row rule
+    // (first value where 2·rank ≥ n — exact integers, engine-identical,
+    // no even-n interpolation), and the 3×MAD flag compares exact
+    // integer cents. Scale: TWO typedRank passes (median of values,
+    // then median of deviations — MAD is inherently two-round) — each
+    // ONE PrefixSum range shuffle, cut rows broadcast back, the final
+    // count a scan with map-side partials; the oracle runs the per-type
+    // window form of both rounds.
+    QuerySpec.sqlBacked("q175_mad_outliers",
+      """WITH x AS (SELECT event_type AS t,
+        |    CAST(floor(value * 100) AS BIGINT) AS c, event_id AS id
+        |  FROM events),
+        |r1 AS (SELECT *, row_number() OVER
+        |      (PARTITION BY t ORDER BY c, id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY t) AS BIGINT) AS n FROM x),
+        |med AS (SELECT t, n, min(CASE WHEN 2 * rn >= n THEN c END) AS med
+        |        FROM r1 GROUP BY t, n),
+        |dv AS (SELECT x.t, abs(x.c - med.med) AS d, x.id
+        |       FROM x JOIN med ON x.t = med.t),
+        |r2 AS (SELECT *, row_number() OVER
+        |      (PARTITION BY t ORDER BY d, id) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY t) AS BIGINT) AS n FROM dv),
+        |mad AS (SELECT t, min(CASE WHEN 2 * rn >= n THEN d END) AS mad
+        |        FROM r2 GROUP BY t)
+        |SELECT med.t AS event_type, med.n, med.med AS med_cents,
+        |  mad.mad AS mad_cents,
+        |  CAST(sum(CASE WHEN abs(x.c - med.med) > 3 * mad.mad
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM x JOIN med ON x.t = med.t JOIN mad ON x.t = mad.t
+        |GROUP BY med.t, med.n, med.med, mad.mad
+        |ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val x = Tables(s, dir, "events")
+        .select(col("event_type").as("t"),
+          floor(col("value") * 100).cast("long").as("v"),
+          col("event_id").as("id"))
+      Dedup.withScratch(x) {
+        def lowerMedian(df: org.apache.spark.sql.DataFrame, as: String) =
+          typedRank(df).groupBy(col("t"), col("n"))
+            .agg(min(when(lit(2) * col("rnw") >= col("n"), col("v")))
+              .as(as))
+        val med = lowerMedian(x, "med")
+        val dv = x.join(broadcast(med), "t")
+          .select(col("t"), abs(col("v") - col("med")).as("v"), col("id"))
+        val mad = lowerMedian(dv, "mad").drop("n")
+        x.join(broadcast(med), "t").join(broadcast(mad), "t")
+          .groupBy(col("t"), col("n"), col("med"), col("mad"))
+          .agg(sum(when(abs(col("v") - col("med")) > lit(3) * col("mad"),
+            1L).otherwise(0L)).as("n_outliers"))
+          .select(col("t").as("event_type"), col("n"),
+            col("med").as("med_cents"), col("mad").as("mad_cents"),
+            col("n_outliers"))
           .orderBy(col("event_type"))
       }
     }
