@@ -54,6 +54,31 @@ object IncrementalAsof {
         OutputMode.Append())
   }
 
+  /** [[enriched]]'s NEAREST-direction face (batch q165, native q174 —
+    * the full merge-asof symmetry now holds across all three tiers):
+    * each left waits until the watermark passes its ts + tolerance —
+    * only then can no in-tolerance forward candidate still arrive —
+    * and emits with whichever in-tolerance neighbor is closer,
+    * backward winning distance ties (the TemporalJoins.nearest rule).
+    * The right-history shadow shifts back by the tolerance: a right
+    * below (watermark − tolerance) is dominated as a backward partner
+    * by the shadow row and can never be a forward partner of a
+    * still-unemitted left (whose ts is at or above that line). Price
+    * of the direction: emission latency grows by the tolerance —
+    * inherent, not implementation (the forward candidate must be
+    * waited out). */
+  def nearest(events: Dataset[Ev], lateness: String,
+      toleranceUs: Long): Dataset[Match] = {
+    require(toleranceUs >= 0, "negative tolerance")
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.key)
+      .transformWithState(new NearestAsofProcessor(toleranceUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Batch truth for the spec: TemporalJoins.asof on the same tagged
     * frame, as leftId → (rightId, matched). */
   def batchTruth(events: DataFrame): DataFrame = {
@@ -62,6 +87,18 @@ object IncrementalAsof {
     val r = events.filter(col("side") === 0)
       .select(col("key"), col("ts"), col("id").as("rightId"))
     graft.operators.TemporalJoins.asof(l, r, "key", "ts", Seq("rightId"))
+      .select(col("leftId"), coalesce(col("rightId"), lit(-1L))
+        .as("rightId"), col("rightId").isNotNull.as("matched"))
+  }
+
+  /** [[nearest]]'s batch truth: TemporalJoins.nearest, same shape. */
+  def nearestTruth(events: DataFrame, toleranceUs: Long): DataFrame = {
+    val l = events.filter(col("side") === 1)
+      .select(col("key"), col("ts"), col("id").as("leftId"))
+    val r = events.filter(col("side") === 0)
+      .select(col("key"), col("ts"), col("id").as("rightId"))
+    graft.operators.TemporalJoins
+      .nearest(l, r, "key", "ts", Seq("rightId"), toleranceUs)
       .select(col("leftId"), coalesce(col("rightId"), lit(-1L))
         .as("rightId"), col("rightId").isNotNull.as("matched"))
   }
@@ -99,27 +136,63 @@ class AsofProcessor extends StatefulProcessor[
       expiredTimerInfo: ExpiredTimerInfo): Iterator[Match] =
     flush(timerValues.getCurrentWatermarkInMs())
 
+  /** Extra event-time a left must wait past its own ts before it can
+    * emit (0 for backward; the tolerance for nearest, which must wait
+    * out its forward candidate). Also shifts the eviction shadow. */
+  protected def waitUs: Long = 0L
+
+  /** The direction rule: the emitted partner for left `l` given the
+    * key's (ts, id)-sorted right history. Backward here; nearest
+    * overrides. */
+  protected def matchFor(l: IncrementalAsof.Cell,
+      rs: Array[IncrementalAsof.Cell]): Match = {
+    // latest right at-or-before: rights unique per (key, ts) by the
+    // operator contract, so the last qualifying cell is THE match
+    val m = rs.takeWhile(_.tsUs <= l.tsUs).lastOption
+    Match(l.id, m.map(_.id).getOrElse(-1L), m.isDefined)
+  }
+
   private def flush(wmMs: Long): Iterator[Match] = {
-    val wmUs = wmMs * 1000L
+    val cutoffUs = wmMs * 1000L - waitUs
     val rs = rights.get().toArray.sortBy(c => (c.tsUs, c.id))
-    val (ready, rest) = pending.get().toArray.partition(_.tsUs < wmUs)
-    val out = ready.sortBy(c => (c.tsUs, c.id)).map { l =>
-      // latest right at-or-before: rights unique per (key, ts) by the
-      // operator contract, so the last qualifying cell is THE match
-      val m = rs.takeWhile(_.tsUs <= l.tsUs).lastOption
-      Match(l.id, m.map(_.id).getOrElse(-1L), m.isDefined)
-    }
+    val (ready, rest) = pending.get().toArray.partition(_.tsUs < cutoffUs)
+    val out = ready.sortBy(c => (c.tsUs, c.id)).map(matchFor(_, rs))
     pending.clear()
     rest.foreach(pending.appendValue)
-    // evict below the watermark shadow: keep the newest right with
-    // rts < wmUs and everything after it
-    val shadowIdx = rs.lastIndexWhere(_.tsUs < wmUs)
+    // evict below the (wait-shifted) watermark shadow: keep the newest
+    // right with rts < cutoff and everything after it — older rights
+    // are dominated backward by the shadow and cannot be forward
+    // partners of any still-unemitted left (whose ts >= cutoff)
+    val shadowIdx = rs.lastIndexWhere(_.tsUs < cutoffUs)
     if (shadowIdx > 0) {
       rights.clear()
       rs.drop(shadowIdx).foreach(rights.appendValue)
     }
     if (rest.nonEmpty)
-      getHandle.registerTimer(rest.map(_.tsUs).min / 1000L + 1L)
+      getHandle.registerTimer((rest.map(_.tsUs).min + waitUs) / 1000L + 1L)
     out.iterator
+  }
+}
+
+/** [[AsofProcessor]] in direction='nearest' with an inclusive
+  * tolerance: lefts wait out their forward horizon, the pick is the
+  * closer in-tolerance neighbor, backward winning distance ties (the
+  * TemporalJoins.nearest / native-exec rule). */
+class NearestAsofProcessor(tolUs: Long) extends AsofProcessor {
+  import IncrementalAsof.{Cell, Match}
+
+  override protected def waitUs: Long = tolUs
+
+  override protected def matchFor(l: Cell, rs: Array[Cell]): Match = {
+    val b = rs.takeWhile(_.tsUs <= l.tsUs).lastOption
+      .filter(c => l.tsUs - c.tsUs <= tolUs)
+    val f = rs.find(_.tsUs > l.tsUs)
+      .filter(c => c.tsUs - l.tsUs <= tolUs)
+    val m = (b, f) match {
+      case (Some(bb), Some(ff)) =>
+        if (l.tsUs - bb.tsUs <= ff.tsUs - l.tsUs) Some(bb) else Some(ff)
+      case (x, y) => x.orElse(y)
+    }
+    Match(l.id, m.map(_.id).getOrElse(-1L), m.isDefined)
   }
 }

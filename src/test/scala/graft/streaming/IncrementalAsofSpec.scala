@@ -45,11 +45,23 @@ class IncrementalAsofSpec extends SparkSpec {
     try body finally spark.conf.set(provider, prev)
   }
 
+  private val TolUs = 3600000000L // q165/q174's ±1 h, the nearest tests
+
+  private def nearestWant(): Map[Long, (Long, Boolean)] = {
+    val df = events().toDF("key", "ts", "side", "id")
+    IncrementalAsof.nearestTruth(df, TolUs)
+      .as[(Long, Long, Boolean)].collect()
+      .map(t => t._1 -> (t._2, t._3)).toMap
+  }
+
   private def run(feeds: Seq[Seq[Ev]], lateness: String,
-      name: String): Seq[Match] = withRocks {
+      name: String, tolUs: Long = -1L): Seq[Match] = withRocks {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Ev]
-    val q = IncrementalAsof.enriched(in.toDS(), lateness)
+    val ds =
+      if (tolUs >= 0) IncrementalAsof.nearest(in.toDS(), lateness, tolUs)
+      else IncrementalAsof.enriched(in.toDS(), lateness)
+    val q = ds
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append).start()
     try {
@@ -88,6 +100,47 @@ class IncrementalAsofSpec extends SparkSpec {
     assert(got.map(m => m.leftId ->
       (m.rightId, m.matched)).toMap == want(),
       "disordered streaming as-of diverged from batch")
+  }
+
+  test("nearest: time-sliced feed equals TemporalJoins.nearest") {
+    val all = events().sortBy(_.ts)
+    val cuts = Seq(all.size / 3, 2 * all.size / 3, all.size)
+    val feeds = (Seq(0) ++ cuts).sliding(2)
+      .map { case Seq(a, b) => all.slice(a, b) }.toSeq :+
+      Seq(sentinel(all, 366L * 86400L * 1000L))
+    val got = run(feeds, "0 seconds", "near_sliced", tolUs = TolUs)
+    assert(got.size == got.map(_.leftId).distinct.size,
+      "a left row emitted more than once")
+    assert(got.map(m => m.leftId ->
+      (m.rightId, m.matched)).toMap == nearestWant(),
+      "time-sliced streaming nearest diverged from batch")
+  }
+
+  test("nearest: fully disordered feed under a covering horizon") {
+    val all = events()
+    val span = all.map(_.ts.toEpochMilli).max - all.map(_.ts.toEpochMilli).min
+    val scrambled = all.sortBy(e => (e.ts.toEpochMilli % 7, e.id))
+    val half = scrambled.size / 2
+    val feeds = Seq(scrambled.take(half), scrambled.drop(half),
+      Seq(sentinel(all, 2 * span + 1)))
+    val got = run(feeds, s"${2 * span} milliseconds", "near_disordered",
+      tolUs = TolUs)
+    assert(got.map(m => m.leftId ->
+      (m.rightId, m.matched)).toMap == nearestWant(),
+      "disordered streaming nearest diverged from batch")
+  }
+
+  test("nearest: equal-distance neighbors resolve backward") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+    val rows = Seq(
+      Ev(7L, base, 0, 100L),                   // right, lt-60s
+      Ev(7L, base.plusSeconds(60), 1, 1L),     // left
+      Ev(7L, base.plusSeconds(120), 0, 200L))  // right, lt+60s
+    val got = run(Seq(rows, Seq(sentinel(rows, 86400000L))),
+      "0 seconds", "near_tie", tolUs = TolUs)
+    assert(got.map(m => m.leftId -> m.rightId).toMap == Map(1L -> 100L),
+      "distance tie must resolve to the backward partner")
   }
 
   test("pending lefts and right history survive a stop/restart") {
