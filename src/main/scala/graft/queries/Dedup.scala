@@ -71,6 +71,22 @@ object Dedup {
     }
   }
 
+  /** q36-qualified near-dup edges with INTEGER weights — the
+    * symmetric-difference shingle distance na+nb−2·inter per pair (how
+    * many shingles you would have to add or remove to turn one doc into
+    * the other). The weighted-graph input for [[graft.operators.Sssp]]:
+    * all-integer, so the distance map is engine-exact. */
+  private def weightedPairs(s: SparkSession, dir: String): DataFrame = {
+    val base = shingled(s, dir)
+    withScratch(base) {
+      candidatePairs(base)
+        .filter(col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double") >= 0.5)
+        .select(col("a_id"), col("b_id"),
+          (col("na") + col("nb") - lit(2) * col("inter")).as("w"))
+    }
+  }
+
   /** Candidate near-dup pairs with intersection and set sizes —
     * (a_id, b_id, inter, na, nb) — the posting-list pipeline shared by
     * Jaccard (q36/q65/q66/q81) and containment (q75) scoring. Pure
@@ -1514,6 +1530,115 @@ object Dedup {
         .run(jaccardPairs(s, dir).select(col("a_id"), col("b_id")), 2, 3)
         .select(col("node").as("doc_id"), col("deg"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q176: weighted contamination distance — SSSP (operators.Sssp, the
+    // seventh graph operator) over the near-dup graph with INTEGER
+    // symmetric-difference shingle weights (na+nb−2·inter: the add/
+    // remove edit count between shingle sets), from the q134 flagged
+    // seed set. q134's hop count treats a 0.95-Jaccard twin and a
+    // 0.50-Jaccard cousin as equally close; the weighted metric is what
+    // an expanding decontamination pass actually wants — a doc two
+    // near-identical edges away IS more contaminated than one strong
+    // hop's worth of drift away. 3 Bellman-Ford rounds = exact min path
+    // weight over ≤3-edge paths, a well-defined integer map (the
+    // q105/q129/q134 fixed-round doctrine), so the unrolled-CTE oracle
+    // hashes exactly. Scale: edges persist once pre-partitioned; each
+    // round shuffles only the improved-distance frontier (see Sssp
+    // scaladoc).
+    QuerySpec.sqlBacked("q176_sssp_drift", {
+      val rounds = (1 to 3).map { i =>
+        s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+           |  SELECT node, dist FROM d${i - 1}
+           |  UNION ALL
+           |  SELECT e.v AS node, d.dist + e.w AS dist
+           |  FROM e JOIN d${i - 1} d ON e.u = d.node) GROUP BY node)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH $jaccardPairsCtes,
+         |we AS (SELECT a_id, b_id, na + nb - 2 * inter AS w FROM pairs
+         |       WHERE CAST(inter AS DOUBLE)
+         |             / CAST(na + nb - inter AS DOUBLE) >= 0.5),
+         |e AS (SELECT a_id AS u, b_id AS v, w FROM we
+         |      UNION ALL SELECT b_id, a_id, w FROM we),
+         |d0 AS (SELECT DISTINCT u AS node, CAST(0 AS BIGINT) AS dist
+         |       FROM e WHERE u % 29 = 0),
+         |$rounds
+         |SELECT node AS doc_id, CAST(dist AS BIGINT) AS dist
+         |FROM d3 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val wp = weightedPairs(s, dir)
+      val nodes = wp.select(col("a_id").as("node"))
+        .union(wp.select(col("b_id").as("node"))).distinct()
+      val seeds = nodes.filter(col("node") % 29 === 0)
+      graft.operators.Sssp.run(wp, seeds, 3)
+        .select(col("node").as("doc_id"), col("dist"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q178: entity-resolution match scoring (Fellegi–Sunter shape) —
+    // the record-linkage step AFTER blocking: the posting-list stage
+    // proposes candidate pairs (ids only on the wire, df-capped — the
+    // same generation q36 trusts), then each pair is scored on a field
+    // AGREEMENT VECTOR with per-field integer log-odds-style weights:
+    // same lang +2/−3, same source +4/−1, sizes within 10% +3/−2,
+    // content Jaccard ≥ 0.5 +8/−4. Summed score thresholds into the
+    // classic three-way verdict (match / possible / non_match) — the
+    // clerical-review triage every linkage pipeline ships. All-integer
+    // scoring (the one double, the Jaccard ratio, is a single division
+    // both engines evaluate identically — the q36 contract), so the
+    // gate is a value hash, not a tolerance. Scale: candidates are
+    // blocking-bounded, metadata arrives by two id-keyed joins
+    // (payloads never ride the pair exchange), output ≤ candidate
+    // count; the weights-as-data shape means retraining them (the EM
+    // step of real FS) changes constants, not the plan.
+    QuerySpec.sqlBacked("q178_entity_resolution",
+      s"""WITH $candidateCtes,
+         |m AS (SELECT doc_id, lang, source, n_chars FROM documents),
+         |sc AS (SELECT p.a_id, p.b_id,
+         |    (CASE WHEN ma.lang = mb.lang THEN 2 ELSE -3 END)
+         |  + (CASE WHEN ma.source = mb.source THEN 4 ELSE -1 END)
+         |  + (CASE WHEN 10 * abs(ma.n_chars - mb.n_chars)
+         |            <= least(ma.n_chars, mb.n_chars) THEN 3 ELSE -2 END)
+         |  + (CASE WHEN CAST(p.inter AS DOUBLE)
+         |            / CAST(p.na + p.nb - p.inter AS DOUBLE) >= 0.5
+         |          THEN 8 ELSE -4 END) AS score
+         |  FROM pairs p
+         |  JOIN m ma ON p.a_id = ma.doc_id
+         |  JOIN m mb ON p.b_id = mb.doc_id)
+         |SELECT a_id, b_id, CAST(score AS BIGINT) AS score,
+         |  CASE WHEN score >= 10 THEN 'match'
+         |       WHEN score >= 3 THEN 'possible'
+         |       ELSE 'non_match' END AS verdict
+         |FROM sc ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val base = shingled(s, dir)
+      val docs = Tables(s, dir, "documents")
+      val meta = docs.select(col("doc_id"), col("lang"), col("source"),
+        col("n_chars"))
+      withScratch(base) {
+        val scored = candidatePairs(base)
+          .join(meta.select(col("doc_id").as("a_id"),
+            col("lang").as("la"), col("source").as("sa"),
+            col("n_chars").as("ca")), "a_id")
+          .join(meta.select(col("doc_id").as("b_id"),
+            col("lang").as("lb"), col("source").as("sb"),
+            col("n_chars").as("cb")), "b_id")
+          .select(col("a_id"), col("b_id"),
+            (when(col("la") === col("lb"), 2).otherwise(-3)
+              + when(col("sa") === col("sb"), 4).otherwise(-1)
+              + when(lit(10) * abs(col("ca") - col("cb"))
+                  <= least(col("ca"), col("cb")), 3).otherwise(-2)
+              + when(col("inter").cast("double") /
+                  (col("na") + col("nb") - col("inter")).cast("double")
+                    >= 0.5, 8).otherwise(-4)).cast("long").as("score"))
+        scored.select(col("a_id"), col("b_id"), col("score"),
+            when(col("score") >= 10, "match")
+              .when(col("score") >= 3, "possible")
+              .otherwise("non_match").as("verdict"))
+          .orderBy(col("a_id"), col("b_id"))
+      }
     }
   )
 
