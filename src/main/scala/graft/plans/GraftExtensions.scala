@@ -16,6 +16,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => SummaryRewrite)
     // PK-FK join elimination (no-op until an edge is declared)
     ext.injectOptimizerRule(_ => JoinElim)
+    // distinct elimination (no-op until a unique key is declared)
+    ext.injectOptimizerRule(_ => DistinctElim)
     // native ASOF join planning (no-op unless an AsofJoinPlan is present)
     ext.injectPlannerStrategy(_ => AsofStrategy)
     ext.injectFunction((

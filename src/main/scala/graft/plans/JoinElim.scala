@@ -80,7 +80,7 @@ object JoinElim extends Rule[LogicalPlan] with PredicateHelper {
     * filter conjunct collected on the way. The CALLER decides what the
     * filters may be: the fact side ignores them (row drops never break
     * integrity), the dim side admits only IsNotNull(pk) guards. */
-  private def sideWalk(plan: LogicalPlan)
+  private[plans] def sideWalk(plan: LogicalPlan)
       : Option[(String, Map[Long, String], Seq[Expression])] = plan match {
     case Filter(cond, child) =>
       sideWalk(child).map { case (p, m, fs) =>

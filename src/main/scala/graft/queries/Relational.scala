@@ -1297,6 +1297,37 @@ object Relational {
         .groupBy(col("k"), col("shape"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("k"))
+    },
+
+    // ------------------------------------------------------------------
+    // q177: DISTINCT elimination under a declared unique key — the
+    // third driver-gated optimizer rule (plans.DistinctElim, after
+    // q151's SummaryRewrite and q166's JoinElim). The query textually
+    // runs `.distinct()` over (o_orderkey, o_custkey, o_orderstatus);
+    // o_orderkey is the orders PRIMARY KEY (the q52-profile audit
+    // `count(*) = count(DISTINCT o_orderkey)` is what licenses the
+    // declaration), so the row set is duplicate-free by construction
+    // and the rule deletes the aggregate — the fail-loud require pins
+    // that NO Aggregate survives in the optimized plan. The ORACLE runs
+    // the real SELECT DISTINCT, so the driver's hash gate is exactly
+    // the elimination's semantic-identity claim. At 100 TB a distinct
+    // is a full-corpus hash exchange; deleting a provably-no-op one is
+    // the single largest shuffle a uniqueness contract can save.
+    QuerySpec.sqlBacked("q177_distinct_elim",
+      """SELECT DISTINCT o_orderkey, o_custkey, o_orderstatus
+        |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      graft.plans.DistinctElim.declare(s, s"$dir/orders.parquet",
+        "o_orderkey")
+      val df = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+        .distinct()
+        .orderBy(col("o_orderkey"))
+      val aggs = df.queryExecution.optimizedPlan.collect {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      require(aggs.isEmpty,
+        s"q177: the distinct was not eliminated (${aggs.size} Aggregate)")
+      df
     }
   )
 
