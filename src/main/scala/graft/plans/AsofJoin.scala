@@ -39,8 +39,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * exactly as it does for a SortMergeJoin — AQE coalescing included;
   * `outputOrdering`/`outputPartitioning` advertise the left side's, so
   * a downstream per-key operation reuses the sort. The node is opaque
-  * to rewrite rules (a correctness barrier, like every custom node);
-  * callers pre-project the children, which is where pruning happens.
+  * to the BUILT-IN rewrite rules (a correctness barrier, like every
+  * custom node); [[AsofPrune]] restores column pruning and left-side
+  * filter pushdown through it, so scans underneath keep their narrow
+  * `ReadSchema` and `PushedFilters` without caller pre-projection.
   *
   * Keys may be any atomic type (interpreted ordering; UTF8String keys
   * are defensively copied out of the reused cursor row); `ts` must be
@@ -69,6 +71,9 @@ object AsofJoin {
     if (!spark.experimental.extraStrategies.contains(AsofStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsofStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsofPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofPrune
     // self-join hazard: if both frames derive from one scan, their
     // attributes share exprIds, and an optimizer rule seeing the left
     // side already "provide" user_id#N prunes it off the right child

@@ -20,6 +20,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => DistinctElim)
     // native ASOF join planning (no-op unless an AsofJoinPlan is present)
     ext.injectPlannerStrategy(_ => AsofStrategy)
+    // pruning/pushdown through the ASOF node (same no-op condition)
+    ext.injectOptimizerRule(_ => AsofPrune)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

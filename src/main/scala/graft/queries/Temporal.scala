@@ -1177,6 +1177,45 @@ object Temporal {
           coalesce(col("channel"), lit("none")).as("channel"),
           abs(unix_micros(col("ts")) - col("rts_us")).as("gap_us"))
         .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q179: the PRUNED native as-of — q169's join written the way a
+    // user actually writes it: filter and narrow projection AFTER the
+    // join, not hand-pushed into the inputs. Every custom logical node
+    // is a barrier to Catalyst's ColumnPruning/PushDownPredicates, so
+    // without plans.AsofPrune (the library's fourth optimizer rule)
+    // this shape reads every event column on both sides and asof-joins
+    // EVERY click before discarding 6/7 of them — at 100 TB the
+    // difference between a two-column pushed-predicate scan and a
+    // full-width full-corpus merge. The rule sinks the left-only
+    // deterministic conjunct (user_id % 7 = 0) below the node and
+    // prunes both children to the referenced columns plus join
+    // key/ts (view_value is requested as payload, never read, and
+    // vanishes from the right scan). The driver gate is answer-identity
+    // with the rule firing; AsofPruneSpec pins the plan shape itself
+    // (narrow ReadSchema, PushedFilters, payload predicates NOT pushed)
+    // and the rule-off differential.
+    QuerySpec.sqlBacked("q179_asof_pruned",
+      """SELECT a.event_id, b.event_id AS view_id
+        |FROM (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |      WHERE event_type = 'click' AND user_id % 7 = 0) a
+        |ASOF LEFT JOIN
+        |     (SELECT * REPLACE (CAST(ts AS TIMESTAMP) AS ts) FROM events
+        |      WHERE event_type = 'view') b
+        |  ON a.user_id = b.user_id AND b.ts <= a.ts
+        |ORDER BY a.event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("view_id"), col("value").as("view_value"))
+      graft.plans.AsofJoin.join(clicks, views, "user_id", "ts",
+          Seq("view_id", "view_value"))
+        .filter(col("user_id") % 7 === 0) // post-join: the rule's job
+        .select(col("event_id"), col("view_id"))
+        .orderBy(col("event_id"))
     }
   )
 

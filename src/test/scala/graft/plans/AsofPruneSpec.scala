@@ -1,0 +1,90 @@
+package graft.plans
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[AsofPrune]] — column pruning and left-filter pushdown through the
+  * native ASOF node must reach the parquet scans (narrow `ReadSchema`,
+  * populated `PushedFilters`) AND be answer-preserving against the
+  * unpruned plan on the same data. */
+class AsofPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("asof_prune").toString
+    val rnd = new scala.util.Random(7)
+    List.tabulate(400)(i =>
+      (i % 9, (rnd.nextInt(5000) * 2 + 1).toLong, 1000 + i,
+        s"extraL$i", i * 1.5))
+      .toDF("k", "us", "lid", "l_unused", "l_also_unused")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("lid"),
+        col("l_unused"), col("l_also_unused"))
+      .write.parquet(s"$d/left")
+    List.tabulate(500)(i => (i % 9, (rnd.nextInt(5000) * 2).toLong,
+        2000 + i, s"extraR$i", i.toLong))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toList
+      .toDF("k", "us", "rid", "r_unused", "r_also_unused")
+      .select(col("k"), timestamp_micros(col("us")).as("t"), col("rid"),
+        col("r_unused"), col("r_also_unused"))
+      .write.parquet(s"$d/right")
+    d
+  }
+
+  private def query = AsofJoin.join(
+      spark.read.parquet(s"$dir/left"), spark.read.parquet(s"$dir/right"),
+      "k", "t", Seq("rid", "r_unused"))
+    .filter(col("lid") < 1300)
+    .select(col("lid"), col("rid"))
+
+  test("scan ReadSchema is pruned and the left filter is pushed") {
+    val physical = query.queryExecution.executedPlan.toString
+    assert(!physical.contains("l_unused"),
+      s"left scan kept an unused column:\n$physical")
+    assert(!physical.contains("r_unused"),
+      s"right scan kept an unused payload column:\n$physical")
+    assert(physical.contains("LessThan(lid,1300)"),
+      s"left predicate not pushed to the scan:\n$physical")
+    // the node itself must still be planned natively
+    assert(physical.contains("AsofJoin"), physical)
+  }
+
+  test("pruned plan equals the rule-free plan row for row") {
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getInt(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    val pruned = collectPairs(query)
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations =
+      before.filterNot(_ == AsofPrune)
+    try {
+      val bare = collectPairs(query)
+      assert(pruned == bare)
+      assert(pruned.nonEmpty && pruned.values.exists(_.isDefined))
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("payload-referencing and non-deterministic conjuncts stay above") {
+    val df = AsofJoin.join(
+        spark.read.parquet(s"$dir/left"), spark.read.parquet(s"$dir/right"),
+        "k", "t", Seq("rid"))
+      .filter(col("rid") > 2100 && col("lid") < 1350)
+      .select(col("lid"), col("rid"))
+    val physical = df.queryExecution.executedPlan.toString
+    // the left-only conjunct reaches the scan; the payload one must NOT
+    // (pre-join filtering of right rows would change who matches)
+    assert(physical.contains("LessThan(lid,1350)"), physical)
+    assert(!physical.contains("GreaterThan(rid,2100)"),
+      s"payload predicate was pushed into a scan:\n$physical")
+    // and the answer agrees with the composed tier-(a) form
+    val composed = graft.operators.TemporalJoins.asof(
+        spark.read.parquet(s"$dir/left"), spark.read.parquet(s"$dir/right"),
+        "k", "t", Seq("rid"))
+      .filter(col("rid") > 2100 && col("lid") < 1350)
+      .select(col("lid"), col("rid"))
+    assert(df.collect().map(_.toSeq).toSet ==
+      composed.collect().map(_.toSeq).toSet)
+  }
+}
