@@ -939,6 +939,76 @@ object TextOps {
             .as("dup_frac"),
           (col("dup_occ") * 5 >= col("n_grams")).as("is_repetitive"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q180: interpolated Kneser–Ney bigram probabilities — the smoothed
+    // LM estimate a quality-filtering pipeline scores text against
+    // (CCNet-style perplexity proxies start exactly here), and the step
+    // AFTER q106's raw counts / q130's BPE merges in tokenizer-and-LM
+    // prep. With discount D = 3/4,
+    //   P_KN(w2|w1) = (c−D)/c(w1•) + D·N1+(w1,•)/c(w1•) · N1+(•,w2)/B
+    // over observed bigrams — every term a count ratio, so multiplying
+    // through by 4·c(w1•)·B gives the EXACT rational
+    //   kn_num/kn_den = ((4c−3)·B + 3·N1+(w1,•)·N1+(•,w2)) / (4·c(w1•)·B)
+    // in pure BIGINT arithmetic: no libm, no float rounding, the hash
+    // gate compares the probability itself (the q99/q112 doctrine taken
+    // all the way — not even a final double division). Scale: the
+    // explode collapses to ≤ vocab² keys under map-side partials
+    // (q106's wire argument); the three stat frames are vocab-bounded
+    // dimensions joined back onto the bigram table; B is a ONE-ROW
+    // broadcast. Nothing corpus-sized crosses an exchange after the
+    // first aggregate. The divide-compare guard fails loudly where
+    // (4c−3)·B would leave Long — at that B, widen to DECIMAL — rather
+    // than silently wrapping where DuckDB would error (q172 doctrine).
+    QuerySpec.sqlBacked("q180_kneser_ney",
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2,
+        |         CAST(count(*) AS BIGINT) AS c
+        |       FROM w, unnest(range(1, len(ws))) AS t(i) GROUP BY w1, w2),
+        |uni AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+        |          CAST(count(*) AS BIGINT) AS n1w1 FROM bi GROUP BY w1),
+        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+        |         FROM bi GROUP BY w2),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi)
+        |SELECT bi.w1, bi.w2 AS w2, c, cw1, n1w1, ncont,
+        |  CAST((4 * c - 3) * b + 3 * n1w1 * ncont AS BIGINT) AS kn_num,
+        |  CAST(4 * cw1 * b AS BIGINT) AS kn_den
+        |FROM bi JOIN uni USING (w1) JOIN cont ON bi.w2 = cont.w2, tot
+        |WHERE c >= 5 ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      val bi = Tables.spread(s, dir, "documents")
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+      val uni = bi.groupBy(col("w1"))
+        .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
+      val cont = bi.groupBy(col("w2"))
+        .agg(count(lit(1)).as("ncont"))
+      val tot = bi.agg(count(lit(1)).as("b"))
+      bi.filter(col("c") >= 5)
+        .join(uni, "w1").join(cont, "w2")
+        .crossJoin(broadcast(tot))
+        // guard BEFORE the products, divide-compare only (the guard
+        // itself must not wrap): each addend of kn_num gets half the
+        // Long headroom, kn_den the whole of it
+        .withColumn("b", when(
+          (col("c") * 4 > expr("4500000000000000000L div b")) ||
+          (col("cw1") * 4 > expr("9000000000000000000L div b")) ||
+          (col("n1w1") > expr("1500000000000000000L div ncont")),
+          expr("raise_error('graft q180: Kneser-Ney numerator exceeds " +
+            "BIGINT headroom - widen to DECIMAL')").cast("long"))
+          .otherwise(col("b")))
+        .select(col("w1"), col("w2"), col("c"), col("cw1"), col("n1w1"),
+          col("ncont"),
+          ((col("c") * 4 - 3) * col("b")
+            + col("n1w1") * col("ncont") * 3).as("kn_num"),
+          (col("cw1") * 4 * col("b")).as("kn_den"))
+        .orderBy(col("w1"), col("w2"))
     }
   )
 
