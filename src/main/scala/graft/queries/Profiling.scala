@@ -1035,6 +1035,42 @@ object Profiling {
     },
 
     // ------------------------------------------------------------------
+    // q181: l-diversity audit — k-anonymity's (q171) stronger sibling:
+    // a QI cell can hold k >= 5 members and STILL leak if they all
+    // share one sensitive value (the homogeneity attack). Sensitive
+    // attribute here: the order priority of the cell's members' orders;
+    // any cell whose members' orders show fewer than l = 3 distinct
+    // priorities is the disclosure worklist. Same QI tuple as q171, so
+    // the two audits compose into one release gate. Scale: the fact
+    // join shuffles on custkey exactly once (or broadcasts the pruned
+    // customer dim), then ONE aggregate keyed by the QI tuple;
+    // count(DISTINCT) runs as Spark's standard two-phase expand — both
+    // exchanges bounded by |cells| x |priority domain|, output by the
+    // violating-cell count.
+    QuerySpec.sqlBacked("q181_ldiversity",
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bin,
+        |  CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_div
+        |FROM customer JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_nationkey, c_mktsegment, bal_bin
+        |HAVING count(DISTINCT o_orderpriority) < 3
+        |ORDER BY c_nationkey, c_mktsegment, bal_bin""".stripMargin) {
+      (s, dir) =>
+      Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bin"))
+        .join(Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderpriority")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bin"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_orderpriority")).as("l_div"))
+        .filter(col("l_div") < 3)
+        .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bin"))
+    },
+
+    // ------------------------------------------------------------------
     // q173: winsorized robust statistics — per event type, the p10/p90
     // cut points of the cents distribution and the mean AFTER clipping
     // to them: the robust feature-scaling step that keeps one fat-tailed
