@@ -76,6 +76,40 @@ object Profiling {
       .withColumn("rnw", col("cum") - col("off"))
   }
 
+  /** q182's allocation core, factored so WaterfillSpec can drive it with
+    * adversarial synthetic supplies (the sf0.01 corpus is near-uniform
+    * and never exercises the capped branch). Input: (source, supply)
+    * rows, all supplies >= 0. Output: (source, supply, capped, alloc)
+    * with Σalloc = 3·Σsupply div 5 exactly — see the q182 comment for
+    * the prefix-property argument the single window pass rests on. */
+  private[queries] def waterfill(sup: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tot = sup.agg(expr("3 * sum(supply) div 5").as("budget"),
+      count(lit(1)).as("n"))
+    val w = Window.orderBy(col("supply"), col("source"))
+    val o = sup.select(col("source"), col("supply"),
+      row_number().over(w).cast("long").as("rn"),
+      sum(col("supply")).over(w).as("cum"))
+    val c = o.crossJoin(broadcast(tot))
+      .withColumn("capped",
+        when(col("supply") * (col("n") - col("rn") + 1)
+          <= col("budget") - (col("cum") - col("supply")), 1L)
+          .otherwise(0L))
+    val k = c.agg(coalesce(sum(col("capped")), lit(0L)).as("nc"),
+      coalesce(sum(when(col("capped") === 1, col("supply"))), lit(0L))
+        .as("cumc"))
+    c.crossJoin(broadcast(k))
+      .select(col("source"), col("supply"),
+        (col("capped") === 1).as("capped"),
+        when(col("capped") === 1, col("supply"))
+          .otherwise(expr("(budget - cumc) div (n - nc)")
+            + when(col("rn") - col("nc")
+                <= (col("budget") - col("cumc")) % (col("n") - col("nc")),
+                1L).otherwise(0L))
+          .as("alloc"))
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -1068,6 +1102,56 @@ object Profiling {
           countDistinct(col("o_orderpriority")).as("l_div"))
         .filter(col("l_div") < 3)
         .orderBy(col("c_nationkey"), col("c_mktsegment"), col("bal_bin"))
+    },
+
+    // ------------------------------------------------------------------
+    // q182: water-filling token-budget allocation — the training-MIX
+    // planner: given each source's token supply and a total budget
+    // (60% of the corpus here), the max-min fair allocation gives every
+    // source min(supply, L) with the water level L set so allocations
+    // sum EXACTLY to the budget. This is the step that decides per-
+    // domain sampling quotas before q123/q125 materialize them. Exact
+    // in integers: sources sorted by ascending supply, a source is
+    // CAPPED (takes its full supply) iff
+    //   supply · (remaining sources) <= budget − (smaller supplies),
+    // and that condition is provably monotone down the sort (f(i+1) −
+    // f(i) = (s_i − s_{i+1})(N − i) <= 0), so the capped set is a
+    // PREFIX — one cumulative-sum window pass decides it, no iteration.
+    // The leftover divides as div/mod with the mod distributed one
+    // token each to the first `rem` uncapped sources (deterministic,
+    // and each gets <= its supply: the first uncapped source's supply
+    // strictly exceeds the level by the defining inequality). Scale:
+    // the corpus pays ONE map-side-combined count aggregate; everything
+    // after runs on the |sources|-row dimension (the single-partition
+    // window over 20 rows is the documented benign class — bounded by
+    // the source count, never the corpus).
+    QuerySpec.sqlBacked("q182_token_waterfill",
+      """WITH s AS (SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT CAST(3 * sum(supply) // 5 AS BIGINT) AS budget,
+        |        CAST(count(*) AS BIGINT) AS n FROM s),
+        |o AS (SELECT source, supply,
+        |    CAST(row_number() OVER (ORDER BY supply, source) AS BIGINT)
+        |      AS rn,
+        |    CAST(sum(supply) OVER (ORDER BY supply, source
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s),
+        |c AS (SELECT o.*, budget, n,
+        |    CASE WHEN supply * (n - rn + 1) <= budget - (cum - supply)
+        |         THEN 1 ELSE 0 END AS capped FROM o, t),
+        |k AS (SELECT CAST(coalesce(sum(capped), 0) AS BIGINT) AS nc,
+        |    CAST(coalesce(sum(CASE WHEN capped = 1 THEN supply END), 0)
+        |      AS BIGINT) AS cumc FROM c)
+        |SELECT source, supply, capped = 1 AS capped,
+        |  CAST(CASE WHEN capped = 1 THEN supply
+        |    ELSE (budget - cumc) // (n - nc)
+        |      + (CASE WHEN rn - nc <= (budget - cumc) % (n - nc)
+        |              THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+        |FROM c, k ORDER BY source""".stripMargin) { (s, dir) =>
+      waterfill(Tables.spread(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(size(split(col("text"), " ")).cast("long")).as("supply")))
+        .orderBy(col("source"))
     },
 
     // ------------------------------------------------------------------
