@@ -87,4 +87,35 @@ class AsofPruneSpec extends SparkSpec {
     assert(df.collect().map(_.toSeq).toSet ==
       composed.collect().map(_.toSeq).toSet)
   }
+
+  test("randomized differential: any filter/projection mix, rule == no rule") {
+    import org.apache.spark.sql.Column
+    val rnd = new scala.util.Random(19)
+    val preds: Seq[Column] = Seq(col("lid") < 1200, col("k") =!= 3,
+      col("rid") > 2050, col("l_also_unused") > 90.0, col("rid").isNull,
+      col("lid") % 2 === 0)
+    val projs: Seq[Seq[Column]] = Seq(
+      Seq(col("lid"), col("rid")), Seq(col("lid")),
+      Seq(col("rid"), col("l_unused")),
+      Seq(col("k"), col("lid"), col("rid"), col("r_unused")))
+    for (trial <- 1 to 8) {
+      val pred = preds(rnd.nextInt(preds.length)) &&
+        preds(rnd.nextInt(preds.length))
+      val proj = projs(rnd.nextInt(projs.length))
+      def q = AsofJoin.join(
+          spark.read.parquet(s"$dir/left"),
+          spark.read.parquet(s"$dir/right"),
+          "k", "t", Seq("rid", "r_unused"))
+        .filter(pred).select(proj: _*)
+      val withRule = q.collect().map(_.toSeq).toSeq
+        .sortBy(_.mkString("|"))
+      val before = spark.experimental.extraOptimizations
+      spark.experimental.extraOptimizations =
+        before.filterNot(_ == AsofPrune)
+      try {
+        val bare = q.collect().map(_.toSeq).toSeq.sortBy(_.mkString("|"))
+        assert(withRule == bare, s"trial $trial: pred=$pred proj=$proj")
+      } finally spark.experimental.extraOptimizations = before
+    }
+  }
 }
