@@ -962,55 +962,129 @@ object TextOps {
     // (4c−3)·B would leave Long — at that B, widen to DECIMAL — rather
     // than silently wrapping where DuckDB would error (q172 doctrine).
     QuerySpec.sqlBacked("q180_kneser_ney",
-      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents
-        |           WHERE len(string_split(text, ' ')) >= 2),
-        |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2,
-        |         CAST(count(*) AS BIGINT) AS c
-        |       FROM w, unnest(range(1, len(ws))) AS t(i) GROUP BY w1, w2),
-        |uni AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
-        |          CAST(count(*) AS BIGINT) AS n1w1 FROM bi GROUP BY w1),
-        |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
-        |         FROM bi GROUP BY w2),
-        |tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi)
-        |SELECT bi.w1, bi.w2 AS w2, c, cw1, n1w1, ncont,
-        |  CAST((4 * c - 3) * b + 3 * n1w1 * ncont AS BIGINT) AS kn_num,
-        |  CAST(4 * cw1 * b AS BIGINT) AS kn_den
-        |FROM bi JOIN uni USING (w1) JOIN cont ON bi.w2 = cont.w2, tot
-        |WHERE c >= 5 ORDER BY w1, w2""".stripMargin) { (s, dir) =>
-      val bi = Tables.spread(s, dir, "documents")
-        .select(split(col("text"), " ").as("ws"))
+      s"""WITH $knCtesSql
+         |SELECT w1, w2, c, cw1, n1w1, ncont, kn_num, kn_den
+         |FROM kn WHERE c >= 5 ORDER BY w1, w2""".stripMargin) { (s, dir) =>
+      knScores(s, dir, minC = 5L)
+        .orderBy(col("w1"), col("w2"))
+    },
+
+    // ------------------------------------------------------------------
+    // q183: bigram-fluency filter — the model-based quality gate q180's
+    // LM exists to power: score every document by how many of its
+    // adjacent bigrams fall below a probability floor (P_KN < 1/1000),
+    // flag docs where ≥ 20% do. This is the perplexity-filter shape
+    // (CCNet et al.) with the log-space score replaced by an exact
+    // threshold COUNT, so the decision is pure integer: P < 1/1000 on
+    // the rational kn_num/kn_den is kn_num ≤ ceil(kn_den/1000) − 1 —
+    // cross-multiplication without the ×1000 that could leave Long near
+    // the guard boundary — and the flag cross-multiplies 5·n_low ≥ n
+    // (the q150 rule). An UNSEEN bigram (NULL after the left join —
+    // impossible self-scored, the held-out case) counts low by
+    // definition. Scale: doc pairs re-join the model on (w1, w2) —
+    // the model side is vocab²-bounded (broadcast here; bucketed join
+    // once vocab² outgrows it), and broadcasting the model is also what
+    // neutralizes the Zipf skew of stopword pairs, which would make any
+    // shuffled join's hottest key arbitrarily hot. One aggregate keyed
+    // by doc_id closes it out.
+    QuerySpec.sqlBacked("q183_fluency_filter",
+      s"""WITH $knCtesSql,
+         |p AS (SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+         |        FROM documents WHERE len(string_split(text, ' ')) >= 2),
+         |       unnest(range(1, len(ws))) AS t(i))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(CASE WHEN kn_num IS NULL
+         |      OR kn_num <= (kn_den + 999) // 1000 - 1
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+         |  5 * sum(CASE WHEN kn_num IS NULL
+         |      OR kn_num <= (kn_den + 999) // 1000 - 1
+         |    THEN 1 ELSE 0 END) >= count(*) AS is_disfluent
+         |FROM p LEFT JOIN kn USING (w1, w2)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val pairs = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
         .filter(size(col("ws")) >= 2)
-        .select(explode(expr(
+        .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
           .as("p"))
-        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).as("c"))
-      val uni = bi.groupBy(col("w1"))
-        .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
-      val cont = bi.groupBy(col("w2"))
-        .agg(count(lit(1)).as("ncont"))
-      val tot = bi.agg(count(lit(1)).as("b"))
-      bi.filter(col("c") >= 5)
-        .join(uni, "w1").join(cont, "w2")
-        .crossJoin(broadcast(tot))
-        // guard BEFORE the products, divide-compare only (the guard
-        // itself must not wrap): each addend of kn_num gets half the
-        // Long headroom, kn_den the whole of it
-        .withColumn("b", when(
-          (col("c") * 4 > expr("4500000000000000000L div b")) ||
-          (col("cw1") * 4 > expr("9000000000000000000L div b")) ||
-          (col("n1w1") > expr("1500000000000000000L div ncont")),
-          expr("raise_error('graft q180: Kneser-Ney numerator exceeds " +
-            "BIGINT headroom - widen to DECIMAL')").cast("long"))
-          .otherwise(col("b")))
-        .select(col("w1"), col("w2"), col("c"), col("cw1"), col("n1w1"),
-          col("ncont"),
-          ((col("c") * 4 - 3) * col("b")
-            + col("n1w1") * col("ncont") * 3).as("kn_num"),
-          (col("cw1") * 4 * col("b")).as("kn_den"))
-        .orderBy(col("w1"), col("w2"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+      val model = knScores(s, dir)
+        .select(col("w1"), col("w2"), col("kn_num"), col("kn_den"))
+      val low = col("kn_num").isNull ||
+        col("kn_num") <= expr("(kn_den + 999) div 1000") - 1
+      pairs.join(broadcast(model), Seq("w1", "w2"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(when(low, 1L).otherwise(0L)).as("n_low"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_low"),
+          (col("n_low") * 5 >= col("n_bigrams")).as("is_disfluent"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** q180/q183's shared model CTEs: bigram counts (bi), left-context
+    * totals and continuation fan-outs (uni/cont), the distinct-bigram
+    * total (tot), and `kn` — every observed bigram with its interpolated
+    * Kneser–Ney probability as the exact BIGINT rational kn_num/kn_den
+    * (discount 3/4; see the q180 comment for the algebra). ONE
+    * definition consumed by both gates, so the model q183 scores with is
+    * provably the model q180 publishes. */
+  private def knCtesSql =
+    """w AS (SELECT string_split(text, ' ') AS ws FROM documents
+      |           WHERE len(string_split(text, ' ')) >= 2),
+      |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2,
+      |         CAST(count(*) AS BIGINT) AS c
+      |       FROM w, unnest(range(1, len(ws))) AS t(i) GROUP BY w1, w2),
+      |uni AS (SELECT w1, CAST(sum(c) AS BIGINT) AS cw1,
+      |          CAST(count(*) AS BIGINT) AS n1w1 FROM bi GROUP BY w1),
+      |cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont
+      |         FROM bi GROUP BY w2),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS b FROM bi),
+      |kn AS (SELECT bi.w1 AS w1, bi.w2 AS w2, c, cw1, n1w1, ncont,
+      |  CAST((4 * c - 3) * b + 3 * n1w1 * ncont AS BIGINT) AS kn_num,
+      |  CAST(4 * cw1 * b AS BIGINT) AS kn_den
+      |  FROM bi JOIN uni USING (w1) JOIN cont ON bi.w2 = cont.w2, tot)"""
+      .stripMargin
+
+  /** The Spark twin of [[knCtesSql]]'s `kn` table: KN-scored bigrams
+    * with `minC` pruning the bigram table BEFORE the stat joins (q180
+    * publishes c >= 5; q183's model takes everything). The
+    * divide-compare guard fails loudly where (4c−3)·B would leave
+    * Long — widen to DECIMAL there — rather than silently wrapping
+    * where DuckDB would error (q172 doctrine); each addend of kn_num
+    * gets half the headroom, kn_den the whole of it. */
+  private def knScores(s: SparkSession, dir: String,
+      minC: Long = 1L): org.apache.spark.sql.DataFrame = {
+    val bi = Tables.spread(s, dir, "documents")
+      .select(split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+        .as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val uni = bi.groupBy(col("w1"))
+      .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
+    val cont = bi.groupBy(col("w2"))
+      .agg(count(lit(1)).as("ncont"))
+    val tot = bi.agg(count(lit(1)).as("b"))
+    (if (minC > 1L) bi.filter(col("c") >= minC) else bi)
+      .join(uni, "w1").join(cont, "w2")
+      .crossJoin(broadcast(tot))
+      .withColumn("b", when(
+        (col("c") * 4 > expr("4500000000000000000L div b")) ||
+        (col("cw1") * 4 > expr("9000000000000000000L div b")) ||
+        (col("n1w1") > expr("1500000000000000000L div ncont")),
+        expr("raise_error('graft q180: Kneser-Ney numerator exceeds " +
+          "BIGINT headroom - widen to DECIMAL')").cast("long"))
+        .otherwise(col("b")))
+      .select(col("w1"), col("w2"), col("c"), col("cw1"), col("n1w1"),
+        col("ncont"),
+        ((col("c") * 4 - 3) * col("b")
+          + col("n1w1") * col("ncont") * 3).as("kn_num"),
+        (col("cw1") * 4 * col("b")).as("kn_den"))
+  }
 
   /** The q130 oracle's training chain as shared CTEs: v0 (word
     * histogram, space-separated symbol repr) through b1/v1 … b{r}/v{r}
