@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // a 180+-query single-JVM sweep generates thousands of whole-stage
+  // codegen classes; the JDK17 default 240m code cache is sized for
+  // far smaller programs. Headroom so compiled methods are never
+  // flushed mid-sweep (A/B'd total-neutral at today's ledger size —
+  // this is insurance for sweep growth, not a measured win).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -322,7 +322,22 @@ object Plans {
         "integrity edge and re-aliased pk onto fk. What remains is the " +
         "bare fact aggregate; the in-query require fails the sweep if " +
         "the rule ever stops firing.",
-      details = Seq("ReadSchema")))
+      details = Seq("ReadSchema")),
+    Entry("q179_asof_pruned",
+      "Pruning THROUGH the custom node: the query filters and narrows " +
+        "AFTER the native ASOF join, and plans.AsofPrune carries both " +
+        "below it - the events scans show the pushed user_id % 7 " +
+        "predicate and a ReadSchema without view_value (requested as " +
+        "payload, never read). Without the rule the node is a barrier " +
+        "and both sides scan full-width at full cardinality.",
+      details = Seq("PushedFilters", "ReadSchema")),
+    Entry("q183_fluency_filter",
+      "Model-scoring join shape: the KN model (vocab2-bounded) is the " +
+        "BroadcastHashJoin build side, so the Zipf-hot stopword pairs " +
+        "of the corpus probe side never shuffle - the skew-neutral " +
+        "form of every model-based quality filter. One doc_id-keyed " +
+        "aggregate with map-side partials closes it.",
+      details = Seq("BroadcastHashJoin")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
