@@ -88,4 +88,55 @@ class IncrementalChangepointSpec extends SparkSpec {
     } finally q.stop()
     } finally spark.conf.set(provider, prev)
   }
+
+  test("day histograms survive a stop/restart from checkpoint") {
+    import IncrementalFeatures.Ev
+    import IncrementalChangepoint.Cp
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_cp_src").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_cp_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_cp_out").toString
+      def startQuery() = StreamEnv(spark).fromDataset(
+          spark.readStream
+            .schema("userId LONG, day LONG, cents LONG")
+            .parquet(srcDir).as[Ev])
+        .keyBy(_.userId)
+        .transformWithState(new IncrementalChangepointProcessor,
+          TimeMode.None(), OutputMode.Update())
+        .toDataset
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Cp], _: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Update).start()
+      // batch 1: seven quiet days — below the emission threshold, so
+      // everything lives ONLY in state when the query stops
+      (1L to 7L).map(d => Ev(5L, d, 10L)).toDF()
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+      // restart: the eighth day (a large shift) arrives alone — the
+      // emitted changepoint can only be right if the histogram recovered
+      Seq(Ev(5L, 8L, 1000L)).toDF()
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir).as[Cp].collect().toSeq
+        assert(out.nonEmpty, "no emission after restart: state lost")
+        val last = out.maxBy(_.seq)
+        assert(last.nDays == 8L && last.cpI == 7L && last.cpDay == 7L,
+          s"recovered history wrong: $last")
+      } finally q2.stop()
+    } finally spark.conf.set(provider, prev)
+  }
 }
