@@ -1020,6 +1020,81 @@ object TextOps {
         .select(col("doc_id"), col("n_bigrams"), col("n_low"),
           (col("n_low") * 5 >= col("n_bigrams")).as("is_disfluent"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q184: per-source bigram divergence — total-variation distance
+    // between each source's bigram distribution and the whole corpus:
+    // the inter-domain similarity signal that tells q182's mixture
+    // planner WHICH sources are redundant with the mix and which add
+    // coverage (DoReMi-style reweighting starts from exactly this
+    // matrix). Exact integers end-to-end (the q128 TV doctrine — no
+    // KL/PSI, whose libm logs diverge across engines): over the
+    // source's own bigrams, |c_s·n − c·n_s|; the corpus mass the source
+    // NEVER emits contributes (n − cov_s)·n_s in one closed term, so no
+    // outer join against the full vocabulary is ever materialized.
+    // tv = tv_num / (2·n_s·n), division last. Shape: ONE corpus scan
+    // builds the (source, w1, w2) counts; the corpus marginal re-
+    // aggregates THAT (vocab²-bounded, broadcast back); the per-source
+    // close-out is a |sources|-row aggregate. Guard: n_s·n must stay in
+    // Long — at 100 TB token counts the products leave BIGINT and the
+    // query must raise (widen to DECIMAL), never wrap (q172 doctrine).
+    QuerySpec.sqlBacked("q184_source_divergence",
+      """WITH w AS (SELECT source, string_split(text, ' ') AS ws
+        |           FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 2),
+        |sb AS (SELECT source, ws[i] AS w1, ws[i+1] AS w2,
+        |         CAST(count(*) AS BIGINT) AS cs
+        |       FROM w, unnest(range(1, len(ws))) AS t(i)
+        |       GROUP BY source, w1, w2),
+        |cb AS (SELECT w1, w2, CAST(sum(cs) AS BIGINT) AS c
+        |       FROM sb GROUP BY w1, w2),
+        |ns AS (SELECT source, CAST(sum(cs) AS BIGINT) AS n_s
+        |       FROM sb GROUP BY source),
+        |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS n FROM sb)
+        |SELECT sb.source AS source, n_s,
+        |  CAST(sum(abs(cs * n - c * n_s))
+        |    + (n - sum(c)) * n_s AS BIGINT) AS tv_num,
+        |  CAST(2 * n_s * n AS BIGINT) AS tv_den,
+        |  CAST(CAST(sum(abs(cs * n - c * n_s))
+        |      + (n - sum(c)) * n_s AS BIGINT) AS DOUBLE)
+        |    / CAST(2 * n_s * n AS DOUBLE) AS tv
+        |FROM sb JOIN cb USING (w1, w2) JOIN ns ON sb.source = ns.source,
+        |     tot
+        |GROUP BY sb.source, n_s, n ORDER BY source""".stripMargin) {
+      (s, dir) =>
+      val sb = Tables.spread(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(col("source"), explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+          .as("p"))
+        .groupBy(col("source"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("cs"))
+      val cb = sb.groupBy(col("w1"), col("w2")).agg(sum(col("cs")).as("c"))
+      val ns = sb.groupBy(col("source")).agg(sum(col("cs")).as("n_s"))
+      val tot = sb.agg(sum(col("cs")).as("n"))
+      sb.join(broadcast(cb), Seq("w1", "w2"))
+        .join(broadcast(ns), "source")
+        .crossJoin(broadcast(tot))
+        // divide-compare guard BEFORE any product (c·n_s ≤ n·n_s is the
+        // largest factor pair; tv_den doubles it)
+        .withColumn("n", when(
+          col("n_s") > expr("4500000000000000000L div n"),
+          expr("raise_error('graft q184: n_s * n exceeds BIGINT " +
+            "headroom - widen to DECIMAL')").cast("long"))
+          .otherwise(col("n")))
+        .groupBy(col("source"), col("n_s"), col("n"))
+        .agg(sum(abs(col("cs") * col("n") - col("c") * col("n_s")))
+          .as("present_num"), sum(col("c")).as("cov"))
+        .select(col("source"), col("n_s"),
+          (col("present_num") + (col("n") - col("cov")) * col("n_s"))
+            .as("tv_num"),
+          (col("n_s") * col("n") * 2).as("tv_den"),
+          ((col("present_num") + (col("n") - col("cov")) * col("n_s"))
+            .cast("double") / (col("n_s") * col("n") * 2).cast("double"))
+            .as("tv"))
+        .orderBy(col("source"))
     }
   )
 
