@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => AsofStrategy)
     // pruning/pushdown through the ASOF node (same no-op condition)
     ext.injectOptimizerRule(_ => AsofPrune)
+    // native interval-overlap join planning
+    ext.injectPlannerStrategy(_ => OverlapStrategy)
     ext.injectFunction((
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

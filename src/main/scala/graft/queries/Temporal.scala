@@ -1216,6 +1216,43 @@ object Temporal {
         .filter(col("user_id") % 7 === 0) // post-join: the rule's job
         .select(col("event_id"), col("view_id"))
         .orderBy(col("event_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q185: the NATIVE overlap join — q160's exact question answered by
+    // the library's SECOND whole-operator extension (plans.OverlapJoin:
+    // per-key plane sweep over co-partitioned (key, start)-sorted
+    // inputs). The binned tier-(a) form explodes both sides by 64-day
+    // bins, shuffles the exploded frames, and de-duplicates multi-bin
+    // pairs by the max-start-bin rule; the sweep does ONE merge pass
+    // with the active-interval lists as its only state — no explosion,
+    // no dedup, and no bin-width knob to re-fit when span distributions
+    // drift. Both entries hash against the SAME per-key inequality
+    // self-join oracle, so the driver gate is the answer-identity of
+    // the two plans (the q169/q57 pattern). OverlapJoinSpec carries the
+    // operator-level differentials (brute force, partition sweeps,
+    // degenerate intervals, self-join exprIds).
+    QuerySpec.sqlBacked("q185_overlap_native",
+      """WITH i AS (SELECT l_suppkey AS k,
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS s0,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP))
+        |      + CAST(floor(l_quantity) AS BIGINT) * 86400000000 AS e0
+        |  FROM lineitem)
+        |SELECT a.k AS suppkey, CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM i a JOIN i b
+        |  ON a.k = b.k AND a.id < b.id AND a.s0 <= b.e0 AND b.s0 <= a.e0
+        |GROUP BY a.k ORDER BY suppkey""".stripMargin) { (s, dir) =>
+      val i = transitIntervals(s, dir)
+      graft.plans.OverlapJoin.join(i,
+          i.select(col("k"), col("s0").as("bs0"), col("e0").as("be0"),
+            col("id").as("bid")),
+          "k", "s0", "e0", "bs0", "be0", Seq("bid"))
+        .filter(col("id") < col("bid"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("k").as("suppkey"), col("n_pairs"))
+        .orderBy(col("suppkey"))
     }
   )
 

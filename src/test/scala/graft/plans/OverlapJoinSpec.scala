@@ -1,0 +1,100 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TemporalJoins
+
+/** The native plane-sweep overlap join against the tier-(a) binned
+  * equi-join AND a brute-force cross-join reference: identical pair
+  * sets on colliding synthetic intervals (shared endpoints, containment,
+  * zero-length, inverted, null bounds), under any partitioning, with
+  * the custom exec actually planned. */
+class OverlapJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rnd = new scala.util.Random(23)
+  // dense small universe so containment/shared-endpoint cases occur
+  private val leftRows = List.tabulate(180)(i =>
+    (i % 5, rnd.nextInt(500).toLong, rnd.nextInt(40).toLong, 1000 + i))
+    .map { case (k, s, w, id) => (k, s, s + w, id) }
+  private val rightRows = List.tabulate(200)(i =>
+    (i % 5, rnd.nextInt(500).toLong, rnd.nextInt(40).toLong, 2000 + i))
+    .map { case (k, s, w, id) => (k, s, s + w, id) }
+
+  private def leftDf = leftRows.toDF("k", "s0", "e0", "lid")
+  private def rightDf = rightRows.toDF("k", "rs0", "re0", "rid")
+
+  private def pairs(df: org.apache.spark.sql.DataFrame): Set[(Int, Int)] =
+    df.select(col("lid"), col("rid")).collect()
+      .map(r => (r.getInt(0), r.getInt(1))).toSet
+
+  private def bruteForce: Set[(Int, Int)] =
+    (for {
+      (lk, ls, le, lid) <- leftRows
+      (rk, rs, re, rid) <- rightRows
+      if lk == rk && ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+
+  test("native exec equals brute force and the binned form; exec is planned") {
+    val native = OverlapJoin.join(leftDf, rightDf, "k",
+      "s0", "e0", "rs0", "re0", Seq("rid"))
+    val plan = native.queryExecution.executedPlan.toString
+    assert(plan.contains("OverlapJoin"), s"exec not planned:\n$plan")
+    assert(pairs(native) == bruteForce)
+    val binned = TemporalJoins.overlap(leftDf,
+      rightDf.select(col("k"), col("rs0"), col("re0"), col("rid")),
+      "k", "s0", "e0", "rs0", "re0", 64L, Seq("rid"))
+    assert(pairs(binned) == bruteForce, "baseline itself diverged")
+  }
+
+  test("partition-count invariant (co-partitioned sweep)") {
+    for ((lp, rp) <- Seq((1, 6), (11, 3), (32, 32))) {
+      val got = pairs(OverlapJoin.join(
+        leftDf.repartition(lp), rightDf.repartition(rp), "k",
+        "s0", "e0", "rs0", "re0", Seq("rid")))
+      assert(got == bruteForce, s"diverged at partitions ($lp, $rp)")
+    }
+  }
+
+  test("degenerate intervals: zero-length, inverted, boundary touch, nulls") {
+    val l = Seq(
+      (1, 10L, 10L, 1),            // zero-length
+      (1, 20L, 15L, 2),            // inverted: matches nothing
+      (1, 30L, 40L, 3),
+      (2, 5L, 9L, 4)).toDF("k", "s0", "e0", "lid")
+    val r = Seq(
+      (1, 10L, 10L, 10),           // equal zero-length: touches lid=1
+      (1, 15L, 20L, 11),           // spans the inverted's bounds
+      (1, 40L, 50L, 12),           // boundary touch with lid=3 (closed)
+      (2, 9L, 9L, 13)).toDF("k", "rs0", "re0", "rid")
+    val got = pairs(OverlapJoin.join(l, r, "k",
+      "s0", "e0", "rs0", "re0", Seq("rid")))
+    assert(got == Set((1, 10), (3, 12), (4, 13)), got.toString)
+
+    val lNull = Seq((Some(1), Some(10L), Some(20L), 1),
+      (None, Some(10L), Some(20L), 2),
+      (Some(1), None, Some(20L), 3)).toDF("k", "s0", "e0", "lid")
+    val rNull = Seq((Some(1), Some(15L), Some(25L), 20),
+      (Some(1), Some(15L), None, 21)).toDF("k", "rs0", "re0", "rid")
+    val gotN = pairs(OverlapJoin.join(lNull, rNull, "k",
+      "s0", "e0", "rs0", "re0", Seq("rid")))
+    assert(gotN == Set((1, 20)), s"null bounds must be unmatchable: $gotN")
+  }
+
+  test("self-join from one scan (shared exprIds) survives") {
+    val i = leftRows.toDF("k", "s0", "e0", "id")
+    val got = pairs(OverlapJoin.join(i,
+        i.select(col("k"), col("s0").as("rs0"), col("e0").as("re0"),
+          col("id").as("rid")),
+        "k", "s0", "e0", "rs0", "re0", Seq("rid"))
+      .select(col("id").as("lid"), col("rid"))
+      .filter(col("lid") < col("rid")))
+    val want = (for {
+      (ak, as_, ae, aid) <- leftRows
+      (bk, bs, be, bid) <- leftRows
+      if ak == bk && aid < bid && as_ <= be && bs <= ae
+    } yield (aid, bid)).toSet
+    assert(got == want)
+  }
+}
