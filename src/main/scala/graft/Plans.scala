@@ -337,7 +337,15 @@ object Plans {
         "of the corpus probe side never shuffle - the skew-neutral " +
         "form of every model-based quality filter. One doc_id-keyed " +
         "aggregate with map-side partials closes it.",
-      details = Seq("BroadcastHashJoin")))
+      details = Seq("BroadcastHashJoin")),
+    Entry("q185_overlap_native",
+      "The second tier-(c) operator's plan: OverlapJoinExec between " +
+        "co-partitioned (key, start) sorts - no explode, no " +
+        "max-start-bin dedup filter, no bin knob; the sweep's state is " +
+        "the true interval concurrency. Compare q160: same answer via " +
+        "binned equi-join whose explosion factor scales with span/bin. " +
+        "Measured equal at sf0.1, 1.7x faster at 10x, 3.0x at 100x.",
+      details = Seq("hashpartitioning")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
