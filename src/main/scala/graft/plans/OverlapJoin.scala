@@ -42,8 +42,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan,
   * per-side (key, start) ordering, so EnsureRequirements plants the
   * SortMergeJoin-shaped exchanges (AQE included). Null keys or bounds
   * are UNMATCHABLE and dropped (inner-join semantics). Start/end must
-  * be LONG-backed (epoch-µs); inverted intervals (end < start) match
-  * nothing, checked explicitly rather than assumed away.
+  * be LONG-backed (epoch-µs); an inverted interval (end < start)
+  * matches exactly what the raw inequality says it matches — rows
+  * whose start precedes its end AND whose end reaches its start —
+  * identical to the tier-(a) binned form and to a SQL self-join
+  * oracle, and the spec pins the three-way agreement on randomized
+  * data CONTAINING inverted rows.
   */
 object OverlapJoin {
 
@@ -185,17 +189,20 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
           val s = lsB.eval(row).asInstanceOf[Long]
           val e = leB.eval(row).asInstanceOf[Long]
           evict(activeR, s)
-          if (e >= s) { // inverted intervals match nothing
-            val owned = own(row)
-            var i = 0
-            while (i < activeR.length) {
-              val r = activeR(i)
-              // r.end >= s by eviction; r.start <= e is the remaining check
-              if (r.start <= e) out.append(new JoinedRow(owned, r.row))
-              i += 1
-            }
-            activeL += new Active(owned, s, e)
+          val owned = own(row)
+          var i = 0
+          while (i < activeR.length) {
+            val r = activeR(i)
+            // r.end >= s by eviction; r.start <= e is the remaining
+            // check — and it is the WHOLE remaining check even for an
+            // inverted interval (e < s), matching the raw inequality
+            if (r.start <= e) out.append(new JoinedRow(owned, r.row))
+            i += 1
           }
+          // an inverted interval can never match a FUTURE row (its
+          // start >= s > e forbids f.start <= e), so it joins the
+          // active list only when valid
+          if (e >= s) activeL += new Active(owned, s, e)
         }
       }
 
@@ -207,16 +214,14 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
           val s = rsB.eval(row).asInstanceOf[Long]
           val e = reB.eval(row).asInstanceOf[Long]
           evict(activeL, s)
-          if (e >= s) {
-            val proj = payloadProj(row).copy()
-            var i = 0
-            while (i < activeL.length) {
-              val l = activeL(i)
-              if (l.start <= e) out.append(new JoinedRow(l.row, proj))
-              i += 1
-            }
-            activeR += new Active(proj, s, e)
+          val proj = payloadProj(row).copy()
+          var i = 0
+          while (i < activeL.length) {
+            val l = activeL(i)
+            if (l.start <= e) out.append(new JoinedRow(l.row, proj))
+            i += 1
           }
+          if (e >= s) activeR += new Active(proj, s, e)
         }
       }
 

@@ -60,17 +60,17 @@ class OverlapJoinSpec extends SparkSpec {
   test("degenerate intervals: zero-length, inverted, boundary touch, nulls") {
     val l = Seq(
       (1, 10L, 10L, 1),            // zero-length
-      (1, 20L, 15L, 2),            // inverted: matches nothing
+      (1, 20L, 15L, 2),            // inverted: raw-inequality semantics
       (1, 30L, 40L, 3),
       (2, 5L, 9L, 4)).toDF("k", "s0", "e0", "lid")
     val r = Seq(
       (1, 10L, 10L, 10),           // equal zero-length: touches lid=1
-      (1, 15L, 20L, 11),           // spans the inverted's bounds
+      (1, 15L, 20L, 11),           // 20<=20 && 15<=15: matches lid=2
       (1, 40L, 50L, 12),           // boundary touch with lid=3 (closed)
       (2, 9L, 9L, 13)).toDF("k", "rs0", "re0", "rid")
     val got = pairs(OverlapJoin.join(l, r, "k",
       "s0", "e0", "rs0", "re0", Seq("rid")))
-    assert(got == Set((1, 10), (3, 12), (4, 13)), got.toString)
+    assert(got == Set((1, 10), (2, 11), (3, 12), (4, 13)), got.toString)
 
     val lNull = Seq((Some(1), Some(10L), Some(20L), 1),
       (None, Some(10L), Some(20L), 2),
@@ -80,6 +80,37 @@ class OverlapJoinSpec extends SparkSpec {
     val gotN = pairs(OverlapJoin.join(lNull, rNull, "k",
       "s0", "e0", "rs0", "re0", Seq("rid")))
     assert(gotN == Set((1, 20)), s"null bounds must be unmatchable: $gotN")
+  }
+
+  test("inverted intervals: raw-inequality semantics, all three forms agree") {
+    // an inverted interval (e < s) still MATCHES under the raw SQL
+    // inequality (l.s <= r.e && r.s <= l.e) — e.g. (20,15) vs (15,20).
+    // The binned form inherits this (Spark's sequence() DESCENDS when
+    // stop < start, covering the same bin range), and the sweep
+    // reproduces it by pairing an inverted arrival against survivors
+    // while never adding it to the active list (no future start can
+    // precede its end). Pin the agreement on randomized data that is
+    // ~half inverted rows, against the raw-inequality brute force.
+    val r2 = new scala.util.Random(31)
+    val lRows = List.tabulate(120)(i =>
+      (i % 4, r2.nextInt(300).toLong,
+        r2.nextInt(300).toLong, 3000 + i)) // ~half inverted
+    val rRows = List.tabulate(120)(i =>
+      (i % 4, r2.nextInt(300).toLong, r2.nextInt(300).toLong, 4000 + i))
+    val want = (for {
+      (lk, ls, le, lid) <- lRows
+      (rk, rs, re, rid) <- rRows
+      if lk == rk && ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+    val l = lRows.toDF("k", "s0", "e0", "lid")
+    val r = rRows.toDF("k", "rs0", "re0", "rid")
+    val native = pairs(OverlapJoin.join(l, r, "k",
+      "s0", "e0", "rs0", "re0", Seq("rid")))
+    assert(native == want)
+    val binned = pairs(TemporalJoins.overlap(l,
+      r.select(col("k"), col("rs0"), col("re0"), col("rid")),
+      "k", "s0", "e0", "rs0", "re0", 32L, Seq("rid")))
+    assert(binned == want, "tier-(a) diverged from the shared contract")
   }
 
   test("self-join from one scan (shared exprIds) survives") {
