@@ -5,48 +5,56 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
-/** Pruning/pushdown through the native ASOF node — the library's fourth
-  * optimizer `Rule[LogicalPlan]`, and the one that makes [[AsofJoinPlan]]
-  * a first-class citizen of Catalyst's scan optimization instead of a
-  * barrier. Every custom logical node is opaque to the built-in
-  * ColumnPruning and PushDownPredicates rules, so without this rule a
-  * query that filters and narrows the result of a native ASOF join reads
-  * EVERY column of both inputs and scans EVERY left row — at 100 TB the
-  * difference between a two-column pruned parquet scan with pushed
-  * predicates and a full-width full-table read. The built-ins stop at
-  * the node; this rule carries their work through it:
+/** Pruning/pushdown through the native nodes — the library's fourth
+  * optimizer `Rule[LogicalPlan]`, and the one that makes
+  * [[AsofJoinPlan]] and [[OverlapJoinPlan]] first-class citizens of
+  * Catalyst's scan optimization instead of barriers. Every custom
+  * logical node is opaque to the built-in ColumnPruning and
+  * PushDownPredicates rules, so without this rule a query that filters
+  * and narrows the result of a native join reads EVERY column of both
+  * inputs and processes EVERY row — at 100 TB the difference between a
+  * two-column pruned parquet scan with pushed predicates and a
+  * full-width full-table read. The built-ins stop at the node; this
+  * rule carries their work through it:
   *
-  *  - `Filter` above the node: deterministic conjuncts that reference
-  *    only LEFT-side output move below into the left child. Sound
-  *    because the node is a left-preserving 1:1 map — each left row
-  *    produces exactly one output row whose left columns are unchanged,
-  *    and each row's match depends only on the RIGHT side (dropping
-  *    other left rows never changes it). Conjuncts touching payload
-  *    columns stay above (a payload predicate observes the match, which
-  *    does not exist before the join); non-deterministic conjuncts stay
-  *    above (fewer/reordered evaluations would change their meaning).
-  *  - `Project` above the node: left child pruned to the referenced
-  *    left columns plus the join key/ts, right child pruned to the
-  *    referenced payload columns plus ITS key/ts, and the node's
-  *    payload list shrinks to match. Attributes keep their exprIds (the
-  *    inserted child Projects select bare attributes), so the parent
-  *    resolves untouched.
+  *  - `Filter` above an ASOF node: deterministic conjuncts that
+  *    reference only LEFT-side output move below into the left child.
+  *    Sound because the node is a left-preserving 1:1 map — each left
+  *    row produces exactly one output row whose left columns are
+  *    unchanged, and each row's match depends only on the RIGHT side
+  *    (dropping other left rows never changes it). Conjuncts touching
+  *    payload columns stay above (a payload predicate observes the
+  *    match, which does not exist before the join); right-side
+  *    pushdown would CHANGE who matches, so it never happens here.
+  *  - `Filter` above an OVERLAP node: the overlap join is a plain
+  *    INNER join on a per-pair predicate, so single-side deterministic
+  *    conjuncts push to BOTH children — a pair whose row fails a
+  *    one-sided predicate is dropped whether the row dies before or
+  *    after the join.
+  *  - Non-deterministic conjuncts stay above in both cases
+  *    (fewer/reordered evaluations would change their meaning).
+  *  - `Project` above either node: left child pruned to the referenced
+  *    left columns plus its join columns, right child pruned to the
+  *    referenced payload columns plus ITS join columns, and the node's
+  *    payload list shrinks to match. Attributes keep their exprIds
+  *    (the inserted child Projects select bare attributes), so the
+  *    parent resolves untouched.
   *
-  * Both rewrites bottom out at the parquet scan: physical planning's
+  * All rewrites bottom out at the parquet scan: physical planning's
   * `PhysicalOperation` collapses the inserted Project/Filter chains
   * into the relation, so `ReadSchema` narrows and `PushedFilters`
   * populate exactly as they would under a built-in join. Fires only on
-  * plans containing an [[AsofJoinPlan]]; terminates because each
-  * rewrite strictly shrinks a child's output or moves a conjunct that
-  * then no longer matches.
+  * plans containing a native node; terminates because each rewrite
+  * strictly shrinks a child's output or moves a conjunct that then no
+  * longer matches.
   *
-  * Installed alongside [[AsofStrategy]] by [[AsofJoin.join]] and by
-  * [[GraftExtensions]].
+  * Installed alongside the strategies by [[AsofJoin.join]] /
+  * [[OverlapJoin.join]] and by [[GraftExtensions]].
   */
 object AsofPrune extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-    // ---- filter pushdown: left-only deterministic conjuncts sink ----
+    // ---- ASOF filter pushdown: left-only deterministic conjuncts ----
     case Filter(cond, a: AsofJoinPlan) =>
       val (push, keep) = splitConjuncts(cond).partition(c =>
         c.deterministic && c.references.subsetOf(a.left.outputSet))
@@ -56,7 +64,27 @@ object AsofPrune extends Rule[LogicalPlan] {
         keep.reduceOption(And2).map(Filter(_, pushed)).getOrElse(pushed)
       }
 
-    // ---- column pruning: narrow both children to what is used ----
+    // ---- OVERLAP filter pushdown: inner join, both sides eligible ----
+    case Filter(cond, o: OverlapJoinPlan) =>
+      val conjuncts = splitConjuncts(cond)
+      val pushL = conjuncts.filter(c =>
+        c.deterministic && c.references.subsetOf(o.left.outputSet))
+      val pushR = conjuncts.filter(c =>
+        c.deterministic && !c.references.isEmpty &&
+          c.references.subsetOf(o.right.outputSet))
+      if (pushL.isEmpty && pushR.isEmpty) Filter(cond, o)
+      else {
+        val keep = conjuncts.filterNot(c =>
+          pushL.contains(c) || pushR.contains(c))
+        val pushed = o.copy(
+          left = pushL.reduceOption(And2).map(Filter(_, o.left))
+            .getOrElse(o.left),
+          right = pushR.reduceOption(And2).map(Filter(_, o.right))
+            .getOrElse(o.right))
+        keep.reduceOption(And2).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+
+    // ---- ASOF column pruning ----
     case Project(ps, a: AsofJoinPlan) =>
       val refs = AttributeSet(ps.flatMap(_.references))
       val joinRefsL = a.leftKey.references ++ a.leftTs.references
@@ -75,6 +103,27 @@ object AsofPrune extends Rule[LogicalPlan] {
                else Project(needL, a.left),
         right = if (needR.length == a.right.output.length) a.right
                 else Project(needR, a.right),
+        payload = keepPayload))
+
+    // ---- OVERLAP column pruning ----
+    case Project(ps, o: OverlapJoinPlan) =>
+      val refs = AttributeSet(ps.flatMap(_.references))
+      val joinRefsL = o.leftKey.references ++ o.leftStart.references ++
+        o.leftEnd.references
+      val joinRefsR = o.rightKey.references ++ o.rightStart.references ++
+        o.rightEnd.references
+      val keepPayload = o.payload.filter(refs.contains)
+      val needL = o.left.output.filter(at =>
+        refs.contains(at) || joinRefsL.contains(at))
+      val needR = o.right.output.filter(at =>
+        keepPayload.contains(at) || joinRefsR.contains(at))
+      if (needL.length == o.left.output.length &&
+          needR.length == o.right.output.length) Project(ps, o)
+      else Project(ps, o.copy(
+        left = if (needL.length == o.left.output.length) o.left
+               else Project(needL, o.left),
+        right = if (needR.length == o.right.output.length) o.right
+                else Project(needR, o.right),
         payload = keepPayload))
   }
 

@@ -62,6 +62,9 @@ object OverlapJoin {
     if (!spark.experimental.extraStrategies.contains(OverlapStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ OverlapStrategy
+    if (!spark.experimental.extraOptimizations.contains(AsofPrune))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AsofPrune
     // the AsofJoin self-join hazard: shared exprIds between children let
     // the optimizer prune "already provided" attributes off the right
     // child — re-alias the right side under reserved names

@@ -88,6 +88,32 @@ class AsofPruneSpec extends SparkSpec {
       composed.collect().map(_.toSeq).toSet)
   }
 
+  test("overlap node: both-side pushdown and pruning reach the scans") {
+    val df = OverlapJoin.join(
+        spark.read.parquet(s"$dir/left")
+          .selectExpr("k", "cast(lid as long) as s0",
+            "cast(lid as long) + 50 as e0", "lid", "l_unused"),
+        spark.read.parquet(s"$dir/right")
+          .selectExpr("k", "cast(rid as long) as rs0",
+            "cast(rid as long) + 50 as re0", "rid", "r_unused"),
+        "k", "s0", "e0", "rs0", "re0", Seq("rid", "r_unused"))
+      .filter(col("lid") < 1100 && col("rid") > 2050)
+      .select(col("lid"), col("rid"))
+    val physical = df.queryExecution.executedPlan.toString
+    // an INNER join: both one-sided conjuncts reach their scans
+    assert(physical.contains("LessThan(lid,1100)"), physical)
+    assert(physical.contains("GreaterThan(rid,2050)"), physical)
+    assert(!physical.contains("l_unused") && !physical.contains("r_unused"),
+      s"unused columns kept:\n$physical")
+    assert(physical.contains("OverlapJoin"), physical)
+    // and the same query with the rule off agrees row for row
+    val withRule = df.collect().map(_.toSeq).toSet
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before.filterNot(_ == AsofPrune)
+    try assert(df.collect().map(_.toSeq).toSet == withRule)
+    finally spark.experimental.extraOptimizations = before
+  }
+
   test("randomized differential: any filter/projection mix, rule == no rule") {
     import org.apache.spark.sql.Column
     val rnd = new scala.util.Random(19)
