@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkSpec
+
+/** Live interval matching vs the native batch sweep: identical pair
+  * sets under time-sliced AND fully disordered feeds (within a covering
+  * horizon), exactly-once emission per pair, and the eviction bound —
+  * after the watermark passes every end, state must not hold the
+  * stream. */
+class IncrementalOverlapSpec extends SparkSpec {
+  import spark.implicits._
+  import IncrementalOverlap.{Iv, Pair}
+
+  private val base = java.time.Instant.parse("2024-03-01T00:00:00Z")
+  private def at(sec: Long) = base.plusSeconds(sec)
+  private def us(sec: Long) = at(sec).getEpochSecond * 1000000L
+
+  private val rnd = new scala.util.Random(37)
+  private val ivs: Seq[Iv] = (0 until 160).map { i =>
+    val s = rnd.nextInt(600).toLong
+    // key and side decorrelated (i%4 with i%2 would give every key
+    // rows of only ONE side and an empty truth set)
+    Iv(i % 4, at(s), us(s + rnd.nextInt(60)), (i / 4) % 2, 5000 + i)
+  }
+
+  private def withRocks[A](f: => A): A = {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    spark.conf.set(provider,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try f finally spark.conf.set(provider, prev)
+  }
+
+  private def run(batches: Seq[Seq[Iv]], lateness: String,
+      name: String): (Set[(Long, Long, Long)], Long) = withRocks {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Iv]
+    val q = IncrementalOverlap.pairs(in.toDS(), lateness)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try {
+      batches.foreach { b => in.addData(b); q.processAllAvailable() }
+      // watermark sentinel far past every end, then an empty batch so
+      // the advanced watermark drives timer eviction
+      in.addData(Seq(Iv(-1L, at(100000), us(100000), 0, -1L)))
+      q.processAllAvailable()
+      in.addData(Seq.empty[Iv]); q.processAllAvailable()
+      val rows = spark.table(name).as[Pair].collect()
+      val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      (rows.map(p => (p.key, p.leftId, p.rightId)).toSet, state)
+    } finally q.stop()
+  }
+
+  private lazy val truth: Set[(Long, Long, Long)] =
+    IncrementalOverlap.batchTruth(ivs.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  test("time-sliced feed equals the native batch sweep") {
+    val sliced = ivs.sortBy(_.ts).grouped(40).toSeq
+    val (got, _) = run(sliced, "10 minutes", "ovl_sliced")
+    assert(truth.nonEmpty && got == truth,
+      s"extra=${(got -- truth).take(5)} missing=${(truth -- got).take(5)}")
+  }
+
+  test("fully disordered feed (covering horizon) equals batch; state evicts") {
+    val shuffled = rnd.shuffle(ivs.toList).grouped(40).toSeq
+    val (got, state) = run(shuffled, "11 minutes", "ovl_shuffled")
+    assert(got == truth,
+      s"extra=${(got -- truth).take(5)} missing=${(truth -- got).take(5)}")
+    assert(state < 20,
+      s"state not evicted after the sweep: $state rows for ${ivs.size} intervals")
+  }
+
+  test("each pair emits exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    withRocks {
+      val in = MemoryStream[Iv]
+      val q = IncrementalOverlap.pairs(in.toDS(), "10 minutes")
+        .writeStream.format("memory").queryName("ovl_once")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // same two intervals visited across three batches of extras:
+        // their pair must appear exactly once
+        in.addData(Seq(Iv(9L, at(10), us(50), 1, 1L)))
+        q.processAllAvailable()
+        in.addData(Seq(Iv(9L, at(20), us(40), 0, 2L)))
+        q.processAllAvailable()
+        in.addData(Seq(Iv(9L, at(30), us(35), 1, 3L)))
+        q.processAllAvailable()
+        val rows = spark.table("ovl_once").as[Pair].collect().toSeq
+        assert(rows.count(p => p.leftId == 1L && p.rightId == 2L) == 1)
+        assert(rows.count(p => p.leftId == 3L && p.rightId == 2L) == 1)
+      } finally q.stop()
+    }
+  }
+}
