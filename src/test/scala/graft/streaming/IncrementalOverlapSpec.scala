@@ -74,6 +74,45 @@ class IncrementalOverlapSpec extends SparkSpec {
       s"state not evicted after the sweep: $state rows for ${ivs.size} intervals")
   }
 
+  test("buffered intervals survive a stop/restart from checkpoint") {
+    withRocks {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_ovl_src").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ovl_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_ovl_out").toString
+      def startQuery() = IncrementalOverlap.pairs(
+          spark.readStream
+            .schema("key LONG, ts TIMESTAMP, endUs LONG, side INT, id LONG")
+            .parquet(srcDir).as[Iv], "1 hour")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Pair], _: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append).start()
+      // batch 1: a lone left interval — it lives ONLY in state
+      Seq(Iv(4L, at(100), us(200), 1, 70L)).toDF()
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+      // restart: an overlapping right arrives — the pair can only
+      // emit if the buffered left recovered from the checkpoint
+      Seq(Iv(4L, at(150), us(250), 0, 71L)).toDF()
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir).as[Pair].collect().toSeq
+        assert(out.contains(Pair(4L, 70L, 71L)),
+          s"state lost across restart: $out")
+        assert(out.size == 1, s"duplicate emission: $out")
+      } finally q2.stop()
+    }
+  }
+
   test("each pair emits exactly once") {
     implicit val sqlCtx = spark.sqlContext
     withRocks {
