@@ -55,6 +55,8 @@ object Similarity {
   private[queries] val LabelNProbe = 5 // q42 probed label-lists per query
 
   private val KmK = 8      // q98/q102/q103 clusters
+  private val MmrPool = 12 // q186 relevance pool per query
+  private val MmrK = 6     // q186 diversified selections per query
   private val KmIters = 3  // q98/q102/q103 Lloyd update rounds
   private val NProbe = 5   // q102 probed learned lists per query
   private val SemThr = 0.4 // q103 semdedup cosine cutoff (q39's convention)
@@ -1494,6 +1496,140 @@ object Similarity {
           max(when(col("same") === 0, col("nb_id"))).as("neg_id"),
           max(when(col("same") === 0, col("cos"))).as("neg_cos"))
         .orderBy(col("q_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q186: MMR diversified retrieval — the query-TIME rerank the
+    // retrieval stack needs between ANN recall (q40/q41/q102) and
+    // serving: a raw top-k returns near-duplicates of the best hit;
+    // maximal marginal relevance greedily picks, at each step, the
+    // candidate maximizing λ·relevance − (1−λ)·max-similarity-to-
+    // already-selected. λ = 1/2 makes the decision the pure BIGINT
+    // integer `rel − maxsim` over micro-unit dot products (the q98
+    // quantization), ties to the smaller id — so the whole greedy is
+    // engine-exact and the oracle can replay it. The greedy is
+    // inherently sequential in k, but each of the MmrK steps is a
+    // PARALLEL argmax across all queries at once: per step, one join
+    // of the pool against selected-so-far sims, one max-struct
+    // aggregate — frames bounded by |queries|·MmrPool rows, never the
+    // corpus (the corpus is touched ONCE, to score the pool). The
+    // oracle UNROLLS the recurrence into MmrK chained CTEs — the q105
+    // per-iteration pattern. Scale: pool scoring is q40's broadcast
+    // shape; everything after runs on |queries|·P rows.
+    QuerySpec.sqlBacked("q186_mmr_rerank", {
+      val qvSql = "list_transform(embedding, x -> CAST(floor(" +
+        "CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))"
+      def idotSql(a: String, b: String) =
+        s"CAST(list_sum(list_transform(range(1, ${Vectors.Dim + 1}), " +
+          s"i -> $a[i] * $b[i])) AS BIGINT)"
+      val steps = (2 to MmrK).map { i =>
+        val u = s"u${i - 1}"
+        s"""s$i AS (SELECT q_id, cid, rel FROM (
+           |  SELECT p.q_id, p.cid, p.rel, row_number() OVER (
+           |      PARTITION BY p.q_id ORDER BY p.rel - m.ms DESC, p.cid)
+           |    AS rn
+           |  FROM pool p
+           |  JOIN (SELECT s.q_id, s.b AS cid, CAST(max(s.sim) AS BIGINT)
+           |          AS ms
+           |        FROM sims s JOIN $u ON s.q_id = $u.q_id
+           |          AND s.a = $u.cid
+           |        GROUP BY s.q_id, s.b) m
+           |    ON p.q_id = m.q_id AND p.cid = m.cid
+           |  WHERE NOT EXISTS (SELECT 1 FROM $u
+           |    WHERE $u.q_id = p.q_id AND $u.cid = p.cid)) WHERE rn = 1),
+           |u$i AS (SELECT * FROM $u UNION ALL SELECT * FROM s$i)"""
+          .stripMargin
+      }.mkString(",\n")
+      val emit = (1 to MmrK)
+        .map(i => s"SELECT q_id, $i AS step, cid, rel FROM s$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
+         |pool AS (SELECT q_id, cid, rel, cqv FROM (
+         |  SELECT q_id, cid, rel, cqv, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY rel DESC, cid) AS rn
+         |  FROM (SELECT qs.vec_id AS q_id, c.vec_id AS cid,
+         |          ${idotSql("qs.qv", "c.qv")} AS rel, c.qv AS cqv
+         |        FROM q qs JOIN q c ON qs.vec_id <> c.vec_id
+         |        WHERE qs.$isQuery)) WHERE rn <= $MmrPool),
+         |sims AS (SELECT a.q_id, a.cid AS a, b.cid AS b,
+         |    ${idotSql("a.cqv", "b.cqv")} AS sim
+         |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.cid <> b.cid),
+         |s1 AS (SELECT q_id, cid, rel FROM (
+         |  SELECT q_id, cid, rel, row_number() OVER (
+         |      PARTITION BY q_id ORDER BY rel DESC, cid) AS rn
+         |  FROM pool) WHERE rn = 1),
+         |u1 AS (SELECT * FROM s1),
+         |$steps
+         |SELECT * FROM ($emit) ORDER BY q_id, step""".stripMargin
+    }) { (s, dir) =>
+      // micro-unit ints ride the CODEGEN'D native DotProduct as floats
+      // (the q163 move): each value <= 1e6 < 2^24 is float-exact, every
+      // partial sum <= 6.4e13 < 2^53 is double-exact, so the double
+      // result IS the BIGINT fold the oracle computes — while the
+      // corpus-sized pool scoring stays in WholeStageCodegen instead of
+      // interpreted zip_with/aggregate lambdas (measured 17x slower at
+      // the 10x probe before this change)
+      def idot(a: String, b: String) =
+        graft.plans.DotProduct(col(a), col(b))
+      val qv = quantized(s, dir).select(col("vec_id"),
+        expr("transform(qv, x -> CAST(x AS FLOAT))").as("qv"))
+      // the top-P window shuffles ONLY (q_id, cid, rel) — the vector
+      // payload rejoins after selection (|queries|·P rows), never rides
+      // the corpus-sized exchange (the PostingPairs doctrine; carrying
+      // cqv through this window measured 2.4 GB of shuffle at 10x)
+      val pool = broadcast(qv.filter(expr(isQuery))
+          .select(col("vec_id").as("q_id"), col("qv").as("qqv")))
+        .join(qv.select(col("vec_id").as("cid"), col("qv").as("cqv")),
+          col("q_id") =!= col("cid"))
+        .select(col("q_id"), col("cid"), idot("qqv", "cqv").as("rel"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("q_id"))
+          .orderBy(col("rel").desc, col("cid"))))
+        .filter(col("rn") <= MmrPool).drop("rn")
+        // no hint: the windowed pool is the small side, AQE builds on it
+        .join(qv.select(col("vec_id").as("cid"), col("qv").as("cqv")),
+          "cid")
+      val sims = pool.select(col("q_id"), col("cid").as("a"),
+          col("cqv").as("av"))
+        .join(pool.select(col("q_id").as("q2"), col("cid").as("b"),
+          col("cqv").as("bv")),
+          col("q_id") === col("q2") && col("a") =!= col("b"))
+        .select(col("q_id"), col("a"), col("b"),
+          idot("av", "bv").cast("long").as("sim")) // exact (see idot note)
+      Dedup.withScratch(pool, sims) {
+        val p0 = pool.select(col("q_id"), col("cid"),
+          col("rel").cast("long").as("rel"))
+        val first = p0
+          .withColumn("rn", row_number().over(Window
+            .partitionBy(col("q_id"))
+            .orderBy(col("rel").desc, col("cid"))))
+          .filter(col("rn") === 1)
+          .select(col("q_id"), lit(1).as("step"), col("cid"), col("rel"))
+        // per-iteration localCheckpoint (the ConnectedComponents rule):
+        // `selected` is referenced three times per step, so an
+        // unmaterialized fold grows the plan ~3x per iteration; the
+        // frame itself is |queries| x step rows
+        val all = (2 to MmrK).foldLeft(first.localCheckpoint()) {
+          (selected, i) =>
+          val ms = sims.join(
+              selected.select(col("q_id").as("sq"), col("cid").as("sa")),
+              col("q_id") === col("sq") && col("a") === col("sa"))
+            .groupBy(col("q_id").as("mq"), col("b"))
+            .agg(max(col("sim")).as("ms"))
+          val next = p0
+            .join(selected.select(col("q_id").as("eq"),
+              col("cid").as("ec")),
+              col("q_id") === col("eq") && col("cid") === col("ec"),
+              "left_anti")
+            .join(ms, col("q_id") === col("mq") && col("cid") === col("b"))
+            .withColumn("rn", row_number().over(Window
+              .partitionBy(col("q_id"))
+              .orderBy((col("rel") - col("ms")).desc, col("cid"))))
+            .filter(col("rn") === 1)
+            .select(col("q_id"), lit(i).as("step"), col("cid"), col("rel"))
+          selected.unionByName(next).localCheckpoint()
+        }
+        all.orderBy(col("q_id"), col("step"))
+      }
     }
   )
 
