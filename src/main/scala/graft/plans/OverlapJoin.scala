@@ -175,7 +175,14 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
       def keyChange(k: Any): Unit = {
         if (!haveKey || keyOrd.compare(k, curKey) != 0) {
           activeL.clear(); activeR.clear()
-          curKey = k; haveKey = true
+          // own the stored key: a UTF8String evaluated off an UnsafeRow
+          // points into a buffer the sorter reuses (and overwrites on
+          // spill) as the cursor advances — the AsofJoinExec own() hazard
+          curKey = k match {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.copy()
+            case other => other
+          }
+          haveKey = true
         }
       }
 
@@ -191,7 +198,14 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
           keyChange(k)
           val s = lsB.eval(row).asInstanceOf[Long]
           val e = leB.eval(row).asInstanceOf[Long]
+          // evict BOTH lists on every arrival: merged (key, start) order
+          // guarantees every future start (either side) is >= s, so a
+          // same-side interval with end < s is equally dead — without
+          // this, a key with many left rows and few right arrivals
+          // buffers every left interval and per-key memory is bounded by
+          // row count, not the documented true interval concurrency
           evict(activeR, s)
+          evict(activeL, s)
           val owned = own(row)
           var i = 0
           while (i < activeR.length) {
@@ -217,6 +231,7 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
           val s = rsB.eval(row).asInstanceOf[Long]
           val e = reB.eval(row).asInstanceOf[Long]
           evict(activeL, s)
+          evict(activeR, s) // same-side eviction — see processLeft
           val proj = payloadProj(row).copy()
           var i = 0
           while (i < activeL.length) {

@@ -1139,6 +1139,11 @@ object TextOps {
         .as("p"))
       .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
       .agg(count(lit(1)).as("c"))
+    // bi feeds FOUR lineages (itself, uni, cont, tot): without a scratch
+    // persist each one re-runs the corpus explode + bigram aggregation,
+    // so q180/q183 paid the scan ~4x (round-7 advisory). The persisted
+    // frame is the vocab^2-bounded bigram table, not the corpus.
+    Dedup.withScratch(bi) {
     val uni = bi.groupBy(col("w1"))
       .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
     val cont = bi.groupBy(col("w2"))
@@ -1159,6 +1164,7 @@ object TextOps {
         ((col("c") * 4 - 3) * col("b")
           + col("n1w1") * col("ncont") * 3).as("kn_num"),
         (col("cw1") * 4 * col("b")).as("kn_den"))
+    }
   }
 
   /** The q130 oracle's training chain as shared CTEs: v0 (word

@@ -81,12 +81,17 @@ class OverlapProcessor extends StatefulProcessor[
 
   @transient private var lefts: ListState[Cell] = _
   @transient private var rights: ListState[Cell] = _
+  @transient private var armed: org.apache.spark.sql.streaming.ValueState[Long] = _
 
   override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     lefts = getHandle.getListState[Cell]("lefts",
       Encoders.product[Cell], TTLConfig.NONE)
     rights = getHandle.getListState[Cell]("rights",
       Encoders.product[Cell], TTLConfig.NONE)
+    // the currently armed eviction timer, so re-arming replaces instead
+    // of accumulating one stale no-op timer per batch per key
+    armed = getHandle.getValueState[Long]("armedTimer",
+      Encoders.scalaLong, TTLConfig.NONE)
   }
 
   private def startUs(e: Iv): Long =
@@ -128,7 +133,11 @@ class OverlapProcessor extends StatefulProcessor[
 
   /** Drop every interval whose end precedes the watermark (no future
     * on-time start can reach it) and arm a timer at the earliest
-    * surviving end so abandoned keys still clean up. */
+    * surviving end so abandoned keys still clean up. The armed expiry is
+    * tracked in state: re-arming DELETES the previously registered timer
+    * when the target moves — without that, every batch stacked a fresh
+    * timer per key and each stale one later fired a no-op eviction pass
+    * (round-7 advisory). */
   private def evictAndArm(wmMs: Long): Unit = {
     val cutUs = wmMs * 1000L
     var minEnd = Long.MaxValue
@@ -138,7 +147,17 @@ class OverlapProcessor extends StatefulProcessor[
       kept.foreach { c => st.appendValue(c); minEnd = minEnd min c.endUs }
     }
     sweep(lefts); sweep(rights)
-    if (minEnd != Long.MaxValue)
-      getHandle.registerTimer(minEnd / 1000L + 1L)
+    val prev = if (armed.exists()) Some(armed.get()) else None
+    if (minEnd != Long.MaxValue) {
+      val target = minEnd / 1000L + 1L
+      if (!prev.contains(target)) {
+        prev.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(target)
+        armed.update(target)
+      }
+    } else {
+      prev.foreach(getHandle.deleteTimer)
+      armed.clear()
+    }
   }
 }
