@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line of `sbt runMain
+// graft.Bench` as bare JSON. sbt's default forked-run output strategy
+// prefixes every child line with "[info] " and appends a
+// "[success] Total time ..." banner, both of which defeated that parse
+// for four rounds (BENCH_r05..r08 all "parsed": null). StdoutOutput
+// passes the child's stdout/stderr through verbatim (no prefix), and
+// showSuccess := false drops the trailing banner, so the child's final
+// println IS the final stdout line.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
+showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

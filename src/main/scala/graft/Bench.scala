@@ -79,8 +79,13 @@ object Bench {
         .map { case ((n, _, _), b) => (n, b) }
         .sortBy(-_._2).headOption.getOrElse(("none", 0.0))
     val retried = results.count(_._3.isDefined)
+    // sfDir comes from the environment and slowName from query keys;
+    // both are interpolated into JSON string positions, so escape the
+    // two characters that could break the line (ADVICE r8 item 4).
+    def jstr(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val sfJ = jstr(sfDir)
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJ"}"""
     println(full)
     // Persist the full object (driver artifact + local cross-round diffs).
     sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("BENCH_LAST.json"))
@@ -95,8 +100,8 @@ object Bench {
     // line the driver should parse; the full map lives in BENCH_LAST.json.
     val summary =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$nOk,""" +
-        s""""retried":$retried,"slowest":{"name":"$slowName","sec":$slowSec},""" +
-        s""""detail":"BENCH_LAST.json","sf":"$sfDir"}"""
+        s""""retried":$retried,"slowest":{"name":"${jstr(slowName)}","sec":$slowSec},""" +
+        s""""detail":"BENCH_LAST.json","sf":"$sfJ"}"""
     println(summary)
   }
 }
