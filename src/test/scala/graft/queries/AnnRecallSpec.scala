@@ -44,6 +44,9 @@ class AnnRecallSpec extends SparkSpec {
         "q102_ivf_learned" -> 0.8, "q147_pq_adc_search" -> 0.8,
         "q148_ivfpq_search" -> 0.7, "q163_sq8_search" -> 0.95,
         "q167_ivf_sq_search" -> 0.8)) {
+      // q187 serves q148's EXACT result set from the persisted index
+      // (shared oracle, hash-gated), so its recall is q148's by
+      // construction — pinned below by the result-parity test instead.
       val approx = topk(name)
       val recalls = exact.map { case (q, nbs) =>
         approx.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size
@@ -53,6 +56,21 @@ class AnnRecallSpec extends SparkSpec {
       assert(mean >= floor,
         f"$name mean recall@k $mean%.3f fell below $floor")
     }
+  }
+
+  test("q187 persisted-index serve returns exactly q148's result set") {
+    // build+serve and index-serve share every numeric stage (the same
+    // ivfPqCentroids/pqCodebooks/pqEncoded helpers feed ivfPqServe), so
+    // the top-k must match ROW FOR ROW — any drift means the persisted
+    // tables no longer carry the trained index bit-exactly
+    val inline = SparkEntry.queries("q148_ivfpq_search")(spark, dir)
+      .select("q_id", "nb_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val served = SparkEntry.queries("q187_ivfpq_serve")(spark, dir)
+      .select("q_id", "nb_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(inline == served,
+      s"index-served top-k drifted from inline build+serve: " +
+        s"${(inline diff served).size} missing, ${(served diff inline).size} extra")
+    info(s"q148/q187 parity over ${inline.size} result rows")
   }
 
   test("semdedup verdicts agree with the exact all-pairs baseline (q39)") {
