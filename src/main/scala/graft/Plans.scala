@@ -338,6 +338,26 @@ object Plans {
         "form of every model-based quality filter. One doc_id-keyed " +
         "aggregate with map-side partials closes it.",
       details = Seq("BroadcastHashJoin")),
+    Entry("q186_mmr_rerank",
+      "MMR's corpus economics: the corpus is touched ONCE - the pool " +
+        "scoring join against the broadcast query side, scored by the " +
+        "codegen'd graft_dot - and the top-P window shuffles only " +
+        "(q_id, cid, rel), the vector payload rejoining AFTER selection " +
+        "(|queries|*P rows). Every greedy step after that runs on " +
+        "pool-bounded frames: checkpoint scans of the selected set, a " +
+        "pool-keyed join, one max-struct aggregate - no corpus scan, " +
+        "no corpus exchange appears below any step.",
+      details = Seq("graft_dot")),
+    Entry("q187_ivfpq_serve",
+      "IVF-PQ split build/serve: the serve plan reads the PERSISTED " +
+        "codes table (4 B/vector scan - ReadSchema shows code columns, " +
+        "no embedding), probes via the broadcast k-row centroid table, " +
+        "and ADC-joins codes to the broadcast per-(query, list) LUTs " +
+        "keyed on the COARSE LIST ID, so unprobed lists never get " +
+        "scored. The k-means and codebook TRAINING shuffles that " +
+        "dominate q148's plan appear nowhere - they ran once at index " +
+        "build; raw embeddings are read only for the rerank sliver.",
+      details = Seq("ReadSchema")),
     Entry("q185_overlap_native",
       "The second tier-(c) operator's plan: OverlapJoinExec between " +
         "co-partitioned (key, start) sorts - no explode, no " +

@@ -55,8 +55,8 @@ object Similarity {
   private[queries] val LabelNProbe = 5 // q42 probed label-lists per query
 
   private val KmK = 8      // q98/q102/q103 clusters
-  private val MmrPool = 12 // q186 relevance pool per query
-  private val MmrK = 6     // q186 diversified selections per query
+  private[queries] val MmrPool = 12 // q186 relevance pool per query
+  private[queries] val MmrK = 6     // q186 diversified selections per query
   private val KmIters = 3  // q98/q102/q103 Lloyd update rounds
   private val NProbe = 5   // q102 probed learned lists per query
   private val SemThr = 0.4 // q103 semdedup cosine cutoff (q39's convention)
