@@ -118,6 +118,15 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
 
   override def output: Seq[Attribute] = left.output ++ payload
 
+  // maxActive SUMS each task's peak (activeL + activeR) length, so with
+  // a single partition it IS the operator's peak state — the documented
+  // "memory per key = true interval concurrency" bound made observable
+  // (OverlapJoinSpec pins it on a skewed one-sided key, where losing
+  // same-side eviction would grow it to the row count)
+  override lazy val metrics = Map(
+    "maxActive" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "peak buffered intervals (per-task peaks summed)"))
+
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) ::
       ClusteredDistribution(rightKey :: Nil) :: Nil
@@ -146,6 +155,7 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
       .orderingFor(leftKey.dataType)
     val payloadAttrs = payload
     val rightOut = right.output
+    val maxActive = longMetric("maxActive")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val payloadProj = UnsafeProjection.create(payloadAttrs, rightOut)
       val lBuf = lIter.buffered
@@ -157,6 +167,11 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
       val activeR = new scala.collection.mutable.ArrayBuffer[Active]
       var curKey: Any = null
       var haveKey = false
+      var taskPeak = 0
+      def notePeak(): Unit = {
+        val n = activeL.length + activeR.length
+        if (n > taskPeak) { maxActive.add(n - taskPeak); taskPeak = n }
+      }
       val joined = new JoinedRow
       val out = new scala.collection.mutable.ArrayDeque[InternalRow]
 
@@ -219,7 +234,7 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
           // an inverted interval can never match a FUTURE row (its
           // start >= s > e forbids f.start <= e), so it joins the
           // active list only when valid
-          if (e >= s) activeL += new Active(owned, s, e)
+          if (e >= s) { activeL += new Active(owned, s, e); notePeak() }
         }
       }
 
@@ -239,7 +254,7 @@ case class OverlapJoinExec(left: SparkPlan, right: SparkPlan,
             if (l.start <= e) out.append(new JoinedRow(l.row, proj))
             i += 1
           }
-          if (e >= s) activeR += new Active(proj, s, e)
+          if (e >= s) { activeR += new Active(proj, s, e); notePeak() }
         }
       }
 

@@ -74,7 +74,18 @@ object IncrementalOverlap {
 }
 
 /** Keyed overlap state machine; top-level so the closure serializes
-  * without a spec/session reference. */
+  * without a spec/session reference.
+  *
+  * State-schema note: `armedTimer` was ADDED after the first shipped
+  * version of this processor. transformWithState stores each state
+  * variable in its own column family, so restarting from a checkpoint
+  * written BEFORE the addition is supported (the new variable starts
+  * empty); on such a restart the first evictAndArm sees no tracked
+  * expiry, cannot delete the pre-change stale timers, and simply arms
+  * the tracked one — the stale timers then fire once as no-op eviction
+  * passes and drain, converging to the tracked-single-timer regime.
+  * REMOVING or RETYPING a state variable would not be compatible; this
+  * codebase treats processor state schemas as append-only. */
 class OverlapProcessor extends StatefulProcessor[
     Long, IncrementalOverlap.Iv, IncrementalOverlap.Pair] {
   import IncrementalOverlap.{Cell, Iv, Pair}

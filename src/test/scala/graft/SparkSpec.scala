@@ -39,6 +39,13 @@ object SparkSpec {
       // delta commits on local[n] (commit blocks forever awaiting the
       // checksum-write future); plain checkpoint files are fine for tests.
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // static (SparkEnv) conf read by every UnsafeExternalSorter: force
+      // a spill every 50k inserted rows, so specs CAN drive the sorter's
+      // spill-read path (whose shared read buffer invalidates previously
+      // returned rows — the UTF8String ownership hazard OverlapJoinSpec
+      // pins). Ordinary suites sort far fewer rows per task; a suite
+      // that does cross 50k merely spills, which is correct behavior.
+      .config("spark.shuffle.spill.numElementsForceSpillThreshold", "50000")
       // static conf; needed by specs that saveAsTable (bucketing)
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_warehouse").toString)

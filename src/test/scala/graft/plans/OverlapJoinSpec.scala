@@ -113,6 +113,93 @@ class OverlapJoinSpec extends SparkSpec {
     assert(binned == want, "tier-(a) diverged from the shared contract")
   }
 
+  test("string keys survive sorter spill (stored keys must be owned)") {
+    // 120k rows/side through ONE task (shuffle.partitions=1) with the
+    // session's 50k force-spill threshold: both children's sorts spill,
+    // so every row the sweep sees lives in the spill reader's SHARED
+    // buffer — a curKey stored without copy() would silently mutate to
+    // the bytes of whatever row the cursor advanced to (the r8 fix at
+    // OverlapJoinExec.keyChange). 8 string keys interleave in the merged
+    // order, so key changes happen constantly against spilled rows.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try {
+      val r3 = new scala.util.Random(59)
+      val n = 120000
+      val lRows = List.tabulate(n)(i => (f"key_${i % 8}%03d",
+        r3.nextInt(2000000).toLong, r3.nextInt(20).toLong, i))
+        .map { case (k, s, w, id) => (k, s, s + w, id) }
+      val rRows = List.tabulate(n)(i => (f"key_${i % 8}%03d",
+        r3.nextInt(2000000).toLong, r3.nextInt(20).toLong, n + i))
+        .map { case (k, s, w, id) => (k, s, s + w, id) }
+      // independent reference: per key, rights sorted by start; overlap
+      // iff rs ∈ [ls - maxW, le] (w <= 20), verified exactly per hit
+      val byKey = rRows.groupBy(_._1)
+        .map { case (k, v) => k -> v.sortBy(_._2).toArray }
+      val want = Set.newBuilder[(Int, Int)]
+      lRows.foreach { case (k, ls, le, lid) =>
+        val arr = byKey(k)
+        var i = {
+          var lo = 0; var hi = arr.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (arr(mid)._2 < ls - 20) lo = mid + 1 else hi = mid
+          }
+          lo
+        }
+        while (i < arr.length && arr(i)._2 <= le) {
+          val (_, rs, re, rid) = arr(i)
+          if (ls <= re && rs <= le) want += ((lid, rid))
+          i += 1
+        }
+      }
+      val got = pairs(OverlapJoin.join(
+        lRows.toDF("k", "s0", "e0", "lid"),
+        rRows.toDF("k", "rs0", "re0", "rid"),
+        "k", "s0", "e0", "rs0", "re0", Seq("rid")))
+      assert(got == want.result(),
+        s"pair set corrupted under spill: got ${got.size}, want ${want.result().size}")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("skewed one-sided key: state stays at true concurrency, not row count") {
+    // 40k left intervals on ONE hot key, width <= 9 with starts 10
+    // apart (true concurrency <= 2 per side boundary), and only 3 right
+    // rows: without SAME-side eviction (the r8 fix), activeL buffers
+    // all 40k lefts while waiting for rights that rarely arrive — the
+    // maxActive metric (per-task peak state, one task here) exposes it
+    val n = 40000
+    val l = List.tabulate(n)(i => ("hot", i * 10L, i * 10L + 9L, i))
+      .toDF("k", "s0", "e0", "lid")
+    val r = Seq(("hot", 5L, 14L, 900001), ("hot", 200005L, 200014L, 900002),
+      ("hot", 399995L, 399999L, 900003)).toDF("k", "rs0", "re0", "rid")
+    val native = OverlapJoin.join(l, r, "k",
+      "s0", "e0", "rs0", "re0", Seq("rid"))
+    // collect from native ITSELF (a derived select would execute a
+    // fresh plan whose metrics stay zero); each right overlaps exactly
+    // the lefts whose spans touch it
+    val got = native.collect()
+      .map(r => (r.getAs[Int]("lid"), r.getAs[Int]("rid"))).toSet
+    assert(got == Set((0, 900001), (1, 900001),
+      (20000, 900002), (20001, 900002), (39999, 900003)))
+    // descend through AQE wrappers to the executed node
+    def findExec(p: org.apache.spark.sql.execution.SparkPlan)
+        : Option[OverlapJoinExec] = p match {
+      case e: OverlapJoinExec => Some(e)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        findExec(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        findExec(q.plan)
+      case other => other.children.iterator.flatMap(findExec).nextOption()
+    }
+    val exec = findExec(native.queryExecution.executedPlan)
+      .getOrElse(fail("OverlapJoinExec not in executed plan"))
+    val peak = exec.metrics("maxActive").value
+    assert(peak > 0 && peak <= 8,
+      s"peak buffered intervals $peak: same-side eviction regressed " +
+        s"(row-count-bounded state on a one-sided key)")
+  }
+
   test("self-join from one scan (shared exprIds) survives") {
     val i = leftRows.toDF("k", "s0", "e0", "id")
     val got = pairs(OverlapJoin.join(i,

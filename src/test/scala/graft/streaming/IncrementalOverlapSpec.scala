@@ -135,4 +135,42 @@ class IncrementalOverlapSpec extends SparkSpec {
       } finally q.stop()
     }
   }
+
+  test("re-arming replaces the eviction timer instead of accumulating") {
+    // one key, ten batches, each adding an interval whose end is LOWER
+    // than every previous end while all ends stay far above the
+    // watermark: minEnd (the timer target) moves every batch, so
+    // evictAndArm re-arms every batch. The r8 fix deletes the
+    // previously registered timer on each move; without it every batch
+    // leaves one more live timer. The engine's own timer metrics make
+    // the leak observable: live = registered - deleted - expired summed
+    // over all batches, which must end at 1 (the single armed timer) —
+    // pre-fix it ends at the batch count.
+    implicit val sqlCtx = spark.sqlContext
+    withRocks {
+      val in = MemoryStream[Iv]
+      val q = IncrementalOverlap.pairs(in.toDS(), "5 seconds")
+        .writeStream.format("memory").queryName("ovl_timers")
+        .outputMode(OutputMode.Append).start()
+      try {
+        for (i <- 0 until 10) {
+          // left side only; ends 3000-i sec out, strictly decreasing
+          in.addData(Seq(Iv(7L, at(10L * i), us(3000 - i), 1, 100L + i)))
+          q.processAllAvailable()
+        }
+        val m = q.recentProgress.flatMap(_.stateOperators)
+          .map(o => (o.customMetrics.getOrDefault("numRegisteredTimers", 0L),
+            o.customMetrics.getOrDefault("numDeletedTimers", 0L),
+            o.customMetrics.getOrDefault("numExpiredTimers", 0L)))
+        val reg = m.map(_._1.longValue).sum
+        val del = m.map(_._2.longValue).sum
+        val exp = m.map(_._3.longValue).sum
+        val live = reg - del - exp
+        assert(reg >= 10, s"expected a registration per batch, got $reg")
+        assert(live == 1,
+          s"timers accumulated: $reg registered, $del deleted, " +
+            s"$exp expired -> $live live (want exactly the one armed timer)")
+      } finally q.stop()
+    }
+  }
 }
