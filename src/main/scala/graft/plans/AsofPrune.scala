@@ -1,6 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeSet,
+  Expression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan,
   Project}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -24,13 +25,24 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    unchanged, and each row's match depends only on the RIGHT side
   *    (dropping other left rows never changes it). Conjuncts touching
   *    payload columns stay above (a payload predicate observes the
-  *    match, which does not exist before the join); right-side
-  *    pushdown would CHANGE who matches, so it never happens here.
+  *    match, which does not exist before the join); general right-side
+  *    pushdown would CHANGE who matches, so it never happens — with ONE
+  *    exception: a deterministic conjunct over the JOIN KEY alone is
+  *    MIRRORED onto the right child through the key equality (both keys
+  *    bare attributes, so the rewrite is a substitution). Sound because
+  *    every left row of a failing key is itself dropped by the left
+  *    push, so the right rows those keys would have matched are
+  *    unobservable; right rows of surviving keys all pass the mirrored
+  *    predicate, so no surviving row's match changes. At scale this is
+  *    what lets a `WHERE key % 7 = 0` cut BOTH scans, not just one.
   *  - `Filter` above an OVERLAP node: the overlap join is a plain
   *    INNER join on a per-pair predicate, so single-side deterministic
   *    conjuncts push to BOTH children — a pair whose row fails a
   *    one-sided predicate is dropped whether the row dies before or
-  *    after the join.
+  *    after the join. Key-only conjuncts mirror to the OPPOSITE child
+  *    too (same soundness as the ASOF case, inner-join flavor: a pair
+  *    needs both keys equal, so a key failing the predicate on either
+  *    side can produce no output).
   *  - Non-deterministic conjuncts stay above in both cases
   *    (fewer/reordered evaluations would change their meaning).
   *  - `Project` above either node: left child pruned to the referenced
@@ -60,7 +72,10 @@ object AsofPrune extends Rule[LogicalPlan] {
         c.deterministic && c.references.subsetOf(a.left.outputSet))
       if (push.isEmpty) Filter(cond, a)
       else {
-        val pushed = a.copy(left = Filter(push.reduce(And2), a.left))
+        val pushed = a.copy(
+          left = Filter(push.reduce(And2), a.left),
+          right = mirror(push, a.leftKey, a.rightKey)
+            .reduceOption(And2).map(Filter(_, a.right)).getOrElse(a.right))
         keep.reduceOption(And2).map(Filter(_, pushed)).getOrElse(pushed)
       }
 
@@ -76,10 +91,12 @@ object AsofPrune extends Rule[LogicalPlan] {
       else {
         val keep = conjuncts.filterNot(c =>
           pushL.contains(c) || pushR.contains(c))
+        val allL = pushL ++ mirror(pushR, o.rightKey, o.leftKey)
+        val allR = pushR ++ mirror(pushL, o.leftKey, o.rightKey)
         val pushed = o.copy(
-          left = pushL.reduceOption(And2).map(Filter(_, o.left))
+          left = allL.reduceOption(And2).map(Filter(_, o.left))
             .getOrElse(o.left),
-          right = pushR.reduceOption(And2).map(Filter(_, o.right))
+          right = allR.reduceOption(And2).map(Filter(_, o.right))
             .getOrElse(o.right))
         keep.reduceOption(And2).map(Filter(_, pushed)).getOrElse(pushed)
       }
@@ -125,6 +142,21 @@ object AsofPrune extends Rule[LogicalPlan] {
         right = if (needR.length == o.right.output.length) o.right
                 else Project(needR, o.right),
         payload = keepPayload))
+  }
+
+  /** Conjuncts of `push` referencing ONLY the source-side key, rewritten
+    * over the key equality onto the other side's key — defined only when
+    * both keys are bare attributes (the facade's form; an expression key
+    * would make the substitution unsound). */
+  private def mirror(push: Seq[Expression], fromKey: Expression,
+      toKey: Expression): Seq[Expression] = (fromKey, toKey) match {
+    case (fk: Attribute, tk: Attribute) =>
+      push.filter(c => c.references.nonEmpty &&
+          c.references.subsetOf(AttributeSet(fk :: Nil)))
+        .map(_.transform {
+          case at: Attribute if at.semanticEquals(fk) => tk
+        })
+    case _ => Nil
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

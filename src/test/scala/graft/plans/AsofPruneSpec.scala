@@ -88,6 +88,54 @@ class AsofPruneSpec extends SparkSpec {
       composed.collect().map(_.toSeq).toSet)
   }
 
+  test("key-only conjuncts mirror to the ASOF right side (both scans filter)") {
+    val df = AsofJoin.join(
+        spark.read.parquet(s"$dir/left"), spark.read.parquet(s"$dir/right"),
+        "k", "t", Seq("rid"))
+      .filter(col("k") < 5 && col("lid") < 1300)
+      .select(col("k"), col("lid"), col("rid"))
+    val physical = df.queryExecution.executedPlan.toString
+    // the key predicate must reach BOTH parquet scans; the lid one only
+    // the left — right rows of failing keys match only dropped lefts
+    assert("LessThan\\(k,5\\)".r.findAllIn(physical).size >= 2,
+      s"key predicate not mirrored to the right scan:\n$physical")
+    assert("LessThan\\(lid,1300\\)".r.findAllIn(physical).size == 1, physical)
+    assert(physical.contains("AsofJoin"), physical)
+    // rule-off differential: mirroring must not change the answer
+    val withRule = df.collect().map(_.toSeq).toSet
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before.filterNot(_ == AsofPrune)
+    try {
+      assert(df.collect().map(_.toSeq).toSet == withRule)
+      assert(withRule.nonEmpty)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
+  test("overlap node: key-only conjuncts reach the OPPOSITE side's scan") {
+    val df = OverlapJoin.join(
+        spark.read.parquet(s"$dir/left")
+          .selectExpr("k", "cast(lid as long) as s0",
+            "cast(lid as long) + 50 as e0", "lid"),
+        spark.read.parquet(s"$dir/right")
+          .selectExpr("k", "cast(rid as long) - 1000 as rs0",
+            "cast(rid as long) - 950 as re0", "rid"),
+        "k", "s0", "e0", "rs0", "re0", Seq("rid"))
+      .filter(col("k") =!= 2)
+      .select(col("k"), col("lid"), col("rid"))
+    val physical = df.queryExecution.executedPlan.toString
+    // the left-side key conjunct must appear on BOTH scans (an inner
+    // join: a failing key on either side can produce no pair)
+    assert("Not\\(EqualTo\\(k,2\\)\\)".r.findAllIn(physical).size >= 2,
+      s"key predicate not mirrored across the overlap join:\n$physical")
+    val withRule = df.collect().map(_.toSeq).toSet
+    val before = spark.experimental.extraOptimizations
+    spark.experimental.extraOptimizations = before.filterNot(_ == AsofPrune)
+    try {
+      assert(df.collect().map(_.toSeq).toSet == withRule)
+      assert(withRule.nonEmpty)
+    } finally spark.experimental.extraOptimizations = before
+  }
+
   test("overlap node: both-side pushdown and pruning reach the scans") {
     val df = OverlapJoin.join(
         spark.read.parquet(s"$dir/left")
