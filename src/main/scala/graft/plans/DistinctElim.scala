@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Complete, First}
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan,
-  Project}
+import org.apache.spark.sql.catalyst.expressions.EqualTo
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
+  LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Distinct elimination under a DECLARED unique key — the library's third
@@ -31,12 +33,27 @@ import org.apache.spark.sql.catalyst.rules.Rule
   *    `first(attr)` / `any_value(attr)` over a bare attribute (the
   *    shape ReplaceDeduplicateWithAggregate emits — under uniqueness
   *    each group IS one row, so first() is the identity);
-  *  - the aggregate's child reaches a declared scan through Projects
-  *    and Filters only ([[JoinElim.sideWalk]] — filters only shrink a
-  *    duplicate-free set; a join below could manufacture duplicates,
-  *    and anything unrecognized declines);
-  *  - SOME grouping attribute maps to the declared unique column: a
-  *    tuple containing a key that never repeats never repeats itself.
+  *  - SOME grouping attribute is provably unique at the aggregate's
+  *    child ([[uniqueAt]]): a tuple containing a key that never
+  *    repeats never repeats itself.
+  *
+  * The uniqueness walk generalizes the original scan-chain check
+  * (Projects and Filters over a declared scan — filters only shrink a
+  *  duplicate-free set) with two join cases a star schema needs:
+  *
+  *  - LeftSemi/LeftAnti preserve LEFT uniqueness unconditionally (each
+  *    left row appears at most once, values untouched);
+  *  - an INNER equi-join preserves the MANY side's uniqueness when
+  *    some equality conjunct `fk = pk` has its pk side resolve (through
+  *    Projects/Filters only) to a column whose uniqueness is DECLARED —
+  *    either directly here, or as the pk of a [[JoinElim]] integrity
+  *    edge (whose contract asserts exactly that). A unique-keyed dim
+  *    matches each fact row at most once, so fact rows are never
+  *    duplicated (extra join conjuncts and filters only REMOVE rows);
+  *    dim-side attributes do NOT inherit uniqueness (they repeat once
+  *    per matching fact row). So `dropDuplicates(pk)` above a whole
+  *    star join collapses to a projection — at 100 TB, the difference
+  *    between a free pass-through and shuffling the joined fact.
   *
   * The declaration (`(path, column)` unique) is the caller's audited
   * assertion — `count(*) = count(DISTINCT col)`, the q52-profile
@@ -90,11 +107,58 @@ object DistinctElim extends Rule[LogicalPlan] {
       case _ => None
     }
     if (rewritten.exists(_.isEmpty)) return None
-    for {
-      (path, idMap, _) <- JoinElim.sideWalk(agg.child)
-      _ <- Option.when(groupAttrs.flatten.exists(a =>
-        idMap.get(a.exprId.id)
-          .exists(c => keys.contains(Key(path, c)))))(())
-    } yield Project(rewritten.flatten, agg.child)
+    if (groupAttrs.flatten.exists(a => uniqueAt(agg.child, a.exprId.id)))
+      Some(Project(rewritten.flatten, agg.child))
+    else None
+  }
+
+  /** Is the attribute `id` provably duplicate-free in `plan`'s output?
+    * Base case: a Projects/Filters chain to a scan with the column
+    * declared unique. Join cases per the scaladoc. */
+  private def uniqueAt(plan: LogicalPlan, id: Long): Boolean = {
+    val declaredHere = JoinElim.sideWalk(plan).exists { case (path, m, _) =>
+      m.get(id).exists(c => keys.contains(Key(path, c)))
+    }
+    declaredHere || (plan match {
+      case Filter(_, child) => uniqueAt(child, id)
+      case Project(ps, child) =>
+        ps.collectFirst {
+          case a: AttributeReference if a.exprId.id == id => a.exprId.id
+          case al @ Alias(a: AttributeReference, _)
+              if al.exprId.id == id => a.exprId.id
+        }.exists(uniqueAt(child, _))
+      case Join(l, r, LeftSemi | LeftAnti, _, _) =>
+        l.output.exists(_.exprId.id == id) && uniqueAt(l, id)
+      case Join(l, r, Inner, Some(cond), _) =>
+        val conjuncts = splitAnd(cond)
+        def manyToOne(fact: LogicalPlan, dim: LogicalPlan): Boolean =
+          fact.output.exists(_.exprId.id == id) && uniqueAt(fact, id) &&
+            conjuncts.exists {
+              case EqualTo(x: AttributeReference, y: AttributeReference) =>
+                dimKeyUnique(dim, x.exprId.id) ||
+                  dimKeyUnique(dim, y.exprId.id)
+              case _ => false
+            }
+        manyToOne(l, r) || manyToOne(r, l)
+      case _ => false
+    })
+  }
+
+  /** The join-key attribute resolves through the dim side's
+    * Projects/Filters to a scan column declared unique — directly, or
+    * as the pk of a JoinElim integrity edge. (The dim side must be a
+    * plain scan chain: a join inside it could re-duplicate the key.) */
+  private def dimKeyUnique(dim: LogicalPlan, keyId: Long): Boolean =
+    dim.output.exists(_.exprId.id == keyId) &&
+      JoinElim.sideWalk(dim).exists { case (path, m, _) =>
+        m.get(keyId).exists(c =>
+          keys.contains(Key(path, c)) || JoinElim.pkDeclared(path, c))
+      }
+
+  private def splitAnd(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      splitAnd(a) ++ splitAnd(b)
+    case other => Seq(other)
   }
 }

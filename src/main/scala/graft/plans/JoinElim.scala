@@ -72,6 +72,19 @@ object JoinElim extends Rule[LogicalPlan] with PredicateHelper {
   /** Drop every declaration (the rule stays installed as a no-op). */
   def clear(): Unit = edges.clear()
 
+  /** Is `dimPath.pk` the pk side of ANY declared edge? An edge's
+    * contract asserts pk uniqueness, which [[DistinctElim]]'s
+    * uniqueness walk reuses to carry declared-unique keys through
+    * many-to-one star joins. */
+  private[plans] def pkDeclared(dimPath: String, pk: String): Boolean = {
+    val it = edges.iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.dimPath == dimPath && e.pk == pk) return true
+    }
+    false
+  }
+
   /** ONE walk for both join sides: the scan under `plan` through
     * Projects (attribute/rename mapping, as in
     * [[SummaryRewrite.factKey]]) and Filters, returning the path, the

