@@ -358,6 +358,15 @@ object Plans {
         "dominate q148's plan appear nowhere - they ran once at index " +
         "build; raw embeddings are read only for the rerank sliver.",
       details = Seq("ReadSchema")),
+    Entry("q188_ivf_sq_serve",
+      "IVF-SQ split build/serve (the q187 move on the SQ family): the " +
+        "serve plan scans the PERSISTED sq_codes table (ReadSchema " +
+        "shows nb_id/cluster/code only - no embedding), decodes AT the " +
+        "scan with the 64-entry params folded to literals, joins the " +
+        "broadcast probe on the COARSE LIST ID so unprobed lists never " +
+        "decode, and reads raw floats only for the rerank sliver. The " +
+        "k-means training shuffles of q167's plan appear nowhere.",
+      details = Seq("ReadSchema")),
     Entry("q185_overlap_native",
       "The second tier-(c) operator's plan: OverlapJoinExec between " +
         "co-partitioned (key, start) sorts - no explode, no " +

@@ -1503,19 +1503,7 @@ object Similarity {
     // their gates. At 100 TB this is the SQ serve shape: scan nprobe/k
     // of the corpus at 64 B/vector, touch raw floats only for the
     // rerank sliver.
-    QuerySpec.sqlBacked("q167_ivf_sq_search", {
-      s"""WITH ${kmeansCtes(KmK, KmIters)},
-         |n AS ($corpusSql),
-         |${ivfProbeCtes()},
-         |${sqCtes()},
-         |ap AS (SELECT p.qid AS q_id, m.id AS nb_id,
-         |    ${sqIdot("qq.qv", "d.dv")} AS adot, d.dn
-         |  FROM probe p
-         |  JOIN q qq ON qq.id = p.qid
-         |  JOIN asg m ON m.cid = p.cid AND m.id <> p.qid
-         |  JOIN sdec d ON d.nb_id = m.id),
-         |$sqTailSql""".stripMargin
-    }) { (s, dir) =>
+    QuerySpec.sqlBacked("q167_ivf_sq_search", ivfSqOracleSql) { (s, dir) =>
       val v = quantized(s, dir)
       Dedup.withScratch(v) {
         val asg = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
@@ -1536,6 +1524,55 @@ object Similarity {
           sqTail(s, dir, v, ap)
         }
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q188: IVF-SQ serving from a PERSISTED index — q187's move applied
+    // to the SQ family, completing the persisted-serve story across all
+    // three compression schemes (LSH q158, IVF-PQ q187, IVF-SQ here).
+    // The build (once per JVM per corpus dir, [[ivfSqIndex]]) persists
+    // cent / sq_params / sq_codes through the SAME training code as
+    // q167; the serve path reads the codes SCAN (byte-per-dim payload
+    // carrying the coarse list id — no training shuffle, no raw-float
+    // corpus read), decodes AT the scan with the params folded to
+    // broadcast-shaped literals, probes via the persisted centroids,
+    // and reranks only the budgeted sliver against raw floats. Shares
+    // [[ivfSqOracleSql]] verbatim with q167 — the driver hash proves
+    // index-serving changed the plan, not the result — and the
+    // scannedPaths require fails loudly if the plan stops reading the
+    // index. At 100 TB: nprobe/k of the corpus at 64 B/vector, build
+    // cost amortized to zero across query batches.
+    QuerySpec.sqlBacked("q188_ivf_sq_serve", ivfSqOracleSql) { (s, dir) =>
+      val idx = ivfSqIndex(s, dir)
+      val cent = s.read.parquet(s"$idx/cent.parquet")
+      val codes = s.read.parquet(s"$idx/sq_codes.parquet")
+      val (mnA, rA) = ivfSqParams(s, idx)
+      val v = quantized(s, dir)
+      val probe = ivfProbeWith(v, cent)
+      val qs = v.filter(expr(isQuery))
+        .select(col("vec_id").as("q_id"),
+          col("qv").cast("array<float>").as("qqv"))
+      // decode at the codes scan: dv = ((code·r) div 255) + mn — the
+      // second half of sqDecoded's round-trip, so dv is bit-identical
+      val dec = codes.select(col("nb_id"), col("cluster").as("mcid"),
+        expr(
+          s"""zip_with(zip_with(code, $rA, (cc, r) -> (cc * r) div 255L),
+             |  $mnA, (dd, m) -> dd + m)""".stripMargin)
+          .cast("array<float>").as("dv"))
+        .withColumn("dn", sqrt(graft.plans.DotProduct(col("dv"), col("dv"))))
+      val ap = dec
+        .join(broadcast(probe.join(qs, col("qid") === col("q_id"))),
+          col("mcid") === col("cid") && col("q_id") =!= col("nb_id"))
+        .select(col("q_id"), col("nb_id"),
+          graft.plans.DotProduct(col("qqv"), col("dv")).cast("long")
+            .as("adot"), col("dn"))
+      // codes has exactly one row per corpus vector: its count sizes
+      // the rerank budget without touching the embeddings scan
+      val served = sqTail(s, dir, codes, ap)
+      val scans = graft.plans.SummaryRewrite.scannedPaths(served)
+      require(scans.exists(_.endsWith("sq_codes.parquet")),
+        s"q188: serve path does not read the persisted index (scans: $scans)")
+      served
     },
 
     // ------------------------------------------------------------------
@@ -1809,17 +1846,35 @@ object Similarity {
        |  WHERE crn <= $NProbe)""".stripMargin
   }
 
+  /** The IVF-SQ oracle (coarse Lloyd -> per-dim SQ8 quantize/decode ->
+    * probed-list proxy scan -> exact rerank) as ONE DuckDB query —
+    * shared VERBATIM by q167 (inline build+serve) and q188 (persisted-
+    * index serve), the q148/q187 doctrine applied to the SQ family. */
+  private def ivfSqOracleSql: String =
+    s"""WITH ${kmeansCtes(KmK, KmIters)},
+       |n AS ($corpusSql),
+       |${ivfProbeCtes()},
+       |${sqCtes()},
+       |ap AS (SELECT p.qid AS q_id, m.id AS nb_id,
+       |    ${sqIdot("qq.qv", "d.dv")} AS adot, d.dn
+       |  FROM probe p
+       |  JOIN q qq ON qq.id = p.qid
+       |  JOIN asg m ON m.cid = p.cid AND m.id <> p.qid
+       |  JOIN sdec d ON d.nb_id = m.id),
+       |$sqTailSql""".stripMargin
+
   /** Spark twin of [[ivfProbeCtes]]: (qid, cid) — each query's NProbe
     * nearest learned lists. `asg` must be KMeans.assign's frame, already
-    * scratch-persisted by the caller. */
-  private def ivfProbe(v: DataFrame, asg: DataFrame): DataFrame = {
-    // per-list exact-integer centroid: same sum-div convention as the
-    // Lloyd update itself (group-by only yields non-empty lists)
-    val sums = (0 until Vectors.Dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
-    val cent = asg.join(v, asg("id") === v("vec_id"))
-      .groupBy(col("cluster")).agg(count(lit(1)).as("n"), sums: _*)
-      .select(col("cluster").as("cid"),
-        array((0 until Vectors.Dim).map(i => expr(s"s$i div n")): _*).as("cv"))
+    * scratch-persisted by the caller. Centroids come from the shared
+    * [[ivfPqCentroids]] (the same sum-div Lloyd convention). */
+  private def ivfProbe(v: DataFrame, asg: DataFrame): DataFrame =
+    ivfProbeWith(v, ivfPqCentroids(
+      asg.join(v, asg("id") === v("vec_id"))
+        .select(col("id"), col("cluster"), col("qv"))))
+
+  /** The probe against a PREBUILT (cid, cv) centroid table — q188 reads
+    * cent from its persisted index instead of re-deriving it. */
+  private def ivfProbeWith(v: DataFrame, cent: DataFrame): DataFrame = {
     // probe: nprobe nearest lists by exact integer L2 (broadcast k rows)
     val pd = expr(
       "aggregate(zip_with(qv, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)")
@@ -1830,6 +1885,53 @@ object Similarity {
       .withColumn("crn", row_number().over(wp))
       .filter(col("crn") <= NProbe)
       .select(col("qid"), col("cid"))
+  }
+
+  /** Per-JVM IVF-SQ index cache: corpus dir -> persisted index base.
+    * Three tables through the SAME training code as q167: cent (k list
+    * centroids, [[ivfPqCentroids]]), sq_params (the 64-row per-dim
+    * (min, range) quantizer — the k-row contract), sq_codes (nb_id,
+    * coarse list id, per-dim SQ8 code — byte-per-dim payload; a
+    * production layout would bit-pack the ints, which changes storage,
+    * not arithmetic). Per-JVM keying as in [[ivfPqIndex]]. */
+  private val ivfSqIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def ivfSqIndex(s: SparkSession, dir: String): String =
+    ivfSqIdxCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_ivfsq_index").toString
+      val v = quantized(s, dir)
+      v.persist()
+      val joined = graft.operators.KMeans
+        .assign(v, KmK, KmIters, Vectors.Dim)
+        .join(v, col("id") === col("vec_id"))
+        .select(col("id"), col("cluster"), col("qv"))
+      joined.persist()
+      ivfPqCentroids(joined).write.mode("overwrite")
+        .parquet(s"$base/cent.parquet")
+      v.select(posexplode(col("qv")).as(Seq("i", "x")))
+        .groupBy(col("i"))
+        .agg(min(col("x")).as("mn"),
+          (max(col("x")) - min(col("x"))).as("r"))
+        .write.mode("overwrite").parquet(s"$base/sq_params.parquet")
+      val (mnA, rA) = ivfSqParams(s, base)
+      joined.select(col("id").as("nb_id"), col("cluster"), expr(
+        s"""zip_with(zip_with(qv, $mnA, (vv, m) -> vv - m), $rA,
+           |  (sv, r) -> IF(r = 0L, 0L, (sv * 255L) div r))""".stripMargin)
+          .cast("array<int>").as("code"))
+        .write.mode("overwrite").parquet(s"$base/sq_codes.parquet")
+      joined.unpersist(blocking = false)
+      v.unpersist(blocking = false)
+      base
+    })
+
+  /** The persisted quantizer params folded to literal arrays (64 rows —
+    * the broadcast-codebook shape sqDecoded uses). */
+  private def ivfSqParams(s: SparkSession, base: String): (String, String) = {
+    val mm = s.read.parquet(s"$base/sq_params.parquet")
+      .orderBy(col("i")).collect()
+    (mm.map(_.getLong(1) + "L").mkString("array(", ",", ")"),
+      mm.map(_.getLong(2) + "L").mkString("array(", ",", ")"))
   }
 
   /** SQ8 quantizer as DuckDB CTEs against an existing `q`(id, qv) CTE

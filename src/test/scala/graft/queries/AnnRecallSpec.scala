@@ -73,6 +73,17 @@ class AnnRecallSpec extends SparkSpec {
     info(s"q148/q187 parity over ${inline.size} result rows")
   }
 
+  test("q188 persisted-index serve returns exactly q167's result set") {
+    val inline = SparkEntry.queries("q167_ivf_sq_search")(spark, dir)
+      .select("q_id", "nb_id", "rn").as[(Long, Long, Int)].collect().toSet
+    val served = SparkEntry.queries("q188_ivf_sq_serve")(spark, dir)
+      .select("q_id", "nb_id", "rn").as[(Long, Long, Int)].collect().toSet
+    assert(inline == served,
+      s"SQ index-served top-k drifted from inline build+serve: " +
+        s"${(inline diff served).size} missing, ${(served diff inline).size} extra")
+    info(s"q167/q188 parity over ${inline.size} result rows")
+  }
+
   test("semdedup verdicts agree with the exact all-pairs baseline (q39)") {
     import org.apache.spark.sql.functions.col
     // every q39 pair captured by a cluster must reappear as a q103 drop;
