@@ -80,9 +80,16 @@ object Bench {
         .sortBy(-_._2).headOption.getOrElse(("none", 0.0))
     val retried = results.count(_._3.isDefined)
     // sfDir comes from the environment and slowName from query keys;
-    // both are interpolated into JSON string positions, so escape the
-    // two characters that could break the line (ADVICE r8 item 4).
-    def jstr(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    // both are interpolated into JSON string positions. Escape quotes,
+    // backslashes AND control characters — a raw newline would split
+    // the one-line protocol itself, and RFC 8259 forbids unescaped
+    // chars < 0x20 inside strings (ADVICE r8 item 4 + review catch).
+    def jstr(s: String): String = s.flatMap {
+      case '\\' => "\\\\"
+      case '"' => "\\\""
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
     val sfJ = jstr(sfDir)
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfJ"}"""

@@ -7,7 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference,
   NamedExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression,
   Complete, First}
-import org.apache.spark.sql.catalyst.expressions.EqualTo
+import org.apache.spark.sql.catalyst.expressions.{EqualTo,
+  PredicateHelper}
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftAnti, LeftSemi}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join,
   LogicalPlan, Project}
@@ -64,7 +65,7 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * `attr AS name` under the ORIGINAL alias exprId, so parents resolve
   * untouched (the SummaryRewrite move).
   */
-object DistinctElim extends Rule[LogicalPlan] {
+object DistinctElim extends Rule[LogicalPlan] with PredicateHelper {
 
   private final case class Key(path: String, column: String)
 
@@ -113,36 +114,42 @@ object DistinctElim extends Rule[LogicalPlan] {
   }
 
   /** Is the attribute `id` provably duplicate-free in `plan`'s output?
-    * Base case: a Projects/Filters chain to a scan with the column
-    * declared unique. Join cases per the scaladoc. */
-  private def uniqueAt(plan: LogicalPlan, id: Long): Boolean = {
-    val declaredHere = JoinElim.sideWalk(plan).exists { case (path, m, _) =>
-      m.get(id).exists(c => keys.contains(Key(path, c)))
-    }
-    declaredHere || (plan match {
-      case Filter(_, child) => uniqueAt(child, id)
-      case Project(ps, child) =>
-        ps.collectFirst {
-          case a: AttributeReference if a.exprId.id == id => a.exprId.id
-          case al @ Alias(a: AttributeReference, _)
-              if al.exprId.id == id => a.exprId.id
-        }.exists(uniqueAt(child, _))
-      case Join(l, r, LeftSemi | LeftAnti, _, _) =>
-        l.output.exists(_.exprId.id == id) && uniqueAt(l, id)
-      case Join(l, r, Inner, Some(cond), _) =>
-        val conjuncts = splitAnd(cond)
-        def manyToOne(fact: LogicalPlan, dim: LogicalPlan): Boolean =
-          fact.output.exists(_.exprId.id == id) && uniqueAt(fact, id) &&
-            conjuncts.exists {
-              case EqualTo(x: AttributeReference, y: AttributeReference) =>
-                dimKeyUnique(dim, x.exprId.id) ||
-                  dimKeyUnique(dim, y.exprId.id)
-              case _ => false
-            }
-        manyToOne(l, r) || manyToOne(r, l)
-      case _ => false
-    })
+    * Project/Filter levels map the id downward; the declared-scan check
+    * runs once, where the chain bottoms out (not per level — the walk
+    * is O(depth) per attribute). Join cases per the scaladoc. */
+  private def uniqueAt(plan: LogicalPlan, id: Long): Boolean = plan match {
+    case Filter(_, child) => uniqueAt(child, id)
+    case Project(ps, child) =>
+      ps.collectFirst {
+        case a: AttributeReference if a.exprId.id == id => a.exprId.id
+        case al @ Alias(a: AttributeReference, _)
+            if al.exprId.id == id => a.exprId.id
+      }.exists(uniqueAt(child, _))
+    case Join(l, r, LeftSemi | LeftAnti, _, _) =>
+      l.output.exists(_.exprId.id == id) && uniqueAt(l, id)
+    case Join(l, r, Inner, Some(cond), _) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      // the witness must be a CROSS-side equality: unique dim key on
+      // one operand, a FACT-side attribute on the other — a dim-local
+      // equality (or pk = pk) says nothing about match multiplicity
+      // and would license eliminating a genuinely row-multiplying join
+      def manyToOne(fact: LogicalPlan, dim: LogicalPlan): Boolean =
+        fact.output.exists(_.exprId.id == id) && uniqueAt(fact, id) &&
+          conjuncts.exists {
+            case EqualTo(x: AttributeReference, y: AttributeReference) =>
+              (onSide(fact, x) && dimKeyUnique(dim, y.exprId.id)) ||
+                (onSide(fact, y) && dimKeyUnique(dim, x.exprId.id))
+            case _ => false
+          }
+      manyToOne(l, r) || manyToOne(r, l)
+    case other =>
+      JoinElim.sideWalk(other).exists { case (path, m, _) =>
+        m.get(id).exists(c => keys.contains(Key(path, c)))
+      }
   }
+
+  private def onSide(side: LogicalPlan, a: AttributeReference): Boolean =
+    side.output.exists(_.exprId == a.exprId)
 
   /** The join-key attribute resolves through the dim side's
     * Projects/Filters to a scan column declared unique — directly, or
@@ -155,10 +162,4 @@ object DistinctElim extends Rule[LogicalPlan] {
           keys.contains(Key(path, c)) || JoinElim.pkDeclared(path, c))
       }
 
-  private def splitAnd(e: org.apache.spark.sql.catalyst.expressions.Expression)
-      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
-    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
-      splitAnd(a) ++ splitAnd(b)
-    case other => Seq(other)
-  }
 }

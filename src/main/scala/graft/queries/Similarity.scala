@@ -374,39 +374,67 @@ object Similarity {
     * per-JVM so a fresh driver run always retrains — no staleness
     * across testdata regeneration; within a serving fleet's lifetime
     * the build amortizes over every query batch. */
+  /** A per-JVM temp dir registered for deletion at JVM exit — repeated
+    * bench/test runs must not accumulate corpus-sized index tables in
+    * /tmp (review catch). */
+  private def tempIndexDir(prefix: String): String = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(base).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }))
+    base.toString
+  }
+
+  /** Shared IVF index-build preamble (q187/q188): quantize, coarse
+    * Lloyd assignment, the ONE corpus join carrying the vectors, and
+    * the persisted centroid table — scratch frames released even when
+    * the family-specific `body` fails. Returns the index base path. */
+  private def buildIvfIndex(s: SparkSession, dir: String, prefix: String)(
+      body: (DataFrame, String) => Unit): String = {
+    val base = tempIndexDir(prefix)
+    val v = quantized(s, dir)
+    v.persist()
+    val joined = graft.operators.KMeans
+      .assign(v, KmK, KmIters, Vectors.Dim)
+      .join(v, col("id") === col("vec_id"))
+      .select(col("id"), col("cluster"), col("qv"))
+    joined.persist()
+    try {
+      ivfPqCentroids(joined).write.mode("overwrite")
+        .parquet(s"$base/cent.parquet")
+      body(joined, base)
+    } finally {
+      joined.unpersist(blocking = false)
+      v.unpersist(blocking = false)
+    }
+    base
+  }
+
   private val ivfPqIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfPqIndex(s: SparkSession, dir: String): String =
-    ivfPqIdxCache.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_ivfpq_index").toString
-      val v = quantized(s, dir)
-      v.persist()
-      val joined = graft.operators.KMeans
-        .assign(v, KmK, KmIters, Vectors.Dim)
-        .join(v, col("id") === col("vec_id"))
-        .select(col("id"), col("cluster"), col("qv"))
-      joined.persist()
-      ivfPqCentroids(joined).write.mode("overwrite")
-        .parquet(s"$base/cent.parquet")
-      val cent = s.read.parquet(s"$base/cent.parquet")
-      val res = joined
-        .join(broadcast(cent), col("cluster") === col("cid"))
-        .select(col("id").as("vec_id"), col("cluster"),
-          expr("zip_with(qv, cv, (x, y) -> x - y)").as("qv"))
-      res.persist()
-      pqCodebooks(res).write.mode("overwrite")
-        .parquet(s"$base/codebooks.parquet")
-      val one = s.read.parquet(s"$base/codebooks.parquet")
-      pqEncoded(res, one, keep = Seq("cluster"))
-        .select(col("vec_id").as("nb_id") +: col("cluster") +:
-          (0 until PqM).map(m => col(s"b$m.cid").as(s"c$m")): _*)
-        .write.mode("overwrite").parquet(s"$base/codes.parquet")
-      res.unpersist(blocking = false)
-      joined.unpersist(blocking = false)
-      v.unpersist(blocking = false)
-      base
-    })
+    ivfPqIdxCache.computeIfAbsent(dir, _ =>
+      buildIvfIndex(s, dir, "graft_ivfpq_index") { (joined, base) =>
+        val cent = s.read.parquet(s"$base/cent.parquet")
+        val res = joined
+          .join(broadcast(cent), col("cluster") === col("cid"))
+          .select(col("id").as("vec_id"), col("cluster"),
+            expr("zip_with(qv, cv, (x, y) -> x - y)").as("qv"))
+        res.persist()
+        try {
+          pqCodebooks(res).write.mode("overwrite")
+            .parquet(s"$base/codebooks.parquet")
+          val one = s.read.parquet(s"$base/codebooks.parquet")
+          pqEncoded(res, one, keep = Seq("cluster"))
+            .select(col("vec_id").as("nb_id") +: col("cluster") +:
+              (0 until PqM).map(m => col(s"b$m.cid").as(s"c$m")): _*)
+            .write.mode("overwrite").parquet(s"$base/codes.parquet")
+        } finally res.unpersist(blocking = false)
+      })
 
   /** Query set: every 50th vector (10 queries at the 500-row test SFs). */
   private val isQuery = "vec_id % 50 = 0"
@@ -1897,33 +1925,21 @@ object Similarity {
   private val ivfSqIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def ivfSqIndex(s: SparkSession, dir: String): String =
-    ivfSqIdxCache.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_ivfsq_index").toString
-      val v = quantized(s, dir)
-      v.persist()
-      val joined = graft.operators.KMeans
-        .assign(v, KmK, KmIters, Vectors.Dim)
-        .join(v, col("id") === col("vec_id"))
-        .select(col("id"), col("cluster"), col("qv"))
-      joined.persist()
-      ivfPqCentroids(joined).write.mode("overwrite")
-        .parquet(s"$base/cent.parquet")
-      v.select(posexplode(col("qv")).as(Seq("i", "x")))
-        .groupBy(col("i"))
-        .agg(min(col("x")).as("mn"),
-          (max(col("x")) - min(col("x"))).as("r"))
-        .write.mode("overwrite").parquet(s"$base/sq_params.parquet")
-      val (mnA, rA) = ivfSqParams(s, base)
-      joined.select(col("id").as("nb_id"), col("cluster"), expr(
-        s"""zip_with(zip_with(qv, $mnA, (vv, m) -> vv - m), $rA,
-           |  (sv, r) -> IF(r = 0L, 0L, (sv * 255L) div r))""".stripMargin)
-          .cast("array<int>").as("code"))
-        .write.mode("overwrite").parquet(s"$base/sq_codes.parquet")
-      joined.unpersist(blocking = false)
-      v.unpersist(blocking = false)
-      base
-    })
+    ivfSqIdxCache.computeIfAbsent(dir, _ =>
+      buildIvfIndex(s, dir, "graft_ivfsq_index") { (joined, base) =>
+        // params from the persisted join frame (same rows/values as v)
+        joined.select(posexplode(col("qv")).as(Seq("i", "x")))
+          .groupBy(col("i"))
+          .agg(min(col("x")).as("mn"),
+            (max(col("x")) - min(col("x"))).as("r"))
+          .write.mode("overwrite").parquet(s"$base/sq_params.parquet")
+        val (mnA, rA) = ivfSqParams(s, base)
+        joined.select(col("id").as("nb_id"), col("cluster"), expr(
+          s"""zip_with(zip_with(qv, $mnA, (vv, m) -> vv - m), $rA,
+             |  (sv, r) -> IF(r = 0L, 0L, (sv * 255L) div r))""".stripMargin)
+            .cast("array<int>").as("code"))
+          .write.mode("overwrite").parquet(s"$base/sq_codes.parquet")
+      })
 
   /** The persisted quantizer params folded to literal arrays (64 rows —
     * the broadcast-codebook shape sqDecoded uses). */

@@ -168,6 +168,38 @@ class DistinctElimSpec extends SparkSpec {
     } finally JoinElim.clear()
   }
 
+  test("a dim-LOCAL equality is no many-to-one witness (review catch)") {
+    import spark.implicits._
+    // synthetic star with an HONEST edge (dk unique, fk ⊆ dk) whose dim
+    // carries a second column equal to dk on THREE rows: the dim-local
+    // condition dk = dother then matches 3 dim rows, so every fact row
+    // joins 3 times — a declared-unique operand in the equality, yet the
+    // join multiplies. The walk must demand a CROSS-side equality.
+    val d = java.nio.file.Files.createTempDirectory("distinct_elim").toString
+    (1L to 10L).map(k => (k, if (k <= 3) k else 0L)).toDF("dk", "dother")
+      .write.parquet(s"$d/dim")
+    (1L to 20L).map(i => (i, i % 10 + 1)).toDF("fid", "fk")
+      .write.parquet(s"$d/fact")
+    DistinctElim.declare(spark, s"$d/fact", "fid")
+    JoinElim.declare(spark, s"$d/fact", "fk", s"$d/dim", "dk")
+    try {
+      val fact = spark.read.parquet(s"$d/fact")
+      val dim = spark.read.parquet(s"$d/dim")
+      val q = () => fact.join(dim, col("dk") === col("dother"))
+        .select(col("fid"), col("dk")).dropDuplicates("fid")
+      assert(nAggs(q()) == 1,
+        "dim-local equality wrongly accepted as a many-to-one witness")
+      // the distinct is load-bearing: each fact row matched 3 dim rows
+      val joined = fact.join(dim, col("dk") === col("dother"))
+      assert(joined.count() == 60 && q().count() == 20,
+        "scenario lost its duplicates — rebuild the case")
+      // and the honest CROSS-side edge on the same tables still works
+      val good = fact.join(dim, col("fk") === col("dk"))
+        .select(col("fid"), col("dother")).dropDuplicates("fid")
+      assert(nAggs(good) == 0, "the legitimate fk join must still eliminate")
+    } finally JoinElim.clear()
+  }
+
   test("left-semi preserves left uniqueness with no edge declared") {
     declare()
     JoinElim.clear()
