@@ -358,6 +358,15 @@ object Plans {
         "dominate q148's plan appear nowhere - they ran once at index " +
         "build; raw embeddings are read only for the rerank sliver.",
       details = Seq("ReadSchema")),
+    Entry("q189_bpe_encode_serve",
+      "Tokenizer split train/encode: the serve plan scans the PERSISTED " +
+        "vocabulary (word, repr - the frozen tokenizer), which joins " +
+        "the corpus word explode as a BroadcastHashJoin build side " +
+        "(vocab-bounded model, the q183 contract), then one doc_id-" +
+        "keyed aggregate with map-side partials. q149's four merge-" +
+        "round training passes over the word histogram appear nowhere " +
+        "- they ran once at vocab build.",
+      details = Seq("BroadcastHashJoin", "ReadSchema")),
     Entry("q188_ivf_sq_serve",
       "IVF-SQ split build/serve (the q187 move on the SQ family): the " +
         "serve plan scans the PERSISTED sq_codes table (ReadSchema " +

@@ -861,34 +861,35 @@ object TextOps {
     // strings. Emits per doc: words, pieces, and the pieces/word
     // fertility the q96 report aggregates by language — here at DOCUMENT
     // grain, the pre-packing statistic q71's sequence packer consumes.
-    QuerySpec.sqlBacked("q149_bpe_encode",
-      s"""WITH ${bpeCtesSql(BpeRounds)},
-         |enc AS (SELECT word, CAST(len(string_split(repr, ' ')) AS BIGINT)
-         |          AS np
-         |        FROM v$BpeRounds),
-         |d AS (SELECT doc_id, w AS word
-         |      FROM documents, unnest(string_split(text, ' ')) AS t(w)
-         |      WHERE len(w) > 0)
-         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
-         |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
-         |  CAST(sum(e.np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
-         |    AS pieces_per_word
-         |FROM d JOIN enc e ON e.word = d.word
-         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+    QuerySpec.sqlBacked("q149_bpe_encode", bpeEncodeOracleSql) { (s, dir) =>
       val (_, vocab) = bpeTrain(s, dir, BpeRounds)
-      val enc = vocab
-        .select(col("word"),
-          size(split(col("repr"), " ")).cast("long").as("np"))
-      Tables.spread(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-        .filter(length(col("word")) > 0)
-        .join(enc, "word")
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
-        .select(col("doc_id"), col("n_words"), col("n_pieces"),
-          (col("n_pieces").cast("double") / col("n_words").cast("double"))
-            .as("pieces_per_word"))
-        .orderBy(col("doc_id"))
+      bpeEncodeWith(s, dir, vocab)
+    },
+
+    // ------------------------------------------------------------------
+    // q189: BPE encoding from a PERSISTED tokenizer — the q187/q188
+    // persisted-index move applied to the TOKENIZER family: q149 trains
+    // the merge table inside every execution, but a production pipeline
+    // trains a tokenizer ONCE and encodes every corpus shard against the
+    // frozen vocabulary (exactly how GPT-style pipelines ship
+    // tokenizer.json). The build ([[bpeVocabIndex]], once per JVM per
+    // corpus dir) persists q130's trained vocabulary (word -> space-
+    // separated piece repr — vocab-bounded, the broadcastable model
+    // contract); the serve path is ONE corpus explode joined against
+    // the vocab SCAN, pinned by a scannedPaths require. Shares
+    // [[bpeEncodeOracleSql]] verbatim with q149 — the driver hash
+    // proves the split changed the plan, not the result. At 100 TB:
+    // encode cost is the corpus scan + a broadcast-sized join; training
+    // amortizes to zero across shards.
+    QuerySpec.sqlBacked("q189_bpe_encode_serve", bpeEncodeOracleSql) {
+      (s, dir) =>
+      val idx = bpeVocabIndex(s, dir)
+      val vocab = s.read.parquet(s"$idx/bpe_vocab.parquet")
+      val served = bpeEncodeWith(s, dir, vocab)
+      val scans = graft.plans.SummaryRewrite.scannedPaths(served)
+      require(scans.exists(_.endsWith("bpe_vocab.parquet")),
+        s"q189: serve path does not read the persisted vocab (scans: $scans)")
+      served
     },
 
     // ------------------------------------------------------------------
@@ -1205,6 +1206,67 @@ object TextOps {
     * argmax row → projection fold, lineage cut per round. Returns the
     * per-round 1-row merge frames and the vocabulary AFTER the last
     * merge. */
+  /** The BPE-encode oracle (train v0..v4 via bpeCtesSql, then score
+    * every document against the final vocabulary) — shared VERBATIM by
+    * q149 (inline train+encode) and q189 (persisted-vocab serve). */
+  private def bpeEncodeOracleSql: String =
+    s"""WITH ${bpeCtesSql(BpeRounds)},
+       |enc AS (SELECT word, CAST(len(string_split(repr, ' ')) AS BIGINT)
+       |          AS np
+       |        FROM v$BpeRounds),
+       |d AS (SELECT doc_id, w AS word
+       |      FROM documents, unnest(string_split(text, ' ')) AS t(w)
+       |      WHERE len(w) > 0)
+       |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(e.np) AS BIGINT) AS n_pieces,
+       |  CAST(sum(e.np) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+       |    AS pieces_per_word
+       |FROM d JOIN enc e ON e.word = d.word
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+
+  /** The encode tail shared by q149 and q189: corpus words joined to a
+    * (word, repr) vocabulary, per-doc piece accounting. */
+  private def bpeEncodeWith(s: SparkSession, dir: String,
+      vocab: DataFrame): DataFrame = {
+    val enc = vocab
+      .select(col("word"),
+        size(split(col("repr"), " ")).cast("long").as("np"))
+    Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(enc, "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("np")).as("n_pieces"))
+      .select(col("doc_id"), col("n_words"), col("n_pieces"),
+        (col("n_pieces").cast("double") / col("n_words").cast("double"))
+          .as("pieces_per_word"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-JVM BPE tokenizer cache: corpus dir -> persisted vocab base.
+    * The build is q130's training ([[bpeTrain]], the SAME code q149
+    * runs inline); the persisted table is (word, repr) — the frozen
+    * tokenizer every later shard encodes against. Temp dir registered
+    * for deletion at JVM exit (the q187 hygiene). */
+  private val bpeVocabCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def bpeVocabIndex(s: SparkSession, dir: String): String =
+    bpeVocabCache.computeIfAbsent(dir, _ => {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft_bpe_vocab")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(base).iterator().asScala.toSeq
+            .sortBy(-_.getNameCount)
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }))
+      val (_, vocab) = bpeTrain(s, dir, BpeRounds)
+      vocab.select(col("word"), col("repr"))
+        .write.mode("overwrite").parquet(s"$base/bpe_vocab.parquet")
+      base.toString
+    })
+
   private def bpeTrain(s: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame) = {
     val foldCase = bpeFoldCase
