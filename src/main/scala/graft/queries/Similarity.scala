@@ -348,11 +348,15 @@ object Similarity {
     val qe = c.filter(expr(isQuery))
       .select(col("vec_id").as("qk"), col("embedding").as("qe"),
         col("nrm").as("qn"))
+    // corpus ⋈ cand shuffles on nb_id (cand grows as corpus/IvfPqFrac ×
+    // query count — too big to pin as a broadcast at scale; AQE still
+    // broadcasts it when it IS small). Only the query-count-bounded qe
+    // frame keeps an explicit broadcast.
     val scored = c
       .select(col("vec_id").as("nk"), col("embedding").as("ce"),
         col("nrm").as("cn"))
-      .join(broadcast(cand.join(qe, col("q_id") === col("qk"))),
-        col("nb_id") === col("nk"))
+      .join(cand, col("nb_id") === col("nk"))
+      .join(broadcast(qe), col("q_id") === col("qk"))
       .select(col("q_id"), col("nb_id"), col("adc"),
         (Vectors.dot("qe", "ce") / (col("qn") * col("cn")))
           .as("cos"))
@@ -1246,8 +1250,9 @@ object Similarity {
         val cand = adc.withColumn("crn", row_number().over(wC))
           .filter(col("crn") <= budget)
           .select(col("q_id"), col("nb_id"), col("adc"))
-        // exact re-rank: the bounded candidate set (AdcCand rows/query)
-        // broadcasts against the raw corpus for true cosine
+        // exact re-rank: corpus ⋈ cand shuffles on nb_id (the candidate
+        // sliver grows as corpus/AdcFrac × query count — never pin it as
+        // a broadcast); only the query-bounded qe frame broadcasts
         val c = corpus(s, dir)
         val qe = c.filter(expr(isQuery))
           .select(col("vec_id").as("qk"), col("embedding").as("qe"),
@@ -1255,8 +1260,8 @@ object Similarity {
         val scored = c
           .select(col("vec_id").as("nk"), col("embedding").as("ce"),
             col("nrm").as("cn"))
-          .join(broadcast(cand.join(qe, col("q_id") === col("qk"))),
-            col("nb_id") === col("nk"))
+          .join(cand, col("nb_id") === col("nk"))
+          .join(broadcast(qe), col("q_id") === col("qk"))
           .select(col("q_id"), col("nb_id"), col("adc"),
             (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
         val wK = Window.partitionBy(col("q_id"))
@@ -1823,7 +1828,10 @@ object Similarity {
 
   /** Spark twin of [[sqTailSql]]: budgeted proxy cut + exact rerank
     * over an `ap`(q_id, nb_id, adot, dn) frame → (q_id, nb_id, rn,
-    * sq_dot, cos). The rerank broadcasts only the candidate sliver. */
+    * sq_dot, cos). The rerank shuffles corpus ⋈ cand on nb_id (the
+    * sliver grows as corpus/AdcFrac × queries — AQE broadcasts it only
+    * while it is actually small) and broadcasts just the
+    * query-count-bounded qe frame. */
   private def sqTail(s: SparkSession, dir: String, v: DataFrame,
       ap: DataFrame): DataFrame = {
     val budget = math.max(2L * K, v.count() / AdcFrac)
@@ -1839,8 +1847,8 @@ object Similarity {
     val scored = c
       .select(col("vec_id").as("nk"), col("embedding").as("ce"),
         col("nrm").as("cn"))
-      .join(broadcast(cand.join(qe, col("q_id") === col("qk"))),
-        col("nb_id") === col("nk"))
+      .join(cand, col("nb_id") === col("nk"))
+      .join(broadcast(qe), col("q_id") === col("qk"))
       .select(col("q_id"), col("nb_id"), col("adot"),
         (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("cos"))
     val wK = Window.partitionBy(col("q_id"))

@@ -1014,7 +1014,11 @@ object TextOps {
         .select(col("w1"), col("w2"), col("kn_num"), col("kn_den"))
       val low = col("kn_num").isNull ||
         col("kn_num") <= expr("(kn_den + 999) div 1000") - 1
-      pairs.join(broadcast(model), Seq("w1", "w2"), "left")
+      // model is the distinct-bigram table — vocab²-bounded, i.e. it
+      // GROWS with the corpus, so it must not be pinned as a broadcast
+      // (AQE broadcasts it on its own while it is actually small); the
+      // join shuffles both sides on (w1, w2) at scale
+      pairs.join(model, Seq("w1", "w2"), "left")
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"),
           sum(when(low, 1L).otherwise(0L)).as("n_low"))
@@ -1075,7 +1079,10 @@ object TextOps {
       val cb = sb.groupBy(col("w1"), col("w2")).agg(sum(col("cs")).as("c"))
       val ns = sb.groupBy(col("source")).agg(sum(col("cs")).as("n_s"))
       val tot = sb.agg(sum(col("cs")).as("n"))
-      sb.join(broadcast(cb), Seq("w1", "w2"))
+      // cb is corpus-wide distinct-bigram counts — grows with vocab², so
+      // no pinned broadcast (AQE handles the small case); ns is
+      // source-count-bounded and stays an explicit broadcast
+      sb.join(cb, Seq("w1", "w2"))
         .join(broadcast(ns), "source")
         .crossJoin(broadcast(tot))
         // divide-compare guard BEFORE any product (c·n_s ≤ n·n_s is the
