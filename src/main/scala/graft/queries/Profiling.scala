@@ -82,6 +82,42 @@ object Profiling {
     * rows, all supplies >= 0. Output: (source, supply, capped, alloc)
     * with Σalloc = 3·Σsupply div 5 exactly — see the q182 comment for
     * the prefix-property argument the single window pass rests on. */
+  /** q190's packing core: greedy next-fit sequence packing of documents
+    * into capacity-`cap` token bins, shard-local within
+    * (source, doc_id / chunkSpan). Input columns (doc_id, source,
+    * n_tok); output adds (chunk, bin_id, off), with each doc's
+    * contribution capped at `cap` (an oversized doc occupies a bin
+    * alone, truncated). Typed flatMapSortedGroups is the documented
+    * escape hatch here: next-fit carries a reset-on-overflow fill
+    * recurrence that no window function expresses (it is not a prefix
+    * sum), and the chunk shard bounds that sequential state at
+    * chunkSpan rows — the same shard-local contract a 100 TB packer
+    * runs under (one hash exchange on (source, chunk), uniform groups,
+    * no skew). The reference has no packer (its surface ends at
+    * DataStream transforms, DataStream.java:131-309); this is the
+    * LLM-pipeline extension — context-window packing a la T5/GPT
+    * pipelines — pinned by the recursive-CTE oracle and
+    * SequencePackSpec's in-memory differential. */
+  private[queries] def packSeqs(docs: org.apache.spark.sql.DataFrame,
+      cap: Long, chunkSpan: Long): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"),
+        least(col("n_tok").cast("long"), lit(cap)).as("n_tok"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (id, src, _) => (src, id / chunkSpan) }
+      .flatMapSortedGroups(col("doc_id")) { case ((src, chunk), it) =>
+        var fill = 0L
+        var bin = 0L
+        it.map { case (id, _, t) =>
+          if (bin == 0L || fill + t > cap) { bin += 1L; fill = t }
+          else fill += t
+          (id, src, chunk, bin, fill - t, t)
+        }
+      }
+      .toDF("doc_id", "source", "chunk", "bin_id", "off", "n_tok")
+  }
+
   private[queries] def waterfill(sup: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1152,6 +1188,50 @@ object Profiling {
         .groupBy(col("source"))
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("supply")))
         .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // q190: sequence packing — the context-window bin packer every LLM
+    // training pipeline runs between corpus prep and the data loader:
+    // concatenate documents into fixed-capacity token sequences (cap 256
+    // here) so padding waste stays low. Semantics: greedy NEXT-FIT in
+    // doc_id order, shard-local within (source, doc_id/64) — the shard
+    // boundary is the deliberate determinism/parallelism contract (a
+    // global greedy would serialize the corpus; production packers shard
+    // exactly like this). Oversized docs truncate to the cap and occupy
+    // a bin alone. Output: each doc's bin and token offset within its
+    // bin. Scale: ONE hash exchange on (source, chunk) with uniform
+    // 64-doc-max groups and O(1) carried state — the packing itself
+    // never shuffles token payloads, only (doc_id, n_tok) pairs. The
+    // oracle replays the same greedy as a recursive CTE stepping down
+    // each shard's row_number chain (depth <= 64 by the shard bound).
+    QuerySpec.sqlBacked("q190_sequence_pack",
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, source, doc_id // 64 AS chunk,
+        |    CAST(least(len(string_split(text, ' ')), 256) AS BIGINT)
+        |      AS n_tok,
+        |    CAST(row_number() OVER (PARTITION BY source, doc_id // 64
+        |      ORDER BY doc_id) AS BIGINT) AS rn
+        |  FROM documents),
+        |pack AS (
+        |  SELECT doc_id, source, chunk, n_tok, rn,
+        |    CAST(1 AS BIGINT) AS bin_id, n_tok AS fill
+        |  FROM d WHERE rn = 1
+        |  UNION ALL
+        |  SELECT d.doc_id, d.source, d.chunk, d.n_tok, d.rn,
+        |    CASE WHEN p.fill + d.n_tok <= 256 THEN p.bin_id
+        |         ELSE p.bin_id + 1 END,
+        |    CASE WHEN p.fill + d.n_tok <= 256 THEN p.fill + d.n_tok
+        |         ELSE d.n_tok END
+        |  FROM pack p JOIN d ON d.source = p.source AND d.chunk = p.chunk
+        |    AND d.rn = p.rn + 1)
+        |SELECT doc_id, source, chunk, bin_id, fill - n_tok AS off, n_tok
+        |FROM pack ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      packSeqs(Tables.spread(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+        cap = 256L, chunkSpan = 64L)
+        .orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------------------
