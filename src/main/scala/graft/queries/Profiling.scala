@@ -98,7 +98,7 @@ object Profiling {
     * LLM-pipeline extension — context-window packing a la T5/GPT
     * pipelines — pinned by the recursive-CTE oracle and
     * SequencePackSpec's in-memory differential. */
-  private[queries] def packSeqs(docs: org.apache.spark.sql.DataFrame,
+  private[graft] def packSeqs(docs: org.apache.spark.sql.DataFrame,
       cap: Long, chunkSpan: Long): org.apache.spark.sql.DataFrame = {
     val s = docs.sparkSession
     import s.implicits._

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * gate) re-scores against as the corpus grows.
   *
   * Running state is the vocab²-bounded bigram table — the same bound
-  * that lets q183 BROADCAST the model, i.e. the codebase's existing
+  * q183's model join rides (vocab²-sized, shuffled at scale, AQE-
+  * broadcast while small), i.e. the codebase's existing
   * "model tables are dimension-sized" contract (IncrementalKMeans
   * k-row, IncrementalGram d², this one vocab²). Run under
   * `foreachBatch`; recovery = re-seeding from the last emitted count
