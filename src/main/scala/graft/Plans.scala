@@ -218,7 +218,10 @@ object Plans {
         "BroadcastNestedLoopJoin - the raw embedding column appears in " +
         "exactly the codebook-training scan, the encode scan, and the " +
         "bounded rerank join, never in the per-(query, vector) scoring. " +
-        "The rerank joins the corpus/5 candidate sliver back broadcast."),
+        "The rerank joins the corpus/5 candidate sliver on nb_id with " +
+        "no pinned broadcast (the sliver grows with the corpus; AQE " +
+        "broadcasts it only while it is actually small) - only the " +
+        "query-count-bounded embedding frame is hinted."),
     Entry("q148_ivfpq_search",
       "IVFADC's double reduction, visible as join keys: the ADC join " +
         "condition is the COARSE LIST ID (pcid = cluster), so unprobed " +
@@ -332,11 +335,13 @@ object Plans {
         "and both sides scan full-width at full cardinality.",
       details = Seq("PushedFilters", "ReadSchema")),
     Entry("q183_fluency_filter",
-      "Model-scoring join shape: the KN model (vocab2-bounded) is the " +
-        "BroadcastHashJoin build side, so the Zipf-hot stopword pairs " +
-        "of the corpus probe side never shuffle - the skew-neutral " +
-        "form of every model-based quality filter. One doc_id-keyed " +
-        "aggregate with map-side partials closes it.",
+      "Model-scoring join shape: the KN model (vocab2-bounded, i.e. it " +
+        "GROWS with the corpus) carries no pinned broadcast - at the " +
+        "audit SF AQE still builds a BroadcastHashJoin from it, so the " +
+        "Zipf-hot stopword pairs of the corpus probe side never " +
+        "shuffle, and at true vocab2 scale the same plan degrades " +
+        "gracefully to a shuffled join instead of a driver OOM. One " +
+        "doc_id-keyed aggregate with map-side partials closes it.",
       details = Seq("BroadcastHashJoin")),
     Entry("q186_mmr_rerank",
       "MMR's corpus economics: the corpus is touched ONCE - the pool " +
@@ -376,6 +381,15 @@ object Plans {
         "decode, and reads raw floats only for the rerank sliver. The " +
         "k-means training shuffles of q167's plan appear nowhere.",
       details = Seq("ReadSchema")),
+    Entry("q190_sequence_pack",
+      "The packer's shard contract in the plan: ONE hash exchange on " +
+        "the (source, chunk) group key feeds the sorted typed fold - " +
+        "no join, no second aggregate, and the sort is per-shard " +
+        "(64-doc-max groups), never global. What shuffles is (doc_id, " +
+        "source, n_tok) - three narrow columns; the text column never " +
+        "leaves the scan projection. At 100 TB the plan is scan + one " +
+        "uniform exchange, skew-free by the chunk bound.",
+      details = Seq("hashpartitioning")),
     Entry("q185_overlap_native",
       "The second tier-(c) operator's plan: OverlapJoinExec between " +
         "co-partitioned (key, start) sorts - no explode, no " +
