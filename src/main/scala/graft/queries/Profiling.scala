@@ -1235,6 +1235,47 @@ object Profiling {
     },
 
     // ------------------------------------------------------------------
+    // q191: curriculum epoch assignment — the schedule planner between
+    // q182's mix quotas and q190's packer: order the corpus by a
+    // deterministic quality score (integer lexical diversity here,
+    // 100·|distinct words| div |words| — highest-diversity docs train
+    // first) and cut the ordering into fixed token-budget epochs
+    // (budget = 1 + total div 4, so ~4 epochs), assigning each doc the
+    // epoch its START offset falls in. The global running token sum is
+    // the FIFTH PrefixSum consumer: one range shuffle on the curriculum
+    // order stamps exact cumulative tokens — never the single-task
+    // `sum OVER (ORDER BY ...)` window the oracle runs. Everything is
+    // integer arithmetic, so the epoch boundaries are engine-identical.
+    QuerySpec.sqlBacked("q191_curriculum_epochs",
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    CAST(100 * len(list_distinct(string_split(text, ' ')))
+        |      // len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |c AS (SELECT *,
+        |    CAST(sum(n_tok) OVER (ORDER BY score DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    CAST(sum(n_tok) OVER () AS BIGINT) AS total FROM d)
+        |SELECT doc_id, source, score, n_tok,
+        |  CAST((cum - n_tok) // (1 + total // 4) + 1 AS BIGINT) AS epoch
+        |FROM c ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          expr("100L * size(array_distinct(split(text, ' '))) div " +
+            "size(split(text, ' '))").as("score"))
+      val cum = graft.operators.PrefixSum.inclusive(
+        d.withColumn("nscore", -col("score")),
+        Seq(col("nscore"), col("doc_id")), "n_tok", "cum")
+      val tot = d.agg(sum(col("n_tok")).as("total"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("source"), col("score"), col("n_tok"),
+          (expr("(cum - n_tok) div (1 + total div 4)") + lit(1L))
+            .as("epoch"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // q173: winsorized robust statistics — per event type, the p10/p90
     // cut points of the cents distribution and the mean AFTER clipping
     // to them: the robust feature-scaling step that keeps one fat-tailed
