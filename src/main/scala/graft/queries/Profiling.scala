@@ -118,6 +118,33 @@ object Profiling {
       .toDF("doc_id", "source", "chunk", "bin_id", "off", "n_tok")
   }
 
+  /** The q190 greedy as DuckDB CTEs (`d` = scored docs, `pack` = the
+    * recursive next-fit walk down each shard's row_number chain, depth
+    * <= 64 by the shard bound). ONE definition shared by q190's
+    * assignment oracle and q192's materialization oracle, so the two
+    * cannot drift (the skewEdges doctrine). Callers prepend
+    * `WITH RECURSIVE` and append their final SELECT. */
+  private val packCtes: String =
+    """d AS (
+      |  SELECT doc_id, source, doc_id // 64 AS chunk,
+      |    CAST(least(len(string_split(text, ' ')), 256) AS BIGINT)
+      |      AS n_tok,
+      |    CAST(row_number() OVER (PARTITION BY source, doc_id // 64
+      |      ORDER BY doc_id) AS BIGINT) AS rn
+      |  FROM documents),
+      |pack AS (
+      |  SELECT doc_id, source, chunk, n_tok, rn,
+      |    CAST(1 AS BIGINT) AS bin_id, n_tok AS fill
+      |  FROM d WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.doc_id, d.source, d.chunk, d.n_tok, d.rn,
+      |    CASE WHEN p.fill + d.n_tok <= 256 THEN p.bin_id
+      |         ELSE p.bin_id + 1 END,
+      |    CASE WHEN p.fill + d.n_tok <= 256 THEN p.fill + d.n_tok
+      |         ELSE d.n_tok END
+      |  FROM pack p JOIN d ON d.source = p.source AND d.chunk = p.chunk
+      |    AND d.rn = p.rn + 1)""".stripMargin
+
   private[queries] def waterfill(sup: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1206,25 +1233,7 @@ object Profiling {
     // oracle replays the same greedy as a recursive CTE stepping down
     // each shard's row_number chain (depth <= 64 by the shard bound).
     QuerySpec.sqlBacked("q190_sequence_pack",
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, source, doc_id // 64 AS chunk,
-        |    CAST(least(len(string_split(text, ' ')), 256) AS BIGINT)
-        |      AS n_tok,
-        |    CAST(row_number() OVER (PARTITION BY source, doc_id // 64
-        |      ORDER BY doc_id) AS BIGINT) AS rn
-        |  FROM documents),
-        |pack AS (
-        |  SELECT doc_id, source, chunk, n_tok, rn,
-        |    CAST(1 AS BIGINT) AS bin_id, n_tok AS fill
-        |  FROM d WHERE rn = 1
-        |  UNION ALL
-        |  SELECT d.doc_id, d.source, d.chunk, d.n_tok, d.rn,
-        |    CASE WHEN p.fill + d.n_tok <= 256 THEN p.bin_id
-        |         ELSE p.bin_id + 1 END,
-        |    CASE WHEN p.fill + d.n_tok <= 256 THEN p.fill + d.n_tok
-        |         ELSE d.n_tok END
-        |  FROM pack p JOIN d ON d.source = p.source AND d.chunk = p.chunk
-        |    AND d.rn = p.rn + 1)
+      s"""WITH RECURSIVE $packCtes
         |SELECT doc_id, source, chunk, bin_id, fill - n_tok AS off, n_tok
         |FROM pack ORDER BY doc_id""".stripMargin) { (s, dir) =>
       packSeqs(Tables.spread(s, dir, "documents")
@@ -1273,6 +1282,48 @@ object Profiling {
           (expr("(cum - n_tok) div (1 + total div 4)") + lit(1L))
             .as("epoch"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q192: packed-sequence materialization — q190's payload stage: the
+    // assignment (computed on narrow (doc_id, n_tok) columns) joins
+    // back to the corpus ONCE and each bin concatenates its docs'
+    // token-truncated text in doc_id order into the training sequence
+    // the loader actually reads. Deliberate two-phase shape: the
+    // packing decision never shuffles text; the text shuffles exactly
+    // once, already routed to its (source, chunk, bin) group — the
+    // honest materialization cost no packer avoids. In-bin order is
+    // pinned by sorting the collected (doc_id, text) structs, not by
+    // shuffle arrival (collect_list order is nondeterministic by
+    // contract). Truncation applies to the PAYLOAD too: a doc packed
+    // at n_tok = cap contributes exactly its first cap tokens.
+    QuerySpec.sqlBacked("q192_sequence_materialize",
+      s"""WITH RECURSIVE $packCtes
+        |SELECT p.source, p.chunk, p.bin_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(p.n_tok) AS BIGINT) AS fill,
+        |  string_agg(
+        |    array_to_string(
+        |      (string_split(doc.text, ' '))[1:CAST(p.n_tok AS INT)], ' '),
+        |    ' ' ORDER BY p.doc_id) AS seq_text
+        |FROM pack p JOIN documents doc USING (doc_id)
+        |GROUP BY p.source, p.chunk, p.bin_id
+        |ORDER BY p.source, p.chunk, p.bin_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.spread(s, dir, "documents")
+      val asg = packSeqs(docs
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+        cap = 256L, chunkSpan = 64L)
+      asg.join(docs.select(col("doc_id"),
+          expr("array_join(slice(split(text, ' '), 1, " +
+            "CAST(least(size(split(text, ' ')), 256L) AS INT)), ' ')")
+            .as("t")), "doc_id")
+        .groupBy(col("source"), col("chunk"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("fill"),
+          expr("array_join(transform(" +
+            "array_sort(collect_list(struct(doc_id, t))), x -> x.t), ' ')")
+            .as("seq_text"))
+        .orderBy(col("source"), col("chunk"), col("bin_id"))
     },
 
     // ------------------------------------------------------------------
