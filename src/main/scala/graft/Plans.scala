@@ -390,6 +390,25 @@ object Plans {
         "leaves the scan projection. At 100 TB the plan is scan + one " +
         "uniform exchange, skew-free by the chunk bound.",
       details = Seq("hashpartitioning")),
+    Entry("q191_curriculum_epochs",
+      "The curriculum's global order without a global bottleneck: the " +
+        "running token sum over (score DESC, doc_id) is the PrefixSum " +
+        "two-phase scan - ONE range exchange, per-partition totals to " +
+        "the driver, a narrow stamping map - never the single-task " +
+        "sum-OVER window the oracle runs. Scoring is a codegen'd " +
+        "projection at the scan; the epoch arithmetic rides a 1-row " +
+        "broadcast total.",
+      details = Seq("rangepartitioning")),
+    Entry("q192_sequence_materialize",
+      "The packer's payload stage: the assignment subtree reduces text " +
+        "to n_tok AT its scan projection, so only narrow columns ride " +
+        "the q190 shard exchange; the payload side's truncated text " +
+        "then joins the assignment and crosses an exchange exactly " +
+        "once, already routed to its (source, chunk, bin) group, where " +
+        "the collected (doc_id, text) structs are SORTED to pin in-bin " +
+        "order (collect_list arrival order is nondeterministic by " +
+        "contract).",
+      details = Seq("hashpartitioning")),
     Entry("q185_overlap_native",
       "The second tier-(c) operator's plan: OverlapJoinExec between " +
         "co-partitioned (key, start) sorts - no explode, no " +
