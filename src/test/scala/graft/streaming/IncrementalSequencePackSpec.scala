@@ -103,6 +103,56 @@ class IncrementalSequencePackSpec extends SparkSpec {
     assert(asMap(got) == want(keep)) // the late doc appears nowhere
   }
 
+  test("cursor and pending both survive a stop/restart from checkpoint") {
+    withRocks {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_pack_src").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_pack_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_pack_out").toString
+      def startQuery() = IncrementalSequencePack.packed(
+          spark.readStream
+            .schema("source STRING, docId LONG, nTok LONG, ts TIMESTAMP")
+            .parquet(srcDir).as[Doc], Cap, Span, "0 milliseconds")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Assign],
+            _: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append)
+        .start()
+      // batch 1: doc 1 emits once the wm reaches doc 2's ts; doc 2
+      // stays PENDING - so after stop, the shard's state holds BOTH a
+      // non-trivial cursor (from doc 1) and a buffered doc
+      Seq(doc("a", 1L, 60L), doc("a", 2L, 50L)).toDF()
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+      // restart: doc 3 packs AFTER doc 2 - its (bin, off) is only
+      // right if doc 2's pending row AND doc 1's cursor both recovered
+      Seq(doc("a", 3L, 30L), doc("zz", 100000L, 1L)).toDF()
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        Seq(doc("zz", 200000L, 1L)).toDF()
+          .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir).as[Assign].collect().toSeq
+          .filter(_.source == "a").sortBy(_.docId)
+        // 60 | 50 + 30: doc 2 opens bin 2 (60 + 50 > 100), doc 3 joins it
+        assert(out == Seq(
+          Assign(1L, "a", 0L, 1L, 0L, 60L),
+          Assign(2L, "a", 0L, 2L, 0L, 50L),
+          Assign(3L, "a", 0L, 2L, 50L, 30L)),
+          s"state lost or double-emitted across restart: $out")
+      } finally q2.stop()
+    }
+  }
+
   test("swept shard state is the O(1) cursor - no doc history") {
     withRocks {
       implicit val sqlCtx = spark.sqlContext
