@@ -118,6 +118,45 @@ object Profiling {
       .toDF("doc_id", "source", "chunk", "bin_id", "off", "n_tok")
   }
 
+  /** q193's packing core: BEST-FIT-DECREASING — the offline quality
+    * packer beside [[packSeqs]]'s streaming-friendly next-fit. Within
+    * each (source, doc_id/chunkSpan) shard, docs in (n_tok DESC,
+    * doc_id) order each go to the FULLEST already-open bin that still
+    * fits (ties to the lowest bin index), else open a new bin. Same
+    * shard contract, same O(shard) fold; the carried state is the
+    * shard's open-bin fill list (<= chunkSpan entries) instead of one
+    * cursor — the price of the better utilization, and exactly why the
+    * STREAMING twin pairs with next-fit, not with this. */
+  private[graft] def packBestFit(docs: org.apache.spark.sql.DataFrame,
+      cap: Long, chunkSpan: Long): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id").cast("long"), col("source"),
+        least(col("n_tok").cast("long"), lit(cap)).as("n_tok"))
+      .as[(Long, String, Long)]
+      .groupByKey { case (id, src, _) => (src, id / chunkSpan) }
+      .flatMapSortedGroups(col("n_tok").desc, col("doc_id")) {
+        case ((src, chunk), it) =>
+          val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+          it.map { case (id, _, t) =>
+            // strict > keeps the LOWEST index among equally-full bins —
+            // the same tie-break the oracle's list_position(first) takes
+            var best = -1
+            var i = 0
+            while (i < fills.length) {
+              if (fills(i) + t <= cap &&
+                  (best < 0 || fills(i) > fills(best))) best = i
+              i += 1
+            }
+            val (bin, off) =
+              if (best < 0) { fills += t; (fills.length.toLong, 0L) }
+              else { val o = fills(best); fills(best) = o + t; (best + 1L, o) }
+            (id, src, chunk, bin, off, t)
+          }
+      }
+      .toDF("doc_id", "source", "chunk", "bin_id", "off", "n_tok")
+  }
+
   /** The q190 greedy as DuckDB CTEs (`d` = scored docs, `pack` = the
     * recursive next-fit walk down each shard's row_number chain, depth
     * <= 64 by the shard bound). ONE definition shared by q190's
@@ -144,6 +183,39 @@ object Profiling {
       |         ELSE d.n_tok END
       |  FROM pack p JOIN d ON d.source = p.source AND d.chunk = p.chunk
       |    AND d.rn = p.rn + 1)""".stripMargin
+
+  /** [[packBestFit]] as DuckDB CTEs (`db` = docs in the DECREASING
+    * walk order, `bfd` = the recursion carrying each shard's open-bin
+    * fill LIST; the chosen bin is the first position of the max
+    * eligible fill — the lowest-index tie-break). Names are disjoint
+    * from [[packCtes]] so q194 can hold both in one statement. */
+  private val bfdCtes: String =
+    """db AS (
+      |  SELECT doc_id, source, doc_id // 64 AS chunk,
+      |    CAST(least(len(string_split(text, ' ')), 256) AS BIGINT)
+      |      AS n_tok,
+      |    CAST(row_number() OVER (PARTITION BY source, doc_id // 64
+      |      ORDER BY least(len(string_split(text, ' ')), 256) DESC,
+      |        doc_id) AS BIGINT) AS rn
+      |  FROM documents),
+      |bfd AS (
+      |  SELECT doc_id, source, chunk, n_tok, rn,
+      |    CAST(1 AS BIGINT) AS bin_id, CAST(0 AS BIGINT) AS off,
+      |    [n_tok] AS fills
+      |  FROM db WHERE rn = 1
+      |  UNION ALL
+      |  SELECT d.doc_id, d.source, d.chunk, d.n_tok, d.rn,
+      |    CASE WHEN m IS NULL THEN len(p.fills) + 1
+      |         ELSE list_position(p.fills, m) END,
+      |    coalesce(m, 0),
+      |    CASE WHEN m IS NULL THEN list_append(p.fills, d.n_tok)
+      |         ELSE list_transform(range(1, len(p.fills) + 1),
+      |           i -> CASE WHEN i = list_position(p.fills, m)
+      |                THEN p.fills[i] + d.n_tok ELSE p.fills[i] END) END
+      |  FROM bfd p JOIN db d ON d.source = p.source
+      |    AND d.chunk = p.chunk AND d.rn = p.rn + 1,
+      |  LATERAL (SELECT list_max(list_filter(p.fills,
+      |      f -> f + d.n_tok <= 256)) AS m) x)""".stripMargin
 
   private[queries] def waterfill(sup: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
@@ -1324,6 +1396,71 @@ object Profiling {
             "array_sort(collect_list(struct(doc_id, t))), x -> x.t), ' ')")
             .as("seq_text"))
         .orderBy(col("source"), col("chunk"), col("bin_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q193: best-fit-decreasing packing — the OFFLINE quality packer
+    // beside q190's next-fit: sort each shard's docs by descending
+    // token count and place each in the fullest open bin that still
+    // fits (ties to the lowest bin index). Classic BFD uses at most
+    // 11/9·OPT + 4 bins (Johnson '73) vs next-fit's 2·OPT — the
+    // utilization/streamability trade q194 then quantifies. Same shard
+    // contract and single hash exchange as q190; the fold carries the
+    // shard's open-bin fill list instead of one cursor. The oracle
+    // replays the same walk as a recursive CTE whose state is that
+    // fill LIST (DuckDB list_filter/list_max/list_position pick the
+    // bin; first-position-of-max = the lowest-index tie-break).
+    QuerySpec.sqlBacked("q193_sequence_pack_bfd",
+      s"""WITH RECURSIVE $bfdCtes
+        |SELECT doc_id, source, chunk, bin_id, off, n_tok
+        |FROM bfd ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      packBestFit(Tables.spread(s, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(split(col("text"), " ")).cast("long").as("n_tok")),
+        cap = 256L, chunkSpan = 64L)
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q194: packing-policy comparison — the report that justifies the
+    // packer choice: per source, bins opened, tokens packed, and
+    // integer utilization percent (100·tokens div (bins·cap)) for
+    // next-fit vs best-fit-decreasing, from the SAME two assignment
+    // definitions q190/q193 gate (both CTE pairs in one statement —
+    // the shared-definition anti-drift doctrine, applied twice). At
+    // scale both sides are the q190-shaped narrow-column exchange plus
+    // a |sources|-row aggregate; nothing new shuffles.
+    QuerySpec.sqlBacked("q194_packing_policy_stats",
+      s"""WITH RECURSIVE $packCtes,
+        |$bfdCtes
+        |SELECT source, policy,
+        |  CAST(n_bins AS BIGINT) AS n_bins,
+        |  CAST(tokens AS BIGINT) AS tokens,
+        |  CAST(100 * tokens // (n_bins * 256) AS BIGINT) AS util_pct
+        |FROM (
+        |  SELECT source, 'nf' AS policy,
+        |    count(DISTINCT (chunk, bin_id)) AS n_bins,
+        |    sum(n_tok) AS tokens
+        |  FROM pack GROUP BY source
+        |  UNION ALL
+        |  SELECT source, 'bfd' AS policy,
+        |    count(DISTINCT (chunk, bin_id)) AS n_bins,
+        |    sum(n_tok) AS tokens
+        |  FROM bfd GROUP BY source)
+        |ORDER BY source, policy""".stripMargin) { (s, dir) =>
+      val docs = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      def stats(asg: org.apache.spark.sql.DataFrame, policy: String) =
+        asg.groupBy(col("source"))
+          .agg(countDistinct(col("chunk"), col("bin_id")).as("n_bins"),
+            sum(col("n_tok")).as("tokens"))
+          .select(col("source"), lit(policy).as("policy"), col("n_bins"),
+            col("tokens"),
+            expr("100L * tokens div (n_bins * 256L)").as("util_pct"))
+      stats(packSeqs(docs, 256L, 64L), "nf")
+        .unionAll(stats(packBestFit(docs, 256L, 64L), "bfd"))
+        .orderBy(col("source"), col("policy"))
     },
 
     // ------------------------------------------------------------------
