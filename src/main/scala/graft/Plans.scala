@@ -409,6 +409,14 @@ object Plans {
         "order (collect_list arrival order is nondeterministic by " +
         "contract).",
       details = Seq("hashpartitioning")),
+    Entry("q193_sequence_pack_bfd",
+      "The quality packer rides the SAME plan shape as q190: one hash " +
+        "exchange on (source, chunk), a per-shard descending sort " +
+        "feeding the typed fold, narrow columns only - the better " +
+        "utilization costs a fill-list in the fold state, not a " +
+        "different distribution. No join, no global sort, no second " +
+        "aggregate anywhere below the output ordering.",
+      details = Seq("hashpartitioning")),
     Entry("q185_overlap_native",
       "The second tier-(c) operator's plan: OverlapJoinExec between " +
         "co-partitioned (key, start) sorts - no explode, no " +
