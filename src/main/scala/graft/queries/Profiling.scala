@@ -217,6 +217,33 @@ object Profiling {
       |  LATERAL (SELECT list_max(list_filter(p.fills,
       |      f -> f + d.n_tok <= 256)) AS m) x)""".stripMargin
 
+  /** q182's allocation as DuckDB CTEs ending in `walloc` (source,
+    * supply, capped, alloc). ONE definition shared by q182's oracle and
+    * q195's quota join (the packCtes/bfdCtes doctrine). */
+  private val waterfillCtes: String =
+    """s AS (SELECT source,
+      |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply
+      |  FROM documents GROUP BY source),
+      |t AS (SELECT CAST(3 * sum(supply) // 5 AS BIGINT) AS budget,
+      |        CAST(count(*) AS BIGINT) AS n FROM s),
+      |o AS (SELECT source, supply,
+      |    CAST(row_number() OVER (ORDER BY supply, source) AS BIGINT)
+      |      AS rn,
+      |    CAST(sum(supply) OVER (ORDER BY supply, source
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s),
+      |c AS (SELECT o.*, budget, n,
+      |    CASE WHEN supply * (n - rn + 1) <= budget - (cum - supply)
+      |         THEN 1 ELSE 0 END AS capped FROM o, t),
+      |k AS (SELECT CAST(coalesce(sum(capped), 0) AS BIGINT) AS nc,
+      |    CAST(coalesce(sum(CASE WHEN capped = 1 THEN supply END), 0)
+      |      AS BIGINT) AS cumc FROM c),
+      |walloc AS (SELECT source, supply, capped = 1 AS capped,
+      |  CAST(CASE WHEN capped = 1 THEN supply
+      |    ELSE (budget - cumc) // (n - nc)
+      |      + (CASE WHEN rn - nc <= (budget - cumc) % (n - nc)
+      |              THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
+      |  FROM c, k)""".stripMargin
+
   private[queries] def waterfill(sup: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -1261,28 +1288,9 @@ object Profiling {
     // window over 20 rows is the documented benign class — bounded by
     // the source count, never the corpus).
     QuerySpec.sqlBacked("q182_token_waterfill",
-      """WITH s AS (SELECT source,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS supply
-        |  FROM documents GROUP BY source),
-        |t AS (SELECT CAST(3 * sum(supply) // 5 AS BIGINT) AS budget,
-        |        CAST(count(*) AS BIGINT) AS n FROM s),
-        |o AS (SELECT source, supply,
-        |    CAST(row_number() OVER (ORDER BY supply, source) AS BIGINT)
-        |      AS rn,
-        |    CAST(sum(supply) OVER (ORDER BY supply, source
-        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM s),
-        |c AS (SELECT o.*, budget, n,
-        |    CASE WHEN supply * (n - rn + 1) <= budget - (cum - supply)
-        |         THEN 1 ELSE 0 END AS capped FROM o, t),
-        |k AS (SELECT CAST(coalesce(sum(capped), 0) AS BIGINT) AS nc,
-        |    CAST(coalesce(sum(CASE WHEN capped = 1 THEN supply END), 0)
-        |      AS BIGINT) AS cumc FROM c)
-        |SELECT source, supply, capped = 1 AS capped,
-        |  CAST(CASE WHEN capped = 1 THEN supply
-        |    ELSE (budget - cumc) // (n - nc)
-        |      + (CASE WHEN rn - nc <= (budget - cumc) % (n - nc)
-        |              THEN 1 ELSE 0 END) END AS BIGINT) AS alloc
-        |FROM c, k ORDER BY source""".stripMargin) { (s, dir) =>
+      s"""WITH $waterfillCtes
+        |SELECT source, supply, capped, alloc
+        |FROM walloc ORDER BY source""".stripMargin) { (s, dir) =>
       waterfill(Tables.spread(s, dir, "documents")
         .groupBy(col("source"))
         .agg(sum(size(split(col("text"), " ")).cast("long")).as("supply")))
@@ -1461,6 +1469,54 @@ object Profiling {
       stats(packSeqs(docs, 256L, 64L), "nf")
         .unionAll(stats(packBestFit(docs, 256L, 64L), "bfd"))
         .orderBy(col("source"), col("policy"))
+    },
+
+    // ------------------------------------------------------------------
+    // q195: training-mix materialization — the step that EXECUTES
+    // q182's quotas: for each source, keep the doc_id-ordered prefix of
+    // whole documents whose cumulative token count fits the source's
+    // water-filled allocation (deterministic underfill at the boundary;
+    // no partial docs). Closes the corpus-prep arc: q182 decides the
+    // quotas, THIS materializes the mix, q191 orders it, q190/q193
+    // pack it, q192 emits sequences. The per-source running token sum
+    // is the SIXTH PrefixSum consumer, in the flagCumQty shape: ONE
+    // range exchange over (source, doc_id) stamps the global sum, a
+    // |sources|-row broadcast offset frame localizes it, and the quota
+    // itself arrives as the broadcast |sources|-row walloc dimension.
+    // The oracle shares q182's CTE chain verbatim (waterfillCtes), so
+    // quota and materialization can never disagree on the allocation.
+    QuerySpec.sqlBacked("q195_mix_materialize",
+      s"""WITH $waterfillCtes,
+        |d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |cw AS (SELECT doc_id, source, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw FROM d)
+        |SELECT doc_id, source, n_tok, cumw
+        |FROM cw JOIN walloc USING (source)
+        |WHERE cumw <= alloc ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val alloc = waterfill(docs.groupBy(col("source"))
+          .agg(sum(col("n_tok")).as("supply")))
+        .select(col("source"), col("alloc"))
+      val cum = graft.operators.PrefixSum.inclusive(docs,
+        Seq(col("source"), col("doc_id")), "n_tok", "cum")
+      val offs = docs.groupBy(col("source")).agg(sum(col("n_tok")).as("tw"))
+        .withColumn("off", coalesce(
+          sum(col("tw")).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("source"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window
+              .unboundedPreceding, -1)), lit(0L)))
+        .select(col("source"), col("off"))
+      cum.join(broadcast(offs), "source")
+        .withColumn("cumw", col("cum") - col("off"))
+        .join(broadcast(alloc), "source")
+        .filter(col("cumw") <= col("alloc"))
+        .select(col("doc_id"), col("source"), col("n_tok"), col("cumw"))
+        .orderBy(col("doc_id"))
     },
 
     // ------------------------------------------------------------------
