@@ -424,7 +424,32 @@ object Plans {
         "the true interval concurrency. Compare q160: same answer via " +
         "binned equi-join whose explosion factor scales with span/bin. " +
         "Measured equal at sf0.1, 1.7x faster at 10x, 3.0x at 100x.",
-      details = Seq("hashpartitioning")))
+      details = Seq("hashpartitioning")),
+    Entry("q196_triangle_communities",
+      "Exact triangles via the degree-ordered node iterator " +
+        "(operators.Triangles): edges oriented low-(deg,id) -> high, so " +
+        "the wedge self-join is bounded O(m^1.5) instead of quadratic " +
+        "in the hottest hub. The wedge exchange is pinned to full width " +
+        "- AQE sizes reducers by INPUT bytes and would serialize the " +
+        "expansion onto one task (the q120/q185 explosive-join lesson). " +
+        "Upstream, the co-interaction cell cap (<= 64 actives) is a " +
+        "count window over (et, hb), so the capped frame reuses the " +
+        "pair join's own partitioning; cells past the cap carry no " +
+        "pair signal and would cost quadratically (the q97 posting-df " +
+        "doctrine). Repeated subframes (pe, pnt) are served by " +
+        "ReusedExchange, not checkpoint barriers - measured 9.9 s " +
+        "checkpointed vs 5.8 s reused at sf0.1 (1.39M triangles); 10x " +
+        "and 100x run 3.2/4.1 s flat (their denser cells cross the cap " +
+        "- at that density hour-cells are boilerplate, not signal).",
+      details = Seq("REPARTITION_BY_NUM")),
+    Entry("q197_quality_classifier",
+      "Model-based quality gating at scan speed: the hashed-feature " +
+        "linear score is ONE codegen'd aggregate-fold projection per " +
+        "document (md5-derived token weights, exact integer sum) - no " +
+        "vocabulary join, no UDF, no explode; the only exchange is the " +
+        "|sources x langs|-row report aggregate with map-side partials. " +
+        "100x corpus: 9.3 s vs sf0.1's 1.1 s - pure scan scaling.",
+      details = Seq("ReadSchema")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact triangle enumeration over an undirected simple graph via the
+  * degree-ordered node iterator (Schank & Wagner '05; the orientation
+  * trick Suri & Vassilvitskii '11 use for MapReduce triangle counting).
+  * The reference engine has no graph analytics at all (SURVEY §1.3) —
+  * this extends the q65/q105/q129/q157 graph family with the density
+  * primitive: triangles and, downstream, clustering coefficients.
+  *
+  * Input: one row per undirected edge `(u, v)` with `u < v`, no
+  * duplicates, no self-loops. Output: one row per triangle `(a, b, c)`
+  * with `a < b < c` — each triangle exactly once.
+  *
+  * Scale design (100 TB): the naive wedge self-join explodes around
+  * high-degree hubs (Σ deg² — quadratic in the hottest key). Orienting
+  * every edge from its lower-(degree, id) endpoint to the higher one
+  * caps every node's OUT-degree at O(√m), so the wedge join materializes
+  * O(m^1.5) rows in total — the optimal exact-counting bound — and
+  * closing a wedge is an equi-join against the oriented edge list on
+  * both spokes. Three shuffles end to end: the degree aggregate, the
+  * wedge join keyed by the pivot node, and the close join keyed by
+  * (x, y); every intermediate row is three longs wide.
+  */
+object Triangles {
+
+  /** `edges` must expose exactly two integral columns (u, v), u < v. */
+  def run(edges: DataFrame): DataFrame = {
+    val e = edges.toDF("u", "v")
+    val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // stamp both endpoint degrees, then point the edge at the higher
+    // (degree, id) endpoint; `ddst` rides along for the wedge ordering
+    val stamped = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), "v")
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    // explicit width: AQE sizes reducers by INPUT bytes, but a wedge
+    // join's output is quadratic in each pivot's out-degree — on a
+    // dense graph a byte-coalesced single task would serialize the
+    // whole O(m^1.5) expansion (the q120/q185 explosive-join lesson)
+    val p = edges.sparkSession.sparkContext.defaultParallelism
+    val oriented = stamped.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"),
+      when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
+      .repartition(p, col("src"))
+    // wedges (pivot, x, y) with (deg(x), x) < (deg(y), y): the closing
+    // edge, if present, is oriented x -> y by the same comparator
+    val w = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          (col("e1.ddst") < col("e2.ddst") ||
+            (col("e1.ddst") === col("e2.ddst") &&
+              col("e1.dst") < col("e2.dst"))))
+      .select(col("e1.src").as("p"), col("e1.dst").as("x"),
+        col("e2.dst").as("y"))
+    w.join(oriented.select(col("src").as("x"), col("dst").as("y")),
+        Seq("x", "y"))
+      .select(array_sort(array(col("p"), col("x"), col("y"))).as("t"))
+      .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
+  }
+}

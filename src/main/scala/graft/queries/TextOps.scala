@@ -1103,6 +1103,55 @@ object TextOps {
             .cast("double") / (col("n_s") * col("n") * 2).cast("double"))
             .as("tv"))
         .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // q197: model-based quality gate — a hashed linear text classifier
+    // (the fastText-style third quality signal beside q32's heuristics
+    // and q183's LM fluency): every token hashes to a fixed weight
+    // w(tok) = md5-16-bit - 32768 in [-32768, 32767], a document's score
+    // is the exact integer SUM of its token weights (feature hashing,
+    // Weinberger '09 — no vocabulary table, no training state to ship),
+    // and the gate keeps docs with score >= 0. Report per (source,
+    // lang): docs, kept, exact sum of scores and tokens, and the mean
+    // per-token weight as ONE double division of exact integers (the
+    // q99/q173 convention). In production the md5-derived weights are
+    // replaced by a learned weight table; the plan is identical. Scale:
+    // score and gate are per-row codegen'd fold projections inside the
+    // scan — ZERO shuffle before the |sources × langs|-row aggregate
+    // with map-side partials.
+    QuerySpec.sqlBacked("q197_quality_classifier",
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN si >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(si) AS BIGINT) AS sum_score,
+        |  CAST(sum(nt) AS BIGINT) AS sum_tok,
+        |  CAST(CAST(sum(si) AS BIGINT) AS DOUBLE)
+        |    / CAST(sum(nt) AS BIGINT) AS mean_w
+        |FROM (SELECT source, lang,
+        |    list_sum(list_transform(string_split(text, ' '), t ->
+        |      CAST(CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER)
+        |        - 32768 AS BIGINT))) AS si,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents)
+        |GROUP BY source, lang ORDER BY source, lang""".stripMargin) {
+      (s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + " +
+            "CAST(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) " +
+            "- 32768 AS BIGINT))").as("si"),
+          size(split(col("text"), " ")).cast("long").as("nt"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("si") >= 0, 1L).otherwise(0L)).as("n_kept"),
+          sum(col("si")).as("sum_score"),
+          sum(col("nt")).as("sum_tok"))
+        .select(col("source"), col("lang"), col("n_docs"), col("n_kept"),
+          col("sum_score"), col("sum_tok"),
+          (col("sum_score").cast("double") / col("sum_tok"))
+            .as("mean_w"))
+        .orderBy(col("source"), col("lang"))
     }
   )
 
