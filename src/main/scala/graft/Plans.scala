@@ -449,7 +449,17 @@ object Plans {
         "vocabulary join, no UDF, no explode; the only exchange is the " +
         "|sources x langs|-row report aggregate with map-side partials. " +
         "100x corpus: 9.3 s vs sf0.1's 1.1 s - pure scan scaling.",
-      details = Seq("ReadSchema")))
+      details = Seq("ReadSchema")),
+    Entry("q198_rp_distortion",
+      "JL distortion audit: the 16-d sign projection is ONE native " +
+        "graft_matvec node (codegen'd nested loop) and the projected " +
+        "norm/dot ride graft_dot over the 16-d arrays - no per-" +
+        "component projection columns (16 scalar DotProducts compound " +
+        "Catalyst quadratically: 12.7 s of plan overhead at 500 rows), " +
+        "no interpreted HOF lambdas (~50x the loop at 100x: 51 s vs " +
+        "3.3 s). Everything before the |labels|-row report is a per-row " +
+        "projection plus one narrow equi-join on a derived key.",
+      details = Seq("graft_matvec")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -66,6 +66,19 @@ object Vectors {
     when(graft.plans.DotProduct(col(v), w) >= 0, 1).otherwise(0)
   }
 
+  /** +-1 Johnson–Lindenstrauss sign for projection row k, dim i: parity
+    * of md5("rp:k:i")'s first hex nibble — a key space disjoint from
+    * [[srpWeight]]'s "j:i" hyperplanes, so the q198 projection and the
+    * q41 LSH tables are statistically independent. Driver-side constant
+    * (md5 of a constant is a constant); the oracle bakes the SAME signs
+    * into its SQL as +-1 literals. */
+  def rpSign(k: Int, i: Int): Int = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$k:$i".getBytes("UTF-8"))
+    val nib = (h(0) >> 4) & 0xf
+    2 * ((nib + 1) % 2) - 1
+  }
+
   def srpBitSql(v: String, j: Int): String =
     s"""CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
        |  i -> CAST($v[i] AS DOUBLE) *

@@ -29,6 +29,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (args: Seq[Expression]) => DotProduct(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_matvec"),
+      new ExpressionInfo(classOf[MatVec].getName, "graft_matvec"),
+      (args: Seq[Expression]) => MatVec(args(0), args(1))))
+    ext.injectFunction((
       FunctionIdentifier("graft_rollhash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rollhash"),
       (args: Seq[Expression]) => RollingHash(args(0))))

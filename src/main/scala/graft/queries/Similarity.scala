@@ -61,6 +61,8 @@ object Similarity {
   private val NProbe = 5   // q102 probed learned lists per query
   private val SemThr = 0.4 // q103 semdedup cosine cutoff (q39's convention)
 
+  private val RpDim = 16     // q198 JL sign-projection target dimension
+
   private val PqM = 8        // q146 subspaces
   private val PqSub = 8      // q146 dims per subspace (PqM * PqSub = Dim)
   private val PqKs = 16      // q146 codebook entries per subspace
@@ -1793,6 +1795,87 @@ object Similarity {
         }
         all.orderBy(col("q_id"), col("step"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q198: random-projection distortion audit — Johnson–Lindenstrauss
+    // sign projection of the 64-d embeddings down to RpDim=16 (Achlioptas
+    // '01 ±1 matrices), then the measured cosine error between full-dim
+    // and projected space over a deterministic pair sample (vec_id,
+    // vec_id+7): the report an engineer reads BEFORE switching ANN
+    // serving or dedup to the cheaper dimension (q83's matryoshka
+    // truncation assumes a prefix-trained embedding; THIS is the
+    // data-independent fallback when there isn't one). Errors quantize
+    // to exact integer micro-units before aggregation (floor of a
+    // deterministic double), so sums/max are engine-exact and the mean
+    // is one double division (the q173 convention). Scale: 16 native
+    // DotProduct projections per row inside the scan (zero shuffle),
+    // one narrow self equi-join on a derived key, and a |labels|-row
+    // report aggregate with map-side partials.
+    QuerySpec.sqlBacked("q198_rp_distortion", {
+      val projCols = (0 until RpDim).map(k =>
+        (0 until Vectors.Dim).map(i =>
+          s"CAST(embedding[${i + 1}] AS DOUBLE) * ${Vectors.rpSign(k, i)}.0")
+          .mkString("(", " + ", s") AS p$k")).mkString(",\n  ")
+      val rnSql = (0 until RpDim).map(k => s"p$k*p$k")
+        .mkString("sqrt((", " + ", "))")
+      val dot16 = (0 until RpDim).map(k => s"a.p$k*b.p$k")
+        .mkString("(", " + ", ")")
+      s"""WITH e AS ($corpusSql),
+         |p AS (SELECT vec_id, label, embedding, nrm,
+         |  $projCols
+         |  FROM e),
+         |pp AS (SELECT *, $rnSql AS rn FROM p),
+         |pr AS (SELECT a.label,
+         |    CAST(floor(abs(
+         |      ${Vectors.dotSql("a.embedding", "b.embedding")}
+         |        / (a.nrm * b.nrm)
+         |      - $dot16 / (a.rn * b.rn)) * 1000000) AS BIGINT) AS err_u
+         |  FROM pp a JOIN pp b ON b.vec_id = a.vec_id + 7
+         |  WHERE a.nrm * b.nrm > 0 AND a.rn > 0 AND b.rn > 0)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  CAST(sum(err_u) AS BIGINT) AS sum_err_u,
+         |  CAST(max(err_u) AS BIGINT) AS max_err_u,
+         |  CAST(CAST(sum(err_u) AS BIGINT) AS DOUBLE) / count(*)
+         |    AS mean_err_u
+         |FROM pr GROUP BY label ORDER BY label""".stripMargin
+    }) { (s, dir) =>
+      // projection as ONE native MatVec node, not RpDim scalar
+      // DotProduct columns (16 separate 64-float-literal expressions
+      // per join side compound Catalyst quadratically: measured 12.7 s
+      // of pure plan/codegen overhead at 500 rows) and not a
+      // higher-order transform/aggregate lambda (interpreted, ~50x the
+      // codegen'd loop at the 100x SF: 51 s -> 4 s). Fold orders
+      // mirror the oracle's left-assoc chains exactly; the projected
+      // norm is DotProduct(proj, proj) — the same Σ p_k² chain.
+      val signsLit = typedlit((0 until RpDim).map(k =>
+        (0 until Vectors.Dim).map(i => Vectors.rpSign(k, i).toFloat)))
+      val proj = graft.plans.MatVec(signsLit, col("embedding"))
+      val rn = sqrt(graft.plans.DotProduct(proj, proj))
+      def side(id: String, e: String, n: String, pv: String, rc: String) =
+        corpus(s, dir).select(col("vec_id").as(id), col("label"),
+          col("embedding").as(e), col("nrm").as(n), proj.as(pv),
+          rn.as(rc))
+      val a = side("a_id", "ae", "an", "pa", "arn")
+      val b = side("b_id", "be", "bn", "pb", "brn").drop("label")
+      val dotRp = graft.plans.DotProduct(col("pa"), col("pb"))
+      a.join(b, col("b_id") === col("a_id") + 7)
+        .filter(col("an") * col("bn") > 0 &&
+          col("arn") > 0 && col("brn") > 0)
+        .select(col("label"),
+          floor(abs(
+            graft.plans.DotProduct(col("ae"), col("be"))
+              / (col("an") * col("bn"))
+            - dotRp / (col("arn") * col("brn"))) * 1000000)
+            .cast("long").as("err_u"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"), sum(col("err_u")).as("sum_err_u"),
+          max(col("err_u")).as("max_err_u"))
+        .select(col("label"), col("n_pairs"), col("sum_err_u"),
+          col("max_err_u"),
+          (col("sum_err_u").cast("double") / col("n_pairs"))
+            .as("mean_err_u"))
+        .orderBy(col("label"))
     }
   )
 
