@@ -1312,6 +1312,62 @@ object Temporal {
             (col("deg") * (col("deg") - 1))).as("coeff"),
           col("total_tri"))
         .orderBy(col("tri").desc, col("user_id")).limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // q199: interval coalescing (gaps-and-islands) — merge each
+    // supplier's overlapping/touching transit intervals into maximal
+    // covered spans: the double-coverage-free utilization primitive
+    // q160 (pair counts) and q161 (peak concurrency) both sidestep, and
+    // the classic warehouse formulation — an island opens exactly where
+    // a start strictly clears the running max of every earlier end.
+    // Both the running max and the island index are per-key window
+    // scans; all arithmetic is epoch-µs integers, so islands and spans
+    // are engine-exact. Scale: ONE hash exchange keyed by supplier and
+    // two ordered window passes over it — no join, no explode; the
+    // output is one row per island, bounded by the interval count and
+    // in practice by temporal clustering.
+    QuerySpec.sqlBacked("q199_interval_coalesce",
+      """WITH i AS (SELECT l_suppkey AS k,
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS s0,
+        |    epoch_us(CAST(l_shipdate AS TIMESTAMP))
+        |      + CAST(floor(l_quantity) AS BIGINT) * 86400000000 AS e0
+        |  FROM lineitem),
+        |w AS (SELECT k, id, s0, e0,
+        |    max(e0) OVER (PARTITION BY k ORDER BY s0, id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM i),
+        |isl AS (SELECT k, s0, e0,
+        |    CAST(sum(CASE WHEN pm IS NULL OR s0 > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY k ORDER BY s0, id
+        |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
+        |  FROM w)
+        |SELECT k AS suppkey, island,
+        |  CAST(min(s0) AS BIGINT) AS span_s0,
+        |  CAST(max(e0) AS BIGINT) AS span_e0,
+        |  CAST(count(*) AS BIGINT) AS n_intervals,
+        |  CAST(max(e0) - min(s0) AS BIGINT) AS covered_us
+        |FROM isl GROUP BY k, island
+        |ORDER BY suppkey, island""".stripMargin) { (s, dir) =>
+      val byStart = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("s0"), col("id"))
+      val i = transitIntervals(s, dir)
+        .withColumn("pm", max(col("e0")).over(
+          byStart.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)))
+        .withColumn("island", sum(
+          when(col("pm").isNull || col("s0") > col("pm"), 1L)
+            .otherwise(0L)).over(
+          byStart.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      i.groupBy(col("k"), col("island"))
+        .agg(min(col("s0")).as("span_s0"), max(col("e0")).as("span_e0"),
+          count(lit(1)).as("n_intervals"))
+        .select(col("k").as("suppkey"), col("island"), col("span_s0"),
+          col("span_e0"), col("n_intervals"),
+          (col("span_e0") - col("span_s0")).as("covered_us"))
+        .orderBy(col("suppkey"), col("island"))
     }
   )
 
