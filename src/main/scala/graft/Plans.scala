@@ -467,6 +467,15 @@ object Plans {
         "no second shuffle below the output ordering. Epoch-us integer " +
         "arithmetic end to end. 10x/100x: 2.3/13.5 s over 600k/6M " +
         "intervals - linear in the scan.",
+      details = Seq("hashpartitioning")),
+    Entry("q200_position_attribution",
+      "U-shaped multi-touch credit: ONE user-keyed join bounds the " +
+        "purchase x touch pairs by per-user activity x window (the " +
+        "q138 shape), positions ride one window over the per-purchase " +
+        "exchange, and credit is exact integer basis points summing to " +
+        "10000 per purchase by construction - the |channels|-row report " +
+        "is the only aggregate. No lateral probe, no per-purchase " +
+        "re-scan.",
       details = Seq("hashpartitioning")))
 
   def main(args: Array[String]): Unit = {

@@ -1368,6 +1368,79 @@ object Temporal {
           col("span_e0"), col("n_intervals"),
           (col("span_e0") - col("span_s0")).as("covered_us"))
         .orderBy(col("suppkey"), col("island"))
+    },
+
+    // ------------------------------------------------------------------
+    // q200: position-based (U-shaped) multi-touch attribution — the
+    // whole-journey complement to q138's last-touch: every touch in the
+    // purchase's 7-day lookback earns credit, 40% to the first, 40% to
+    // the last, 20% split across the middles. Credit is EXACT integer
+    // basis points (first/last 4000, middles 2000 div (n-2) with the
+    // remainder assigned to the first touch; n=1 -> 10000, n=2 ->
+    // 5000/5000), so every purchase's credits sum to exactly 10000 and
+    // channel totals are engine-exact integers. Same strictly-earlier
+    // (ts, event_id) rule as q138/q145. Scale: the purchase x touch
+    // join is keyed by user_id with per-user pairs bounded by activity
+    // x window (the q138 shape); positions are one window over the
+    // per-purchase groups; the report is a |channels|-row aggregate.
+    QuerySpec.sqlBacked("q200_position_attribution",
+      """WITH e AS (SELECT event_id, user_id,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_type
+        |  FROM events
+        |  WHERE event_type IN ('click', 'view', 'purchase')),
+        |p AS (SELECT event_id AS pid, user_id, us AS pus FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_id AS tid, us AS tus,
+        |        event_type AS channel FROM e
+        |      WHERE event_type <> 'purchase'),
+        |j AS (SELECT pid, channel, tus, tid
+        |      FROM p JOIN t USING (user_id)
+        |      WHERE (tus < pus OR (tus = pus AND tid < pid))
+        |        AND tus >= pus - 604800000000),
+        |r AS (SELECT pid, channel,
+        |    row_number() OVER (PARTITION BY pid ORDER BY tus, tid) AS rn,
+        |    count(*) OVER (PARTITION BY pid) AS n FROM j),
+        |c AS (SELECT pid, channel, CASE
+        |    WHEN n = 1 THEN 10000
+        |    WHEN n = 2 THEN 5000
+        |    WHEN rn = 1 THEN 4000 + (2000 - (n - 2) * (2000 // (n - 2)))
+        |    WHEN rn = n THEN 4000
+        |    ELSE 2000 // (n - 2) END AS bp FROM r)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(count(DISTINCT pid) AS BIGINT) AS n_purchases,
+        |  CAST(sum(bp) AS BIGINT) AS total_bp
+        |FROM c GROUP BY channel ORDER BY channel""".stripMargin) {
+      (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "view", "purchase"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("event_type"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("us").as("pus"))
+      val t = ev.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_id").as("tid"),
+          col("us").as("tus"), col("event_type").as("channel"))
+      val perP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("pid"))
+      val r = p.join(t, Seq("user_id"))
+        .filter((col("tus") < col("pus") ||
+          (col("tus") === col("pus") && col("tid") < col("pid"))) &&
+          col("tus") >= col("pus") - 604800000000L)
+        .withColumn("rn", row_number().over(
+          perP.orderBy(col("tus"), col("tid"))))
+        .withColumn("n", count(lit(1)).over(perP))
+      r.withColumn("bp", expr("CASE WHEN n = 1 THEN 10000L " +
+          "WHEN n = 2 THEN 5000L " +
+          "WHEN rn = 1 THEN 4000L + (2000L - (n - 2) * " +
+            "(2000L div (n - 2))) " +
+          "WHEN rn = n THEN 4000L " +
+          "ELSE 2000L div (n - 2) END"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_touches"),
+          countDistinct(col("pid")).as("n_purchases"),
+          sum(col("bp")).as("total_bp"))
+        .orderBy(col("channel"))
     }
   )
 
