@@ -485,7 +485,16 @@ object Plans {
         "100 TB the exact gram self-join (kept here as the gate-scale " +
         "companion feeding the contract boolean) is the one-off, the " +
         "sketches are what persists and recombines as sources arrive.",
-      details = Seq("hll_sketch_agg")))
+      details = Seq("hll_sketch_agg")),
+    Entry("q202_maxsim_rerank",
+      "Two-stage late-interaction retrieval: the q41 SRP-LSH join " +
+        "recalls candidates sub-linearly, then each pair is re-scored " +
+        "by the native graft_maxsim node - ONE codegen'd triple loop " +
+        "(sum of max subvector dots), where m^2 DotProduct columns " +
+        "would square the q198 Catalyst blow-up and nested HOF lambdas " +
+        "run interpreted. Rerank cost at 10x: +1 s over the candidate " +
+        "stage's own 23.7 s.",
+      details = Seq("graft_maxsim")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

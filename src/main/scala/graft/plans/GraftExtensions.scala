@@ -33,6 +33,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MatVec].getName, "graft_matvec"),
       (args: Seq[Expression]) => MatVec(args(0), args(1))))
     ext.injectFunction((
+      FunctionIdentifier("graft_maxsim"),
+      new ExpressionInfo(classOf[MaxSim].getName, "graft_maxsim"),
+      (args: Seq[Expression]) => MaxSim(args(0), args(1),
+        foldInt(args(2), "graft_maxsim m"))))
+    ext.injectFunction((
       FunctionIdentifier("graft_rollhash"),
       new ExpressionInfo(classOf[RollingHash].getName, "graft_rollhash"),
       (args: Seq[Expression]) => RollingHash(args(0))))

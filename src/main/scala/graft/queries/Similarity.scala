@@ -1798,6 +1798,56 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // q202: late-interaction (MaxSim) rerank — the ColBERT scoring rule
+    // over the standard two-stage retrieval: the q41 SRP-LSH candidate
+    // stage recalls, then each (query, candidate) pair is re-scored by
+    // Σ_i max_j dot(q_i, d_j) with the 64-d vectors read as 8 subvectors
+    // of 8 dims (the q146 PQ subspace convention standing in for token
+    // embeddings — the plan is identical when a real multi-vector column
+    // arrives). The score is the native graft_maxsim node: one codegen'd
+    // triple loop per pair; m² DotProduct columns would re-create the
+    // q198 Catalyst blow-up SQUARED, and nested HOF lambdas evaluate
+    // interpreted. The oracle unrolls the same sum-of-greatest chains
+    // term for term, so ranks hash-match exactly. Scale: candidates are
+    // the sub-linear LSH join output; the rerank is a per-row projection
+    // plus the per-query top-k window.
+    QuerySpec.sqlBacked("q202_maxsim_rerank", {
+      def dotIJ(i: Int, j: Int): String =
+        (1 to PqSub).map(d =>
+          s"CAST(q.embedding[${i * PqSub + d}] AS DOUBLE) * " +
+            s"CAST(d.embedding[${j * PqSub + d}] AS DOUBLE)")
+          .mkString("(", " + ", ")")
+      val msSql = (0 until PqM).map(i =>
+        "greatest(" + (0 until PqM).map(j => dotIJ(i, j)).mkString(", ") +
+          ")").mkString("(", " + ", ")")
+      s"""WITH $lshCandSql,
+         |ms AS (SELECT c.q_id, c.nb_id, $msSql AS ms
+         |  FROM cand c JOIN n q ON q.vec_id = c.q_id
+         |              JOIN n d ON d.vec_id = c.nb_id)
+         |SELECT q_id, nb_id, rn, ms FROM (
+         |  SELECT q_id, nb_id, ms, row_number() OVER (PARTITION BY q_id
+         |    ORDER BY ms DESC, nb_id) AS rn FROM ms)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      val c = corpus(s, dir)
+      val qe = broadcast(c.filter(expr(isQuery))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe")))
+      val ce = c.select(col("vec_id").as("nb_id"),
+        col("embedding").as("ce"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("ms").desc, col("nb_id"))
+      lshCandidates(s, dir).select(col("q_id"), col("nb_id"))
+        .join(qe, "q_id")
+        .join(ce, "nb_id")
+        .select(col("q_id"), col("nb_id"),
+          graft.plans.MaxSim(col("qe"), col("ce"), PqM).as("ms"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= K)
+        .select(col("q_id"), col("nb_id"), col("rn"), col("ms"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
     // q198: random-projection distortion audit — Johnson–Lindenstrauss
     // sign projection of the 64-d embeddings down to RpDim=16 (Achlioptas
     // '01 ±1 matrices), then the measured cosine error between full-dim
