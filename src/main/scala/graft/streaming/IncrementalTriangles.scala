@@ -86,8 +86,15 @@ final class IncrementalTriangles extends Serializable {
       .filter((!col("xzNew") || e1 < exz) && (!col("yzNew") || e1 < eyz))
       .count()
     tris = Math.addExact(tris, delta)
+    // the new snapshot materializes BEFORE the superseded blocks drop —
+    // without the unpersists every batch would leave its predecessor's
+    // checkpoint RDD cached and "bounded state" would quietly become
+    // sum-over-batches (the OverlapProcessor hygiene rule)
+    val prev = edges
     edges = (if (edges == null) fresh else edges.unionByName(fresh))
       .localCheckpoint()
+    if (prev != null) prev.unpersist(blocking = false)
+    fresh.unpersist(blocking = false)
     m = Math.addExact(m, nFresh)
     delta
   }
