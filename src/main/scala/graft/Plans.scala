@@ -494,7 +494,17 @@ object Plans {
         "would square the q198 Catalyst blow-up and nested HOF lambdas " +
         "run interpreted. Rerank cost at 10x: +1 s over the candidate " +
         "stage's own 23.7 s.",
-      details = Seq("graft_maxsim")))
+      details = Seq("graft_maxsim")),
+    Entry("q203_banding_curve",
+      "Parameter pre-flight: the K=16 MinHash signature frame is " +
+        "computed ONCE (native MinHashSig, scratch-cached) and each " +
+        "(bands, rows) grid point re-bands the cached frame - three " +
+        "cheap (band-hash, doc_id) exchanges, posting-list pair " +
+        "generation, and an exact ppm precision/recall report against " +
+        "the q36 truth. At 100 TB the signature pass is the scan-bound " +
+        "cost; the grid amortizes it across every operating point " +
+        "under consideration.",
+      details = Seq("graft_minhash")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
