@@ -1350,23 +1350,13 @@ object Temporal {
         |  CAST(max(e0) - min(s0) AS BIGINT) AS covered_us
         |FROM isl GROUP BY k, island
         |ORDER BY suppkey, island""".stripMargin) { (s, dir) =>
-      val byStart = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("k")).orderBy(col("s0"), col("id"))
-      val i = transitIntervals(s, dir)
-        .withColumn("pm", max(col("e0")).over(
-          byStart.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)))
-        .withColumn("island", sum(
-          when(col("pm").isNull || col("s0") > col("pm"), 1L)
-            .otherwise(0L)).over(
-          byStart.rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, 0)))
-      i.groupBy(col("k"), col("island"))
-        .agg(min(col("s0")).as("span_s0"), max(col("e0")).as("span_e0"),
-          count(lit(1)).as("n_intervals"))
+      // the recurrence lives in IncrementalCoalesce.batchTruth — ONE
+      // definition shared with the streaming twin, so the live islands
+      // can never drift from this gate (the q138 observations rule)
+      graft.streaming.IncrementalCoalesce
+        .batchTruth(transitIntervals(s, dir))
         .select(col("k").as("suppkey"), col("island"), col("span_s0"),
-          col("span_e0"), col("n_intervals"),
-          (col("span_e0") - col("span_s0")).as("covered_us"))
+          col("span_e0"), col("n_intervals"), col("covered_us"))
         .orderBy(col("suppkey"), col("island"))
     },
 
