@@ -81,6 +81,59 @@ class IncrementalCoalesceSpec extends SparkSpec {
     assert(asSet(got) == want(ivs))
   }
 
+  test("open island, frontier, and pending all survive a stop/restart") {
+    withRocks {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_coal_src").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_coal_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_coal_out").toString
+      def startQuery() = IncrementalCoalesce.islands(
+          spark.readStream
+            .schema("k LONG, id LONG, s0 LONG, e0 LONG, ts TIMESTAMP")
+            .parquet(srcDir).as[Interval], "0 milliseconds")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Island],
+            _: Long) =>
+          batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+            .parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+      // batch 1: A's island closes (wm reaches B's start); B itself
+      // stays PENDING (s0 == watermark is not < it) — so the stopped
+      // state holds a used island counter, a frontier, AND a buffer
+      Seq(iv(1L, 1L, 1000000L, 2000000L), iv(1L, 2L, 5000000L, 6000000L))
+        .toDF().write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(srcDir)
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+      // restart: C overlaps B — island 2 spans B∪C only if B's pending
+      // row and the counter both recovered; a lost counter would
+      // renumber it island 1, a lost buffer would shrink it to C alone
+      Seq(iv(1L, 3L, 5500000L, 7000000L),
+          iv(99L, 100000L, 360000000000L, 360000001000L))
+        .toDF().write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(srcDir)
+      val q2 = startQuery()
+      try {
+        q2.processAllAvailable()
+        Seq(iv(99L, 200000L, 720000000000L, 720000001000L))
+          .toDF().write.mode(org.apache.spark.sql.SaveMode.Append)
+          .parquet(srcDir)
+        q2.processAllAvailable()
+        val out = spark.read.parquet(outDir).as[Island].collect().toSeq
+          .filter(_.k == 1L).sortBy(_.island)
+        assert(out == Seq(
+          Island(1L, 1L, 1000000L, 2000000L, 1L, 1000000L),
+          Island(1L, 2L, 5000000L, 7000000L, 2L, 2000000L)),
+          s"state lost or double-emitted across restart: $out")
+      } finally q2.stop()
+    }
+  }
+
   test("a beyond-horizon straggler is dropped, not re-coalesced") {
     val early = iv(1L, 1L, 1000000L, 2000000L)
     val late = iv(1L, 2L, 1500000L, 9000000L) // would extend island 1
