@@ -504,7 +504,15 @@ object Plans {
         "the q36 truth. At 100 TB the signature pass is the scan-bound " +
         "cost; the grid amortizes it across every operating point " +
         "under consideration.",
-      details = Seq("graft_minhash")))
+      details = Seq("graft_minhash")),
+    Entry("q204_score_calibration",
+      "Calibration without a global window: the decile cut is " +
+        "GlobalIndex's range-exchange ordinal + broadcast-count ntile " +
+        "allocation (the q127 machinery), never a single-partition " +
+        "ORDER BY ntile; score and heuristic are scan-stage " +
+        "projections sharing q197's fold definition. 100x corpus: " +
+        "5.2 s - the sort-based ordinal is the only super-scan cost.",
+      details = Seq("rangepartitioning")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

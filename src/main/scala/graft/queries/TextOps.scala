@@ -39,6 +39,20 @@ object TextOps {
   private def occSql(pat: String): String =
     s"(length(padded) - length(replace(padded, '$pat', ''))) / ${pat.length}"
 
+  /** q197/q204's shared hashed-feature score — Σ over tokens of
+    * (md5-16-bit − 32768), one exact BIGINT per document. ONE
+    * definition per engine so the gate and the calibration report can
+    * never disagree on the score (the flagCumQty anti-drift rule). */
+  private val classifierScoreSql =
+    """list_sum(list_transform(string_split(text, ' '), t ->
+      |      CAST(CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER)
+      |        - 32768 AS BIGINT)))""".stripMargin
+
+  private def classifierScore: org.apache.spark.sql.Column =
+    expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + " +
+      "CAST(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) " +
+      "- 32768 AS BIGINT))")
+
   private val langScores = Seq(
     "en" -> Seq(" the ", " a "),
     "de" -> Seq(" der ", " die ", " und "),
@@ -1121,7 +1135,7 @@ object TextOps {
     // scan — ZERO shuffle before the |sources × langs|-row aggregate
     // with map-side partials.
     QuerySpec.sqlBacked("q197_quality_classifier",
-      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      s"""SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(CASE WHEN si >= 0 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_kept,
         |  CAST(sum(si) AS BIGINT) AS sum_score,
@@ -1129,18 +1143,13 @@ object TextOps {
         |  CAST(CAST(sum(si) AS BIGINT) AS DOUBLE)
         |    / CAST(sum(nt) AS BIGINT) AS mean_w
         |FROM (SELECT source, lang,
-        |    list_sum(list_transform(string_split(text, ' '), t ->
-        |      CAST(CAST(('0x' || substr(md5(t), 1, 4)) AS INTEGER)
-        |        - 32768 AS BIGINT))) AS si,
+        |    $classifierScoreSql AS si,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
         |  FROM documents)
         |GROUP BY source, lang ORDER BY source, lang""".stripMargin) {
       (s, dir) =>
       Tables.spread(s, dir, "documents")
-        .select(col("source"), col("lang"),
-          expr("aggregate(split(text, ' '), 0L, (acc, t) -> acc + " +
-            "CAST(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) " +
-            "- 32768 AS BIGINT))").as("si"),
+        .select(col("source"), col("lang"), classifierScore.as("si"),
           size(split(col("text"), " ")).cast("long").as("nt"))
         .groupBy(col("source"), col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1152,6 +1161,75 @@ object TextOps {
           (col("sum_score").cast("double") / col("sum_tok"))
             .as("mean_w"))
         .orderBy(col("source"), col("lang"))
+    },
+
+    // ------------------------------------------------------------------
+    // q204: classifier calibration report — the agreement audit between
+    // two INDEPENDENT quality signals before either gates a 100 TB
+    // corpus: q197's hashed-feature score is cut into global equi-depth
+    // deciles, and each decile reports the pass rate of q32's stopword
+    // heuristic (here as the exact integer test 10·n_stop >= n_tok).
+    // The reliability-diagram shape: a score worth gating on shows a
+    // heuristic-pass rate that moves monotonically across deciles; a
+    // flat profile says the two signals are measuring different things
+    // (md5 weights are deliberately uncorrelated — the REPORT is the
+    // operator, the weights are the placeholder). Scale: the decile cut
+    // is the q127 machinery — GlobalIndex's range-exchange ordinal +
+    // broadcast-count ntile allocation, never a single-partition global
+    // window — and the score/heuristic are scan-stage projections
+    // sharing q197's fold (ONE definition, both engines).
+    QuerySpec.sqlBacked("q204_score_calibration",
+      s"""WITH d AS (SELECT doc_id, ' '||text||' ' AS padded,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |    $classifierScoreSql AS si
+        |  FROM documents),
+        |h AS (SELECT doc_id, si,
+        |    CASE WHEN ((length(padded)
+        |        - length(replace(padded, ' the ', ''))) // 5
+        |      + (length(padded)
+        |        - length(replace(padded, ' a ', ''))) // 3) * 10
+        |      >= n_tok THEN 1 ELSE 0 END AS heur FROM d),
+        |r AS (SELECT si, heur,
+        |    CAST(ntile(10) OVER (ORDER BY si, doc_id) AS BIGINT)
+        |      AS decile FROM h)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(si) AS BIGINT) AS min_score,
+        |  CAST(max(si) AS BIGINT) AS max_score,
+        |  CAST(sum(heur) AS BIGINT) AS n_heur,
+        |  CAST(1000000 * sum(heur) // count(*) AS BIGINT) AS heur_ppm
+        |FROM r GROUP BY decile ORDER BY decile""".stripMargin) {
+      (s, dir) =>
+      val b = 10
+      def occDiv(p: String) =
+        s"(length(padded) - length(replace(padded, '$p', ''))) div ${p.length}"
+      val d = Tables.spread(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          classifierScore.as("si"),
+          expr(s"${occDiv(" the ")} + ${occDiv(" a ")}").as("n_stop"))
+        .withColumn("heur",
+          when(col("n_stop") * 10 >= col("n_tok"), 1L).otherwise(0L))
+        .select(col("doc_id"), col("si"), col("heur"))
+      val ranked = graft.operators.GlobalIndex.assign(d,
+        Seq(col("si"), col("doc_id")), "rk")
+      val cnt = d.agg(count(lit(1)).as("total"))
+      ranked.crossJoin(broadcast(cnt))
+        // the q127 ntile allocation: rem = total mod b leading bins of
+        // size q+1, size q after; rk is 0-based
+        .withColumn("decile",
+          when(col("rk") < (col("total") % b) * (expr(s"total div $b") + 1),
+            expr(s"rk div (total div $b + 1)"))
+            .otherwise(col("total") % b +
+              expr(s"(rk - (total % $b) * (total div $b + 1)) div (total div $b)"))
+            + 1)
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"), min(col("si")).as("min_score"),
+          max(col("si")).as("max_score"), sum(col("heur")).as("n_heur"))
+        .select(col("decile"), col("n_docs"), col("min_score"),
+          col("max_score"), col("n_heur"),
+          expr("1000000L * n_heur div n_docs").as("heur_ppm"))
+        .orderBy(col("decile"))
     }
   )
 
