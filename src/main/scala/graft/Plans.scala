@@ -512,7 +512,14 @@ object Plans {
         "ORDER BY ntile; score and heuristic are scan-stage " +
         "projections sharing q197's fold definition. 100x corpus: " +
         "5.2 s - the sort-based ordinal is the only super-scan cost.",
-      details = Seq("rangepartitioning")))
+      details = Seq("rangepartitioning")),
+    Entry("q205_bootstrap_ci",
+      "Error bars in one scan: the doc x 32-replica Poisson-bootstrap " +
+        "expansion is a projection (explode + md5 inverse-CDF weight, " +
+        "all integers), and map-side partials collapse the shuffle to " +
+        "32 rows per task - no per-replica re-scan, no RNG state. " +
+        "100x corpus: 2.9 s, pure scan scaling.",
+      details = Seq("ReadSchema")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -1638,6 +1638,59 @@ object Profiling {
             col("n_outliers"))
           .orderBy(col("event_type"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q205: Poisson-bootstrap error bars — resampling inference for a
+    // corpus statistic (mean tokens per document) computed EXACTLY and
+    // deterministically: replica r draws each doc with weight
+    // w = Poisson(1) via the inverse CDF on the doc's md5-16-bit
+    // uniform keyed (doc_id, r) — fixed integer thresholds, identical
+    // in both engines, so every replica is an exact integer pair
+    // (Σw, Σw·n_tok) and its mean is ONE double division. This is how
+    // a profile stat gets a confidence band at 100 TB without a second
+    // scan per replica (Chamandy et al. '12, "Estimating Uncertainty
+    // for Massive Data Streams"): the doc×replica expansion is a
+    // scan-stage projection and map-side partials collapse the shuffle
+    // to B=32 rows per task. Reading the spread of the 32 means IS the
+    // error bar; the driver gate pins every replica exactly.
+    QuerySpec.sqlBacked("q205_bootstrap_ci",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |  FROM documents),
+        |x AS (SELECT rep,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+        |      CAST(rep AS VARCHAR)), 1, 4)) AS INTEGER) AS u, n_tok
+        |  FROM d, unnest(range(0, 32)) AS t(rep)),
+        |w AS (SELECT rep, n_tok, CASE
+        |    WHEN u < 24109 THEN 0 WHEN u < 48219 THEN 1
+        |    WHEN u < 60273 THEN 2 WHEN u < 64292 THEN 3
+        |    WHEN u < 65296 THEN 4 ELSE 5 END AS w FROM x)
+        |SELECT CAST(rep AS BIGINT) AS rep,
+        |  CAST(sum(w) AS BIGINT) AS n_eff,
+        |  CAST(sum(w * n_tok) AS BIGINT) AS sum_tok,
+        |  CAST(CAST(sum(w * n_tok) AS BIGINT) AS DOUBLE)
+        |    / greatest(CAST(sum(w) AS BIGINT), 1) AS mean_tok
+        |FROM w GROUP BY rep ORDER BY rep""".stripMargin) { (s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .select(col("doc_id"), col("n_tok"),
+          explode(sequence(lit(0), lit(31))).as("rep"))
+        .withColumn("u",
+          conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+            col("rep").cast("string"))), 1, 4), 16, 10).cast("int"))
+        .withColumn("w",
+          when(col("u") < 24109, 0L).when(col("u") < 48219, 1L)
+            .when(col("u") < 60273, 2L).when(col("u") < 64292, 3L)
+            .when(col("u") < 65296, 4L).otherwise(5L))
+        .groupBy(col("rep").cast("long").as("rep"))
+        .agg(sum(col("w")).as("n_eff"),
+          sum(col("w") * col("n_tok")).as("sum_tok"))
+        .select(col("rep"), col("n_eff"), col("sum_tok"),
+          (col("sum_tok").cast("double") /
+            greatest(col("n_eff"), lit(1L))).as("mean_tok"))
+        .orderBy(col("rep"))
     }
   )
 }
