@@ -519,7 +519,20 @@ object Plans {
         "all integers), and map-side partials collapse the shuffle to " +
         "32 rows per task - no per-replica re-scan, no RNG state. " +
         "100x corpus: 2.9 s, pure scan scaling.",
-      details = Seq("ReadSchema")))
+      details = Seq("ReadSchema")),
+    Entry("q206_edge_support",
+      "Edge-level density (the k-truss building block): everything " +
+        "after the operator's O(m^1.5) enumeration is one narrow " +
+        "groupBy keyed by the edge, and only the 20-row report leaves " +
+        "the cluster. Shares q196's oriented-wedge plan, cell cap, and " +
+        "ReusedExchange shape.",
+      details = Seq("REPARTITION_BY_NUM")),
+    Entry("q207_assortativity",
+      "One-number mixing diagnostic: a degree aggregate, one stamp " +
+        "join back to the symmetrized edges, and a 6-long mergeable " +
+        "exact-moment row (the q88 convention) - map-side partials end " +
+        "to end, nothing wider than an edge row on the wire.",
+      details = Seq("hashpartitioning")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

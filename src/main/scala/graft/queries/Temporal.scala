@@ -1315,6 +1315,89 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // q206: edge triangle support — the k-truss building block on the
+    // q196 graph: each edge's support is the number of triangles it
+    // closes (an edge in no triangle is a bridge/noise tie; a high-
+    // support edge sits inside a clique — the edge-level density
+    // signal beside q196's node-level coefficients and q157's k-core).
+    // The support frame is ONE aggregate over the triangle list (each
+    // triangle lands at its 3 edges); top-20 by (support, u, v) is the
+    // bounded report. Scale: everything after operators.Triangles'
+    // O(m^1.5) enumeration is a narrow-column groupBy keyed by the
+    // edge, and nothing reaches the driver beyond 20 rows.
+    QuerySpec.sqlBacked("q206_edge_support",
+      s"""WITH $interactEdgeCtes,
+         |tri AS (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
+         |        FROM pe e1 JOIN pe e2 ON e2.u1 = e1.u2
+         |             JOIN pe e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2),
+         |es AS (SELECT a AS u, b AS v FROM tri
+         |       UNION ALL SELECT a, c FROM tri
+         |       UNION ALL SELECT b, c FROM tri)
+         |SELECT u, v, CAST(count(*) AS BIGINT) AS support
+         |FROM es GROUP BY u, v
+         |ORDER BY support DESC, u, v LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.operators.Triangles.run(interactEdges(s, dir))
+        .select(explode(array(
+          struct(col("a").as("u"), col("b").as("v")),
+          struct(col("a").as("u"), col("c").as("v")),
+          struct(col("b").as("u"), col("c").as("v")))).as("e"))
+        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+        .agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("u"), col("v")).limit(20)
+    },
+
+    // ------------------------------------------------------------------
+    // q207: degree assortativity — Pearson correlation of endpoint
+    // degrees over the symmetrized q196 edge list (Newman '02): the
+    // one-number mixing diagnostic (hub-to-hub wiring → positive;
+    // hub-to-leaf → negative) read before trusting community structure
+    // — coordinated rings wire assortatively, organic activity doesn't.
+    // The q88 exact-moment convention: n, Σx, Σy, Σxy, Σx², Σy² are
+    // exact BIGINTs (degrees ≤ |V|, headroom checked), r is one double
+    // expression over them. Scale: a degree aggregate, one stamp join
+    // back to edges, and a 6-long mergeable moment row — map-side
+    // partials end to end.
+    QuerySpec.sqlBacked("q207_assortativity",
+      s"""WITH $interactEdgeCtes,
+         |dg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM (
+         |         SELECT u1 AS n FROM pe UNION ALL SELECT u2 FROM pe)
+         |       GROUP BY n),
+         |e2 AS (SELECT u1 AS s, u2 AS t FROM pe
+         |       UNION ALL SELECT u2, u1 FROM pe),
+         |ep AS (SELECT a.deg AS x, b.deg AS y
+         |       FROM e2 JOIN dg a ON a.n = e2.s JOIN dg b ON b.n = e2.t),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         |    CAST(sum(x*y) AS BIGINT) AS sxy,
+         |    CAST(sum(x*x) AS BIGINT) AS sxx,
+         |    CAST(sum(y*y) AS BIGINT) AS syy FROM ep)
+         |SELECT n, sx, sxy, sxx,
+         |  CAST(n*sxy - sx*sy AS DOUBLE)
+         |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+         |     * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS assortativity
+         |FROM m""".stripMargin) { (s, dir) =>
+      val pe = interactEdges(s, dir)
+      Dedup.withScratch(pe) {
+        val dg = pe.select(explode(array(col("u1"), col("u2"))).as("n"))
+          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+        val e2 = pe.select(col("u1").as("s"), col("u2").as("t"))
+          .unionAll(pe.select(col("u2").as("s"), col("u1").as("t")))
+        e2.join(dg.select(col("n").as("s"), col("deg").as("x")), "s")
+          .join(dg.select(col("n").as("t"), col("deg").as("y")), "t")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"))
+          .select(col("n"), col("sx"), col("sxy"), col("sxx"),
+            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+                  .cast("double"))
+                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+                  .cast("double")))).as("assortativity"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q199: interval coalescing (gaps-and-islands) — merge each
     // supplier's overlapping/touching transit intervals into maximal
     // covered spans: the double-coverage-free utilization primitive
