@@ -503,7 +503,8 @@ object Plans {
         "generation, and an exact ppm precision/recall report against " +
         "the q36 truth. At 100 TB the signature pass is the scan-bound " +
         "cost; the grid amortizes it across every operating point " +
-        "under consideration.",
+        "under consideration. Decade probes 4.4/14.4/89.9 s - the " +
+        "100x tail is the exact-truth companion join, not the grid.",
       details = Seq("graft_minhash")),
     Entry("q204_score_calibration",
       "Calibration without a global window: the decile cut is " +
