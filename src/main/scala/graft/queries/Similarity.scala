@@ -1810,7 +1810,13 @@ object Similarity {
     // interpreted. The oracle unrolls the same sum-of-greatest chains
     // term for term, so ranks hash-match exactly. Scale: candidates are
     // the sub-linear LSH join output; the rerank is a per-row projection
-    // plus the per-query top-k window.
+    // plus the per-query top-k window. Measured MaxSim recall@5 of the
+    // cosine-tuned candidate stage vs brute-force MaxSim: 0.72/0.58 at
+    // sf0.01/sf0.1 — lower than the stage's 0.84/0.85 under its OWN
+    // metric, the expected gap when the recall stage's metric differs
+    // from the rerank's; the production fix is subvector-level candidate
+    // generation (index each subvector), which changes the index build,
+    // not this rerank plan.
     QuerySpec.sqlBacked("q202_maxsim_rerank", {
       def dotIJ(i: Int, j: Int): String =
         (1 to PqSub).map(d =>
