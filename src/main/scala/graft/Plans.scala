@@ -533,7 +533,15 @@ object Plans {
         "join back to the symmetrized edges, and a 6-long mergeable " +
         "exact-moment row (the q88 convention) - map-side partials end " +
         "to end, nothing wider than an edge row on the wire.",
-      details = Seq("hashpartitioning")))
+      details = Seq("hashpartitioning")),
+    Entry("q208_ktruss",
+      "Iterative edge peeling under the bounded-rounds contract " +
+        "(q105/q134's): each round is one O(m^1.5) enumeration over " +
+        "the SHRINKING checkpointed edge set plus an edge-keyed " +
+        "support aggregate; driver state is three longs per round. " +
+        "The convergence trace is the output, so the gate stays " +
+        "meaningful where the truss empties.",
+      details = Seq("REPARTITION_BY_NUM")))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

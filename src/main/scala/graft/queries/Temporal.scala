@@ -1398,6 +1398,80 @@ object Temporal {
     },
 
     // ------------------------------------------------------------------
+    // q208: k-truss peel (k=3, two bounded rounds) on the STRONG-tie
+    // graph (>= 5 shared cells): iteratively drop every edge whose
+    // triangle support falls below k-2 — the edge-pruning dual of
+    // q157's node-peeling k-core, and the graph family's first
+    // ITERATIVE edge-centric op. Bounded rounds are the house
+    // recurrence contract (q105's 3 damped iterations, q134's radius
+    // budget): each round re-enumerates triangles on the surviving
+    // edges via operators.Triangles and reports (edges_in,
+    // n_triangles, edges_kept) — the convergence trace IS the output,
+    // so the gate stays meaningful even where the truss empties. The
+    // oracle unrolls the same two rounds as chained CTEs over the
+    // shared strong-tie edge template. Scale: per round, one O(m^1.5)
+    // enumeration over a shrinking edge set plus an edge-keyed
+    // support aggregate.
+    QuerySpec.sqlBacked("q208_ktruss", {
+      def roundCtes(r: Int): String =
+        s"""t$r AS (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
+           |  FROM e$r e1 JOIN e$r e2 ON e2.u1 = e1.u2
+           |       JOIN e$r e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2),
+           |s$r AS (SELECT u, v, count(*) AS sup FROM (
+           |    SELECT a AS u, b AS v FROM t$r
+           |    UNION ALL SELECT a, c FROM t$r
+           |    UNION ALL SELECT b, c FROM t$r) GROUP BY u, v),
+           |e${r + 1} AS (SELECT u AS u1, v AS u2 FROM s$r
+           |  WHERE sup >= 1)""".stripMargin
+      s"""WITH ${interactCtes(5)},
+         |e0 AS (SELECT u1, u2 FROM pe),
+         |${roundCtes(0)},
+         |${roundCtes(1)}
+         |SELECT * FROM (
+         |  SELECT 1 AS round,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM e0) AS edges_in,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t0) AS n_triangles,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM e1) AS edges_kept
+         |  UNION ALL
+         |  SELECT 2,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM e1),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM t1),
+         |    (SELECT CAST(count(*) AS BIGINT) FROM e2))
+         |ORDER BY round""".stripMargin
+    }) { (s, dir) =>
+      import s.implicits._
+      // driver-coordinated peel loop (the ConnectedComponents/KMeans
+      // shape): per-round state on the driver is THREE longs; the edge
+      // set itself stays a checkpointed distributed frame
+      var edges = interactEdges(s, dir, minW = 5).localCheckpoint()
+      val stats = (1 to 2).map { r =>
+        val sup = graft.operators.Triangles.run(edges)
+          .select(explode(array(
+            struct(col("a").as("u1"), col("b").as("u2")),
+            struct(col("a").as("u1"), col("c").as("u2")),
+            struct(col("b").as("u1"), col("c").as("u2")))).as("e"))
+          .groupBy(col("e.u1").as("u1"), col("e.u2").as("u2"))
+          .agg(count(lit(1)).as("sup"))
+          .localCheckpoint()
+        val edgesIn = edges.count()
+        // every triangle contributed support to its 3 edges
+        val nTri = {
+          val row = sup.agg(sum(col("sup"))).head()
+          (if (row.isNullAt(0)) 0L else row.getLong(0)) / 3
+        }
+        val kept = sup.filter(col("sup") >= 1)
+          .select(col("u1"), col("u2")).localCheckpoint()
+        val edgesKept = kept.count()
+        edges.unpersist(blocking = false)
+        sup.unpersist(blocking = false)
+        edges = kept
+        (r, edgesIn, nTri, edgesKept)
+      }
+      stats.toDF("round", "edges_in", "n_triangles", "edges_kept")
+        .orderBy(col("round"))
+    },
+
+    // ------------------------------------------------------------------
     // q199: interval coalescing (gaps-and-islands) — merge each
     // supplier's overlapping/touching transit intervals into maximal
     // covered spans: the double-coverage-free utilization primitive
@@ -1531,13 +1605,13 @@ object Temporal {
   // final + literal is compile-time constant-folded, immune to order
   private final val InteractCellCap = 64
 
-  /** q196's edge frame as DuckDB CTE text: `ev` = distinct (user,
-    * event_type, hour) interaction cells, `cc` = cells under the
-    * [[InteractCellCap]], `pe` = undirected u1 < u2 edges between users
-    * sharing >= 3 capped cells. One string so the Spark side and the
-    * oracle provably build the same graph (the flagCumQty/
+  /** q196/q206/q207/q208's edge frame as DuckDB CTE text: `ev` =
+    * distinct (user, event_type, hour) interaction cells, `cc` = cells
+    * under the [[InteractCellCap]], `pe` = undirected u1 < u2 edges
+    * between users sharing >= `minW` capped cells. One template so
+    * every graph gate provably builds the same graph (the flagCumQty/
     * attributionCtes anti-drift rule). */
-  private lazy val interactEdgeCtes =
+  private def interactCtes(minW: Int): String =
     s"""ev AS (SELECT DISTINCT user_id AS u, event_type AS et,
       |    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hb FROM events),
       |cc AS (SELECT et, hb FROM ev GROUP BY et, hb
@@ -1545,15 +1619,17 @@ object Temporal {
       |evc AS (SELECT ev.u, ev.et, ev.hb FROM ev JOIN cc USING (et, hb)),
       |pe AS (SELECT a.u AS u1, b.u AS u2 FROM evc a
       |       JOIN evc b ON a.et = b.et AND a.hb = b.hb AND a.u < b.u
-      |       GROUP BY a.u, b.u HAVING count(*) >= 3)""".stripMargin
+      |       GROUP BY a.u, b.u HAVING count(*) >= $minW)""".stripMargin
 
-  /** Spark twin of [[interactEdgeCtes]]: the (u1, u2) co-interaction
-    * edge list, u1 < u2, weight threshold 3 over cap-filtered cells.
+  private lazy val interactEdgeCtes = interactCtes(3)
+
+  /** Spark twin of [[interactCtes]]: the (u1, u2) co-interaction edge
+    * list, u1 < u2, weight threshold `minW` over cap-filtered cells.
     * The cap is a count window over (et, hb) — not a join back to an
     * aggregate — so the capped frame comes out hash-partitioned on
     * exactly the pair self-join's key and the join reuses the exchange. */
   private def interactEdges(s: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = {
+      dir: String, minW: Int = 3): DataFrame = {
     val cell = org.apache.spark.sql.expressions.Window
       .partitionBy(col("et"), col("hb"))
     val evc = Tables(s, dir, "events")
@@ -1569,7 +1645,7 @@ object Temporal {
       .filter(col("u1") < col("u2"))
       .groupBy(col("u1"), col("u2"))
       .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 3)
+      .filter(col("w") >= minW)
       .select(col("u1"), col("u2"))
   }
 
