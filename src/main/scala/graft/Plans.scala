@@ -74,10 +74,38 @@ object Plans {
       "SemDeDup pair stage: the self-join is an equi-join keyed on the " +
         "k-means cluster id (shuffle/sort-merge at scale, never a " +
         "broadcast nested loop of the corpus), so candidate pairs are " +
-        "confined to clusters - sum(|cluster|^2) work instead of n^2. " +
-        "The k-means assignment itself is the corpus x ONE-broadcast-" +
-        "row projection (BroadcastNestedLoopJoin against a single " +
-        "collected centroid row, argmin via array_min)."),
+        "confined to clusters. k is ADAPTIVE (max(8, ceil(n/250)), " +
+        "mirrored in the oracle by a scalar subquery): per-cluster " +
+        "pair work stays ~250^2/2 however the corpus grows, so " +
+        "sum(|cluster|^2) is ~125*n - LINEAR - where the old fixed " +
+        "k=8 was O(n^2/8) (measured 85.8 -> 16.0 s at the 100x probe; " +
+        "decade growth 4.0 s -> 16.0 s at 10x the data). The " +
+        "assignment itself is a pure PROJECTION: the k-row centroid " +
+        "table rides inside the native codegen'd NearestCentroid " +
+        "kernel as a foldable literal (decoded once to long[][]), so " +
+        "there is NO join at all in the assign stage and no " +
+        "interpreted HOF in the loop (81 -> ~4 s for the 800-centroid " +
+        "100x assign). Operating curve: the k x dim literal stays " +
+        "broadcast-trivial through k ~ 1e5 (~25M vectors per training " +
+        "shard at target 250); past that the flat argmin needs a " +
+        "two-level coarse quantizer - documented in Similarity.KmTarget."),
+    Entry("q110_cluster_cohesion",
+      "Cohesion triangle census through operators.Triangles (the " +
+        "q196/q206/q208 core) instead of the naive un-oriented 3-way " +
+        "self-join: the un-oriented wedge join materializes sum(deg^2) " +
+        "rows - quadratic around a near-dup hub, exactly where a " +
+        "cohesion report has its hottest clusters - while the low-" +
+        "(deg,id) -> high orientation caps every out-degree at " +
+        "O(sqrt(m)), so the census is O(m^1.5) total with the wedge " +
+        "exchange pinned to full width (AQE sizes reducers by input " +
+        "bytes and would serialize the expansion). Clusters partition " +
+        "the node set, so ONE global run over the edge union suffices " +
+        "and the per-cluster report is a join back on the a-corner. " +
+        "With adaptive k (q103's curve) the edge stage is linear too: " +
+        "10x probe 23.3 s (round-9 naive) -> 8.6 s; 100x 24.4 s " +
+        "(6.8M triangles). The oracle is unchanged - orientation " +
+        "changes the plan, not the triangle set.",
+      details = Seq("REPARTITION_BY_NUM")),
     Entry("q104_skew_salted_join",
       "Skew-salted join: the join exchange hash-partitions on " +
         "(source, graft_salt) - each hot source key is spread over 16 " +

@@ -9,6 +9,13 @@ object Sessions {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // local-mode scan parallelism: the test/probe corpora are single
+      // parquet FILES of a few-to-50 MB, which the 128 MB default reads
+      // as ONE task — every pre-shuffle stage then runs single-threaded
+      // (measured: the 100x k-means assign serialized 4 corpus scans on
+      // one core). 8 MB splits the probe files across the pool; a real
+      // cluster keeps the default (its inputs arrive as many files).
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -62,4 +62,57 @@ object Triangles {
       .select(array_sort(array(col("p"), col("x"), col("y"))).as("t"))
       .select(col("t")(0).as("a"), col("t")(1).as("b"), col("t")(2).as("c"))
   }
+
+  /** Per-edge triangle support over the oriented census: one row per
+    * input edge that closes >= 1 triangle, as (u, v, support) with
+    * u < v. Edges in no triangle are ABSENT (support 0) — the q206
+    * bridge-vs-clique signal and the k-truss peel predicate. One
+    * narrow-column aggregate past [[run]]: each triangle lands at its
+    * three edges. */
+  def edgeSupport(edges: DataFrame): DataFrame =
+    run(edges)
+      .select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("a").as("u"), col("c").as("v")),
+        struct(col("b").as("u"), col("c").as("v")))).as("e"))
+      .groupBy(col("e.u").as("u"), col("e.v").as("v"))
+      .agg(count(lit(1)).as("support"))
+
+  /** Bounded-round k-truss peel (the edge-pruning dual of KCore's node
+    * peel): per round, enumerate triangles on the SURVIVING edges and
+    * drop every edge whose support falls below k-2 — support is
+    * recomputed from scratch each round, so a cascade (an edge whose
+    * only triangles died with a previously dropped edge) is caught by
+    * the next round. Bounded rounds are the house recurrence contract
+    * (PageRank's 3 damped iterations, Bfs's radius budget); the
+    * convergence trace (round, edges_in, n_triangles, edges_kept) IS
+    * the return value, three longs per round on the driver — the edge
+    * set itself stays a checkpointed distributed frame throughout.
+    * `edges` must follow [[run]]'s contract (u < v, deduplicated). */
+  def trussPeel(edges: DataFrame, k: Int, rounds: Int)
+      : Seq[(Int, Long, Long, Long)] = {
+    require(k >= 3 && rounds >= 1,
+      s"graft Triangles.trussPeel: need k >= 3 and rounds >= 1, got k=$k rounds=$rounds")
+    var cur = edges.toDF("u1", "u2").localCheckpoint()
+    val stats = (1 to rounds).map { r =>
+      val sup = edgeSupport(cur.select(col("u1"), col("u2")))
+        .select(col("u").as("u1"), col("v").as("u2"), col("support").as("sup"))
+        .localCheckpoint()
+      val edgesIn = cur.count()
+      // every triangle contributed support to exactly its 3 edges
+      val nTri = {
+        val row = sup.agg(sum(col("sup"))).head()
+        (if (row.isNullAt(0)) 0L else row.getLong(0)) / 3
+      }
+      val kept = sup.filter(col("sup") >= k - 2)
+        .select(col("u1"), col("u2")).localCheckpoint()
+      val edgesKept = kept.count()
+      cur.unpersist(blocking = false)
+      sup.unpersist(blocking = false)
+      cur = kept
+      (r, edgesIn, nTri, edgesKept)
+    }
+    cur.unpersist(blocking = false)
+    stats
+  }
 }

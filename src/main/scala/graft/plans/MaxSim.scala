@@ -91,7 +91,8 @@ case class MaxSim(left: Expression, right: Expression, m: Int)
       s"""
          |if ($a.numElements() != $b.numElements() || $a.numElements() % $m != 0) {
          |  throw new IllegalArgumentException(
-         |    "graft_maxsim: lengths not equal multiples of m=$m");
+         |    "graft_maxsim: lengths " + $a.numElements() + "/" +
+         |    $b.numElements() + " not equal multiples of m=$m");
          |}
          |int $s = $a.numElements() / $m;
          |double $score = 0.0;

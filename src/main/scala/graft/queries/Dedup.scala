@@ -34,6 +34,13 @@ object Dedup {
     * as uninformative before the candidate-pair join (skew guard). */
   private val MaxShingleDf = 100
 
+  /** q209's seeded truth-sample modulus: docs with doc_id % 4 = 0, so
+    * true pairs survive at ~1/16 — the scale knob that keeps the
+    * tuning curve's grading tractable at 100x while the candidates
+    * stay full-corpus. (Declared BEFORE `specs`: the oracle string
+    * interpolates it eagerly — the BpeRounds lesson.) */
+  private val TruthSampleMod = 4
+
   /** Scoped scratch cache: persist the shared intermediates, materialize
     * `body` eagerly (localCheckpoint — so the scratch is consumed HERE,
     * not lazily after release), then unpersist. Cache lifetime stays
@@ -59,9 +66,15 @@ object Dedup {
   }
 
   /** Exact Jaccard >= 0.5 near-dup pairs (a_id, b_id, jac) — the q36
-    * pipeline, shared with q65's clustering. */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val base = shingled(s, dir) // read twice: lens + index
+    * pipeline, shared with q65's clustering. `sampleMod`: restrict to
+    * docs with doc_id % m = 0 BEFORE the posting-list build (q209's
+    * seeded truth sample — deterministic, so oracle-able; pair
+    * survival rate 1/m², and the sample cut reaches the explode, so
+    * the truth join's cost drops by the same factor). */
+  private def jaccardPairs(s: SparkSession, dir: String,
+      sampleMod: Option[Int] = None): DataFrame = {
+    val base0 = shingled(s, dir) // read twice: lens + index
+    val base = sampleMod.fold(base0)(m => base0.filter(col("doc_id") % m === 0))
     withScratch(base) {
       candidatePairs(base)
         .select(col("a_id"), col("b_id"),
@@ -1802,8 +1815,123 @@ object Dedup {
               .as("recall_ppm"))
           .orderBy(col("bands"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q209: the banding tuning curve at SCALE — q203's grid with the
+    // exact-truth companion SAMPLED (round-9 ask #6): q203's banding
+    // side is cheap (one shared signature frame) but its recall
+    // denominator is the FULL q36 posting-list truth, which at the
+    // 100x probe cost 89.9 s — the measurement tail, not the
+    // production path. Here the truth is the q36 pipeline run on the
+    // seeded doc sample doc_id % 4 = 0 (deterministic, so the oracle
+    // derives the identical sample; pair survival 1/16, and the cut
+    // reaches the shingle explode so the truth join's cost drops by
+    // the same factor). recall_ppm_est = hits-in-sample /
+    // sampled-truth is the standard two-stage estimator: unbiased in
+    // expectation, std err ~ sqrt(r(1-r)/n_true_sampled) — at the 10x
+    // probe's ~1.5k sampled pairs that is ~±1.2% absolute at r≈0.85,
+    // tight enough to pick (bands, rows). Candidates stay FULL-corpus:
+    // the curve tunes the real index, only its grading is sampled.
+    QuerySpec.sqlBacked("q209_banding_curve_sampled", {
+      val sigs = (0 until K).map(i =>
+        s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS s$i")
+        .mkString(", ")
+      val grid = Seq(2 -> 8, 4 -> 4, 8 -> 2)
+      val candCtes = grid.map { case (b, r) =>
+        val bands = (0 until b).map(j =>
+          "md5(" + (r * j until r * j + r).map(i => s"s$i")
+            .mkString("||") + s") AS b$j").mkString(", ")
+        val barr = (0 until b).map(j => s"b$j").mkString("[", ",", "]")
+        val unn = (0 until b).mkString("[", ",", "]")
+        s"""sig2_$b AS (SELECT doc_id, $bands FROM sig),
+           |band_$b AS (SELECT doc_id, j, $barr[j+1] AS bh
+           |            FROM sig2_$b, unnest($unn) AS t(j)),
+           |cand_$b AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+           |  FROM band_$b a JOIN band_$b b
+           |    ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
+          .stripMargin
+      }.mkString(",\n")
+      val rows = grid.map { case (b, r) =>
+        s"""SELECT $b AS bands, $r AS rows_per_band,
+           |  (SELECT count(*) FROM cand_$b) AS n_cand,
+           |  (SELECT count(*) FROM cand_$b c JOIN sjp USING (a_id, b_id))
+           |    AS n_hit""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH base AS ($shingledSql),
+         |sig AS (SELECT doc_id, $sigs FROM base),
+         |$candCtes,
+         |${sampledTruthCtes(TruthSampleMod)},
+         |stats AS ($rows)
+         |SELECT CAST(bands AS INT) AS bands,
+         |  CAST(rows_per_band AS INT) AS rows_per_band,
+         |  CAST(n_cand AS BIGINT) AS n_cand,
+         |  CAST((SELECT count(*) FROM sjp) AS BIGINT) AS n_true_sampled,
+         |  CAST(n_hit AS BIGINT) AS n_hit_sampled,
+         |  CAST(1000000 * n_hit //
+         |    greatest((SELECT count(*) FROM sjp), 1) AS BIGINT)
+         |    AS recall_ppm_est
+         |FROM stats ORDER BY bands""".stripMargin
+    }) { (s, dir) =>
+      val sigp = shingled(s, dir)
+        .select(col("doc_id"), graft.plans.MinHashSig(col("sh"), K).as("sig"))
+      val sjp = jaccardPairs(s, dir, Some(TruthSampleMod))
+        .select(col("a_id"), col("b_id"))
+      withScratch(sigp, sjp) {
+        val nTrue = sjp.agg(count(lit(1)).as("n_true_sampled"))
+        val stats = Seq(2 -> 8, 4 -> 4, 8 -> 2).map { case (b, r) =>
+          val bandArr = (0 until b).map(j =>
+            md5(concat((r * j until r * j + r)
+              .map(i => col("sig").getItem(i)): _*)))
+          val cand = sigp
+            .select(col("doc_id"),
+              posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
+            .groupBy(col("j"), col("bh"))
+            .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+            .filter(size(col("ds")) >= 2)
+            .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+            .select(col("a").as("a_id"), col("b").as("b_id"))
+            .distinct()
+          Dedup.withScratch(cand) {
+            cand.agg(count(lit(1)).as("n_cand"))
+              .crossJoin(cand.join(sjp, Seq("a_id", "b_id"))
+                .agg(count(lit(1)).as("n_hit_sampled")))
+              .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+                col("n_cand"), col("n_hit_sampled"))
+          }
+        }
+        stats.reduce(_ unionByName _)
+          .crossJoin(broadcast(nTrue))
+          .select(col("bands"), col("rows_per_band"), col("n_cand"),
+            col("n_true_sampled"), col("n_hit_sampled"),
+            expr("1000000L * n_hit_sampled div greatest(n_true_sampled, 1L)")
+              .as("recall_ppm_est"))
+          .orderBy(col("bands"))
+      }
     }
   )
+
+  /** The q36 truth pipeline over the SEEDED doc sample (doc_id % m = 0)
+    * as renamed CTEs ending in sjp(a_id, b_id) — q209's oracle body.
+    * The df-cap applies to the SAMPLE's postings, matching the Spark
+    * side exactly (the truth DEFINITION is pipeline-on-sample). Needs
+    * `base` in scope. */
+  private def sampledTruthCtes(m: Int): String =
+    s"""sbase AS (SELECT * FROM base WHERE doc_id % $m = 0),
+       |sex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM sbase),
+       |sfreq AS (SELECT s FROM sex GROUP BY s
+       |          HAVING count(*) <= $MaxShingleDf),
+       |sex2 AS (SELECT sex.* FROM sex JOIN sfreq USING (s)),
+       |spairs AS (
+       |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+       |         max(a.n) AS na, max(b.n) AS nb
+       |  FROM sex2 a JOIN sex2 b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id),
+       |sjp AS (
+       |  SELECT a_id, b_id FROM spairs
+       |  WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5)"""
+      .stripMargin
+
 
   /** q152's maximal-span pipeline as shared DuckDB CTEs (through
     * `spans`), consumed by q152 (report) and q153 (cut). (A `def`:

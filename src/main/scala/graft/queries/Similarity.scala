@@ -55,6 +55,26 @@ object Similarity {
   private[queries] val LabelNProbe = 5 // q42 probed label-lists per query
 
   private val KmK = 8      // q98/q102/q103 clusters
+
+  /** Corpus-growth contract for the WITHIN-CLUSTER-QUADRATIC k-means
+    * consumers (q103's pair stage, q110's cohesion graph): a fixed k
+    * makes their Σ|c|² pair work O(n²/k) — quadratic in the corpus — so
+    * k grows with n at a fixed TARGET CLUSTER CARDINALITY instead:
+    * k = max(KmK, ceil(n / KmTarget)), exact integer arithmetic so the
+    * oracle derives the identical k from a scalar subquery. Per-cluster
+    * pair work is then ~KmTarget²/2 regardless of corpus size and the
+    * total pair count ~n·KmTarget/2 — LINEAR in n (operating curve in
+    * PLANS.md §q103/§q110; at the 500-row gate SF and sf0.1 the formula
+    * yields exactly KmK=8, so gate results are unchanged). The k×dim
+    * broadcast centroid row stays tiny through this curve (k=800 at the
+    * 100x probe → 400 KB); past k ~ 1e5 (corpora ≥ ~25M vectors per
+    * training shard) the flat argmin would need a two-level coarse
+    * quantizer — documented, not silently assumed. */
+  private val KmTarget = 250L
+  private def adaptiveK(n: Long): Int =
+    math.max(KmK.toLong, (n + KmTarget - 1L) / KmTarget).toInt
+  private val adaptiveKSql: String =
+    s"(SELECT greatest($KmK, (count(*) + ${KmTarget - 1L}) // $KmTarget) FROM q)"
   private[queries] val MmrPool = 12 // q186 relevance pool per query
   private[queries] val MmrK = 6     // q186 diversified selections per query
   private val KmIters = 3  // q98/q102/q103 Lloyd update rounds
@@ -152,18 +172,17 @@ object Similarity {
   }
 
   /** One-pass PQ encode of `v` against broadcast codebook rows: every
-    * subspace's argmin is a projection (array_min over a transform — no
-    * join, no shuffle), yielding (vec_id, keep..., b0..b{M-1}) where b_m
-    * is struct(d: squared reconstruction error, cid: code). `keep` rides
-    * extra columns through (q148 carries the coarse list id). */
+    * subspace's argmin is a projection (no join, no shuffle) through the
+    * native NearestCentroid kernel (codegen'd — the HOF form this
+    * replaced evaluated interpreted, M times per row), yielding
+    * (vec_id, keep..., b0..b{M-1}) where b_m is struct(d: squared
+    * reconstruction error, cid: code). `keep` rides extra columns
+    * through (q148 carries the coarse list id). */
   private def pqEncoded(v: DataFrame, one: DataFrame,
       keep: Seq[String] = Nil): DataFrame = {
-    def bestM(m: Int) = expr(
-      s"""array_min(transform(cents$m, c -> struct(
-         |  aggregate(zip_with(slice(qv, ${m * PqSub + 1}, $PqSub),
-         |    c.cv, (x, y) -> (x - y) * (x - y)),
-         |    0L, (acc, d) -> acc + d) AS d,
-         |  c.cid AS cid)))""".stripMargin).as(s"b$m")
+    def bestM(m: Int) = graft.plans.NearestCentroid(
+      expr(s"slice(qv, ${m * PqSub + 1}, $PqSub)"), col(s"cents$m"))
+      .as(s"b$m")
     v.crossJoin(broadcast(one))
       .select(col("vec_id") +: keep.map(col) ++: (0 until PqM).map(bestM): _*)
   }
@@ -176,7 +195,14 @@ object Similarity {
     * k-means SQL-expressible at all. Returns the WITH-clause body ending
     * in `asg(id, cid, d)` — q98 selects it directly, q102 chains the IVF
     * probe on top. */
-  private def kmeansCtes(k: Int, iters: Int): String = {
+  private def kmeansCtes(k: Int, iters: Int): String =
+    kmeansCtes(k.toString, iters)
+
+  /** kSql may be any scalar SQL over the `q` CTE — the adaptive-k
+    * consumers pass [[adaptiveKSql]] so the oracle's cluster count is
+    * derived from the data by the same integer formula as the Spark
+    * side. */
+  private def kmeansCtes(kSql: String, iters: Int): String = {
     val dim = Vectors.Dim
     val qArr = (1 to dim).map(i =>
       s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
@@ -200,9 +226,10 @@ object Similarity {
         .stripMargin
     }.mkString(",\n")
     s"""q AS (SELECT vec_id AS id, $qArr AS qv FROM embeddings),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER)
-       |         AS cid, qv AS cv
-       |       FROM (SELECT id, qv FROM q ORDER BY id LIMIT $k)),
+       |c0 AS (SELECT CAST(rn - 1 AS INTEGER) AS cid, qv AS cv
+       |       FROM (SELECT id, qv,
+       |               row_number() OVER (ORDER BY id) AS rn FROM q)
+       |       WHERE rn <= $kSql),
        |$rounds,
        |asg AS (SELECT id, cid, d FROM (
        |  SELECT id, cid, d,
@@ -383,17 +410,8 @@ object Similarity {
   /** A per-JVM temp dir registered for deletion at JVM exit — repeated
     * bench/test runs must not accumulate corpus-sized index tables in
     * /tmp (review catch). */
-  private def tempIndexDir(prefix: String): String = {
-    val base = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(base).iterator().asScala.toSeq
-          .sortBy(-_.getNameCount)
-          .foreach(java.nio.file.Files.deleteIfExists(_))
-      } catch { case _: Throwable => () }))
-    base.toString
-  }
+  private def tempIndexDir(prefix: String): String =
+    graft.sources.IO.tempDirCleanedAtExit(prefix)
 
   /** Shared IVF index-build preamble (q187/q188): quantize, coarse
     * Lloyd assignment, the ONE corpus join carrying the vectors, and
@@ -451,11 +469,20 @@ object Similarity {
     * q110; the q43b/q60 floor(x*1e6+0.5) convention). ONE definition so
     * the Spark side can never drift from the quantization baked into
     * the generated [[kmeansCtes]] oracle. */
-  private def quantized(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "embeddings")
+  private def quantized(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables(s, dir, "embeddings")
       .select(col("vec_id"), expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
         .as("qv"))
+    // the k-means family persists this frame and scans it iters+1
+    // times; a single-file local corpus can read as ONE task, which
+    // would serialize every Lloyd round on one core. Spread the CACHE
+    // once when the scan is degenerate — on a real cluster the parquet
+    // splits already exceed the pool and this is a no-op (order-free
+    // integer arithmetic downstream: results are partitioning-blind).
+    val p = s.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions * 2 <= p) base.repartition(p) else base
+  }
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -464,11 +491,15 @@ object Similarity {
 
   /** K-means assignment joined back to the float corpus — (id, cluster,
     * embedding, nrm), the shared base of q103's pair stage and q110's
-    * cohesion graph. `v` must be the [[quantized]] frame and already
-    * persisted by the caller (the assign loop consumes it iters+1
-    * times); the caller also owns the result's scratch scope. */
+    * cohesion graph. Both consumers are within-cluster-quadratic, so k
+    * is ADAPTIVE ([[adaptiveK]] of the corpus count — one driver long
+    * off the already-persisted `v`): per-cluster pair work stays
+    * ~KmTarget²/2 however the corpus grows. `v` must be the
+    * [[quantized]] frame and already persisted by the caller (the
+    * assign loop consumes it iters+1 times); the caller also owns the
+    * result's scratch scope. */
   private def clustered(s: SparkSession, dir: String, v: DataFrame): DataFrame =
-    graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+    graft.operators.KMeans.assign(v, adaptiveK(v.count()), KmIters, Vectors.Dim)
       .join(corpus(s, dir), col("id") === col("vec_id"))
       .select(col("id"), col("cluster"), col("embedding"), col("nrm"))
 
@@ -850,7 +881,7 @@ object Similarity {
     // (q39's near-dup band on this corpus) — the keep-lowest-id
     // exemplar convention shared with q66.
     QuerySpec.sqlBacked("q103_semdedup",
-      s"""WITH ${kmeansCtes(KmK, KmIters)},
+      s"""WITH ${kmeansCtes(adaptiveKSql, KmIters)},
          |n AS ($corpusSql),
          |j AS (SELECT a.id, a.cid, n.embedding, n.nrm
          |      FROM asg a JOIN n ON n.vec_id = a.id),
@@ -923,12 +954,18 @@ object Similarity {
     // needs the near-miss neighborhood) and the triangle count, the
     // clique-vs-chain diagnostic telling a pipeline whether a cluster is
     // one tight near-dup family or a loose chain that k should split.
-    // Triangle enumeration is the standard 3-way self-join over a < b
-    // oriented edges, all joins keyed by (cluster, endpoint) — at a real
-    // graph's scale the orientation would be by degree (each triangle
-    // still counted once); edges carry only ids, output is k rows.
+    // Triangle enumeration routes through the degree-oriented
+    // operators.Triangles core (the q196/q206/q208 path): the naive
+    // un-oriented wedge self-join materializes Σ deg² rows — quadratic
+    // around a near-dup hub, exactly where a cohesion report has its
+    // hottest clusters — while orienting each edge from its lower-
+    // (degree, id) endpoint caps every out-degree at O(√m), so the
+    // census is O(m^1.5) total. Clusters partition the node set, so ONE
+    // global run over the edge union suffices: all three corners of any
+    // triangle share the a-corner's cluster. The oracle is unchanged —
+    // orientation changes the plan, not the triangle set.
     QuerySpec.sqlBacked("q110_cluster_cohesion",
-      s"""WITH ${kmeansCtes(KmK, KmIters)},
+      s"""WITH ${kmeansCtes(adaptiveKSql, KmIters)},
          |n AS ($corpusSql),
          |j AS (SELECT a.id, a.cid, n.embedding, n.nrm
          |      FROM asg a JOIN n ON n.vec_id = a.id),
@@ -967,16 +1004,12 @@ object Similarity {
             .filter((graft.plans.DotProduct(col("ea"), col("eb")) /
               (col("na") * col("nb"))) >= TriThr)
             .select(col("cid"), col("a_id"), col("b_id"))
-          // e is read six times below (3-way self-join + 2 aggregates)
+          // e is read four times below (oriented census + 2 aggregates)
           Dedup.withScratch(e) {
-            val e2 = e.select(col("cid").as("cid2"), col("a_id").as("a2"),
-              col("b_id").as("b2"))
-            val e3 = e.select(col("cid").as("cid3"), col("a_id").as("a3"),
-              col("b_id").as("b3"))
-            val tri = e
-              .join(e2, col("cid") === col("cid2") && col("b_id") === col("a2"))
-              .join(e3, col("cid") === col("cid3") &&
-                col("a_id") === col("a3") && col("b2") === col("b3"))
+            val tri = graft.operators.Triangles
+              .run(e.select(col("a_id"), col("b_id")))
+              .join(j.select(col("id").as("a"), col("cluster").as("cid")),
+                "a")
               .groupBy(col("cid")).agg(count(lit(1)).as("n_tri"))
             val nd = e.select(col("cid"), col("a_id").as("x"))
               .union(e.select(col("cid"), col("b_id")))

@@ -1336,13 +1336,7 @@ object Temporal {
          |SELECT u, v, CAST(count(*) AS BIGINT) AS support
          |FROM es GROUP BY u, v
          |ORDER BY support DESC, u, v LIMIT 20""".stripMargin) { (s, dir) =>
-      graft.operators.Triangles.run(interactEdges(s, dir))
-        .select(explode(array(
-          struct(col("a").as("u"), col("b").as("v")),
-          struct(col("a").as("u"), col("c").as("v")),
-          struct(col("b").as("u"), col("c").as("v")))).as("e"))
-        .groupBy(col("e.u").as("u"), col("e.v").as("v"))
-        .agg(count(lit(1)).as("support"))
+      graft.operators.Triangles.edgeSupport(interactEdges(s, dir))
         .orderBy(col("support").desc, col("u"), col("v")).limit(20)
     },
 
@@ -1378,22 +1372,7 @@ object Temporal {
          |FROM m""".stripMargin) { (s, dir) =>
       val pe = interactEdges(s, dir)
       Dedup.withScratch(pe) {
-        val dg = pe.select(explode(array(col("u1"), col("u2"))).as("n"))
-          .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-        val e2 = pe.select(col("u1").as("s"), col("u2").as("t"))
-          .unionAll(pe.select(col("u2").as("s"), col("u1").as("t")))
-        e2.join(dg.select(col("n").as("s"), col("deg").as("x")), "s")
-          .join(dg.select(col("n").as("t"), col("deg").as("y")), "t")
-          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-            sum(col("x") * col("x")).as("sxx"),
-            sum(col("y") * col("y")).as("syy"))
-          .select(col("n"), col("sx"), col("sxy"), col("sxx"),
-            ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
-              / (sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
-                  .cast("double"))
-                * sqrt((col("n") * col("syy") - col("sy") * col("sy"))
-                  .cast("double")))).as("assortativity"))
+        graft.operators.GraphStats.assortativity(pe)
       }
     },
 
@@ -1440,34 +1419,13 @@ object Temporal {
          |ORDER BY round""".stripMargin
     }) { (s, dir) =>
       import s.implicits._
-      // driver-coordinated peel loop (the ConnectedComponents/KMeans
-      // shape): per-round state on the driver is THREE longs; the edge
-      // set itself stays a checkpointed distributed frame
-      var edges = interactEdges(s, dir, minW = 5).localCheckpoint()
-      val stats = (1 to 2).map { r =>
-        val sup = graft.operators.Triangles.run(edges)
-          .select(explode(array(
-            struct(col("a").as("u1"), col("b").as("u2")),
-            struct(col("a").as("u1"), col("c").as("u2")),
-            struct(col("b").as("u1"), col("c").as("u2")))).as("e"))
-          .groupBy(col("e.u1").as("u1"), col("e.u2").as("u2"))
-          .agg(count(lit(1)).as("sup"))
-          .localCheckpoint()
-        val edgesIn = edges.count()
-        // every triangle contributed support to its 3 edges
-        val nTri = {
-          val row = sup.agg(sum(col("sup"))).head()
-          (if (row.isNullAt(0)) 0L else row.getLong(0)) / 3
-        }
-        val kept = sup.filter(col("sup") >= 1)
-          .select(col("u1"), col("u2")).localCheckpoint()
-        val edgesKept = kept.count()
-        edges.unpersist(blocking = false)
-        sup.unpersist(blocking = false)
-        edges = kept
-        (r, edgesIn, nTri, edgesKept)
-      }
-      stats.toDF("round", "edges_in", "n_triangles", "edges_kept")
+      // driver-coordinated peel loop (operators.Triangles.trussPeel —
+      // the ConnectedComponents/KMeans shape): per-round state on the
+      // driver is THREE longs; the edge set itself stays a
+      // checkpointed distributed frame inside the operator
+      graft.operators.Triangles
+        .trussPeel(interactEdges(s, dir, minW = 5), k = 3, rounds = 2)
+        .toDF("round", "edges_in", "n_triangles", "edges_kept")
         .orderBy(col("round"))
     },
 

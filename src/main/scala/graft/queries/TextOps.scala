@@ -1278,7 +1278,19 @@ object TextOps {
     // persist each one re-runs the corpus explode + bigram aggregation,
     // so q180/q183 paid the scan ~4x (round-7 advisory). The persisted
     // frame is the vocab^2-bounded bigram table, not the corpus.
-    Dedup.withScratch(bi) {
+    Dedup.withScratch(bi)(knFromCounts(bi, minC))
+  }
+
+  /** The interpolated-KN derivation from an already-built bigram count
+    * table (w1, w2, c) — q180's algebra past the corpus scan, shared
+    * VERBATIM by the batch path above and the streaming twin
+    * ([[graft.streaming.IncrementalKneserNey.modelFrom]]), so twin-vs-
+    * batch parity compares one implementation against the DuckDB
+    * oracle, not two against each other. Every stat frame here is a
+    * vocab-bounded dimension; `counts` should be persisted by the
+    * caller (read four times). */
+  private[graft] def knFromCounts(bi: org.apache.spark.sql.DataFrame,
+      minC: Long): org.apache.spark.sql.DataFrame = {
     val uni = bi.groupBy(col("w1"))
       .agg(sum(col("c")).as("cw1"), count(lit(1)).as("n1w1"))
     val cont = bi.groupBy(col("w2"))
@@ -1299,7 +1311,6 @@ object TextOps {
         ((col("c") * 4 - 3) * col("b")
           + col("n1w1") * col("ncont") * 3).as("kn_num"),
         (col("cw1") * 4 * col("b")).as("kn_den"))
-    }
   }
 
   /** The q130 oracle's training chain as shared CTEs: v0 (word
@@ -1386,15 +1397,7 @@ object TextOps {
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def bpeVocabIndex(s: SparkSession, dir: String): String =
     bpeVocabCache.computeIfAbsent(dir, _ => {
-      val base = java.nio.file.Files
-        .createTempDirectory("graft_bpe_vocab")
-      Runtime.getRuntime.addShutdownHook(new Thread(() =>
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(base).iterator().asScala.toSeq
-            .sortBy(-_.getNameCount)
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case _: Throwable => () }))
+      val base = graft.sources.IO.tempDirCleanedAtExit("graft_bpe_vocab")
       val (_, vocab) = bpeTrain(s, dir, BpeRounds)
       vocab.select(col("word"), col("repr"))
         .write.mode("overwrite").parquet(s"$base/bpe_vocab.parquet")

@@ -73,4 +73,32 @@ object IO {
     * scan, no file I/O at all for pruned values). */
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+
+  /** Temp directory registered for deletion at JVM exit — the shared
+    * index-scratch helper behind the q187/q189 persisted-index builds
+    * (previously duplicated in Similarity and TextOps; round-9
+    * advisory). The walk stream is CLOSED via try/finally (an unclosed
+    * Files.walk held a directory handle during deletion), and deletion
+    * failures are LOGGED, not swallowed — a corpus-sized index dir
+    * surviving in /tmp should be visible. */
+  def tempDirCleanedAtExit(prefix: String): String = {
+    val base = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val walk = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        walk.iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach { p =>
+            try java.nio.file.Files.deleteIfExists(p)
+            catch {
+              case e: java.io.IOException =>
+                System.err.println(
+                  s"graft IO: failed to delete index scratch $p: $e")
+            }
+          }
+      } finally walk.close()
+    }))
+    base.toString
+  }
 }

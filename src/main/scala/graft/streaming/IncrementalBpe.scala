@@ -26,7 +26,18 @@ import org.apache.spark.sql.functions._
   * counts/seed give snapshot-based restart recovery, fail-loud on
   * double-seeding; all arithmetic Math.addExact (q88 doctrine).
   */
-final class IncrementalBpe extends Serializable {
+final class IncrementalBpe(
+    /** Fail-loud ceiling on DISTINCT words held: the histogram is the
+      * broadcastable-model contract's collateral — "vocab-bounded" is
+      * still corpus-growing for raw whitespace tokens, so the bound is
+      * ENFORCED, not assumed (round-9 advisory): one distributed
+      * count gates every batch BEFORE its partial is collected, so an
+      * adversarially wide batch dies as an error, never as a driver
+      * OOM. 2M words ≈ 100 MB of driver strings — comfortably inside
+      * the broadcast regime; a corpus that legitimately exceeds it
+      * needs a pre-tokenization normalization pass, not a bigger
+      * driver. */
+    val maxDistinctWords: Long = 2000000L) extends Serializable {
 
   private val hist = scala.collection.mutable.HashMap.empty[String, Long]
   private var occ = 0L
@@ -40,17 +51,26 @@ final class IncrementalBpe extends Serializable {
   /** Absorb one micro-batch of documents (string column `textCol`):
     * distributed word-count partial, driver-side add. */
   def update(batch: DataFrame, textCol: String): Unit = {
-    val partial = batch
+    val counts = batch
       .select(explode(split(col(textCol), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-      .collect()
-    partial.foreach { r =>
-      val w = r.getString(0)
-      val n = r.getLong(1)
-      hist.update(w, Math.addExact(hist.getOrElse(w, 0L), n))
-      occ = Math.addExact(occ, n)
-    }
+      .persist()
+    try {
+      // the gate runs DISTRIBUTED, before anything reaches the driver
+      val distinct = counts.count()
+      require(distinct + hist.size <= maxDistinctWords,
+        s"graft IncrementalBpe: batch would grow the histogram past " +
+          s"maxDistinctWords=$maxDistinctWords (held ${hist.size}, " +
+          s"batch-distinct $distinct) - the broadcastable-model " +
+          "contract is violated; normalize the tokenization upstream")
+      counts.collect().foreach { r =>
+        val w = r.getString(0)
+        val n = r.getLong(1)
+        hist.update(w, Math.addExact(hist.getOrElse(w, 0L), n))
+        occ = Math.addExact(occ, n)
+      }
+    } finally counts.unpersist(blocking = false)
   }
 
   /** The current histogram, for snapshot emission. */
@@ -62,6 +82,9 @@ final class IncrementalBpe extends Serializable {
   def seed(rows: Iterable[(String, Long)]): Unit = {
     require(hist.isEmpty && occ == 0L,
       "graft IncrementalBpe: seed() on a non-empty instance")
+    require(rows.size <= maxDistinctWords,
+      s"graft IncrementalBpe: snapshot of ${rows.size} words exceeds " +
+        s"maxDistinctWords=$maxDistinctWords")
     rows.foreach { case (w, n) =>
       hist.update(w, n)
       occ = Math.addExact(occ, n)

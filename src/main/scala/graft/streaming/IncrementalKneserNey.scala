@@ -1,114 +1,119 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{MapState, OutputMode,
+  StatefulProcessor, TimeMode, TimerValues, TTLConfig}
 
-/** Streaming Kneser–Ney counts — the EIGHTEENTH twin, pairing with
-  * batch q180 the way [[IncrementalGram]] pairs with q154: the bigram
-  * count table lives as running state between micro-batches, each
-  * arriving batch is reduced to its OWN vocab²-bounded count partial by
-  * one distributed explode+aggregate pass (map-side partials — document
-  * text never reaches the driver), and the partials ADD. Addition is
-  * exactly the batch aggregate's merge, so after any prefix of batches
-  * the count table equals q180's `bi` over the documents seen so far —
-  * whatever the batching. Every OTHER model table is a pure driver-side
-  * derivation of the counts (left-context totals cw1, fan-outs n1w1,
-  * continuation counts ncont, distinct-bigram total B), so the full
-  * interpolated-KN model — the exact BIGINT rational kn_num/kn_den of
-  * the q180 algebra, discount 3/4 — is derivable at ANY moment without
-  * another corpus pass: the online LM a live quality filter (q183's
-  * gate) re-scores against as the corpus grows.
+/** Streaming Kneser–Ney counts — the twin of batch q180, with the
+  * bigram count table held in KEYED EXECUTOR STATE instead of a driver
+  * map: `transformWithState` keyed by the LEFT word, MapState
+  * w2 → cumulative count per key (the IncrementalGram shape at the
+  * state layer, sharded the way IncrementalDedup shards its seen-keys).
+  * The round-9 version `.collect()`ed every batch partial into a driver
+  * HashMap of ALL distinct bigrams — the table is vocab²-bounded, i.e.
+  * GROWS with the corpus (the exact hazard class the 86c4b26 broadcast
+  * sweep retired on the batch side: at 100 TB a driver map of every
+  * distinct bigram OOMs unboundedly, unlike every other twin's keyed
+  * state). Here nothing corpus-proportional ever reaches the driver:
   *
-  * Running state is the vocab²-bounded bigram table — the same bound
-  * q183's model join rides (vocab²-sized, shuffled at scale, AQE-
-  * broadcast while small), i.e. the codebase's existing
-  * "model tables are dimension-sized" contract (IncrementalKMeans
-  * k-row, IncrementalGram d², this one vocab²). Run under
-  * `foreachBatch`; recovery = re-seeding from the last emitted count
-  * snapshot ([[counts]]/[[seed]] — the state IS the emission, the
-  * IncrementalGram doctrine). All arithmetic Math.addExact /
-  * multiplyExact — the q88 fail-loud doctrine, strictly stronger than
-  * the batch side's divide-compare guard.
+  *  - each micro-batch explodes to its bigram stream distributed
+  *    ([[bigrams]] — document text never leaves the executors);
+  *  - the processor adds the per-key batch delta into MapState and
+  *    EMITS one row per TOUCHED (w1, w2) carrying the new CUMULATIVE
+  *    count — per-batch output is proportional to the batch, not the
+  *    corpus, and counts are monotone;
+  *  - monotonicity makes the downstream snapshot a pure max-compaction
+  *    ([[table]]), and the full interpolated-KN model is ONE
+  *    distributed derivation over that table ([[modelFrom]], which is
+  *    q180's own `knFromCounts` — the twin and the batch share the
+  *    algebra verbatim, so parity pins one implementation against the
+  *    DuckDB oracle rather than two against each other).
+  *
+  * Restart recovery is the ENGINE's: state lives in the checkpoint
+  * (RocksDB-backed in the specs) and a restarted query resumes the
+  * counts exactly — strictly stronger than the old snapshot-reseed
+  * contract. Addition is Math.addExact (the q88 fail-loud doctrine).
   *
   * Reference for the operator surface (not the algorithm):
   * min-flink KeyedStream.java:206-209 (reduce-style running state).
   */
-final class IncrementalKneserNey extends Serializable {
-  import IncrementalKneserNey.KnRow
+object IncrementalKneserNey {
 
-  private val bi =
-    scala.collection.mutable.HashMap.empty[(String, String), Long]
-  private var occ = 0L
+  /** One adjacent word pair. */
+  case class Bigram(w1: String, w2: String)
 
-  /** Bigram OCCURRENCES absorbed so far (Σc over the table). */
-  def totalOccurrences: Long = occ
+  /** One emitted update: the new CUMULATIVE count of (w1, w2). */
+  case class CountUpdate(w1: String, w2: String, c: Long)
 
-  /** Distinct bigrams held (the model's B). */
-  def distinctBigrams: Long = bi.size.toLong
-
-  /** Absorb one micro-batch of documents (string column `textCol`):
-    * distributed bigram-count partial, driver-side add. */
-  def update(batch: DataFrame, textCol: String): Unit = {
-    val partial = batch
-      .select(split(col(textCol), " ").as("ws"))
+  /** Distributed explode of a document frame (string column `textCol`)
+    * into its adjacent-bigram stream — the q180 corpus scan, reusable
+    * on a static OR streaming frame. */
+  def bigrams(docs: DataFrame, textCol: String): Dataset[Bigram] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(split(col(textCol), " ").as("ws"))
       .filter(size(col("ws")) >= 2)
       .select(explode(expr(
         "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
         .as("p"))
-      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .agg(count(lit(1)).as("c"))
-      .collect()
-    partial.foreach { r =>
-      val k = (r.getString(0), r.getString(1))
-      val c = r.getLong(2)
-      bi.update(k, Math.addExact(bi.getOrElse(k, 0L), c))
-      occ = Math.addExact(occ, c)
-    }
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .as[Bigram]
   }
 
-  /** The current count table, for snapshot emission. */
-  def counts: Seq[(String, String, Long)] =
-    bi.iterator.map { case ((w1, w2), c) => (w1, w2, c) }.toSeq
-
-  /** Re-seed from an emitted snapshot (restart recovery). Fails loudly
-    * on a non-empty instance: seeding is a REPLACEMENT of lost state,
-    * never a merge (a merge would double-count the snapshot's prefix). */
-  def seed(rows: Iterable[(String, String, Long)]): Unit = {
-    require(bi.isEmpty && occ == 0L,
-      "graft IncrementalKneserNey: seed() on a non-empty instance")
-    rows.foreach { case (w1, w2, c) =>
-      bi.update((w1, w2), c)
-      occ = Math.addExact(occ, c)
-    }
+  /** The running count machine: keyed state by w1, one emitted
+    * [[CountUpdate]] per (w1, w2) touched in the batch. */
+  def counts(pairs: Dataset[Bigram]): Dataset[CountUpdate] = {
+    val s = pairs.sparkSession
+    import s.implicits._
+    pairs.groupByKey(_.w1)
+      .transformWithState(new KneserNeyProcessor, TimeMode.None(),
+        OutputMode.Append())
   }
 
-  /** The interpolated-KN model over bigrams with c >= minC (q180
-    * publishes minC = 5; a q183-style gate takes everything):
-    * kn_num/kn_den = ((4c−3)·B + 3·N1+(w1,•)·N1+(•,w2)) / (4·c(w1•)·B),
-    * every term derived from the count table alone. */
-  def model(minC: Long = 1L): Seq[KnRow] = {
-    val cw1 = scala.collection.mutable.HashMap.empty[String, Long]
-    val n1w1 = scala.collection.mutable.HashMap.empty[String, Long]
-    val ncont = scala.collection.mutable.HashMap.empty[String, Long]
-    bi.foreach { case ((w1, w2), c) =>
-      cw1.update(w1, Math.addExact(cw1.getOrElse(w1, 0L), c))
-      n1w1.update(w1, n1w1.getOrElse(w1, 0L) + 1L)
-      ncont.update(w2, ncont.getOrElse(w2, 0L) + 1L)
-    }
-    val b = bi.size.toLong
-    bi.iterator.collect { case ((w1, w2), c) if c >= minC =>
-      val num = Math.addExact(
-        Math.multiplyExact(Math.multiplyExact(4L, c) - 3L, b),
-        Math.multiplyExact(3L,
-          Math.multiplyExact(n1w1(w1), ncont(w2))))
-      val den = Math.multiplyExact(Math.multiplyExact(4L, cw1(w1)), b)
-      KnRow(w1, w2, c, cw1(w1), n1w1(w1), ncont(w2), num, den)
-    }.toSeq
-  }
+  /** Compact an accumulated update stream (w1, w2, c) to the CURRENT
+    * count table: counts are monotone, so the latest value per bigram
+    * is its max — no batch-id bookkeeping needed. */
+  def table(updates: DataFrame): DataFrame =
+    updates.groupBy(col("w1"), col("w2")).agg(max(col("c")).as("c"))
+
+  /** The interpolated-KN model over bigrams with c >= minC — batch
+    * q180's exact BIGINT algebra via the SHARED knFromCounts, as one
+    * distributed pass over the count table (caller persists `counts`
+    * if it will also read it elsewhere; the derivation scans it 4x). */
+  def modelFrom(counts: DataFrame, minC: Long = 1L): DataFrame =
+    graft.queries.TextOps.knFromCounts(counts, minC)
 }
 
-object IncrementalKneserNey {
-  /** One scored bigram — q180's output row. */
-  final case class KnRow(w1: String, w2: String, c: Long, cw1: Long,
-      n1w1: Long, ncont: Long, kn_num: Long, kn_den: Long)
+/** Keyed count state machine; top-level so the closure serializes
+  * without a spec/session reference. State schema: one MapState column
+  * family "bigrams" (w2 → cumulative count) — append-only per the
+  * OverlapProcessor compatibility doctrine. */
+class KneserNeyProcessor extends StatefulProcessor[
+    String, IncrementalKneserNey.Bigram, IncrementalKneserNey.CountUpdate] {
+  import IncrementalKneserNey.{Bigram, CountUpdate}
+
+  @transient private var m: MapState[String, Long] = _
+
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+    m = getHandle.getMapState[String, Long]("bigrams",
+      Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+  }
+
+  override def handleInputRows(key: String, rows: Iterator[Bigram],
+      timerValues: TimerValues): Iterator[CountUpdate] = {
+    // fold the batch's occurrences locally first: one state read/write
+    // per TOUCHED w2, not per occurrence
+    val delta = scala.collection.mutable.HashMap.empty[String, Long]
+    rows.foreach { r =>
+      delta.update(r.w2, Math.addExact(delta.getOrElse(r.w2, 0L), 1L))
+    }
+    val out = delta.iterator.map { case (w2, d) =>
+      val c = Math.addExact(
+        if (m.containsKey(w2)) m.getValue(w2) else 0L, d)
+      m.updateValue(w2, c)
+      CountUpdate(key, w2, c)
+    }.toVector
+    out.iterator
+  }
 }

@@ -45,8 +45,14 @@ final class IncrementalTriangles extends Serializable {
   /** Current edge snapshot (distributed; for checkpoint/re-seed). */
   def edgeSnapshot: Option[DataFrame] = Option(edges)
 
-  /** Re-seed from a persisted snapshot (columns u, v) + its census. */
+  /** Re-seed from a persisted snapshot (columns u, v) + its census.
+    * Fails loudly on a non-empty instance — seeding is a REPLACEMENT
+    * of lost state, never a merge (the IncrementalBpe/KneserNey seed
+    * contract): a silent double-seed would both double-count the
+    * snapshot's census and leak the previously held localCheckpoint. */
   def reseed(snapshot: DataFrame, triangles: Long): Unit = {
+    require(edges == null && tris == 0L && m == 0L,
+      "graft IncrementalTriangles: reseed() on a non-empty instance")
     edges = snapshot.select(col("u"), col("v")).localCheckpoint()
     m = edges.count()
     tris = triangles

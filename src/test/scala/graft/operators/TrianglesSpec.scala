@@ -28,6 +28,38 @@ class TrianglesSpec extends SparkSpec {
     assert(run(Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L))).isEmpty)
   }
 
+  test("edgeSupport: K4 edges carry support 2; a pendant edge is absent") {
+    // every K4 edge closes exactly 2 of the 4 triangles; the pendant
+    // (4,9) closes none and must be ABSENT, not present with 0
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) :+
+      (4L, 9L)
+    val got = Triangles.edgeSupport(k4.toDF("u", "v"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == (for { a <- 1L to 4L; b <- (a + 1) to 4L }
+      yield (a, b, 2L)).toSet)
+  }
+
+  test("trussPeel round 1: zero-support edges drop, k=3 truss is stable") {
+    // K4 + pendant at k=3 (threshold 1): round 1 peels only the
+    // pendant; round 2 removes nothing — a k=3 peel converges after
+    // one round because dropping triangle-free edges kills no triangle
+    val k4 = (for { a <- 1L to 4L; b <- (a + 1) to 4L } yield (a, b)) :+
+      (4L, 9L)
+    val stats = Triangles.trussPeel(k4.toDF("u", "v"), k = 3, rounds = 2)
+    assert(stats == Seq((1, 7L, 4L, 6L), (2, 6L, 4L, 6L)))
+  }
+
+  test("trussPeel round 2 recomputes support on the shrunken edge set") {
+    // bowtie-core: triangles {1,2,3} and {2,3,4} share edge (2,3)
+    // (support 2); the four rim edges have support 1. At k=4
+    // (threshold 2) round 1 keeps ONLY (2,3) — and round 2 must then
+    // drop it, because its triangles died with the rim: a revert to
+    // support-from-round-1 would keep it forever
+    val bowtie = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+    val stats = Triangles.trussPeel(bowtie.toDF("u", "v"), k = 4, rounds = 2)
+    assert(stats == Seq((1, 5L, 2L, 1L), (2, 1L, 0L, 0L)))
+  }
+
   test("matches brute-force enumeration on random graphs, incl. skewed hubs") {
     // the hub graph exercises the orientation bound: node 0 touches
     // everything, so an unoriented wedge join would pivot on it

@@ -86,4 +86,23 @@ class IncrementalBpeSpec extends SparkSpec {
       "seeded restart diverged from the batch merge table")
     intercept[IllegalArgumentException] { resumed.seed(first.counts) }
   }
+
+  test("the distinct-word cap fails loudly before anything is collected") {
+    val capped = new IncrementalBpe(maxDistinctWords = 3L)
+    val wide = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val err = intercept[IllegalArgumentException] {
+      capped.update(wide, "text")
+    }
+    assert(err.getMessage.contains("maxDistinctWords"))
+    assert(capped.distinctWords == 0L && capped.totalWords == 0L,
+      "a rejected batch must leave the histogram untouched")
+    // under the cap the same instance still absorbs normally
+    capped.update(Seq((2L, "a b a")).toDF("doc_id", "text"), "text")
+    assert(capped.distinctWords == 2L && capped.totalWords == 3L)
+    // an oversized snapshot is rejected at seed time too
+    val fresh = new IncrementalBpe(maxDistinctWords = 1L)
+    intercept[IllegalArgumentException] {
+      fresh.seed(Seq(("a", 1L), ("b", 1L)))
+    }
+  }
 }

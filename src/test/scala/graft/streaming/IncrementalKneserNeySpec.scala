@@ -2,18 +2,21 @@ package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
 
 /** [[IncrementalKneserNey]]: after ANY batch split of the corpus the
-  * derived model must equal batch q180 row for row (count addition IS
-  * the batch aggregate's merge; every other table is a pure derivation
-  * of the counts), the operator must run unchanged under a real
-  * foreachBatch stream, and a seeded restart from the emitted count
-  * snapshot must converge to the same model. */
+  * compacted count table must derive batch q180's model row for row
+  * (keyed-state addition IS the batch aggregate's merge; the derivation
+  * is the SHARED knFromCounts), per-batch emissions must stay
+  * proportional to the batch (never the corpus — the driver-map hazard
+  * this twin's rewrite retired), and a stop/restart from the engine
+  * checkpoint must resume the counts exactly. */
 class IncrementalKneserNeySpec extends SparkSpec {
   import spark.implicits._
-  import IncrementalKneserNey.KnRow
+  import IncrementalKneserNey.CountUpdate
+  import IncrementalKneserNeySpec.KnRow
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -25,51 +28,100 @@ class IncrementalKneserNeySpec extends SparkSpec {
     graft.SparkEntry.queries("q180_kneser_ney")(spark, dir)
       .as[KnRow].collect().toSet
 
+  private def withRocks[T](body: => T): T = {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    spark.conf.set(provider, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally spark.conf.set(provider, prev)
+  }
+
+  private def modelOf(updates: Seq[CountUpdate]): Set[KnRow] = {
+    val tbl = IncrementalKneserNey.table(
+      updates.toDF("w1", "w2", "c")).persist()
+    try IncrementalKneserNey.modelFrom(tbl, minC = 5L)
+      .as[KnRow].collect().toSet
+    finally tbl.unpersist(blocking = false)
+  }
+
   test("streamed counts derive batch q180's model under any batch split") {
     assert(batchModel.nonEmpty)
-    for (nBatches <- Seq(1, 4, 9)) {
-      val kn = new IncrementalKneserNey
-      docs().grouped((docs().size + nBatches - 1) / nBatches)
-        .foreach(b => kn.update(b.toDF("doc_id", "text").repartition(4),
-          "text"))
-      assert(kn.model(minC = 5L).toSet == batchModel,
+    for (nBatches <- Seq(1, 4, 9)) withRocks {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val name = s"kn_updates_$nBatches"
+      val q = IncrementalKneserNey.counts(
+          IncrementalKneserNey.bigrams(in.toDS().toDF("doc_id", "text"),
+            "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      val perBatchRows = try {
+        val all = docs()
+        all.grouped((all.size + nBatches - 1) / nBatches).map { b =>
+          in.addData(b); q.processAllAvailable()
+          spark.table(name).count()
+        }.toSeq
+      } finally q.stop()
+      val updates = spark.table(name).as[CountUpdate].collect().toSeq
+      assert(modelOf(updates) == batchModel,
         s"nBatches=$nBatches model diverged from batch q180")
+      // emission growth is per-batch work, and the corpus-proportional
+      // table is NEVER re-emitted: each batch appends at most its own
+      // touched-bigram count
+      if (nBatches > 1) {
+        val increments = perBatchRows.zip(0L +: perBatchRows).map {
+          case (cur, prev) => cur - prev
+        }
+        assert(increments.forall(_ < updates.length),
+          "a single batch re-emitted the whole table")
+      }
     }
   }
 
-  test("runs under a real foreachBatch stream") {
-    implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Long, String)]
-    val kn = new IncrementalKneserNey
-    val q = in.toDS().toDF("doc_id", "text").writeStream
-      .outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        kn.update(b, "text")
-      }
-      .start()
-    try {
-      docs().grouped(120).foreach { b => in.addData(b); q.processAllAvailable() }
-    } finally q.stop()
-    assert(kn.model(minC = 5L).toSet == batchModel)
+  test("stop/restart resumes the counts from the engine checkpoint") {
+    withRocks {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_kn_src").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_kn_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_kn_out").toString
+      def startQuery() = IncrementalKneserNey.counts(
+          IncrementalKneserNey.bigrams(
+            spark.readStream.schema("doc_id LONG, text STRING")
+              .parquet(srcDir), "text"))
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[CountUpdate], _: Long) =>
+            batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+      val all = docs()
+      val (firstHalf, rest) = all.splitAt(all.size / 2)
+      firstHalf.toDF("doc_id", "text").write
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+      // a LOST state would restart every resumed bigram at its batch-2
+      // delta; the max-compaction would then under-count exactly the
+      // bigrams straddling the restart
+      rest.toDF("doc_id", "text").write
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q2 = startQuery()
+      q2.processAllAvailable(); q2.stop()
+      val updates = spark.read.parquet(outDir).as[CountUpdate]
+        .collect().toSeq
+      assert(modelOf(updates) == batchModel,
+        "checkpoint restart diverged from the batch model")
+    }
   }
+}
 
-  test("restart re-seeded from the count snapshot converges to batch") {
-    val all = docs()
-    val (firstHalf, rest) = all.splitAt(all.size / 2)
-    val first = new IncrementalKneserNey
-    first.update(firstHalf.toDF("doc_id", "text"), "text")
-    // the emitted snapshot is the recovery state: a fresh instance
-    // seeded with it and fed ONLY the remaining documents must land on
-    // the full-corpus model
-    val snapshot = first.counts
-    val resumed = new IncrementalKneserNey
-    resumed.seed(snapshot)
-    assert(resumed.totalOccurrences == first.totalOccurrences)
-    resumed.update(rest.toDF("doc_id", "text"), "text")
-    assert(resumed.model(minC = 5L).toSet == batchModel,
-      "seeded restart diverged from the batch model")
-    // seeding a non-empty instance must fail loudly (it would
-    // double-count the snapshot's prefix)
-    intercept[IllegalArgumentException] { resumed.seed(snapshot) }
-  }
+object IncrementalKneserNeySpec {
+  /** One scored bigram — q180's output row (top-level for the encoder). */
+  final case class KnRow(w1: String, w2: String, c: Long, cw1: Long,
+      n1w1: Long, ncont: Long, kn_num: Long, kn_den: Long)
 }

@@ -69,7 +69,7 @@ def documents(out):
         "n_chars": pa.array(np.array([len(t) for t in texts],
                                      dtype=np.int64)),
     })
-    pq.write_table(tbl, f"{out}/documents.parquet")
+    pq.write_table(tbl, f"{out}/documents.parquet", row_group_size=8192)
 
 
 def embeddings(out):
@@ -85,7 +85,7 @@ def embeddings(out):
             pa.array(vecs.reshape(-1)), dim).cast(pa.list_(pa.float32())),
         "label": pa.array(label),
     })
-    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    pq.write_table(tbl, f"{out}/embeddings.parquet", row_group_size=8192)
 
 
 def events(out):
@@ -108,7 +108,7 @@ def events(out):
                            for v in rng.integers(0, 100, size=n)],
                           pa.string()),
     })
-    pq.write_table(tbl, f"{out}/events.parquet")
+    pq.write_table(tbl, f"{out}/events.parquet", row_group_size=131072)
 
 
 def lineitem(out, src="/root/testdata/sf0.1/lineitem.parquet"):
@@ -129,7 +129,7 @@ def lineitem(out, src="/root/testdata/sf0.1/lineitem.parquet"):
                 col = pa.compute.add(t.column(key), c * span)
                 t = t.set_column(idx, key, col)
         copies.append(t)
-    pq.write_table(pa.concat_tables(copies), f"{out}/lineitem.parquet")
+    pq.write_table(pa.concat_tables(copies), f"{out}/lineitem.parquet", row_group_size=131072)
 
 
 def orders(out, src="/root/testdata/sf0.1/orders.parquet"):
@@ -142,7 +142,7 @@ def orders(out, src="/root/testdata/sf0.1/orders.parquet"):
         idx = base.column_names.index("o_orderkey")
         col = pa.compute.add(base.column("o_orderkey"), c * 10_000_000)
         copies.append(base.set_column(idx, "o_orderkey", col))
-    pq.write_table(pa.concat_tables(copies), f"{out}/orders.parquet")
+    pq.write_table(pa.concat_tables(copies), f"{out}/orders.parquet", row_group_size=131072)
 
 
 def dims(out, src_dir="/root/testdata/sf0.1"):
@@ -204,7 +204,7 @@ def documents100(out):
         "n_chars": pa.array(np.array([len(t) for t in texts],
                                      dtype=np.int64)),
     })
-    pq.write_table(tbl, f"{out}/documents.parquet")
+    pq.write_table(tbl, f"{out}/documents.parquet", row_group_size=8192)
 
 
 def embeddings100(out):
@@ -222,7 +222,7 @@ def embeddings100(out):
             pa.array(vecs.reshape(-1)), dim).cast(pa.list_(pa.float32())),
         "label": pa.array(label),
     })
-    pq.write_table(tbl, f"{out}/embeddings.parquet")
+    pq.write_table(tbl, f"{out}/embeddings.parquet", row_group_size=8192)
 
 
 def events100(out):
@@ -249,7 +249,7 @@ def events100(out):
         "props": pa.array([json.dumps({"k": int(v)}) for v in kv],
                           pa.string()),
     })
-    pq.write_table(tbl, f"{out}/events.parquet")
+    pq.write_table(tbl, f"{out}/events.parquet", row_group_size=131072)
 
 
 def lineitem100(out, src="/root/testdata/sf0.1/lineitem.parquet"):
@@ -269,7 +269,7 @@ def lineitem100(out, src="/root/testdata/sf0.1/lineitem.parquet"):
             idx = t.column_names.index(key)
             t = t.set_column(idx, key,
                              pa.compute.add(t.column(key), c * span))
-        writer.write_table(t)
+        writer.write_table(t, row_group_size=131072)
     writer.close()
 
 
