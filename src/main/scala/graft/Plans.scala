@@ -470,6 +470,33 @@ object Plans {
         "and 100x run 3.2/4.1 s flat (their denser cells cross the cap " +
         "- at that density hour-cells are boilerplate, not signal).",
       details = Seq("REPARTITION_BY_NUM")),
+    Entry("q210_hier_kmeans",
+      "Two-level k-means - the operating-curve continuation past the " +
+        "flat argmin's broadcast bound (k ~ 1e5): coarse KmK-cell " +
+        "assignment, then ONE grouped job trains every cell's fine " +
+        "codebook (KMeans.groupedCentroids - per-round one join on g + " +
+        "one (g,cid)-key aggregate, NOT a job per cell), and the fine " +
+        "assignment is a broadcast join on g through the native " +
+        "NearestCentroid kernel. Fine fan-out is adaptive " +
+        "(ceil(n/(k1*250))), so total lists track n/250 like q103's " +
+        "curve. Assignment cost O(n*(k1+k2)) vs flat O(n*k1*k2): at " +
+        "1e9 vectors that is 2*2000 distance evals per vector instead " +
+        "of 4M and no multi-GB broadcast. Decade probes: 5.2 / 5.4 / " +
+        "7.4 s at sf0.1 / 10x / 100x - flat.",
+      details = Seq("hashpartitioning")),
+    Entry("q211_ivf_two_level",
+      "Two-level IVF serve over the q210 index: the query walks the " +
+        "hierarchy (2 coarse cells by integer L2 against 8 list " +
+        "centroids, then 2 fine lists within each against that cell's " +
+        "k2 centroids), and exact-cosine reranks ONLY the probed " +
+        "lists' members - k1 + 2*k2 distance evals per query and " +
+        "~4*250 candidates per query REGARDLESS of corpus size " +
+        "(adaptive fan-out keeps lists at ~n/250; a fixed fan-out " +
+        "measured 37.2 s at 100x vs 21.6 s adaptive). The query " +
+        "sliver is NOT pinned broadcast (corpus/50-sized, corpus-" +
+        "growing - the 86c4b26 doctrine); the two centroid tables are " +
+        "(dimension-sized). Decade probes: 6.4 / 8.7 / 21.6 s.",
+      details = Seq("hashpartitioning")),
     Entry("q197_quality_classifier",
       "Model-based quality gating at scan speed: the hashed-feature " +
         "linear score is ONE codegen'd aggregate-fold projection per " +
@@ -532,7 +559,13 @@ object Plans {
         "the q36 truth. At 100 TB the signature pass is the scan-bound " +
         "cost; the grid amortizes it across every operating point " +
         "under consideration. Decade probes 4.4/14.4/89.9 s - the " +
-        "100x tail is the exact-truth companion join, not the grid.",
+        "100x tail is the exact-truth companion join, not the grid; " +
+        "q209 is the at-scale variant whose truth side is the SEEDED " +
+        "doc sample (doc_id % 4 -> 1/16 of pairs, cut pushed to the " +
+        "shingle explode): 100x grading 89.9 -> 23.5 s with the " +
+        "recall estimator's std err ~ sqrt(r(1-r)/n_true_sampled) " +
+        "documented at the query site. Candidates stay full-corpus - " +
+        "the curve tunes the real index, only its grading is sampled.",
       details = Seq("graft_minhash")),
     Entry("q204_score_calibration",
       "Calibration without a global window: the decile cut is " +

@@ -71,6 +71,36 @@ object Similarity {
     * training shard) the flat argmin would need a two-level coarse
     * quantizer — documented, not silently assumed. */
   private val KmTarget = 250L
+
+  /** Two-level (hierarchical) k-means — q210/q211: the documented
+    * continuation of the [[KmTarget]] operating curve past the flat
+    * argmin's broadcast bound (k ~ 1e5). A coarse level of KmK cells
+    * and a fine level of HkFine sub-cells per coarse cell makes the
+    * assignment cost O(n·(k1 + k2)) where flat k1·k2 lists cost
+    * O(n·k1·k2) — at 1e9 vectors and target-250 lists, flat k = 4M
+    * centroids (a 2 GB broadcast, impossible) vs two levels of 2000
+    * (a few hundred KB each). Small constants at the gate SF; the
+    * SHAPE is the contract. */
+  private val HkFine = 4        // fine sub-cells per coarse cell (floor)
+  private val HkIters = 2       // fine Lloyd rounds (the PqIters convention)
+  private val HkProbeCoarse = 2 // q211 probed coarse cells per query
+  private val HkProbeFine = 2   // q211 probed fine lists per probed cell
+
+  /** The fine fan-out is ADAPTIVE like [[adaptiveK]]: k2 =
+    * max(HkFine, ceil(n / (KmK·KmTarget))), so total lists stay
+    * ~n/KmTarget and a probed query touches ~probed·KmTarget
+    * candidates REGARDLESS of corpus size — a fixed fan-out would make
+    * the candidate join corpus/32, the q103 hazard re-created one
+    * level down. At the gate SFs the formula floors to HkFine, so
+    * results there are unchanged by growth. Probe-side distance work
+    * is k1 + probed·k2 per query; both centroid tables stay broadcast-
+    * trivial to n ~ 2e8 per shard (k2 ~ 1e5), past which a third level
+    * repeats the construction. */
+  private def hkFine(n: Long): Int = math.max(HkFine.toLong,
+    (n + KmK * KmTarget - 1L) / (KmK * KmTarget)).toInt
+  private val hkFineSql: String =
+    s"(SELECT greatest($HkFine, (count(*) + ${KmK * KmTarget - 1L}) " +
+      s"// ${KmK * KmTarget}) FROM q)"
   private def adaptiveK(n: Long): Int =
     math.max(KmK.toLong, (n + KmTarget - 1L) / KmTarget).toInt
   private val adaptiveKSql: String =
@@ -1965,12 +1995,230 @@ object Similarity {
           (col("sum_err_u").cast("double") / col("n_pairs"))
             .as("mean_err_u"))
         .orderBy(col("label"))
+    },
+
+    // ------------------------------------------------------------------
+    // q210: two-level (hierarchical) k-means — the CONTINUATION of the
+    // adaptive-k operating curve (Similarity.KmTarget): the flat argmin
+    // holds to k ~ 1e5 centroids (broadcast bound); past that, a real
+    // corpus needs a coarse quantizer over the centroids themselves.
+    // Coarse level: the shared KmK-cell Lloyd assignment. Fine level:
+    // HkFine sub-centroids TRAINED PER COARSE CELL in one grouped job
+    // (KMeans.groupedCentroids — the PQ-subspace machinery with the
+    // coarse cell as the group key), assignment via the per-cell
+    // codebook broadcast-joined back on g through the native
+    // NearestCentroid kernel. Assignment cost is O(n·(k1 + k2)) where
+    // the equivalent flat k1·k2 lists cost O(n·k1·k2) — at 1e9 vectors
+    // with target-250 lists that is 2·2000 distance evaluations per
+    // vector instead of 4M, and no multi-GB centroid broadcast. Exact
+    // integer arithmetic end to end, so the full two-level train is
+    // hash-oracled (the generated grouped-Lloyd CTE chain).
+    QuerySpec.sqlBacked("q210_hier_kmeans",
+      s"""WITH ${kmeansCtes(KmK, KmIters)},
+         |$hierCtes
+         |SELECT id AS vec_id, g AS coarse, cid AS fine, d AS dist
+         |FROM gasg ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val v = quantized(s, dir)
+      Dedup.withScratch(v) {
+        val k2 = hkFine(v.count())
+        val gq = hierMembers(v)
+        Dedup.withScratch(gq) {
+          hierAssign(gq, k2)
+            .select(col("id").as("vec_id"), col("g").as("coarse"),
+              col("best.cid").as("fine"), col("best.d").as("dist"))
+            .orderBy(col("vec_id"))
+        }
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q211: two-level IVF probe — ANN serving over the q210 index: the
+    // query walks the hierarchy (nearest HkProbeCoarse coarse cells by
+    // exact integer L2 against the per-cell list centroid, then the
+    // nearest HkProbeFine fine lists within each) and exact-cosine
+    // reranks ONLY those lists' members. The probe stage touches
+    // k1 + probed·k2 centroids per query and the candidate join
+    // touches ~(probed lists / k1·k2) of the corpus — the sub-linear
+    // serve path that STAYS sub-linear when list counts grow to the
+    // 1e9-vector regime, because no level's centroid table outgrows
+    // its broadcast. List centroids are per-list integer means (the
+    // q42/q102 convention), probed lists are distinct (g, fine) pairs
+    // so no candidate dedup pass is needed.
+    QuerySpec.sqlBacked("q211_ivf_two_level", {
+      val cSums = (1 to Vectors.Dim)
+        .map(i => s"CAST(sum(qv[$i]) AS BIGINT) // count(*)")
+        .mkString("[", ", ", "]")
+      val pDist = (1 to Vectors.Dim)
+        .map(i => s"(s.qv[$i] - t.cv[$i]) * (s.qv[$i] - t.cv[$i])")
+        .mkString("(", " + ", ")")
+      s"""WITH ${kmeansCtes(KmK, KmIters)},
+         |n AS ($corpusSql),
+         |$hierCtes,
+         |ccent AS (SELECT g, $cSums AS cv FROM gq GROUP BY g),
+         |fcent AS (SELECT a.g, a.cid, $cSums AS cv
+         |          FROM gasg a JOIN (SELECT id, qv FROM gq) q2
+         |            ON q2.id = a.id GROUP BY a.g, a.cid),
+         |qs AS (SELECT id, qv FROM q WHERE $isQueryId),
+         |pc AS (SELECT qid, g FROM (
+         |    SELECT qid, g,
+         |      row_number() OVER (PARTITION BY qid ORDER BY pd, g) AS rn
+         |    FROM (SELECT s.id AS qid, t.g, $pDist AS pd FROM qs s, ccent t))
+         |  WHERE rn <= $HkProbeCoarse),
+         |pf AS (SELECT qid, g, cid FROM (
+         |    SELECT qid, g, cid,
+         |      row_number() OVER (PARTITION BY qid, g ORDER BY fd, cid) AS rn
+         |    FROM (SELECT p.qid, p.g, t.cid, $pDist AS fd
+         |          FROM pc p JOIN qs s ON s.id = p.qid
+         |          JOIN fcent t ON t.g = p.g))
+         |  WHERE rn <= $HkProbeFine)
+         |SELECT q_id, nb_id, rn, cos FROM (
+         |  SELECT p.qid AS q_id, c.vec_id AS nb_id,
+         |    ${Vectors.dotSql("qn.embedding", "c.embedding")}/(qn.nrm*c.nrm) AS cos,
+         |    row_number() OVER (PARTITION BY p.qid
+         |      ORDER BY ${Vectors.dotSql("qn.embedding", "c.embedding")}/(qn.nrm*c.nrm) DESC,
+         |               c.vec_id) AS rn
+         |  FROM pf p
+         |  JOIN n qn ON qn.vec_id = p.qid
+         |  JOIN gasg m ON m.g = p.g AND m.cid = p.cid AND m.id <> p.qid
+         |  JOIN n c ON c.vec_id = m.id)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) =>
+      val v = quantized(s, dir)
+      Dedup.withScratch(v) {
+        val k2 = hkFine(v.count())
+        val gq = hierMembers(v)
+        Dedup.withScratch(gq) {
+          val gasg = hierAssign(gq, k2)
+            .select(col("g"), col("id"), col("qv"),
+              col("best.cid").as("fine"))
+          Dedup.withScratch(gasg) {
+            val ccent = listCentroids(gq, Seq("g"))
+            val fcent = listCentroids(
+              gasg.select(col("g"), col("fine"), col("qv")),
+              Seq("g", "fine"))
+            val pd = expr("aggregate(zip_with(qv, cv, " +
+              "(x, y) -> (x - y) * (x - y)), 0L, (acc, d) -> acc + d)")
+            val qs = v.filter(expr(isQuery))
+              .select(col("vec_id").as("qid"), col("qv"))
+            val wc = Window.partitionBy(col("qid"))
+              .orderBy(col("pd"), col("g"))
+            val pc = qs.crossJoin(broadcast(ccent))
+              .select(col("qid"), col("g"), pd.as("pd"))
+              .withColumn("rn", row_number().over(wc))
+              .filter(col("rn") <= HkProbeCoarse)
+              .select(col("qid"), col("g"))
+            val wf = Window.partitionBy(col("qid"), col("g"))
+              .orderBy(col("fd"), col("fine"))
+            val pf = pc.join(qs, "qid")
+              .join(broadcast(fcent), "g")
+              .select(col("qid"), col("g"), col("fine"), pd.as("fd"))
+              .withColumn("rn", row_number().over(wf))
+              .filter(col("rn") <= HkProbeFine)
+              .select(col("qid"), col("g"), col("fine"))
+            val nn = corpus(s, dir)
+            val qn = nn.select(col("vec_id").as("q_id"),
+              col("embedding").as("qe"), col("nrm").as("qn"))
+            val members = gasg
+              .select(col("g"), col("fine"), col("id").as("nb_id"))
+              .join(nn, col("nb_id") === col("vec_id"))
+              .select(col("g"), col("fine"), col("nb_id"),
+                col("embedding").as("ce"), col("nrm").as("cn"))
+            // no pinned broadcast on the query sliver: it is
+            // corpus/50-sized, i.e. corpus-GROWING — AQE broadcasts it
+            // while small (the 86c4b26 sweep doctrine); the centroid
+            // tables above stay pinned (dimension-sized)
+            topK(scoreTyped(
+              pf.join(qn, col("qid") === col("q_id"))
+                .join(members, Seq("g", "fine"))
+                .filter(col("q_id") =!= col("nb_id"))))
+          }
+        }
+      }
     }
   )
 
   // q155 power-iteration rounds (a def: `specs` builds the oracle
   // eagerly and this constant trails it — the BpeRounds init lesson)
   private def PcaRounds = 3
+
+  /** Grouped fine-level k-means over the coarse cells as generated
+    * CTEs (a def — interpolated eagerly by `specs`): gq (g, id, qv) →
+    * per-group init (k lowest ids, rank-1 = cid 0) → HkIters rounds →
+    * gasg (g, id, cid, d). Bit-for-bit KMeans.groupedCentroids: same
+    * init rank, same (d, cid) argmin tiebreak, same truncating-div
+    * means, same carry-forward on empty sub-cells. Needs q + asg in
+    * scope ([[kmeansCtes]]). */
+  private def hierCtes: String = {
+    val kSql = hkFineSql
+    val dim = Vectors.Dim
+    val dist = (1 to dim)
+      .map(i => s"(v.qv[$i] - c.cv[$i]) * (v.qv[$i] - c.cv[$i])")
+      .mkString("(", " + ", ")")
+    val sums = (1 to dim).map(i => s"sum(qv[$i]) AS s$i").mkString(", ")
+    val divs = (1 to dim).map(i => s"CAST(s.s$i AS BIGINT) // s.n")
+      .mkString("[", ", ", "]")
+    val rounds = (1 to HkIters).map { t =>
+      s"""ga$t AS (SELECT g, id, qv, cid FROM (
+         |  SELECT g, id, qv, cid,
+         |    row_number() OVER (PARTITION BY g, id ORDER BY d, cid) AS rn
+         |  FROM (SELECT v.g, v.id, v.qv, c.cid, $dist AS d
+         |        FROM gq v JOIN gc${t - 1} c ON c.g = v.g)) WHERE rn = 1),
+         |gs$t AS (SELECT g, cid, count(*) AS n, $sums
+         |         FROM ga$t GROUP BY g, cid),
+         |gc$t AS (SELECT c.g, c.cid,
+         |           CASE WHEN s.cid IS NULL THEN c.cv ELSE $divs END AS cv
+         |         FROM gc${t - 1} c
+         |         LEFT JOIN gs$t s ON s.g = c.g AND s.cid = c.cid)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""gq AS (SELECT a.cid AS g, q.id, q.qv AS qv
+       |       FROM asg a JOIN q ON q.id = a.id),
+       |gc0 AS (SELECT g, CAST(rn - 1 AS INTEGER) AS cid, qv AS cv FROM (
+       |    SELECT g, id, qv,
+       |      row_number() OVER (PARTITION BY g ORDER BY id) AS rn FROM gq)
+       |  WHERE rn <= $kSql),
+       |$rounds,
+       |gasg AS (SELECT g, id, cid, d FROM (
+       |  SELECT g, id, cid, d,
+       |    row_number() OVER (PARTITION BY g, id ORDER BY d, cid) AS rn
+       |  FROM (SELECT v.g, v.id, c.cid, $dist AS d
+       |        FROM gq v JOIN gc$HkIters c ON c.g = v.g)) WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  /** (g, id, qv): every vector tagged with its coarse cell — the fine
+    * level's grouped-training input. `v` persisted by the caller. */
+  private def hierMembers(v: DataFrame): DataFrame =
+    graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+      .select(col("id"), col("cluster").as("g"))
+      .join(v, col("id") === col("vec_id"))
+      .select(col("g"), col("id"), col("qv"))
+
+  /** Fine-level training + assignment: groupedCentroids over the
+    * coarse cells (ONE job for all cells), each cell's codebook folded
+    * to a row and broadcast-joined back on g, the argmin through the
+    * native NearestCentroid kernel (column path — per-row decode of
+    * HkFine structs). Returns (g, id, qv, best{d, cid}). */
+  private def hierAssign(gq: DataFrame, k2: Int): DataFrame = {
+    val fc = graft.operators.KMeans
+      .groupedCentroids(gq, k2, HkIters, Vectors.Dim)
+    val one = fc.groupBy(col("g"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    gq.join(broadcast(one), "g")
+      .select(col("g"), col("id"), col("qv"),
+        graft.plans.NearestCentroid(col("qv"), col("cents")).as("best"))
+  }
+
+  /** Per-list integer-mean centroids keyed by `keys` — the q42/q102
+    * list-centroid convention lifted to arbitrary key sets (coarse g;
+    * fine (g, cid)). */
+  private def listCentroids(members: DataFrame, keys: Seq[String]): DataFrame = {
+    val sums = (0 until Vectors.Dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
+    members.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sums: _*)
+      .select(keys.map(col) :+ array((0 until Vectors.Dim)
+        .map(i => expr(s"s$i div n")): _*).as("cv"): _*)
+  }
 
   /** Integer dot over two DuckDB BIGINT lists — fixed term order. */
   private def sqIdot(a: String, b: String): String = (1 to Vectors.Dim)
