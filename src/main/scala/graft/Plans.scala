@@ -497,6 +497,26 @@ object Plans {
         "growing - the 86c4b26 doctrine); the two centroid tables are " +
         "(dimension-sized). Decade probes: 6.4 / 8.7 / 21.6 s.",
       details = Seq("hashpartitioning")),
+    Entry("q212_exact_auc",
+      "Exact Mann-Whitney AUC with tie handling, no global window: a " +
+        "per-score aggregate (map-side partials), ONE PrefixSum range " +
+        "exchange for the cumulative negatives (the naive sum() OVER " +
+        "(ORDER BY score) collapses the score axis onto one task), and " +
+        "a 3-long moment row; ties count half via the doubled-integer " +
+        "encoding so AUC is one final double division. 100x corpus: " +
+        "2.6 s (sf0.1: 1.4 s) - scan-bound.",
+      details = Seq("rangepartitioning")),
+    Entry("q213_blocklist_scan",
+      "Multi-pattern blocklist in ONE corpus pass: the native " +
+        "Aho-Corasick ContainsAny expression walks each document once " +
+        "for ANY pattern count, where the per-pattern contains() sum " +
+        "re-scans the text P times (10k-phrase production blocklists " +
+        "make that 10,000 corpus passes). The automaton is built at " +
+        "plan time from the literal pattern list and ships as a " +
+        "codegen reference object; generated code is one static kernel " +
+        "call. 500k docs in 1.08 s at the 100x probe; no shuffle at " +
+        "all before the final sort.",
+      details = Seq("graft_contains_any")),
     Entry("q197_quality_classifier",
       "Model-based quality gating at scan speed: the hashed-feature " +
         "linear score is ONE codegen'd aggregate-fold projection per " +

@@ -1230,8 +1230,113 @@ object TextOps {
           col("max_score"), col("n_heur"),
           expr("1000000L * n_heur div n_docs").as("heur_ppm"))
         .orderBy(col("decile"))
+    },
+
+    // ------------------------------------------------------------------
+    // q212: exact AUC (Mann–Whitney) of the q197 classifier score
+    // against q204's stopword heuristic — the one-number ranking-
+    // quality eval a filtering pipeline reads before trusting a score
+    // as a gate (q204's deciles show WHERE calibration bends; AUC says
+    // whether the ordering is right at all). Exact-integer doctrine:
+    // ties count half, so everything is doubled once —
+    // auc_num2 = Σ_s pos(s)·(2·negBelow(s) + neg(s)), auc_den2 =
+    // 2·n_pos·n_neg — and AUC is ONE final double division (q88/q91).
+    // Scale: a per-score aggregate (map-side partials; |scores| ≤
+    // corpus), ONE PrefixSum range exchange for the cumulative
+    // negatives (never a global single-task window), and a 3-long
+    // moment row. ANSI multiplication fails loudly if 2·n_pos·n_neg
+    // ever leaves BIGINT (n ≳ 4e9 — widen to DECIMAL there).
+    QuerySpec.sqlBacked("q212_exact_auc",
+      s"""WITH d AS (SELECT doc_id, ' '||text||' ' AS padded,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    $classifierScoreSql AS si
+         |  FROM documents),
+         |h AS (SELECT si,
+         |    CASE WHEN ((length(padded)
+         |        - length(replace(padded, ' the ', ''))) // 5
+         |      + (length(padded)
+         |        - length(replace(padded, ' a ', ''))) // 3) * 10
+         |      >= n_tok THEN 1 ELSE 0 END AS heur FROM d),
+         |per AS (SELECT si, CAST(count(*) AS BIGINT) AS cnt,
+         |          CAST(sum(heur) AS BIGINT) AS pos FROM h GROUP BY si),
+         |cum AS (SELECT si, pos, cnt - pos AS neg,
+         |    CAST(COALESCE(sum(cnt - pos) OVER (ORDER BY si
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cneg
+         |  FROM per),
+         |m AS (SELECT CAST(sum(pos) AS BIGINT) AS n_pos,
+         |    CAST(sum(cnt - pos) AS BIGINT) AS n_neg,
+         |    CAST(sum(pos * (2 * cneg + cnt - pos)) AS BIGINT) AS auc_num2
+         |  FROM (SELECT c.si, c.pos, c.cneg, p.cnt
+         |        FROM cum c JOIN per p ON p.si = c.si))
+         |SELECT n_pos, n_neg, auc_num2,
+         |  CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den2,
+         |  CAST(auc_num2 AS DOUBLE)
+         |    / CAST(2 * n_pos * n_neg AS DOUBLE) AS auc
+         |FROM m""".stripMargin) { (s, dir) =>
+      def occDiv(p: String) =
+        s"(length(padded) - length(replace(padded, '$p', ''))) div ${p.length}"
+      val d = Tables.spread(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .select(size(split(col("text"), " ")).cast("long").as("n_tok"),
+          classifierScore.as("si"),
+          expr(s"${occDiv(" the ")} + ${occDiv(" a ")}").as("n_stop"))
+        .select(col("si"),
+          when(col("n_stop") * 10 >= col("n_tok"), 1L).otherwise(0L)
+            .as("heur"))
+      val per = d.groupBy(col("si"))
+        .agg(count(lit(1)).as("cnt"), sum(col("heur")).as("pos"))
+        .withColumn("neg", col("cnt") - col("pos"))
+      val cum = graft.operators.PrefixSum
+        .inclusive(per, Seq(col("si")), "neg", "cumNeg")
+        .withColumn("cneg", col("cumNeg") - col("neg"))
+      cum.agg(sum(col("pos")).as("n_pos"), sum(col("neg")).as("n_neg"),
+          sum(col("pos") * (lit(2) * col("cneg") + col("neg")))
+            .as("auc_num2"))
+        .select(col("n_pos"), col("n_neg"), col("auc_num2"),
+          (lit(2L) * col("n_pos") * col("n_neg")).as("auc_den2"),
+          (col("auc_num2").cast("double") /
+            (lit(2L) * col("n_pos") * col("n_neg")).cast("double"))
+            .as("auc"))
+    },
+
+    // ------------------------------------------------------------------
+    // q213: blocklist scan — how many DISTINCT flag phrases occur in
+    // each document, via the native Aho–Corasick ContainsAny expression
+    // (plans/ContainsAny.scala): the filtering primitive behind
+    // toxic-phrase / PII-trigger / license-string blocklists. The
+    // oracle's per-pattern `contains` CASE sum re-scans the text once
+    // per pattern — fine for its 8 phrases, but the production shape
+    // is a 10k-phrase list where that plan costs 10,000 corpus passes;
+    // the automaton pays O(|text|) per document regardless of P, built
+    // once at plan time and shipped as a codegen reference object.
+    // Exact substring semantics (case-sensitive), so the two
+    // formulations agree bit-for-bit; flagged = n_hits > 0 is the gate
+    // a curation pipeline actually branches on.
+    QuerySpec.sqlBacked("q213_blocklist_scan", {
+      val hits = BlockPatterns
+        .map(p => s"(CASE WHEN contains(text, '$p') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""SELECT doc_id, CAST($hits AS INT) AS n_hits,
+         |  ($hits) > 0 AS flagged
+         |FROM documents ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.ContainsAny(col("text"), BlockPatterns).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"),
+          (col("n_hits") > 0).as("flagged"))
+        .orderBy(col("doc_id"))
     }
   )
+
+  /** q213's flag-phrase list — configuration, embedded as a literal on
+    * both engines (single words and cross-token phrases so the
+    * substring — not token — semantics is exercised). Declared before
+    * use via def-site ordering concerns: it feeds `specs` eagerly. */
+  private def BlockPatterns: Seq[String] = Seq(
+    "dup", "slow scan", "drop table", "spark join",
+    "bad data", "key value", "merge batch", "big query")
 
   /** q180/q183's shared model CTEs: bigram counts (bi), left-context
     * totals and continuation fan-outs (uni/cont), the distinct-bigram

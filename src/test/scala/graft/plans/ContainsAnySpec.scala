@@ -1,0 +1,81 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Native Aho–Corasick ContainsAny: randomized parity with per-pattern
+  * `contains`, fail-link cases (overlapping/nested patterns), distinct
+  * counting, interpreted-vs-codegen agreement, and the literal-only
+  * pattern contract. */
+class ContainsAnySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def count(text: String, pats: Seq[String]): Int =
+    Seq(text).toDF("t")
+      .select(ContainsAny(col("t"), pats).as("n"))
+      .head.getInt(0)
+
+  test("fail links: nested and overlapping patterns all fire") {
+    // "she" must surface "he" via the suffix link; "his" shares the
+    // 'h' trie prefix but must NOT fire
+    assert(count("ushers", Seq("he", "she", "his", "hers")) == 3)
+    // a pattern that is a suffix of another pattern's interior
+    assert(count("abc", Seq("ab", "b", "bc")) == 3)
+    assert(count("abc", Seq("abcd")) == 0)
+    // match at the very start and very end
+    assert(count("xy", Seq("x", "y", "xy")) == 3)
+  }
+
+  test("distinct counting: repeats of one pattern count once") {
+    assert(count("dup dup dup", Seq("dup", "nope")) == 1)
+    assert(count("", Seq("a")) == 0)
+  }
+
+  test("randomized parity with per-pattern contains") {
+    val rnd = new scala.util.Random(23)
+    val alphabet = "abcd"
+    def randStr(n: Int) =
+      (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val pats = (1 to 12).map(_ => randStr(1 + rnd.nextInt(4))).distinct
+    val texts = (1 to 200).map(_ => randStr(5 + rnd.nextInt(60)))
+    val df = texts.toDF("t")
+    val viaNative = df.select(ContainsAny(col("t"), pats).as("n"))
+      .as[Int].collect().toSeq
+    val naive = pats.map(p =>
+        when(col("t").contains(p), 1).otherwise(0))
+      .reduce(_ + _)
+    val viaContains = df.select(naive.as("n")).as[Int].collect().toSeq
+    assert(viaNative == viaContains)
+  }
+
+  test("interpreted eval equals codegen result") {
+    val pats = Seq("he", "she", "hers")
+    val df = Seq("ushers he x", "none").toDF("t")
+    val viaCodegen = df.select(ContainsAny(col("t"), pats))
+      .as[Int].collect().toSeq
+    val conf = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(conf)
+    try {
+      spark.conf.set(conf, "false")
+      val interp = df.select(ContainsAny(col("t"), pats))
+        .as[Int].collect().toSeq
+      assert(interp == viaCodegen)
+    } finally spark.conf.set(conf, prev)
+  }
+
+  test("a non-literal pattern column is rejected") {
+    val df = Seq(("abc", Seq("a"))).toDF("t", "pats")
+    val err = intercept[Exception] {
+      df.select(org.apache.spark.sql.graft.bridge.column(
+        ContainsAny(
+          org.apache.spark.sql.graft.bridge.expression(col("t")),
+          org.apache.spark.sql.graft.bridge.expression(col("pats")))))
+        .collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(err).exists(t => Option(t.getMessage)
+      .exists(_.contains("must be a literal"))))
+  }
+}
