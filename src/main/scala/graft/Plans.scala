@@ -517,6 +517,31 @@ object Plans {
         "call. 500k docs in 1.08 s at the 100x probe; no shuffle at " +
         "all before the final sort.",
       details = Seq("graft_contains_any")),
+    Entry("q214_rrf_fusion",
+      "Hybrid-retrieval merge: the q41 LSH and q42 label-IVF rank " +
+        "lists fuse by integer reciprocal-rank weights " +
+        "(floor(1e6/(60+r)) - a double 1/(60+r) sum would be engine-" +
+        "ordering-dependent and unhashable). Both inputs are K-bounded " +
+        "per query BEFORE the fusion join, so the merge costs <= 2K " +
+        "rows per query whatever the corpus size; the per-query " +
+        "re-rank window runs over those same <= 2K rows. Measured: " +
+        "fusion recall@5 0.86 vs 0.84 (LSH) / 0.72 (IVF) - the q215 " +
+        "report. 10x probe 32 s, ~all of it the q41 LSH candidate " +
+        "stage (0.53 corpus fraction at d=64 - q41's documented " +
+        "operating point); the fusion layer itself adds K-bounded " +
+        "work per query.",
+      details = Seq("FullOuter")),
+    Entry("q215_retrieval_recall",
+      "The eval loop above the ANN family: LSH, label-IVF and the RRF " +
+        "fusion graded against q40's exact top-K in one ledger row per " +
+        "run (hits, truth, recall in exact ppm). The truth side is the " +
+        "deliberate exact-eval cost on the corpus/50 query sample; " +
+        "every grading join is K-bounded per query. The fusion row " +
+        "(0.86 vs 0.84/0.72) turns q214's rationale into an in-ledger " +
+        "measurement. 10x probe 57 s = the exact truth join plus the " +
+        "q41 candidate stage - eval cost, not production path; the " +
+        "query-sample knob (isQuery) is how a real stack bounds it.",
+      details = Seq("hashpartitioning")),
     Entry("q197_quality_classifier",
       "Model-based quality gating at scan speed: the hashed-feature " +
         "linear score is ONE codegen'd aggregate-fold projection per " +

@@ -595,6 +595,97 @@ object Similarity {
        |  FROM cand)
        |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
 
+  /** q42's oracle pipeline as shared CTEs ending in
+    * `ivfr(q_id, nb_id, rn, cos)` (rn UNFILTERED — consumers cut at
+    * their own K) — q42 reads it directly, q214 fuses it with the q41
+    * LSH run. Needs `n` ([[corpusSql]]) in scope. */
+  private def labelIvfCtesSql: String = {
+    val cSumsSql = (0 until Vectors.Dim)
+      .map(i => s"CAST(sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) AS c$i")
+      .mkString(", ")
+    val cArrSql = (0 until Vectors.Dim).map(i => s"c$i").mkString("[", ",", "]")
+    s"""cent AS (SELECT label, $cSumsSql FROM embeddings GROUP BY label),
+       |cent2 AS (SELECT label, $cArrSql AS ce,
+       |    sqrt(${Vectors.dotSql(s"$cArrSql", s"$cArrSql")}) AS cn FROM cent),
+       |probe AS (SELECT q_id, plabel FROM (
+       |    SELECT q.vec_id AS q_id, t.label AS plabel,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${Vectors.dotSql("q.embedding", "t.ce")}/(q.nrm*t.cn) DESC,
+       |                 t.label) AS crn
+       |    FROM n q, cent2 t WHERE q.$isQuery)
+       |  WHERE crn <= $LabelNProbe),
+       |ivfr AS (
+       |  SELECT p.q_id, c.vec_id AS nb_id,
+       |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos,
+       |    row_number() OVER (PARTITION BY p.q_id
+       |      ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
+       |               c.vec_id) AS rn
+       |  FROM probe p JOIN n q ON q.vec_id = p.q_id
+       |  JOIN n c ON c.label = p.plabel AND c.vec_id <> p.q_id)"""
+      .stripMargin
+  }
+
+  /** q42's full plan (label-list IVF probe + exact-cosine top-K) as a
+    * reusable builder — q42 serves it directly and q214 fuses it with
+    * the q41 LSH run. */
+  private def labelIvfTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val cSums = (0 until Vectors.Dim).map(i =>
+      sum(expr(s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
+        .cast("double").as(s"c$i"))
+    val cent = emb.groupBy(col("label")).agg(cSums.head, cSums.tail: _*)
+      .select(col("label"),
+        array((0 until Vectors.Dim).map(i => col(s"c$i")): _*).as("ce"))
+      .select(col("label"), col("ce"),
+        sqrt(Vectors.dot("ce", "ce")).as("cn"))
+    val n = corpus(s, dir)
+    val q = n.filter(expr(isQuery))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    // probe: nearest centroid per query (both sides tiny; broadcast)
+    val wc = Window.partitionBy(col("q_id"))
+      .orderBy(col("ccos").desc, col("label"))
+    val probe = q.crossJoin(broadcast(cent))
+      .select(col("q_id"), col("qe"), col("qn"), col("label"),
+        (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("ccos"))
+      .withColumn("crn", row_number().over(wc))
+      .filter(col("crn") <= LabelNProbe)
+      .select(col("q_id"), col("qe"), col("qn"), col("label").as("plabel"))
+    val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("label"))
+    topK(scoreTyped(broadcast(probe).join(c,
+      col("label") === col("plabel") && col("q_id") =!= col("nb_id"))))
+  }
+
+  /** q40's exact plan (broadcast query side against the corpus scan,
+    * window top-K) — the ground truth q40 serves directly and the
+    * recall report (q215) grades the approximate runs against. */
+  private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
+    val n = corpus(s, dir)
+    val q = broadcast(n.filter(expr(isQuery))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+    val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    topK(scoreTyped(q.join(c, col("q_id") =!= col("nb_id"))))
+  }
+
+  /** The RRF merge of two K-bounded rank lists (q_id, nb_id, rn-like
+    * column named by `ra`/`rb`): integer micro-unit reciprocal weights
+    * (floor(1e6/(60+r)), canonical k=60) summed over a full-outer join,
+    * re-ranked per query. Shared by q214 (report) and q215 (grading). */
+  private def rrfFuse(r1: DataFrame, r2: DataFrame): DataFrame = {
+    val f = r1.join(r2, Seq("q_id", "nb_id"), "full_outer")
+      .select(col("q_id"), col("nb_id"),
+        (coalesce(expr("1000000 div (60 + ra)"), lit(0)) +
+          coalesce(expr("1000000 div (60 + rb)"), lit(0)))
+          .cast("long").as("rrf_u"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf_u").desc, col("nb_id"))
+    f.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= K)
+  }
+
   /** Top-K per query by cosine with deterministic id tiebreak. */
   private def topK(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
@@ -626,15 +717,8 @@ object Similarity {
          |               c.vec_id) AS rn
          |  FROM n q JOIN n c ON q.vec_id <> c.vec_id
          |  WHERE q.$isQuery)
-         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
-      val n = corpus(s, dir)
-      val q = broadcast(n.filter(expr(isQuery))
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn")))
-      val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
-        col("nrm").as("cn"))
-      topK(scoreTyped(q.join(c, col("q_id") =!= col("nb_id"))))
-    },
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin) {
+      (s, dir) => bruteTopK(s, dir) },
 
     // ------------------------------------------------------------------
     // LSH-bucketed ANN with OR-amplification: L=SrpTables independent
@@ -672,59 +756,12 @@ object Similarity {
     // needs >=0.8 trains the quantizer instead — q102's learned lists
     // hit 0.86/0.84 at the same cost shape. AnnRecallSpec pins 0.7
     // here and 0.8 on q102.
-    QuerySpec.sqlBacked("q42_knn_ivf", {
-      val cSumsSql = (0 until Vectors.Dim)
-        .map(i => s"CAST(sum(CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) AS c$i")
-        .mkString(", ")
-      val cArrSql = (0 until Vectors.Dim).map(i => s"c$i").mkString("[", ",", "]")
+    QuerySpec.sqlBacked("q42_knn_ivf",
       s"""WITH n AS ($corpusSql),
-         |cent AS (SELECT label, $cSumsSql FROM embeddings GROUP BY label),
-         |cent2 AS (SELECT label, $cArrSql AS ce,
-         |    sqrt(${Vectors.dotSql(s"$cArrSql", s"$cArrSql")}) AS cn FROM cent),
-         |probe AS (SELECT q_id, plabel FROM (
-         |    SELECT q.vec_id AS q_id, t.label AS plabel,
-         |      row_number() OVER (PARTITION BY q.vec_id
-         |        ORDER BY ${Vectors.dotSql("q.embedding", "t.ce")}/(q.nrm*t.cn) DESC,
-         |                 t.label) AS crn
-         |    FROM n q, cent2 t WHERE q.$isQuery)
-         |  WHERE crn <= $LabelNProbe)
-         |SELECT q_id, nb_id, rn, cos FROM (
-         |  SELECT p.q_id, c.vec_id AS nb_id,
-         |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) AS cos,
-         |    row_number() OVER (PARTITION BY p.q_id
-         |      ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
-         |               c.vec_id) AS rn
-         |  FROM probe p JOIN n q ON q.vec_id = p.q_id
-         |  JOIN n c ON c.label = p.plabel AND c.vec_id <> p.q_id)
-         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
-    }) { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-      val cSums = (0 until Vectors.Dim).map(i =>
-        sum(expr(s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
-          .cast("double").as(s"c$i"))
-      val cent = emb.groupBy(col("label")).agg(cSums.head, cSums.tail: _*)
-        .select(col("label"),
-          array((0 until Vectors.Dim).map(i => col(s"c$i")): _*).as("ce"))
-        .select(col("label"), col("ce"),
-          sqrt(Vectors.dot("ce", "ce")).as("cn"))
-      val n = corpus(s, dir)
-      val q = n.filter(expr(isQuery))
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      // probe: nearest centroid per query (both sides tiny; broadcast)
-      val wc = Window.partitionBy(col("q_id"))
-        .orderBy(col("ccos").desc, col("label"))
-      val probe = q.crossJoin(broadcast(cent))
-        .select(col("q_id"), col("qe"), col("qn"), col("label"),
-          (Vectors.dot("qe", "ce") / (col("qn") * col("cn"))).as("ccos"))
-        .withColumn("crn", row_number().over(wc))
-        .filter(col("crn") <= LabelNProbe)
-        .select(col("q_id"), col("qe"), col("qn"), col("label").as("plabel"))
-      val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
-        col("nrm").as("cn"), col("label"))
-      topK(scoreTyped(broadcast(probe).join(c,
-        col("label") === col("plabel") && col("q_id") =!= col("nb_id"))))
-    },
+         |$labelIvfCtesSql
+         |SELECT q_id, nb_id, rn, cos FROM ivfr
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin) {
+      (s, dir) => labelIvfTopK(s, dir) },
 
     // ------------------------------------------------------------------
     // Symmetric int8 quantization for embedding storage: per-vector scale
@@ -2133,6 +2170,127 @@ object Similarity {
                 .filter(col("q_id") =!= col("nb_id"))))
           }
         }
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q214: reciprocal-rank fusion of two retrieval runs — hybrid
+    // search's standard merge (Cormack et al. SIGIR'09): the q41 SRP-
+    // LSH top-K and the q42 label-IVF top-K are fused per query by
+    // summed reciprocal ranks, so a neighbor surfacing in BOTH runs
+    // outranks a single-run hit even when neither run put it first.
+    // The RRF weight rides the integer micro-unit convention
+    // (floor(1e6/(60+rank)), the canonical k=60) so the fused score is
+    // an exact BIGINT and the gate hash-compares it — a double
+    // 1/(60+r) sum would be engine-ordering-dependent. Scale: both
+    // inputs are already-K-bounded rank lists (≤ 2K rows per query
+    // cross the fusion join, whatever the corpus size); the fusion is
+    // one full-outer join on (q_id, nb_id) and a per-query window over
+    // ≤ 2K rows. This is the composition layer a production retrieval
+    // stack runs ABOVE its indexes — lexical + dense, or two dense
+    // indexes with different recall profiles (here: 12-table SRP
+    // recall vs label-list precision).
+    QuerySpec.sqlBacked("q214_rrf_fusion",
+      s"""WITH $lshCandSql,
+         |$labelIvfCtesSql,
+         |r1 AS (SELECT q_id, nb_id, rn FROM (
+         |    SELECT q_id, nb_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, nb_id) AS rn FROM cand)
+         |  WHERE rn <= $K),
+         |r2 AS (SELECT q_id, nb_id, rn FROM ivfr WHERE rn <= $K),
+         |f AS (SELECT COALESCE(r1.q_id, r2.q_id) AS q_id,
+         |    COALESCE(r1.nb_id, r2.nb_id) AS nb_id,
+         |    CAST(COALESCE(1000000 // (60 + r1.rn), 0)
+         |       + COALESCE(1000000 // (60 + r2.rn), 0) AS BIGINT) AS rrf_u
+         |  FROM r1 FULL JOIN r2
+         |    ON r1.q_id = r2.q_id AND r1.nb_id = r2.nb_id)
+         |SELECT q_id, nb_id, rrf_u, rn FROM (
+         |  SELECT q_id, nb_id, rrf_u,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY rrf_u DESC, nb_id) AS rn FROM f)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin) { (s, dir) =>
+      val r1 = topK(lshCandidates(s, dir))
+        .select(col("q_id"), col("nb_id"), col("rn").as("ra"))
+      val r2 = labelIvfTopK(s, dir)
+        .select(col("q_id"), col("nb_id"), col("rn").as("rb"))
+      rrfFuse(r1, r2)
+        .select(col("q_id"), col("nb_id"), col("rrf_u"), col("rn"))
+        .orderBy(col("q_id"), col("rn"))
+    },
+
+    // ------------------------------------------------------------------
+    // q215: recall@K report — the eval loop above the ANN family: each
+    // approximate run (q41 LSH, q42 label-IVF, q214's RRF fusion) is
+    // graded against q40's exact brute-force top-K, per-run hit counts
+    // and recall in exact ppm (one integer division, no doubles in the
+    // gate). This is the measurement a retrieval stack re-runs on every
+    // index rebuild — and the fusion row quantifies what hybrid merge
+    // BUYS over either single run (the q214 rationale, now measured
+    // in-ledger rather than asserted). Scale: the truth side is the
+    // deliberate exact-eval cost on a SAMPLED query set (isQuery keeps
+    // it corpus/50); every grading join is K-bounded per query.
+    QuerySpec.sqlBacked("q215_retrieval_recall",
+      s"""WITH $lshCandSql,
+         |$labelIvfCtesSql,
+         |ex AS (SELECT q_id, nb_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
+         |                 c.vec_id) AS rn
+         |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |    WHERE q.$isQuery)
+         |  WHERE rn <= $K),
+         |r1 AS (SELECT q_id, nb_id, rn FROM (
+         |    SELECT q_id, nb_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, nb_id) AS rn FROM cand)
+         |  WHERE rn <= $K),
+         |r2 AS (SELECT q_id, nb_id, rn FROM ivfr WHERE rn <= $K),
+         |ff AS (SELECT q_id, nb_id FROM (
+         |    SELECT q_id, nb_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY rrf_u DESC, nb_id) AS rn FROM (
+         |      SELECT COALESCE(r1.q_id, r2.q_id) AS q_id,
+         |        COALESCE(r1.nb_id, r2.nb_id) AS nb_id,
+         |        CAST(COALESCE(1000000 // (60 + r1.rn), 0)
+         |           + COALESCE(1000000 // (60 + r2.rn), 0) AS BIGINT)
+         |          AS rrf_u
+         |      FROM r1 FULL JOIN r2
+         |        ON r1.q_id = r2.q_id AND r1.nb_id = r2.nb_id))
+         |  WHERE rn <= $K),
+         |st AS (
+         |  SELECT 'ivf' AS run,
+         |    (SELECT count(*) FROM r2 JOIN ex USING (q_id, nb_id)) AS n_hits
+         |  UNION ALL SELECT 'lsh',
+         |    (SELECT count(*) FROM r1 JOIN ex USING (q_id, nb_id))
+         |  UNION ALL SELECT 'rrf',
+         |    (SELECT count(*) FROM ff JOIN ex USING (q_id, nb_id)))
+         |SELECT run, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_truth,
+         |  CAST(1000000 * n_hits // (SELECT count(*) FROM ex) AS BIGINT)
+         |    AS recall_ppm
+         |FROM st ORDER BY run""".stripMargin) { (s, dir) =>
+      val ex = bruteTopK(s, dir).select(col("q_id"), col("nb_id"))
+      val r1 = topK(lshCandidates(s, dir))
+        .select(col("q_id"), col("nb_id"), col("rn").as("ra"))
+      val r2 = labelIvfTopK(s, dir)
+        .select(col("q_id"), col("nb_id"), col("rn").as("rb"))
+      Dedup.withScratch(ex, r1, r2) {
+        val ff = rrfFuse(r1, r2).select(col("q_id"), col("nb_id"))
+        val runs = Seq(
+          "ivf" -> r2.select(col("q_id"), col("nb_id")),
+          "lsh" -> r1.select(col("q_id"), col("nb_id")),
+          "rrf" -> ff)
+        val stats = runs.map { case (name, r) =>
+          r.join(ex, Seq("q_id", "nb_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(name).as("run"), col("n_hits"))
+        }.reduce(_ unionByName _)
+        stats.crossJoin(broadcast(ex.agg(count(lit(1)).as("n_truth"))))
+          .select(col("run"), col("n_hits"), col("n_truth"),
+            expr("1000000L * n_hits div n_truth").as("recall_ppm"))
+          .orderBy(col("run"))
       }
     }
   )
