@@ -542,6 +542,30 @@ object Plans {
         "q41 candidate stage - eval cost, not production path; the " +
         "query-sample knob (isQuery) is how a real stack bounds it.",
       details = Seq("hashpartitioning")),
+    Entry("q216_matryoshka_recall",
+      "Dimension-budget tuning: brute top-K under the FIRST d dims " +
+        "(8/16/32) graded against the full-64 exact run - the ranking " +
+        "cost of serving a truncated embedding (q83 measures norm " +
+        "retention; this measures what an index owner budgets by). " +
+        "Each truncated run is the same broadcast-query corpus scan " +
+        "with a narrower DotProduct; grading joins are K-bounded. " +
+        "Measured here: 8/8/34% recall@5 at d=8/16/32 - THESE " +
+        "embeddings are not matryoshka-trained, and that cliff is " +
+        "precisely the diagnosis the report exists to surface before " +
+        "someone ships a truncated index.",
+      details = Seq("graft_dot")),
+    Entry("q217_tcloseness",
+      "The anonymity ladder's third rung (q171 k-anon, q181 l-div): " +
+        "per QI class, variational distance between the class's " +
+        "sensitive distribution and the global one, denominators " +
+        "cleared to pure BIGINT (absent values contribute gv*nc; the " +
+        "flag is the cross-multiplied 5*tvd_num > 2*nc*N, one double " +
+        "division only for the reported D). Two keyed aggregates, a " +
+        "classes x 5-value completion against the broadcast value " +
+        "dimension, a class-keyed re-aggregate - map-side partials " +
+        "end to end, no window, nothing corpus-sized after the first " +
+        "aggregate.",
+      details = Seq("hashpartitioning")),
     Entry("q197_quality_classifier",
       "Model-based quality gating at scan speed: the hashed-feature " +
         "linear score is ONE codegen'd aggregate-fold projection per " +

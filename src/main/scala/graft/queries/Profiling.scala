@@ -1267,6 +1267,92 @@ object Profiling {
     },
 
     // ------------------------------------------------------------------
+    // q217: t-closeness — the third rung of the anonymity ladder
+    // (q171 k-anonymity: classes too SMALL; q181 l-diversity: classes
+    // with too few DISTINCT sensitive values; this: classes whose
+    // sensitive DISTRIBUTION leaks — l-diversity passes a class that
+    // is 99% one priority as long as others appear once). Per
+    // quasi-identifier class, the variational distance between the
+    // class's o_orderpriority distribution and the global one,
+    // denominators cleared so the gate is pure BIGINT:
+    // tvd_num = Σ_v |cnt_cv·N − g_v·n_c| over ALL global values
+    // (absent values contribute g_v·n_c), tvd_den = 2·n_c·N, and a
+    // class is flagged iff D > 1/5 ⟺ 5·tvd_num > 2·n_c·N — the
+    // cross-multiplied comparison, one double division only for the
+    // reported D (q88/q91 doctrine). Scale: two keyed aggregates over
+    // the join, a |classes|×|values| completion against the
+    // broadcast value dimension (|values| = 5 priorities), and a
+    // class-keyed re-aggregate — map-side partials end to end, no
+    // window. Headroom: cnt·N ≤ N² keeps BIGINT to N ~ 3e9 rows;
+    // ANSI multiplication fails loudly past it.
+    QuerySpec.sqlBacked("q217_tcloseness",
+      """WITH j AS (SELECT c_nationkey, c_mktsegment,
+        |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_bin,
+        |    o_orderpriority AS v
+        |  FROM customer JOIN orders ON o_custkey = c_custkey),
+        |g AS (SELECT v, CAST(count(*) AS BIGINT) AS gv FROM j GROUP BY v),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+        |cls AS (SELECT c_nationkey, c_mktsegment, bal_bin,
+        |          CAST(count(*) AS BIGINT) AS nc
+        |        FROM j GROUP BY 1, 2, 3),
+        |cv AS (SELECT c_nationkey, c_mktsegment, bal_bin, v,
+        |         CAST(count(*) AS BIGINT) AS cnt
+        |       FROM j GROUP BY 1, 2, 3, 4),
+        |x AS (SELECT cls.c_nationkey AS nk, cls.c_mktsegment AS seg,
+        |        cls.bal_bin AS bb, cls.nc, g.v, g.gv,
+        |        COALESCE(cv.cnt, 0) AS cnt
+        |      FROM cls CROSS JOIN g
+        |      LEFT JOIN cv ON cv.c_nationkey = cls.c_nationkey
+        |        AND cv.c_mktsegment = cls.c_mktsegment
+        |        AND cv.bal_bin = cls.bal_bin AND cv.v = g.v),
+        |d AS (SELECT nk, seg, bb, max(nc) AS n_rows,
+        |        CAST(sum(abs(cnt * (SELECT n FROM tot) - gv * nc))
+        |          AS BIGINT) AS tvd_num
+        |      FROM x GROUP BY nk, seg, bb)
+        |SELECT nk AS c_nationkey, seg AS c_mktsegment, bb AS bal_bin,
+        |  n_rows, tvd_num,
+        |  CAST(2 * n_rows * (SELECT n FROM tot) AS BIGINT) AS tvd_den,
+        |  CAST(tvd_num AS DOUBLE)
+        |    / CAST(2 * n_rows * (SELECT n FROM tot) AS DOUBLE)
+        |    AS tcloseness
+        |FROM d WHERE 5 * tvd_num > 2 * n_rows * (SELECT n FROM tot)
+        |ORDER BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val j = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"),
+          floor(col("c_acctbal") / 2000).cast("long").as("bal_bin"))
+        .join(Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderpriority").as("v")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"), col("bal_bin"),
+          col("v"))
+      Dedup.withScratch(j) {
+        val qi = Seq("c_nationkey", "c_mktsegment", "bal_bin")
+        val g = j.groupBy(col("v")).agg(count(lit(1)).as("gv"))
+        val tot = j.agg(count(lit(1)).as("n"))
+        val cls = j.groupBy(qi.map(col): _*).agg(count(lit(1)).as("nc"))
+        val cv = j.groupBy((qi :+ "v").map(col): _*)
+          .agg(count(lit(1)).as("cnt"))
+        cls.crossJoin(broadcast(g))
+          .join(cv, qi :+ "v", "left")
+          .select(qi.map(col) :+ col("nc") :+ col("gv") :+
+            coalesce(col("cnt"), lit(0L)).as("cnt"): _*)
+          .crossJoin(broadcast(tot))
+          .groupBy(qi.map(col): _*)
+          .agg(max(col("nc")).as("n_rows"), max(col("n")).as("n"),
+            sum(abs(col("cnt") * col("n") - col("gv") * col("nc")))
+              .as("tvd_num"))
+          .filter(lit(5L) * col("tvd_num") >
+            lit(2L) * col("n_rows") * col("n"))
+          .select(qi.map(col) :+ col("n_rows") :+ col("tvd_num") :+
+            (lit(2L) * col("n_rows") * col("n")).as("tvd_den") :+
+            (col("tvd_num").cast("double") /
+              (lit(2L) * col("n_rows") * col("n")).cast("double"))
+              .as("tcloseness"): _*)
+          .orderBy(qi.map(col): _*)
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q182: water-filling token-budget allocation — the training-MIX
     // planner: given each source's token supply and a total budget
     // (60% of the corpus here), the max-min fair allocation gives every

@@ -2292,6 +2292,82 @@ object Similarity {
             expr("1000000L * n_hits div n_truth").as("recall_ppm"))
           .orderBy(col("run"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q216: matryoshka truncation-recall curve — the dimension-budget
+    // tuning report for nested (MRL) embeddings: brute top-K under the
+    // FIRST d dims only (d = 8/16/32), graded against the full-64-dim
+    // exact top-K. This is the measurement that picks the serving
+    // dimension (q83 profiles how much NORM the prefix holds; this
+    // measures what that costs in RANKING terms, which is the number an
+    // index owner actually budgets by — store/scan d/64 of the bytes
+    // at the reported recall). Scale: like q215 this is the deliberate
+    // exact-eval on the corpus/50 query sample; each truncated run
+    // reads the same corpus scan with a narrower DotProduct, grading
+    // joins are K-bounded per query, and the report is 3 rows.
+    QuerySpec.sqlBacked("q216_matryoshka_recall", {
+      val dims = Seq(8, 16, 32)
+      def bruteCtes(name: String, d: Int): String = {
+        val dot = Vectors.dotSql("q.embedding", "c.embedding", d)
+        s"""$name AS (SELECT q_id, nb_id FROM (
+           |    SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY $dot/(sqrt(${Vectors.dotSql("q.embedding", "q.embedding", d)})
+           |          * sqrt(${Vectors.dotSql("c.embedding", "c.embedding", d)})) DESC,
+           |                 c.vec_id) AS rn
+           |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+           |    WHERE q.$isQuery)
+           |  WHERE rn <= $K)""".stripMargin
+      }
+      val truncs = dims.map(d => bruteCtes(s"t$d", d)).mkString(",\n")
+      val st = dims.map(d =>
+        s"""SELECT $d AS dim,
+           |  (SELECT count(*) FROM t$d JOIN ex USING (q_id, nb_id))
+           |    AS n_hits""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH n AS ($corpusSql),
+         |ex AS (SELECT q_id, nb_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
+         |                 c.vec_id) AS rn
+         |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |    WHERE q.$isQuery)
+         |  WHERE rn <= $K),
+         |$truncs,
+         |st AS ($st)
+         |SELECT CAST(dim AS INT) AS dim, CAST(n_hits AS BIGINT) AS n_hits,
+         |  CAST((SELECT count(*) FROM ex) AS BIGINT) AS n_truth,
+         |  CAST(1000000 * n_hits // (SELECT count(*) FROM ex) AS BIGINT)
+         |    AS recall_ppm
+         |FROM st ORDER BY dim""".stripMargin
+    }) { (s, dir) =>
+      val ex = bruteTopK(s, dir).select(col("q_id"), col("nb_id"))
+      Dedup.withScratch(ex) {
+        def truncTopK(d: Int): DataFrame = {
+          val pref = expr(s"slice(embedding, 1, $d)")
+          val n = Tables(s, dir, "embeddings")
+            .select(col("vec_id"), pref.as("pe"))
+            .select(col("vec_id"), col("pe"),
+              sqrt(graft.plans.DotProduct(col("pe"), col("pe"))).as("nrm"))
+          val q = broadcast(n.filter(expr(isQuery))
+            .select(col("vec_id").as("q_id"), col("pe").as("qe"),
+              col("nrm").as("qn")))
+          val c = n.select(col("vec_id").as("nb_id"), col("pe").as("ce"),
+            col("nrm").as("cn"))
+          topK(scoreTyped(q.join(c, col("q_id") =!= col("nb_id"))))
+            .select(col("q_id"), col("nb_id"))
+        }
+        val stats = Seq(8, 16, 32).map { d =>
+          truncTopK(d).join(ex, Seq("q_id", "nb_id"))
+            .agg(count(lit(1)).as("n_hits"))
+            .select(lit(d).as("dim"), col("n_hits"))
+        }.reduce(_ unionByName _)
+        stats.crossJoin(broadcast(ex.agg(count(lit(1)).as("n_truth"))))
+          .select(col("dim"), col("n_hits"), col("n_truth"),
+            expr("1000000L * n_hits div n_truth").as("recall_ppm"))
+          .orderBy(col("dim"))
+      }
     }
   )
 
