@@ -65,7 +65,7 @@ def main(argv):
     tc = sum(v for v in (cur[k] for k in both) if v >= 0)
     print(f"bench_diff: {src}")
     print(f"shared {len(both)} queries: total {tp:.1f}s -> {tc:.1f}s "
-          f"({tc / tp:+.1%})" if tp else "no shared queries")
+          f"({(tc - tp) / tp:+.1%})" if tp else "no shared queries")
     movers = []
     for k in both:
         p, c = prev[k], cur[k]
