@@ -31,8 +31,27 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allSpecs.map(q => q.name -> q.run).toMap
 
+  /** DuckDB resource caps prepended to every oracle statement. DuckDB's
+    * default memory_limit is 80% of host RAM (~100 GB here), so over a
+    * 218-query pass its buffer manager never evicts and the oracle
+    * process's RSS ratchets up — on a contended driver host that ended
+    * in malloc failures on the five allocation-heaviest oracles
+    * (CORRECTNESS_r10 q36–q39/q41, `bad allocation` at ~256 KiB). Every
+    * one of those queries runs in <64 MB when DuckDB is actually asked
+    * to stay small (measured at sf0.01), so the fix is a hard cap plus
+    * a spill directory: bounded footprint, disk instead of death.
+    * SET is connection-scoped in DuckDB, so carrying the prefix on every
+    * statement makes the cap hold whatever subset or order the driver
+    * runs; duckdb-python executes multi-statement strings through both
+    * `.sql()` and `.execute()` and returns the final SELECT's relation,
+    * so the driver's canonicalize/hash path is unchanged. */
+  private val OraclePragmas =
+    "SET memory_limit='2GB'; SET temp_directory='/tmp/graft_oracle_spill'; " +
+      "SET threads=8;\n"
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    allSpecs.flatMap(q => q.oracle.map(q.name -> _)).toMap
+    allSpecs.flatMap(q => q.oracle.map(sql => q.name -> (OraclePragmas + sql)))
+      .toMap
 }

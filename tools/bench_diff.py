@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Round-over-round per-query bench diff (round-9 verdict ask #4).
+"""Round-over-round per-query bench diff (round-9 verdict ask #4; mover
+adjudication round-10 ask #3).
 
 Compares two BENCH_LAST.json files (the full per-query map Bench.scala
 writes beside the short stdout summary) and reports movers, so a spike in
@@ -8,13 +9,26 @@ needing judge solo-probes.
 
 Usage: python3 tools/bench_diff.py <prev BENCH_LAST.json> <cur BENCH_LAST.json>
        python3 tools/bench_diff.py --git [ref=HEAD~1]   # prev from git
+Flags (combine with either form; --git infers the ref automatically):
+       --ref <gitref>    round base for touched/untouched labeling
+       --probe <sfDir>   solo re-run untouched slower movers via
+                         `sbt "runMain graft.Probe suite <sfDir> q,..."`
+                         and append the solo numbers to the report
 
 A query is flagged when best(cur) > FLAG_RATIO * best(prev) AND
 best(cur) - best(prev) > FLOOR_SEC (cheap queries never trip on noise).
 `best` is min(t, retry) — the same number Bench feeds its total. Entries
 present on one side only are listed as added/removed.
+
+Each mover is labeled `touched` (some file changed in the round mentions
+the query's name) or `untouched` (no changed src/main file references it
+— the sweep delta is host noise until a solo probe says otherwise). The
+name-grep is an approximation: a query moved by a change to a shared
+operator it calls but never names would read `untouched`; the solo probe
+is what settles those, which is why --probe targets exactly that set.
 """
 import json
+import re
 import subprocess
 import sys
 
@@ -32,7 +46,7 @@ def best(v):
 def load(path):
     with open(path) as f:
         d = json.load(f)
-    return {k: best(v) for k, v in d.get("queries", {}).items()}, d
+    return {k: best(v) for k, v in d.get("queries", {}).items()}
 
 
 def load_git(ref):
@@ -41,19 +55,65 @@ def load_git(ref):
         capture_output=True, text=True)
     if out.returncode != 0:
         sys.exit(f"no BENCH_LAST.json at {ref}: {out.stderr.strip()}")
-    d = json.loads(out.stdout)
-    return {k: best(v) for k, v in d.get("queries", {}).items()}, d
+    return {k: best(v) for k, v in json.loads(out.stdout).get("queries", {}).items()}
+
+
+def changed_files(ref):
+    out = subprocess.run(
+        ["git", "diff", "--name-only", f"{ref}..HEAD", "--", "src/main"],
+        capture_output=True, text=True)
+    return [f for f in out.stdout.splitlines() if f.strip()] \
+        if out.returncode == 0 else None
+
+
+def touched_by(name, files):
+    """True when any round-changed src/main file mentions the query's name
+    (full name or its qNN prefix as a word)."""
+    pref = name.split("_")[0]
+    pat = re.compile(r"\b(%s|%s)\b" % (re.escape(name), re.escape(pref)))
+    for f in files:
+        try:
+            with open(f, errors="replace") as fh:
+                if pat.search(fh.read()):
+                    return True
+        except OSError:
+            continue
+    return False
+
+
+def solo_probe(names, sf_dir):
+    """Run graft.Probe suite over the given queries; returns {name: sec}."""
+    cmd = ["sbt", "--error",
+           f'runMain graft.Probe suite {sf_dir} {",".join(names)}']
+    out = subprocess.run(cmd, capture_output=True, text=True)
+    solo = {}
+    for m in re.finditer(r"PROBE (\S+): ([0-9.]+) s", out.stdout):
+        solo[m.group(1)] = float(m.group(2))
+    if not solo:
+        print(f"  (solo probe produced no timings; sbt rc={out.returncode})")
+    return solo
 
 
 def main(argv):
+    ref = None
+    probe_dir = None
+    if "--ref" in argv:
+        i = argv.index("--ref")
+        ref = argv[i + 1]
+        del argv[i:i + 2]
+    if "--probe" in argv:
+        i = argv.index("--probe")
+        probe_dir = argv[i + 1]
+        del argv[i:i + 2]
     if argv and argv[0] == "--git":
-        ref = argv[1] if len(argv) > 1 else "HEAD~1"
-        prev, _ = load_git(ref)
-        cur, curd = load("BENCH_LAST.json")
-        src = f"git:{ref} vs BENCH_LAST.json"
+        gref = argv[1] if len(argv) > 1 else "HEAD~1"
+        prev = load_git(gref)
+        cur = load("BENCH_LAST.json")
+        src = f"git:{gref} vs BENCH_LAST.json"
+        ref = ref or gref
     elif len(argv) == 2:
-        prev, _ = load(argv[0])
-        cur, curd = load(argv[1])
+        prev = load(argv[0])
+        cur = load(argv[1])
         src = f"{argv[0]} vs {argv[1]}"
     else:
         sys.exit(__doc__)
@@ -61,30 +121,64 @@ def main(argv):
     both = sorted(set(prev) & set(cur))
     added = sorted(set(cur) - set(prev))
     removed = sorted(set(prev) - set(cur))
-    tp = sum(v for v in (prev[k] for k in both) if v >= 0)
-    tc = sum(v for v in (cur[k] for k in both) if v >= 0)
+    # totals over queries valid on BOTH sides only — summing each side's
+    # own successes would compare different query sets whenever a query
+    # flips fail state (ADVICE r10)
+    valid = [k for k in both if prev[k] >= 0 and cur[k] >= 0]
+    tp = sum(prev[k] for k in valid)
+    tc = sum(cur[k] for k in valid)
     print(f"bench_diff: {src}")
-    print(f"shared {len(both)} queries: total {tp:.1f}s -> {tc:.1f}s "
-          f"({(tc - tp) / tp:+.1%})" if tp else "no shared queries")
+    print(f"shared {len(both)} queries ({len(valid)} valid both sides): "
+          f"total {tp:.1f}s -> {tc:.1f}s ({(tc - tp) / tp:+.1%})" if tp
+          else "no shared valid queries")
     movers = []
     for k in both:
         p, c = prev[k], cur[k]
         if p < 0 or c < 0:
-            if p < 0 or c < 0:
+            # flag only a fail-state CHANGE; failed-both-rounds is not
+            # a transition (ADVICE r10)
+            if (p < 0) != (c < 0):
                 movers.append((float("inf"), k, p, c, "FAIL-STATE CHANGE"))
             continue
         if c > FLAG_RATIO * p and c - p > FLOOR_SEC:
             movers.append((c / max(p, 1e-9), k, p, c, "slower"))
         elif p > FLAG_RATIO * c and p - c > FLOOR_SEC:
             movers.append((c / max(p, 1e-9), k, p, c, "faster"))
+
+    files = changed_files(ref) if ref else None
+    labels = {}
+    if files is not None:
+        for _, k, _, _, _ in movers:
+            labels[k] = "touched" if touched_by(k, files) else "untouched"
+
     for r, k, p, c, tag in sorted(movers, key=lambda m: -m[0]):
-        print(f"  {tag:>7} {k}: {p:.2f}s -> {c:.2f}s ({r:.2f}x)")
+        lab = f" [{labels[k]}]" if k in labels else ""
+        print(f"  {tag:>7} {k}: {p:.2f}s -> {c:.2f}s ({r:.2f}x){lab}")
     if not movers:
         print(f"  no movers past {FLAG_RATIO}x + {FLOOR_SEC}s")
     if added:
         print(f"  added ({len(added)}): " + ", ".join(added))
     if removed:
         print(f"  removed ({len(removed)}): " + ", ".join(removed))
+
+    if probe_dir:
+        # adjudicate exactly the set the labels cannot clear: queries that
+        # got slower without a touched code path
+        targets = sorted(k for _, k, _, _, tag in movers
+                         if tag == "slower" and labels.get(k) != "touched")
+        if targets:
+            print(f"  solo-probing {len(targets)} untouched slower movers "
+                  f"on {probe_dir} ...")
+            solo = solo_probe(targets, probe_dir)
+            for k in targets:
+                s = solo.get(k)
+                verdict = ("noise" if s is not None and s <= FLAG_RATIO * prev[k]
+                           else "REGRESSION?" if s is not None else "no timing")
+                ss = f"{s:.2f}s" if s is not None else "-"
+                print(f"  solo {k}: sweep {cur[k]:.2f}s, solo {ss}, "
+                      f"prev {prev[k]:.2f}s -> {verdict}")
+        else:
+            print("  no untouched slower movers to probe")
 
 
 if __name__ == "__main__":
