@@ -81,6 +81,42 @@ object ContainsAny {
       org.apache.spark.sql.graft.bridge.expression(
         org.apache.spark.sql.functions.typedlit(patterns))))
 
+  /** Fail-loud ceiling on from-frame pattern collection (distinct
+    * patterns). Overridable per session via `graft.containsAny
+    * .maxPatterns`. 250k patterns ≈ 25 MB of plan-time strings +
+    * a same-order automaton — comfortably broadcastable; a blocklist
+    * past it should go through the distributed gram join (q63) instead
+    * of a plan-time automaton. */
+  private[graft] val MaxPatternsKey = "graft.containsAny.maxPatterns"
+  private val MaxPatternsDefault = 250000L
+
+  /** Build the scan from a PATTERN TABLE instead of a literal — the
+    * decontamination shape, where the blocklist is data (q63's
+    * test-split grams, an eval-benchmark phrase table) rather than
+    * configuration. The distinct patterns are collected at plan-build
+    * time under a fail-loud cap (the IncrementalBpe doctrine: a bound
+    * that is ENFORCED distributed before anything reaches the driver,
+    * never assumed), sorted so the embedded literal — and therefore
+    * the plan — is deterministic whatever the frame's partitioning.
+    * `patterns` must be a one-column-usable frame of non-empty strings. */
+  def fromFrame(text: Column, patterns: org.apache.spark.sql.DataFrame,
+      patternCol: String): Column = {
+    val s = patterns.sparkSession
+    val max = s.conf.get(MaxPatternsKey, MaxPatternsDefault.toString).toLong
+    val pats = patterns
+      .select(org.apache.spark.sql.functions.col(patternCol).as("p"))
+      .distinct().persist()
+    try {
+      val n = pats.count() // gates BEFORE the collect, distributed
+      require(n > 0L && n <= max,
+        s"graft_contains_any.fromFrame: $n distinct patterns exceeds the " +
+          s"plan-time automaton cap $max (conf $MaxPatternsKey). A " +
+          "blocklist this large is corpus-shaped: use the distributed " +
+          "gram join (q63_decontaminate) instead of a broadcast automaton.")
+      apply(text, pats.orderBy("p").collect().map(_.getString(0)).toSeq)
+    } finally pats.unpersist(blocking = false)
+  }
+
   /** Aho–Corasick automaton over UTF-16 chars: goto tries + BFS fail
     * links + dictionary-link output sets. Built once per plan, shipped
     * whole (Serializable) to executors. */

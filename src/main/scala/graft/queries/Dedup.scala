@@ -487,6 +487,58 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q218: q63's decontamination report driven through the native
+    // Aho–Corasick kernel instead of the gram equi-join — the automaton
+    // is built ONCE at plan time from the test split's distinct 8-gram
+    // TABLE (ContainsAny.fromFrame: distributed distinct + fail-loud
+    // cap, then one bounded collect — the blocklist is eval-corpus-
+    // sized, not training-corpus-sized), and every training document
+    // then pays ONE O(|text|) pass whatever the pattern count, where
+    // the join path shuffles the training side's full gram explode.
+    // Token alignment rides space padding: patterns are " g8 " scanned
+    // over " text " — with the split(' ') token convention a padded
+    // substring hit IS a token-aligned 8-gram occurrence, so n_shared
+    // (distinct patterns found) equals q63's count(DISTINCT shared
+    // grams) exactly and the oracle is q63's own CTE chain minus the
+    // per-test-doc attribution (which needs the join's provenance —
+    // that report stays q63). At 100 TB: test/eval splits are bounded
+    // by construction (the cap enforces it); the training side streams
+    // scan-parallel with no shuffle at all — the report aggregation
+    // disappears into the scan.
+    QuerySpec.sqlBacked("q218_decontaminate_ac",
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, nib,
+        |    unnest(list_distinct(list_transform(range(1, len(ws)-6),
+        |      i -> array_to_string(ws[i:i+7], ' ')))) AS g
+        |  FROM w WHERE len(ws) >= 8),
+        |tr AS (SELECT doc_id, g FROM g WHERE nib <= 12),
+        |te AS (SELECT DISTINCT g FROM g WHERE nib >= 14)
+        |SELECT tr.doc_id AS train_id, count(DISTINCT tr.g) AS n_shared
+        |FROM tr JOIN te USING (g)
+        |GROUP BY tr.doc_id ORDER BY train_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          (instr(lit("0123456789abcdef"),
+            substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"))
+      val tePats = docs.filter(col("nib") >= 14)
+        .select(explode(
+          graft.plans.WordShingles(col("text"), 8, distinct = true)).as("g8"))
+        .select(concat(lit(" "), col("g8"), lit(" ")).as("pat"))
+      val nShared = graft.plans.ContainsAny.fromFrame(
+        concat(lit(" "), col("text"), lit(" ")), tePats, "pat")
+      docs.filter(col("nib") <= 12)
+        .select(col("doc_id").as("train_id"),
+          nShared.cast("long").as("n_shared"))
+        .filter(col("n_shared") > 0)
+        .orderBy(col("train_id"))
+    },
+
+    // ------------------------------------------------------------------
     // Decontamination end to end: EMIT the cleaned training corpus — the
     // q56 train split minus every document q63-style gram sharing marks
     // as contaminated (the step a pipeline actually ships; q63 is its

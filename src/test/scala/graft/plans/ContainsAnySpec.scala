@@ -64,6 +64,37 @@ class ContainsAnySpec extends SparkSpec {
     } finally spark.conf.set(conf, prev)
   }
 
+  test("fromFrame equals the literal path and dedups the pattern table") {
+    val pats = Seq("he", "she", "she", "hers", "he").toDF("pat") // dups
+    val df = Seq("ushers he x", "none", "she said").toDF("t")
+    val viaFrame = df.select(
+      ContainsAny.fromFrame(col("t"), pats, "pat").as("n"))
+      .as[Int].collect().toSeq
+    val viaLit = df.select(
+      ContainsAny(col("t"), Seq("he", "she", "hers")).as("n"))
+      .as[Int].collect().toSeq
+    assert(viaFrame == viaLit)
+  }
+
+  test("fromFrame fails loudly past the pattern cap, before collecting") {
+    val key = ContainsAny.MaxPatternsKey
+    val pats = (1 to 10).map(i => s"p$i").toDF("pat")
+    spark.conf.set(key, "4")
+    try {
+      val err = intercept[IllegalArgumentException] {
+        ContainsAny.fromFrame(col("t"), pats, "pat")
+      }
+      assert(err.getMessage.contains(key) &&
+        err.getMessage.contains("q63_decontaminate"))
+      spark.conf.set(key, "10")
+      // at the cap it builds; the automaton sees all 10 patterns
+      val n = Seq("p1 p7 p10").toDF("t")
+        .select(ContainsAny.fromFrame(col("t"), pats, "pat").as("n"))
+        .head.getInt(0)
+      assert(n == 3)
+    } finally spark.conf.unset(key)
+  }
+
   test("a non-literal pattern column is rejected") {
     val df = Seq(("abc", Seq("a"))).toDF("t", "pats")
     val err = intercept[Exception] {
