@@ -42,6 +42,31 @@ object Probe {
       println(f"PROBE sql: $dt%.2f s ($n rows)")
       spark.stop(); return
     }
+    if (name == "twolevel") {
+      // selector probe (round-10 ask #2): a synthetic corpus big enough
+      // that adaptive k crosses a LOWERED flat ceiling, so assignAuto
+      // takes the two-level path — and the flat path at the same k runs
+      // beside it for the cost ratio. Deterministic hash-derived
+      // vectors; n from args(2) (default 1M -> k = n/250 = 4000).
+      import org.apache.spark.sql.functions._
+      val n = if (args.length > 2) args(2).toLong else 1000000L
+      val dim = 16
+      val iters = 2
+      val k = math.max(8L, (n + 249L) / 250L).toInt // the adaptive-k curve
+      val v = spark.range(n).select(col("id"), expr(
+        s"transform(sequence(1, $dim), i -> pmod(CAST(hash(id * $dim + i) AS BIGINT), 1000000L))")
+        .as("qv")).persist()
+      v.count()
+      spark.conf.set(graft.operators.KMeans.FlatKCeilingKey, (k - 1).toString)
+      val (dt2, n2) = timed(spark)(
+        graft.operators.KMeans.assignAuto(v, k, iters, dim))
+      println(f"PROBE twolevel n=$n k=$k auto(two-level): $dt2%.2f s ($n2 rows)")
+      val (dt1, n1) = timed(spark)(
+        graft.operators.KMeans.assign(v, k, iters, dim))
+      println(f"PROBE twolevel n=$n k=$k flat:            $dt1%.2f s ($n1 rows)")
+      v.unpersist()
+      spark.stop(); return
+    }
     if (name == "suite") {
       // time several queries in one JVM: runMain graft.Probe suite <dir> q36_x,q37_y
       args(2).split(",").toSeq.foreach { qn =>

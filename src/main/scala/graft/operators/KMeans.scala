@@ -113,6 +113,66 @@ object KMeans {
       .select(col("id"), col("cid").as("cluster"), col("dist"))
   }
 
+  /** The flat argmin's k ceiling: past it the k×dim centroid table can
+    * no longer ride a foldable plan literal / broadcast row (at dim 64
+    * and k = 1e5 the table is ~50 MB embedded in every task binary —
+    * the envelope Similarity's adaptive-k curve documents at n ≈ 25M
+    * vectors), so [[assignAuto]] switches to the two-level path.
+    * Overridable per session via `graft.kmeans.flatKCeiling` (specs pin
+    * the selector by lowering it). */
+  private[graft] val FlatKCeilingKey = "graft.kmeans.flatKCeiling"
+  private[graft] val FlatKCeilingDefault = 100000
+
+  /** [[assign]] with AUTOMATIC flat-vs-two-level selection: at or under
+    * the ceiling this IS assign (bit-identical — the gate-SF contract);
+    * past it the same (id, cluster, dist) surface is produced by
+    * [[assignTwoLevel]], whose per-row cost is O(√k) comparisons
+    * instead of O(k) and whose biggest single centroid table is
+    * O(√k·dim) instead of O(k·dim) — the continuation that keeps the
+    * adaptive-k consumers (q103/q110) alive past k ~ 1e5 without a
+    * manual rewrite. */
+  def assignAuto(vecs: DataFrame, k: Int, iters: Int, dim: Int): DataFrame = {
+    val ceiling = vecs.sparkSession.conf
+      .get(FlatKCeilingKey, FlatKCeilingDefault.toString).toInt
+    if (k <= ceiling) assign(vecs, k, iters, dim)
+    else assignTwoLevel(vecs, k, iters, dim)
+  }
+
+  /** Two-level (coarse × fine) k-means assignment producing ~k clusters:
+    * k1 = ⌈√k⌉ coarse cells trained flat, then one GROUPED Lloyd job
+    * ([[groupedCentroids]] — the q146/q210 machinery) trains
+    * k2 = ⌈k/k1⌉ fine centroids inside every coarse cell, and the fine
+    * argmin joins each row to ITS cell's codebook (plain equi-join on
+    * the cell id — k1·k2·dim longs total across the table, shuffled not
+    * broadcast-pinned; AQE still promotes it to broadcast while it
+    * fits). cluster = coarse·k2 + fine, dist = exact squared L2 to the
+    * winning FINE centroid. Deterministic like the flat path (lowest-id
+    * init, lowest-cid ties, truncating div) but NOT the same partition
+    * of the corpus as flat k-means with k clusters — callers switch
+    * here for the Σ|c|²-bound contract (target cluster cardinality),
+    * not for centroid-level equality. */
+  def assignTwoLevel(vecs: DataFrame, k: Int, iters: Int,
+      dim: Int): DataFrame = {
+    require(k >= 2, s"two-level k-means needs k >= 2, got $k")
+    val v = vecs.select(col(vecs.columns(0)).as("id"),
+      col(vecs.columns(1)).as("qv"))
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = (k + k1 - 1) / k1
+    val coarse = centroids(v, k1, iters, dim)
+    val asg1 = assignUnder(v, coarse)
+      .select(col("id"), col("qv"), col("cid").as("g"))
+    val fine = groupedCentroids(
+      asg1.select(col("g"), col("id"), col("qv")), k2, iters, dim)
+    val books = fine.groupBy(col("g"))
+      .agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
+    asg1.join(books, "g")
+      .select(col("id"), col("g"),
+        graft.plans.NearestCentroid(col("qv"), col("cents")).as("best"))
+      .select(col("id"),
+        (col("g") * k2 + col("best.cid")).cast("int").as("cluster"),
+        col("best.d").as("dist"))
+  }
+
   /** [[centroids]] for MANY independent problems at once: vecs carries a
     * GROUP column (g: int, id: long, qv: array<long> of `dim`) and each
     * group trains its own k-centroid codebook — bit-identically to

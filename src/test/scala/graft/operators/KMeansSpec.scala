@@ -96,6 +96,66 @@ class KMeansSpec extends SparkSpec {
     assert(got == want, "grouped trainer diverged from the sequential one")
   }
 
+  test("assignAuto: flat at or under the ceiling, two-level past it") {
+    val key = KMeans.FlatKCeilingKey
+    val flat = KMeans.assign(quantized, K, Iters, Dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    try {
+      // k == ceiling: the selector must take the flat path bit-identically
+      spark.conf.set(key, K.toString)
+      val auto = KMeans.assignAuto(quantized, K, Iters, Dim)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(auto == flat, "assignAuto at the ceiling diverged from flat")
+      // k > ceiling: the two-level path must be the one taken
+      spark.conf.set(key, (K - 1).toString)
+      val two = KMeans.assignAuto(quantized, K, Iters, Dim)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      val direct = KMeans.assignTwoLevel(quantized, K, Iters, Dim)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(two == direct, "assignAuto past the ceiling is not two-level")
+      assert(two != flat, "two-level unexpectedly equals flat on this corpus")
+    } finally spark.conf.unset(key)
+  }
+
+  test("two-level assignment: per-cell argmin against that cell's codebook") {
+    // reconstruct the two-level result from its own primitives: coarse
+    // cells from centroids(k1), per-cell fine codebooks from
+    // groupedCentroids, then assignUnder within each cell — the fused
+    // operator must agree row for row (id -> (g*k2 + fine, fineDist))
+    val k = 6 // k1 = 3, k2 = 2
+    val k1 = math.ceil(math.sqrt(k.toDouble)).toInt
+    val k2 = (k + k1 - 1) / k1
+    val coarse = KMeans.centroids(quantized, k1, Iters, Dim)
+    val asg1 = KMeans.assignUnder(quantized, coarse)
+      .select(col("id"), col("qv"), col("cid").as("g"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getInt(2)))
+    import spark.implicits._
+    val fineIn = asg1.toSeq.map { case (id, qv, g) => (g, id, qv) }
+      .toDF("g", "id", "qv")
+    val fine = KMeans.groupedCentroids(fineIn, k2, Iters, Dim)
+    val want = asg1.groupBy(_._3).toSeq.flatMap { case (g, members) =>
+      val book = fine.filter(col("g") === g)
+        .select(col("cid"), col("cv"))
+      KMeans.assignUnder(
+          members.toSeq.map(m => (m._1, m._2)).toDF("id", "qv"), book)
+        .collect()
+        .map(r => (r.getLong(0), g * k2 + r.getInt(2), r.getLong(3)))
+        .toSeq
+    }.toSet
+    val got = KMeans.assignTwoLevel(quantized, k, Iters, Dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == want, "fused two-level diverged from its primitives")
+    assert(got.map(_._2).forall(c => c >= 0 && c < k1 * k2))
+  }
+
+  test("two-level assignment is invariant to input partitioning") {
+    val base = KMeans.assignTwoLevel(quantized, 6, Iters, Dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val repart = KMeans.assignTwoLevel(quantized.repartition(7), 6, Iters, Dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(base == repart)
+  }
+
   test("a cluster that captures no points keeps its previous centroid") {
     import spark.implicits._
     // v2 duplicates v0, so init centroid 2 == centroid 0 and every point
