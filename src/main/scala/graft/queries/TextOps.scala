@@ -1511,11 +1511,26 @@ object TextOps {
 
   private def bpeTrain(s: SparkSession, dir: String,
       rounds: Int): (Seq[DataFrame], DataFrame) = {
-    val foldCase = bpeFoldCase
-    var vocab = Tables.spread(s, dir, "documents")
+    val hist = Tables.spread(s, dir, "documents")
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    bpeTrainFromHist(hist, rounds)
+  }
+
+  /** The DISTRIBUTED BPE merge fold over an explicit (word, n) histogram
+    * frame — the whole training after the corpus scan. Shared verbatim
+    * by batch q130/q149 (via [[bpeTrain]]) and the streaming twin
+    * ([[graft.streaming.IncrementalBpe]].model — the knFromCounts
+    * doctrine: twin and batch share the derivation, so parity pins ONE
+    * implementation against the DuckDB oracle instead of two against
+    * each other). Nothing here touches the driver beyond each round's
+    * single argmax row. */
+  private[graft] def bpeTrainFromHist(hist: DataFrame,
+      rounds: Int): (Seq[DataFrame], DataFrame) = {
+    val foldCase = bpeFoldCase
+    var vocab = hist
+      .select(col(hist.columns(0)).as("word"), col(hist.columns(1)).as("n"))
       .withColumn("repr", concat_ws(" ", split(col("word"), "")))
       .localCheckpoint()
     var merges = Seq.empty[DataFrame]

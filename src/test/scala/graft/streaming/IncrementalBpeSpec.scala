@@ -2,19 +2,21 @@ package graft.streaming
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
 
 import graft.SparkSpec
 
-/** [[IncrementalBpe]]: after ANY batch split of the corpus the replayed
-  * training must equal batch q130's merge table row for row AND derive
-  * q149's per-document encode stats exactly (the histogram is the
-  * training's whole input, and addition is the batch aggregate's
-  * merge); plus the foreachBatch and seeded-restart contracts of the
-  * twin family. The driver replay is an independent implementation of
-  * the merge fold, so this differential cross-checks it against the
-  * distributed one. */
+/** [[IncrementalBpe]]: after ANY batch split of the corpus the compacted
+  * histogram must derive batch q130's merge table row for row AND q149's
+  * per-document encode stats exactly (keyed-state addition IS the batch
+  * aggregate's merge; the derivation is the SHARED bpeTrainFromHist),
+  * per-batch emissions must stay proportional to the batch (never the
+  * corpus — the driver-map-with-cap this twin's rewrite retired), and a
+  * stop/restart from the engine checkpoint must resume the counts
+  * exactly. */
 class IncrementalBpeSpec extends SparkSpec {
   import spark.implicits._
+  import IncrementalBpe.CountUpdate
 
   private val dir = "/root/testdata/sf0.001"
   private val Rounds = 4 // TextOps.BpeRounds (private; q130 runs 4)
@@ -33,76 +35,111 @@ class IncrementalBpeSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
       .map(t => t._1 -> (t._2, t._3)).toMap
 
-  /** q149's per-doc stats derived from a twin vocabulary. */
-  private def encodeWith(vocab: Map[String, String])
-      : Map[Long, (Long, Long)] =
-    docs().map { case (id, text) =>
-      val ws = text.split(" ").filter(_.nonEmpty)
-      id -> (ws.length.toLong,
-        ws.map(w => vocab(w).split(" ").length.toLong).sum)
-    }.toMap
+  private def withRocks[T](body: => T): T = {
+    val provider = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.get(provider)
+    spark.conf.set(provider, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try body finally spark.conf.set(provider, prev)
+  }
 
-  test("replayed training equals batch q130/q149 under any batch split") {
+  /** Merge table + encode stats derived from an accumulated update
+    * stream through the twin's own compaction and shared fold. */
+  private def modelOf(updates: Seq[CountUpdate])
+      : (Seq[(Long, String, String, Long)], Map[Long, (Long, Long)]) = {
+    val hist = IncrementalBpe.table(updates.toDF("word", "n")).persist()
+    try {
+      val (mergeFrames, vocabFrame) = IncrementalBpe.model(hist, Rounds)
+      val merges = mergeFrames.map(_.select(col("round"), col("lhs"),
+          col("rhs"), col("c")).as[(Long, String, String, Long)].head())
+      val vocab = vocabFrame.select(col("word"), col("repr"))
+        .as[(String, String)].collect().toMap
+      val enc = docs().map { case (id, text) =>
+        val ws = text.split(" ").filter(_.nonEmpty)
+        id -> (ws.length.toLong,
+          ws.map(w => vocab(w).split(" ").length.toLong).sum)
+      }.toMap
+      (merges, enc)
+    } finally hist.unpersist(blocking = false)
+  }
+
+  test("streamed counts derive batch q130/q149 under any batch split") {
     assert(batchMerges.size == Rounds && batchEncode.nonEmpty)
-    for (nBatches <- Seq(1, 3, 8)) {
-      val bpe = new IncrementalBpe
-      docs().grouped((docs().size + nBatches - 1) / nBatches)
-        .foreach(b => bpe.update(b.toDF("doc_id", "text").repartition(4),
-          "text"))
-      val (merges, vocab) = bpe.model(Rounds)
+    for (nBatches <- Seq(1, 3, 8)) withRocks {
+      implicit val sqlCtx = spark.sqlContext
+      val in = MemoryStream[(Long, String)]
+      val name = s"bpe_updates_$nBatches"
+      val q = IncrementalBpe.counts(
+          IncrementalBpe.words(in.toDS().toDF("doc_id", "text"), "text"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      val perBatchRows = try {
+        val all = docs()
+        all.grouped((all.size + nBatches - 1) / nBatches).map { b =>
+          in.addData(b); q.processAllAvailable()
+          spark.table(name).count()
+        }.toSeq
+      } finally q.stop()
+      val updates = spark.table(name).as[CountUpdate].collect().toSeq
+      val (merges, enc) = modelOf(updates)
       assert(merges == batchMerges,
         s"nBatches=$nBatches merge table diverged:\n$merges\nvs\n$batchMerges")
-      assert(encodeWith(vocab) == batchEncode,
+      assert(enc == batchEncode,
         s"nBatches=$nBatches encode stats diverged from q149")
-    }
-  }
-
-  test("runs under a real foreachBatch stream") {
-    implicit val sqlCtx = spark.sqlContext
-    val in = MemoryStream[(Long, String)]
-    val bpe = new IncrementalBpe
-    val q = in.toDS().toDF("doc_id", "text").writeStream
-      .outputMode("append")
-      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
-        bpe.update(b, "text")
+      // emission growth is per-batch work, and the corpus-proportional
+      // histogram is NEVER re-emitted: each batch appends at most its
+      // own touched-word count
+      if (nBatches > 1) {
+        val increments = perBatchRows.zip(0L +: perBatchRows).map {
+          case (cur, prev) => cur - prev
+        }
+        assert(increments.forall(_ < updates.length),
+          "a single batch re-emitted the whole histogram")
       }
-      .start()
-    try {
-      docs().grouped(150).foreach { b => in.addData(b); q.processAllAvailable() }
-    } finally q.stop()
-    assert(bpe.model(Rounds)._1 == batchMerges)
-  }
-
-  test("restart re-seeded from the histogram snapshot converges to batch") {
-    val all = docs()
-    val (firstHalf, rest) = all.splitAt(all.size / 2)
-    val first = new IncrementalBpe
-    first.update(firstHalf.toDF("doc_id", "text"), "text")
-    val resumed = new IncrementalBpe
-    resumed.seed(first.counts)
-    assert(resumed.totalWords == first.totalWords)
-    resumed.update(rest.toDF("doc_id", "text"), "text")
-    assert(resumed.model(Rounds)._1 == batchMerges,
-      "seeded restart diverged from the batch merge table")
-    intercept[IllegalArgumentException] { resumed.seed(first.counts) }
-  }
-
-  test("the distinct-word cap fails loudly before anything is collected") {
-    val capped = new IncrementalBpe(maxDistinctWords = 3L)
-    val wide = Seq((1L, "a b c d e")).toDF("doc_id", "text")
-    val err = intercept[IllegalArgumentException] {
-      capped.update(wide, "text")
     }
-    assert(err.getMessage.contains("maxDistinctWords"))
-    assert(capped.distinctWords == 0L && capped.totalWords == 0L,
-      "a rejected batch must leave the histogram untouched")
-    // under the cap the same instance still absorbs normally
-    capped.update(Seq((2L, "a b a")).toDF("doc_id", "text"), "text")
-    assert(capped.distinctWords == 2L && capped.totalWords == 3L)
-    // an oversized snapshot is rejected at seed time too
-    val fresh = new IncrementalBpe(maxDistinctWords = 1L)
-    intercept[IllegalArgumentException] {
-      fresh.seed(Seq(("a", 1L), ("b", 1L)))
+  }
+
+  test("stop/restart resumes the counts from the engine checkpoint") {
+    withRocks {
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_bpe_src").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_bpe_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_bpe_out").toString
+      def startQuery() = IncrementalBpe.counts(
+          IncrementalBpe.words(
+            spark.readStream.schema("doc_id LONG, text STRING")
+              .parquet(srcDir), "text"))
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[CountUpdate], _: Long) =>
+            batch.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(outDir)
+        }
+        .option("checkpointLocation", ckpt)
+        .outputMode(OutputMode.Append)
+        .start()
+      val all = docs()
+      val (firstHalf, rest) = all.splitAt(all.size / 2)
+      firstHalf.toDF("doc_id", "text").write
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q1 = startQuery()
+      q1.processAllAvailable(); q1.stop()
+      // a LOST state would restart every resumed word at its batch-2
+      // delta; the max-compaction would then under-count exactly the
+      // words straddling the restart
+      rest.toDF("doc_id", "text").write
+        .mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q2 = startQuery()
+      q2.processAllAvailable(); q2.stop()
+      val updates = spark.read.parquet(outDir).as[CountUpdate]
+        .collect().toSeq
+      val (merges, enc) = modelOf(updates)
+      assert(merges == batchMerges,
+        "checkpoint restart diverged from the batch merge table")
+      assert(enc == batchEncode,
+        "checkpoint restart diverged from the batch encode stats")
     }
   }
 }
