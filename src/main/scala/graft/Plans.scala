@@ -619,22 +619,21 @@ object Plans {
         "run interpreted. Rerank cost at 10x: +1 s over the candidate " +
         "stage's own 23.7 s.",
       details = Seq("graft_maxsim")),
-    Entry("q203_banding_curve",
-      "Parameter pre-flight: the K=16 MinHash signature frame is " +
-        "computed ONCE (native MinHashSig, scratch-cached) and each " +
+    Entry("q209_banding_curve_sampled",
+      "Parameter pre-flight at scale: the K=16 MinHash signature frame " +
+        "is computed ONCE (native MinHashSig, scratch-cached) and each " +
         "(bands, rows) grid point re-bands the cached frame - three " +
-        "cheap (band-hash, doc_id) exchanges, posting-list pair " +
-        "generation, and an exact ppm precision/recall report against " +
-        "the q36 truth. At 100 TB the signature pass is the scan-bound " +
-        "cost; the grid amortizes it across every operating point " +
-        "under consideration. Decade probes 4.4/14.4/89.9 s - the " +
-        "100x tail is the exact-truth companion join, not the grid; " +
-        "q209 is the at-scale variant whose truth side is the SEEDED " +
-        "doc sample (doc_id % 4 -> 1/16 of pairs, cut pushed to the " +
-        "shingle explode): 100x grading 89.9 -> 23.5 s with the " +
-        "recall estimator's std err ~ sqrt(r(1-r)/n_true_sampled) " +
-        "documented at the query site. Candidates stay full-corpus - " +
-        "the curve tunes the real index, only its grading is sampled.",
+        "cheap (band-hash, doc_id) exchanges and posting-list pair " +
+        "generation, with recall graded against the q36 truth pipeline " +
+        "run on the SEEDED doc sample (doc_id % 4 -> 1/16 of pairs, " +
+        "cut pushed to the shingle explode). The exact-truth variant " +
+        "(the retired q203 ledger entry, kept as " +
+        "Dedup.bandingCurveExact) cost 89.9 s of truth join at the " +
+        "100x probe vs 23.5 s here, with estimator std err ~ " +
+        "sqrt(r(1-r)/n_true_sampled) documented at the query site; " +
+        "BandingCurveSpec cross-pins the estimator against the exact " +
+        "grid at gate SF. Candidates stay full-corpus - the curve " +
+        "tunes the real index, only its grading is sampled.",
       details = Seq("graft_minhash")),
     Entry("q204_score_calibration",
       "Calibration without a global window: the decile cut is " +

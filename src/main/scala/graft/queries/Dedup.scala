@@ -39,7 +39,7 @@ object Dedup {
     * tuning curve's grading tractable at 100x while the candidates
     * stay full-corpus. (Declared BEFORE `specs`: the oracle string
     * interpolates it eagerly — the BpeRounds lesson.) */
-  private val TruthSampleMod = 4
+  private[graft] val TruthSampleMod = 4
 
   /** Scoped scratch cache: persist the shared intermediates, materialize
     * `body` eagerly (localCheckpoint — so the scratch is consumed HERE,
@@ -71,7 +71,7 @@ object Dedup {
     * seeded truth sample — deterministic, so oracle-able; pair
     * survival rate 1/m², and the sample cut reaches the explode, so
     * the truth join's cost drops by the same factor). */
-  private def jaccardPairs(s: SparkSession, dir: String,
+  private[graft] def jaccardPairs(s: SparkSession, dir: String,
       sampleMod: Option[Int] = None): DataFrame = {
     val base0 = shingled(s, dir) // read twice: lens + index
     val base = sampleMod.fold(base0)(m => base0.filter(col("doc_id") % m === 0))
@@ -1777,98 +1777,6 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
-    // q203: LSH banding tuning curve — the pre-flight report an engineer
-    // reads BEFORE committing a (bands, rows) operating point to a
-    // 100 TB dedup run (the q194 policy-comparison doctrine applied to
-    // q37's knob): over the SAME K=16 MinHash signature frame, each
-    // grid config (2x8, 4x4, 8x2) generates its candidate pairs by
-    // banding, and precision/recall land as exact ppm integers against
-    // q36's exact-Jaccard truth (1-(1-J^r)^b in theory; THIS is the
-    // measured curve on the actual corpus). Signatures are computed
-    // ONCE (native MinHashSig, scratch-cached) and each config re-bands
-    // the cached frame — at 100 TB the signature pass is the scan-bound
-    // cost and the grid is |configs| cheap band exchanges over
-    // (band-hash, doc_id) pairs. Integer div by greatest(n, 1) keeps
-    // the ratios defined on degenerate corpora in both engines.
-    QuerySpec.sqlBacked("q203_banding_curve", {
-      val sigs = (0 until K).map(i =>
-        s"list_min(list_transform(sh, s -> md5('$i:' || s))) AS s$i")
-        .mkString(", ")
-      val grid = Seq(2 -> 8, 4 -> 4, 8 -> 2)
-      val candCtes = grid.map { case (b, r) =>
-        val bands = (0 until b).map(j =>
-          "md5(" + (r * j until r * j + r).map(i => s"s$i")
-            .mkString("||") + s") AS b$j").mkString(", ")
-        val barr = (0 until b).map(j => s"b$j").mkString("[", ",", "]")
-        val unn = (0 until b).mkString("[", ",", "]")
-        s"""sig2_$b AS (SELECT doc_id, $bands FROM sig),
-           |band_$b AS (SELECT doc_id, j, $barr[j+1] AS bh
-           |            FROM sig2_$b, unnest($unn) AS t(j)),
-           |cand_$b AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-           |  FROM band_$b a JOIN band_$b b
-           |    ON a.j = b.j AND a.bh = b.bh AND a.doc_id < b.doc_id)"""
-          .stripMargin
-      }.mkString(",\n")
-      val rows = grid.map { case (b, r) =>
-        s"""SELECT $b AS bands, $r AS rows_per_band,
-           |  (SELECT count(*) FROM cand_$b) AS n_cand,
-           |  (SELECT count(*) FROM cand_$b c JOIN jp USING (a_id, b_id))
-           |    AS n_hit""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $jaccardPairsCtes,
-         |sig AS (SELECT doc_id, $sigs FROM base),
-         |$candCtes,
-         |stats AS ($rows)
-         |SELECT CAST(bands AS INT) AS bands,
-         |  CAST(rows_per_band AS INT) AS rows_per_band,
-         |  CAST(n_cand AS BIGINT) AS n_cand,
-         |  CAST((SELECT count(*) FROM jp) AS BIGINT) AS n_true,
-         |  CAST(n_hit AS BIGINT) AS n_hit,
-         |  CAST(1000000 * n_hit // greatest(n_cand, 1) AS BIGINT)
-         |    AS precision_ppm,
-         |  CAST(1000000 * n_hit //
-         |    greatest((SELECT count(*) FROM jp), 1) AS BIGINT)
-         |    AS recall_ppm
-         |FROM stats ORDER BY bands""".stripMargin
-    }) { (s, dir) =>
-      val sigp = shingled(s, dir)
-        .select(col("doc_id"), graft.plans.MinHashSig(col("sh"), K).as("sig"))
-      val jp = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
-      withScratch(sigp, jp) {
-        val nTrue = jp.agg(count(lit(1)).as("n_true"))
-        val stats = Seq(2 -> 8, 4 -> 4, 8 -> 2).map { case (b, r) =>
-          val bandArr = (0 until b).map(j =>
-            md5(concat((r * j until r * j + r)
-              .map(i => col("sig").getItem(i)): _*)))
-          val cand = sigp
-            .select(col("doc_id"),
-              posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
-            .groupBy(col("j"), col("bh"))
-            .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-            .filter(size(col("ds")) >= 2)
-            .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
-            .select(col("a").as("a_id"), col("b").as("b_id"))
-            .distinct()
-          Dedup.withScratch(cand) {
-            cand.agg(count(lit(1)).as("n_cand"))
-              .crossJoin(cand.join(jp, Seq("a_id", "b_id"))
-                .agg(count(lit(1)).as("n_hit")))
-              .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-                col("n_cand"), col("n_hit"))
-          }
-        }
-        stats.reduce(_ unionByName _)
-          .crossJoin(broadcast(nTrue))
-          .select(col("bands"), col("rows_per_band"), col("n_cand"),
-            col("n_true"), col("n_hit"),
-            expr("1000000L * n_hit div greatest(n_cand, 1L)")
-              .as("precision_ppm"),
-            expr("1000000L * n_hit div greatest(n_true, 1L)")
-              .as("recall_ppm"))
-          .orderBy(col("bands"))
-      }
-    },
-
     // ------------------------------------------------------------------
     // q209: the banding tuning curve at SCALE — q203's grid with the
     // exact-truth companion SAMPLED (round-9 ask #6): q203's banding
@@ -1962,6 +1870,59 @@ object Dedup {
       }
     }
   )
+
+  /** The EXACT banding tuning curve — the q203 ledger entry of rounds
+    * 5–10, RETIRED from the query inventory in round 11 (round-10 ask
+    * #5): its recall denominator is the FULL q36 truth, which made it
+    * the measurement tail at scale (89.9 s of truth join at the 100×
+    * probe) while the graded index itself is cheap; q209 — the same
+    * grid with the SEEDED-sample truth — carries the in-ledger slot.
+    * The exact grid survives here as the spec-level ground truth:
+    * BandingCurveSpec cross-pins q209's sampled estimator against this
+    * curve at the gate SFs. Over the SAME K=16 MinHash signature frame
+    * (native MinHashSig, scratch-cached, each config re-bands the
+    * cached frame), each grid config (2x8, 4x4, 8x2) generates its
+    * candidate pairs by banding and precision/recall land as exact ppm
+    * integers against q36's exact-Jaccard truth. */
+  private[graft] def bandingCurveExact(s: SparkSession,
+      dir: String): DataFrame = {
+    val sigp = shingled(s, dir)
+      .select(col("doc_id"), graft.plans.MinHashSig(col("sh"), K).as("sig"))
+    val jp = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+    withScratch(sigp, jp) {
+      val nTrue = jp.agg(count(lit(1)).as("n_true"))
+      val stats = Seq(2 -> 8, 4 -> 4, 8 -> 2).map { case (b, r) =>
+        val bandArr = (0 until b).map(j =>
+          md5(concat((r * j until r * j + r)
+            .map(i => col("sig").getItem(i)): _*)))
+        val cand = sigp
+          .select(col("doc_id"),
+            posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
+          .groupBy(col("j"), col("bh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+          .select(col("a").as("a_id"), col("b").as("b_id"))
+          .distinct()
+        Dedup.withScratch(cand) {
+          cand.agg(count(lit(1)).as("n_cand"))
+            .crossJoin(cand.join(jp, Seq("a_id", "b_id"))
+              .agg(count(lit(1)).as("n_hit")))
+            .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
+              col("n_cand"), col("n_hit"))
+        }
+      }
+      stats.reduce(_ unionByName _)
+        .crossJoin(broadcast(nTrue))
+        .select(col("bands"), col("rows_per_band"), col("n_cand"),
+          col("n_true"), col("n_hit"),
+          expr("1000000L * n_hit div greatest(n_cand, 1L)")
+            .as("precision_ppm"),
+          expr("1000000L * n_hit div greatest(n_true, 1L)")
+            .as("recall_ppm"))
+        .orderBy(col("bands"))
+    }
+  }
 
   /** The q36 truth pipeline over the SEEDED doc sample (doc_id % m = 0)
     * as renamed CTEs ending in sjp(a_id, b_id) — q209's oracle body.
