@@ -517,6 +517,24 @@ object Plans {
         "call. 500k docs in 1.08 s at the 100x probe; no shuffle at " +
         "all before the final sort.",
       details = Seq("graft_contains_any")),
+    Entry("q218_decontaminate_ac",
+      "q63's decontamination report through the Aho-Corasick kernel: " +
+        "the automaton is built ONCE at plan time from the TEST " +
+        "split's distinct-gram TABLE (ContainsAny.fromFrame - " +
+        "distributed distinct + fail-loud cap before the bounded " +
+        "collect), then every training document pays one O(|text|) " +
+        "pass with NO gram-explode shuffle; space padding makes " +
+        "substring hits token-aligned, so the count equals q63's " +
+        "count(DISTINCT shared grams) exactly (oracle-gated). What " +
+        "ships to executors is the PATTERN STRINGS, not the trie: the " +
+        "task binary deserializes per task, and shipping the built " +
+        "~1.4M-node automaton cost 14.6 s of a 16.4 s run at sf0.1 - " +
+        "the fingerprint-cached per-JVM rebuild cut it to 2.1 s. At " +
+        "10x this synthetic test split exceeds the 250k-pattern cap " +
+        "and the operator REFUSES, naming q63's distributed join as " +
+        "the corpus-shaped path (the q39 requireAllPairsSmall " +
+        "doctrine): a plan-time automaton is for BOUNDED blocklists.",
+      details = Seq("graft_contains_any")),
     Entry("q214_rrf_fusion",
       "Hybrid-retrieval merge: the q41 LSH and q42 label-IVF rank " +
         "lists fuse by integer reciprocal-rank weights " +
