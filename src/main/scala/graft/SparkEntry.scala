@@ -38,16 +38,24 @@ object SparkEntry {
     * in malloc failures on the five allocation-heaviest oracles
     * (CORRECTNESS_r10 q36–q39/q41, `bad allocation` at ~256 KiB). Every
     * one of those queries runs in <64 MB when DuckDB is actually asked
-    * to stay small (measured at sf0.01), so the fix is a hard cap plus
-    * a spill directory: bounded footprint, disk instead of death.
-    * SET is connection-scoped in DuckDB, so carrying the prefix on every
-    * statement makes the cap hold whatever subset or order the driver
-    * runs; duckdb-python executes multi-statement strings through both
-    * `.sql()` and `.execute()` and returns the final SELECT's relation,
-    * so the driver's canonicalize/hash path is unchanged. */
+    * to stay small (measured at sf0.01), so the fix is a hard cap:
+    * bounded footprint, spill instead of death. 12 GB clears the two
+    * genuinely memory-hungry oracles whose recursive/window working
+    * sets cannot spill (q186 needs 8 GB, q208 4 GB — measured) while
+    * still bounding the pass at ~8× under the default (an in-memory
+    * DuckDB
+    * already defaults temp_directory to `.tmp`, and SETTING it is the
+    * one cap that CANNOT be repeated — it throws once the directory has
+    * been used, which would poison every later query in the pass, so it
+    * stays untouched). memory_limit and threads re-SET cleanly any
+    * number of times (verified), and SET is connection-scoped, so
+    * carrying the prefix on every statement makes the cap hold whatever
+    * subset or order the driver runs; duckdb-python executes
+    * multi-statement strings through both `.sql()` and `.execute()` and
+    * returns the final SELECT's relation, so the driver's
+    * canonicalize/hash path is unchanged. */
   private val OraclePragmas =
-    "SET memory_limit='2GB'; SET temp_directory='/tmp/graft_oracle_spill'; " +
-      "SET threads=8;\n"
+    "SET memory_limit='12GB'; SET threads=8;\n"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -8,9 +8,12 @@ object Verify {
     val (sfDir, outDir) = (args(0), args(1))
     // optional 3rd arg: comma-separated query names — dev-loop subset runs
     // (the dumped oracle_sql.json is filtered to match, so tools/check.py
-    // compares exactly the queries that were dumped)
+    // compares exactly the queries that were dumped); or `--sql-only` to
+    // rewrite the FULL oracle_sql.json without re-running any query
+    // (oracle-SQL-only edits leave the parquet dumps valid)
+    val sqlOnly = args.length > 2 && args(2) == "--sql-only"
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(",").toSet) else None
+      if (args.length > 2 && !sqlOnly) Some(args(2).split(",").toSet) else None
     def selected[T](m: Map[String, T]): Map[String, T] =
       only.fold(m)(names => m.view.filterKeys(names).toMap)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -33,6 +36,7 @@ object Verify {
     val json = selected(SparkEntry.oracleSql)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    if (sqlOnly) { spark.stop(); return }
     selected(SparkEntry.queries).foreach { case (name, fn) =>
       // drop any stale output first: if this run's query throws, a
       // previous run's parquet must not be compared as green
