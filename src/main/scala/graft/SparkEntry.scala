@@ -39,10 +39,12 @@ object SparkEntry {
     * (CORRECTNESS_r10 q36–q39/q41, `bad allocation` at ~256 KiB). Every
     * one of those queries runs in <64 MB when DuckDB is actually asked
     * to stay small (measured at sf0.01), so the fix is a hard cap:
-    * bounded footprint, spill instead of death. 12 GB clears the two
-    * genuinely memory-hungry oracles whose recursive/window working
-    * sets cannot spill (q186 needs 8 GB, q208 4 GB — measured) while
-    * still bounding the pass at ~8× under the default (an in-memory
+    * bounded footprint, spill instead of death. 4 GB clears the FULL
+    * 218-query pass with headroom (the two oracles that needed 8 GB /
+    * 4 GB — q186/q208 — were chained-recurrence CTEs that DuckDB's
+    * default inlining re-expanded ~3^k / ~9^r times; AS MATERIALIZED at
+    * their declaration sites runs both in <512 MB / <0.3 s) while
+    * bounding the pass at ~25× under the default (an in-memory
     * DuckDB
     * already defaults temp_directory to `.tmp`, and SETTING it is the
     * one cap that CANNOT be repeated — it throws once the directory has
@@ -55,7 +57,7 @@ object SparkEntry {
     * returns the final SELECT's relation, so the driver's
     * canonicalize/hash path is unchanged. */
   private val OraclePragmas =
-    "SET memory_limit='12GB'; SET threads=8;\n"
+    "SET memory_limit='4GB'; SET threads=8;\n"
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

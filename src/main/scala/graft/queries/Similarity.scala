@@ -1796,9 +1796,15 @@ object Similarity {
       def idotSql(a: String, b: String) =
         s"CAST(list_sum(list_transform(range(1, ${Vectors.Dim + 1}), " +
           s"i -> $a[i] * $b[i])) AS BIGINT)"
+      // AS MATERIALIZED on every recurrence CTE: each u_i is referenced
+      // three times (s_{i+1}'s join, its NOT EXISTS, and u_{i+1}), so
+      // DuckDB's default inlining expands the chain ~3^k — measured 8 GB
+      // / 10 s of pure optimizer+plan blow-up at sf0.01 where the
+      // materialized frames are 10–120 rows; forced materialization
+      // runs the identical query in <256 MB / 0.2 s.
       val steps = (2 to MmrK).map { i =>
         val u = s"u${i - 1}"
-        s"""s$i AS (SELECT q_id, cid, rel FROM (
+        s"""s$i AS MATERIALIZED (SELECT q_id, cid, rel FROM (
            |  SELECT p.q_id, p.cid, p.rel, row_number() OVER (
            |      PARTITION BY p.q_id ORDER BY p.rel - m.ms DESC, p.cid)
            |    AS rn
@@ -1811,28 +1817,30 @@ object Similarity {
            |    ON p.q_id = m.q_id AND p.cid = m.cid
            |  WHERE NOT EXISTS (SELECT 1 FROM $u
            |    WHERE $u.q_id = p.q_id AND $u.cid = p.cid)) WHERE rn = 1),
-           |u$i AS (SELECT * FROM $u UNION ALL SELECT * FROM s$i)"""
+           |u$i AS MATERIALIZED (SELECT * FROM $u UNION ALL SELECT * FROM s$i)"""
           .stripMargin
       }.mkString(",\n")
       val emit = (1 to MmrK)
         .map(i => s"SELECT q_id, $i AS step, cid, rel FROM s$i")
         .mkString("\nUNION ALL ")
       s"""WITH q AS (SELECT vec_id, $qvSql AS qv FROM embeddings),
-         |pool AS (SELECT q_id, cid, rel, cqv FROM (
-         |  SELECT q_id, cid, rel, cqv, row_number() OVER (
-         |      PARTITION BY q_id ORDER BY rel DESC, cid) AS rn
-         |  FROM (SELECT qs.vec_id AS q_id, c.vec_id AS cid,
-         |          ${idotSql("qs.qv", "c.qv")} AS rel, c.qv AS cqv
-         |        FROM q qs JOIN q c ON qs.vec_id <> c.vec_id
-         |        WHERE qs.$isQuery)) WHERE rn <= $MmrPool),
+         |pool AS (SELECT p.q_id, p.cid, p.rel, c.qv AS cqv FROM (
+         |  SELECT q_id, cid, rel FROM (
+         |    SELECT q_id, cid, rel, row_number() OVER (
+         |        PARTITION BY q_id ORDER BY rel DESC, cid) AS rn
+         |    FROM (SELECT qs.vec_id AS q_id, c.vec_id AS cid,
+         |            ${idotSql("qs.qv", "c.qv")} AS rel
+         |          FROM q qs JOIN q c ON qs.vec_id <> c.vec_id
+         |          WHERE qs.$isQuery)) WHERE rn <= $MmrPool) p
+         |  JOIN q c ON p.cid = c.vec_id),
          |sims AS (SELECT a.q_id, a.cid AS a, b.cid AS b,
          |    ${idotSql("a.cqv", "b.cqv")} AS sim
          |  FROM pool a JOIN pool b ON a.q_id = b.q_id AND a.cid <> b.cid),
-         |s1 AS (SELECT q_id, cid, rel FROM (
+         |s1 AS MATERIALIZED (SELECT q_id, cid, rel FROM (
          |  SELECT q_id, cid, rel, row_number() OVER (
          |      PARTITION BY q_id ORDER BY rel DESC, cid) AS rn
          |  FROM pool) WHERE rn = 1),
-         |u1 AS (SELECT * FROM s1),
+         |u1 AS MATERIALIZED (SELECT * FROM s1),
          |$steps
          |SELECT * FROM ($emit) ORDER BY q_id, step""".stripMargin
     }) { (s, dir) =>

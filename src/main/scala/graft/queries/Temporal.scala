@@ -1392,18 +1392,23 @@ object Temporal {
     // enumeration over a shrinking edge set plus an edge-keyed
     // support aggregate.
     QuerySpec.sqlBacked("q208_ktruss", {
+      // AS MATERIALIZED on the peel chain: t_r reads e_r three times and
+      // s_r reads t_r three times, so DuckDB's default CTE inlining
+      // re-expands the whole prefix ~9^r times (e2 inlines the pair
+      // template ~81x — measured 4 GB at sf0.01 where each materialized
+      // frame is a few thousand rows). The q186 lesson, same fix.
       def roundCtes(r: Int): String =
-        s"""t$r AS (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
+        s"""t$r AS MATERIALIZED (SELECT e1.u1 AS a, e1.u2 AS b, e2.u2 AS c
            |  FROM e$r e1 JOIN e$r e2 ON e2.u1 = e1.u2
            |       JOIN e$r e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2),
-           |s$r AS (SELECT u, v, count(*) AS sup FROM (
+           |s$r AS MATERIALIZED (SELECT u, v, count(*) AS sup FROM (
            |    SELECT a AS u, b AS v FROM t$r
            |    UNION ALL SELECT a, c FROM t$r
            |    UNION ALL SELECT b, c FROM t$r) GROUP BY u, v),
-           |e${r + 1} AS (SELECT u AS u1, v AS u2 FROM s$r
+           |e${r + 1} AS MATERIALIZED (SELECT u AS u1, v AS u2 FROM s$r
            |  WHERE sup >= 1)""".stripMargin
       s"""WITH ${interactCtes(5)},
-         |e0 AS (SELECT u1, u2 FROM pe),
+         |e0 AS MATERIALIZED (SELECT u1, u2 FROM pe),
          |${roundCtes(0)},
          |${roundCtes(1)}
          |SELECT * FROM (
