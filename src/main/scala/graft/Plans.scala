@@ -529,11 +529,13 @@ object Plans {
         "ships to executors is the PATTERN STRINGS, not the trie: the " +
         "task binary deserializes per task, and shipping the built " +
         "~1.4M-node automaton cost 14.6 s of a 16.4 s run at sf0.1 - " +
-        "the fingerprint-cached per-JVM rebuild cut it to 2.1 s. At " +
-        "10x this synthetic test split exceeds the 250k-pattern cap " +
-        "and the operator REFUSES, naming q63's distributed join as " +
-        "the corpus-shaped path (the q39 requireAllPairsSmall " +
-        "doctrine): a plan-time automaton is for BOUNDED blocklists.",
+        "the fingerprint-cached per-JVM rebuild cut it to 2.1 s. The " +
+        "path is AUTO-SELECTED on the blocklist's size (the assignAuto " +
+        "doctrine): past the 250k-pattern cap the SAME report comes " +
+        "from the q63-shape distributed gram equi-join, row-identical " +
+        "(DecontaminateAcSpec pins the paths against each other), so " +
+        "the decade probes ride the fallback: 2.1 / 3.6 / 5.8 s at " +
+        "sf0.1 / 10x / 100x.",
       details = Seq("graft_contains_any")),
     Entry("q214_rrf_fusion",
       "Hybrid-retrieval merge: the q41 LSH and q42 label-IVF rank " +

@@ -88,7 +88,7 @@ object ContainsAny {
     * past it should go through the distributed gram join (q63) instead
     * of a plan-time automaton. */
   private[graft] val MaxPatternsKey = "graft.containsAny.maxPatterns"
-  private val MaxPatternsDefault = 250000L
+  private[graft] val MaxPatternsDefault = 250000L
 
   /** Build the scan from a PATTERN TABLE instead of a literal — the
     * decontamination shape, where the blocklist is data (q63's

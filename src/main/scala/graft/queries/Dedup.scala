@@ -501,10 +501,16 @@ object Dedup {
     // (distinct patterns found) equals q63's count(DISTINCT shared
     // grams) exactly and the oracle is q63's own CTE chain minus the
     // per-test-doc attribution (which needs the join's provenance —
-    // that report stays q63). At 100 TB: test/eval splits are bounded
-    // by construction (the cap enforces it); the training side streams
-    // scan-parallel with no shuffle at all — the report aggregation
-    // disappears into the scan.
+    // that report stays q63). The path is AUTO-SELECTED on the
+    // blocklist's position on the operating curve (the assignAuto
+    // doctrine): one distributed distinct-count decides, and past the
+    // automaton cap the SAME report comes from the distributed gram
+    // equi-join (q63's shape) instead of refusing — deterministically
+    // identical output either way (DecontaminateAcSpec pins the two
+    // paths against each other across the cap). At 100 TB: bounded
+    // eval blocklists ride the one-pass kernel with no shuffle at all;
+    // corpus-shaped test splits fall back to the join, whose cost
+    // class q63 already carries.
     QuerySpec.sqlBacked("q218_decontaminate_ac",
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws,
@@ -528,14 +534,33 @@ object Dedup {
       val tePats = docs.filter(col("nib") >= 14)
         .select(explode(
           graft.plans.WordShingles(col("text"), 8, distinct = true)).as("g8"))
-        .select(concat(lit(" "), col("g8"), lit(" ")).as("pat"))
-      val nShared = graft.plans.ContainsAny.fromFrame(
-        concat(lit(" "), col("text"), lit(" ")), tePats, "pat")
-      docs.filter(col("nib") <= 12)
-        .select(col("doc_id").as("train_id"),
-          nShared.cast("long").as("n_shared"))
-        .filter(col("n_shared") > 0)
-        .orderBy(col("train_id"))
+        .distinct()
+      val max = s.conf.get(graft.plans.ContainsAny.MaxPatternsKey,
+        graft.plans.ContainsAny.MaxPatternsDefault.toString).toLong
+      withScratch(tePats) {
+        if (tePats.count() <= max) {
+          // bounded blocklist: one automaton pass per training doc
+          val nShared = graft.plans.ContainsAny.fromFrame(
+            concat(lit(" "), col("text"), lit(" ")),
+            tePats.select(concat(lit(" "), col("g8"), lit(" ")).as("pat")),
+            "pat")
+          docs.filter(col("nib") <= 12)
+            .select(col("doc_id").as("train_id"),
+              nShared.cast("long").as("n_shared"))
+            .filter(col("n_shared") > 0)
+            .orderBy(col("train_id"))
+        } else {
+          // corpus-shaped blocklist: the q63 distributed gram equi-join
+          docs.filter(col("nib") <= 12)
+            .select(col("doc_id").as("train_id"), explode(
+              graft.plans.WordShingles(col("text"), 8, distinct = true))
+              .as("g8"))
+            .join(tePats, "g8")
+            .groupBy(col("train_id"))
+            .agg(countDistinct(col("g8")).as("n_shared"))
+            .orderBy(col("train_id"))
+        }
+      }
     },
 
     // ------------------------------------------------------------------
