@@ -95,6 +95,26 @@ class ContainsAnySpec extends SparkSpec {
     } finally spark.conf.unset(key)
   }
 
+  test("the handle ships patterns only and rebuilds across serialization") {
+    // the executor-shipping contract: java-serialize the handle (what
+    // the task binary does), rebuild on the other side, same counts —
+    // and the automaton field itself must be transient (never written)
+    val h = new ContainsAny.AcHandle(Array("he", "she", "hers"))
+    assert(h.ac.countDistinct("ushers") == 3)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(h); oos.close()
+    val bytes = bos.toByteArray
+    // a serialized ~3-pattern handle must be tiny — if the built trie
+    // ever rides along, this blows up by orders of magnitude
+    assert(bytes.length < 4096, s"handle serialized to ${bytes.length}B")
+    val ois = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val h2 = ois.readObject().asInstanceOf[ContainsAny.AcHandle]
+    assert(h2.ac.countDistinct("ushers") == 3)
+    assert(h2.ac.countDistinct("none") == 0)
+  }
+
   test("a non-literal pattern column is rejected") {
     val df = Seq(("abc", Seq("a"))).toDF("t", "pats")
     val err = intercept[Exception] {
