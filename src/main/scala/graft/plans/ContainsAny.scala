@@ -136,8 +136,11 @@ object ContainsAny {
   private def cachedAc(patterns: Array[String]): Ac = {
     val md = java.security.MessageDigest.getInstance("MD5")
     patterns.foreach { p =>
-      md.update(p.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      md.update(0.toByte)
+      val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      // length-prefix each pattern: a bare separator byte would let
+      // NUL-bearing pattern lists collide (["a\0b","c"] vs ["a","b\0c"])
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
     }
     val key = java.util.Base64.getEncoder.encodeToString(md.digest()) +
       ":" + patterns.length

@@ -538,7 +538,12 @@ object Dedup {
       val max = s.conf.get(graft.plans.ContainsAny.MaxPatternsKey,
         graft.plans.ContainsAny.MaxPatternsDefault.toString).toLong
       withScratch(tePats) {
-        if (tePats.count() <= max) {
+        val n = tePats.count()
+        // n == 0 (no eval split at all) routes to the join, whose empty
+        // result IS the right report — fromFrame would fail loud on an
+        // empty pattern frame, which is correct for a blocklist API but
+        // not for a corpus that simply has nothing to decontaminate
+        if (n > 0 && n <= max) {
           // bounded blocklist: one automaton pass per training doc
           val nShared = graft.plans.ContainsAny.fromFrame(
             concat(lit(" "), col("text"), lit(" ")),
