@@ -108,12 +108,21 @@ object ContainsAny {
       .distinct().persist()
     try {
       val n = pats.count() // gates BEFORE the collect, distributed
-      require(n > 0L && n <= max,
+      require(n > 0L,
+        "graft_contains_any.fromFrame: the pattern frame is empty - an " +
+          "empty blocklist matches nothing; if 'no eval split' is a " +
+          "legitimate state for the caller, branch before building the " +
+          "automaton (the q218 shape)")
+      require(n <= max,
         s"graft_contains_any.fromFrame: $n distinct patterns exceeds the " +
           s"plan-time automaton cap $max (conf $MaxPatternsKey). A " +
           "blocklist this large is corpus-shaped: use the distributed " +
           "gram join (q63_decontaminate) instead of a broadcast automaton.")
-      apply(text, pats.orderBy("p").collect().map(_.getString(0)).toSeq)
+      val arr = pats.orderBy("p").collect().map(_.getString(0))
+      require(arr.forall(p => p != null && p.nonEmpty),
+        "graft_contains_any.fromFrame: the pattern column contains " +
+          "NULL or empty strings - filter them out; they cannot match")
+      apply(text, arr.toSeq)
     } finally pats.unpersist(blocking = false)
   }
 
@@ -125,12 +134,18 @@ object ContainsAny {
     * one pattern-array decode per task and ONE build per JVM: the
     * automaton rebuilds through a fingerprint-keyed cache that every
     * later task (and every later query over the same blocklist) hits.
-    * The cache holds one automaton per DISTINCT blocklist for the JVM's
-    * lifetime — bounded by configuration, the ivfSqParams doctrine. */
+    * The cache holds at most [[AcCacheMaxEntries]] automatons: a
+    * long-lived executor serving REFRESHED blocklists (a new pattern
+    * set per day/corpus) must not accumulate one ~cap-sized trie per
+    * generation forever, so crossing the bound clears the cache — the
+    * next task of each live blocklist rebuilds once (seconds), which
+    * beats an unbounded ratchet (the DuckDB-oracle lesson of this same
+    * round, applied to our own JVM). */
   final class AcHandle(val patterns: Array[String]) extends Serializable {
     @transient lazy val ac: Ac = cachedAc(patterns)
   }
 
+  private val AcCacheMaxEntries = 8
   private val acCache = new java.util.concurrent.ConcurrentHashMap[String, Ac]()
 
   private def cachedAc(patterns: Array[String]): Ac = {
@@ -144,6 +159,8 @@ object ContainsAny {
     }
     val key = java.util.Base64.getEncoder.encodeToString(md.digest()) +
       ":" + patterns.length
+    if (acCache.size >= AcCacheMaxEntries && !acCache.containsKey(key))
+      acCache.clear() // bound the footprint; live blocklists rebuild once
     acCache.computeIfAbsent(key, _ => new Ac(patterns))
   }
 

@@ -544,11 +544,16 @@ object Dedup {
         // empty pattern frame, which is correct for a blocklist API but
         // not for a corpus that simply has nothing to decontaminate
         if (n > 0 && n <= max) {
-          // bounded blocklist: one automaton pass per training doc
-          val nShared = graft.plans.ContainsAny.fromFrame(
+          // bounded blocklist: one automaton pass per training doc. The
+          // cap was just gated on the persisted distinct frame, so the
+          // padded patterns collect DIRECTLY (calling fromFrame here
+          // would re-distinct + re-count the same frame — one wasted
+          // pass over the eval gram set per run); sorted so the
+          // embedded literal is deterministic (the fromFrame contract)
+          val nShared = graft.plans.ContainsAny(
             concat(lit(" "), col("text"), lit(" ")),
-            tePats.select(concat(lit(" "), col("g8"), lit(" ")).as("pat")),
-            "pat")
+            tePats.select(concat(lit(" "), col("g8"), lit(" ")).as("pat"))
+              .orderBy("pat").collect().map(_.getString(0)).toSeq)
           docs.filter(col("nib") <= 12)
             .select(col("doc_id").as("train_id"),
               nShared.cast("long").as("n_shared"))

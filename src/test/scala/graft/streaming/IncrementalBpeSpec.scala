@@ -73,12 +73,13 @@ class IncrementalBpeSpec extends SparkSpec {
           IncrementalBpe.words(in.toDS().toDF("doc_id", "text"), "text"))
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
+      val all = docs()
+      val batches = all.grouped((all.size + nBatches - 1) / nBatches).toSeq
       val perBatchRows = try {
-        val all = docs()
-        all.grouped((all.size + nBatches - 1) / nBatches).map { b =>
+        batches.map { b =>
           in.addData(b); q.processAllAvailable()
           spark.table(name).count()
-        }.toSeq
+        }
       } finally q.stop()
       val updates = spark.table(name).as[CountUpdate].collect().toSeq
       val (merges, enc) = modelOf(updates)
@@ -86,16 +87,19 @@ class IncrementalBpeSpec extends SparkSpec {
         s"nBatches=$nBatches merge table diverged:\n$merges\nvs\n$batchMerges")
       assert(enc == batchEncode,
         s"nBatches=$nBatches encode stats diverged from q149")
-      // emission growth is per-batch work, and the corpus-proportional
-      // histogram is NEVER re-emitted: each batch appends at most its
-      // own touched-word count
-      if (nBatches > 1) {
-        val increments = perBatchRows.zip(0L +: perBatchRows).map {
-          case (cur, prev) => cur - prev
-        }
-        assert(increments.forall(_ < updates.length),
-          "a single batch re-emitted the whole histogram")
+      // the exact emission contract: a batch emits one row per word IT
+      // TOUCHED — never the accumulated histogram. Comparing against
+      // the total (the old `< updates.length` form) was vacuous: a
+      // re-emit-everything regression still satisfies it whenever two
+      // batches emit at all (r11 self-review catch).
+      val increments = perBatchRows.zip(0L +: perBatchRows).map {
+        case (cur, prev) => cur - prev
       }
+      val touched = batches.map(
+        _.flatMap(_._2.split(" ")).filter(_.nonEmpty).distinct.size.toLong)
+      assert(increments == touched,
+        s"nBatches=$nBatches per-batch emissions $increments != " +
+          s"per-batch touched words $touched - a batch re-emitted state")
     }
   }
 

@@ -55,26 +55,34 @@ class IncrementalKneserNeySpec extends SparkSpec {
             "text"))
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
+      val all = docs()
+      val batches = all.grouped((all.size + nBatches - 1) / nBatches).toSeq
       val perBatchRows = try {
-        val all = docs()
-        all.grouped((all.size + nBatches - 1) / nBatches).map { b =>
+        batches.map { b =>
           in.addData(b); q.processAllAvailable()
           spark.table(name).count()
-        }.toSeq
+        }
       } finally q.stop()
       val updates = spark.table(name).as[CountUpdate].collect().toSeq
       assert(modelOf(updates) == batchModel,
         s"nBatches=$nBatches model diverged from batch q180")
-      // emission growth is per-batch work, and the corpus-proportional
-      // table is NEVER re-emitted: each batch appends at most its own
-      // touched-bigram count
-      if (nBatches > 1) {
-        val increments = perBatchRows.zip(0L +: perBatchRows).map {
-          case (cur, prev) => cur - prev
-        }
-        assert(increments.forall(_ < updates.length),
-          "a single batch re-emitted the whole table")
+      // the exact emission contract: a batch emits one row per (w1,w2)
+      // IT TOUCHED — never the accumulated table. Comparing against the
+      // total (the old `< updates.length` form) was vacuous: a
+      // re-emit-everything regression still satisfies it whenever two
+      // batches emit at all (r11 self-review catch).
+      val increments = perBatchRows.zip(0L +: perBatchRows).map {
+        case (cur, prev) => cur - prev
       }
+      val touched = batches.map(_.flatMap { case (_, text) =>
+        // mirror bigrams() exactly: Spark's split keeps empty tokens
+        // (hence limit -1), and there is no empty-token filter there
+        val ws = text.split(" ", -1)
+        if (ws.length < 2) Nil else ws.sliding(2).map(p => (p(0), p(1))).toSeq
+      }.distinct.size.toLong)
+      assert(increments == touched,
+        s"nBatches=$nBatches per-batch emissions $increments != " +
+          s"per-batch touched bigrams $touched - a batch re-emitted state")
     }
   }
 

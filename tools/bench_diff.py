@@ -172,7 +172,12 @@ def main(argv):
             solo = solo_probe(targets, probe_dir)
             for k in targets:
                 s = solo.get(k)
-                verdict = ("noise" if s is not None and s <= FLAG_RATIO * prev[k]
+                # both legs of the flagging rule: ratio AND absolute
+                # floor — a cheap query's solo wobble is noise by the
+                # module's own definition
+                verdict = ("noise" if s is not None and
+                           (s <= FLAG_RATIO * prev[k] or
+                            s - prev[k] <= FLOOR_SEC)
                            else "REGRESSION?" if s is not None else "no timing")
                 ss = f"{s:.2f}s" if s is not None else "-"
                 print(f"  solo {k}: sweep {cur[k]:.2f}s, solo {ss}, "
