@@ -137,19 +137,33 @@ object ContainsAny {
     * The cache holds at most [[AcCacheMaxEntries]] automatons: a
     * long-lived executor serving REFRESHED blocklists (a new pattern
     * set per day/corpus) must not accumulate one ~cap-sized trie per
-    * generation forever, so crossing the bound clears the cache — the
-    * next task of each live blocklist rebuilds once (seconds), which
-    * beats an unbounded ratchet (the DuckDB-oracle lesson of this same
-    * round, applied to our own JVM). */
+    * generation forever, so crossing the bound evicts the
+    * LEAST-RECENTLY-USED entry — a single stale trie leaves, every
+    * other live blocklist keeps its automaton (clearing everything
+    * would make 9+ rotating blocklists rebuild their multi-second
+    * tries on every insertion — ADVICE r11). */
   final class AcHandle(val patterns: Array[String]) extends Serializable {
     @transient lazy val ac: Ac = cachedAc(patterns)
   }
 
   private val AcCacheMaxEntries = 8
-  private val acCache = new java.util.concurrent.ConcurrentHashMap[String, Ac]()
+  // access-order LinkedHashMap = LRU; all access synchronized on the map
+  // (automaton builds are seconds, the lock is nanoseconds — and the
+  // build itself runs OUTSIDE the lock so concurrent distinct blocklists
+  // don't serialize their builds; at worst two tasks of the SAME new
+  // blocklist build it twice and one wins).
+  private val acCache =
+    new java.util.LinkedHashMap[String, Ac](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Ac]): Boolean =
+        size() > AcCacheMaxEntries
+    }
 
   private def cachedAc(patterns: Array[String]): Ac = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // SHA-256, not MD5: patterns come from untrusted corpus data
+    // (eval-split grams), and MD5 collisions are constructible — two
+    // distinct blocklists must never alias to one automaton (ADVICE r11)
+    val md = java.security.MessageDigest.getInstance("SHA-256")
     patterns.foreach { p =>
       val b = p.getBytes(java.nio.charset.StandardCharsets.UTF_8)
       // length-prefix each pattern: a bare separator byte would let
@@ -159,9 +173,16 @@ object ContainsAny {
     }
     val key = java.util.Base64.getEncoder.encodeToString(md.digest()) +
       ":" + patterns.length
-    if (acCache.size >= AcCacheMaxEntries && !acCache.containsKey(key))
-      acCache.clear() // bound the footprint; live blocklists rebuild once
-    acCache.computeIfAbsent(key, _ => new Ac(patterns))
+    val hit = acCache.synchronized(acCache.get(key))
+    if (hit != null) hit
+    else {
+      val built = new Ac(patterns)
+      acCache.synchronized {
+        val raced = acCache.get(key)
+        if (raced != null) raced
+        else { acCache.put(key, built); built }
+      }
+    }
   }
 
   /** Aho–Corasick automaton over UTF-16 chars: goto tries + BFS fail

@@ -550,10 +550,17 @@ object Dedup {
           // would re-distinct + re-count the same frame — one wasted
           // pass over the eval gram set per run); sorted so the
           // embedded literal is deterministic (the fromFrame contract)
+          val patArr = tePats
+            .select(concat(lit(" "), col("g8"), lit(" ")).as("pat"))
+            .orderBy("pat").collect().map(_.getString(0))
+          // mirror fromFrame's post-collect re-check: safe today only
+          // because WordShingles grams are non-null/non-empty by
+          // construction — an invariant enforced nowhere near here, so
+          // a future WordShingles change must fail loud (ADVICE r11)
+          require(patArr.forall(p => p != null && p.nonEmpty),
+            "q218: the eval gram frame produced NULL or empty patterns")
           val nShared = graft.plans.ContainsAny(
-            concat(lit(" "), col("text"), lit(" ")),
-            tePats.select(concat(lit(" "), col("g8"), lit(" ")).as("pat"))
-              .orderBy("pat").collect().map(_.getString(0)).toSeq)
+            concat(lit(" "), col("text"), lit(" ")), patArr.toSeq)
           docs.filter(col("nib") <= 12)
             .select(col("doc_id").as("train_id"),
               nShared.cast("long").as("n_shared"))

@@ -28,6 +28,7 @@ operator it calls but never names would read `untouched`; the solo probe
 is what settles those, which is why --probe targets exactly that set.
 """
 import json
+import os
 import re
 import subprocess
 import sys
@@ -66,17 +67,31 @@ def changed_files(ref):
         if out.returncode == 0 else None
 
 
+def repo_root():
+    out = subprocess.run(["git", "rev-parse", "--show-toplevel"],
+                         capture_output=True, text=True)
+    return out.stdout.strip() if out.returncode == 0 else None
+
+
 def touched_by(name, files):
     """True when any round-changed src/main file mentions the query's name
-    (full name or its qNN prefix as a word)."""
+    (full name or its qNN prefix as a word). Paths from `git diff` are
+    repo-root-relative, so resolve them against the toplevel — run from
+    anywhere else, a cwd-relative open() finds nothing and silently labels
+    every mover 'untouched' (ADVICE r11). A file that still can't be read
+    (e.g. deleted this round) warns instead of being swallowed."""
     pref = name.split("_")[0]
     pat = re.compile(r"\b(%s|%s)\b" % (re.escape(name), re.escape(pref)))
+    root = repo_root()
     for f in files:
+        path = os.path.join(root, f) if root else f
         try:
-            with open(f, errors="replace") as fh:
+            with open(path, errors="replace") as fh:
                 if pat.search(fh.read()):
                     return True
-        except OSError:
+        except OSError as e:
+            print(f"  (warn: cannot read changed file {path}: {e}; "
+                  f"its queries may be mislabeled untouched)")
             continue
     return False
 
@@ -108,7 +123,11 @@ def main(argv):
     if argv and argv[0] == "--git":
         gref = argv[1] if len(argv) > 1 else "HEAD~1"
         prev = load_git(gref)
-        cur = load("BENCH_LAST.json")
+        # resolve the tracked file against the repo root, not the cwd —
+        # same trap as touched_by (ADVICE r11)
+        root = repo_root()
+        cur = load(os.path.join(root, "BENCH_LAST.json") if root
+                   else "BENCH_LAST.json")
         src = f"git:{gref} vs BENCH_LAST.json"
         ref = ref or gref
     elif len(argv) == 2:
@@ -153,7 +172,14 @@ def main(argv):
 
     for r, k, p, c, tag in sorted(movers, key=lambda m: -m[0]):
         lab = f" [{labels[k]}]" if k in labels else ""
-        print(f"  {tag:>7} {k}: {p:.2f}s -> {c:.2f}s ({r:.2f}x){lab}")
+        if tag == "FAIL-STATE CHANGE":
+            # the fail sentinel is -1 and the ratio is inf — print the
+            # transition, not '-1.00s (infx)' (ADVICE r11)
+            ps = "FAIL" if p < 0 else f"{p:.2f}s"
+            cs = "FAIL" if c < 0 else f"{c:.2f}s"
+            print(f"  {tag} {k}: {ps} -> {cs}{lab}")
+        else:
+            print(f"  {tag:>7} {k}: {p:.2f}s -> {c:.2f}s ({r:.2f}x){lab}")
     if not movers:
         print(f"  no movers past {FLAG_RATIO}x + {FLOOR_SEC}s")
     if added:
