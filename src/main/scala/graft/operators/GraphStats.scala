@@ -46,4 +46,61 @@ object GraphStats {
           .otherwise(num / den).as("assortativity")
       })
   }
+
+  /** Per-community quality over an undirected edge list (u < v,
+    * deduplicated) and a node labeling (node, community): n_nodes,
+    * intra_edges (both endpoints inside), cut_edges (exactly one
+    * endpoint inside), vol = 2·intra + cut (the community's degree
+    * mass), the modularity contribution Q_c = intra/m − (vol/(2m))²
+    * (Newman & Girvan 2004), and conductance φ_c = cut/min(vol, 2m−vol)
+    * (Kannan/Vempala/Vetta; NULL when the community owns the whole edge
+    * mass — min = 0 makes it undefined, stated not hidden). All counts
+    * are exact BIGINTs; the two ratios are single fixed-shape double
+    * expressions (only +,*,/ in a pinned order — the q112 doctrine, so
+    * a DuckDB oracle hash-matches them). Scale: one edge-label
+    * equi-join against the node-sized labeling, two key-bounded grouped
+    * counts (map-side partials), a 1-row broadcast total; the report is
+    * |communities| rows. Labels must cover every edge endpoint (inner
+    * join semantics: an unlabeled endpoint would silently drop its
+    * edges — the caller owns that contract). */
+  def communityQuality(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val ed = edges.toDF("a_id", "b_id")
+    val lab = labels.toDF("node", "community")
+    val m = ed.agg(count(lit(1)).as("m"))
+    val ej = ed
+      .join(lab.select(col("node").as("a_id"), col("community").as("ca")),
+        "a_id")
+      .join(lab.select(col("node").as("b_id"), col("community").as("cb")),
+        "b_id")
+      .select(col("ca"), col("cb"))
+      .localCheckpoint() // two grouped consumers (intra + cut)
+    val intra = ej.filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra"))
+    val cut = ej.filter(col("ca") =!= col("cb"))
+      .select(explode(array(col("ca"), col("cb"))).as("community"))
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("cut"))
+    lab.groupBy(col("community")).agg(count(lit(1)).as("n_nodes"))
+      .join(intra, Seq("community"), "left")
+      .join(cut, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"),
+        coalesce(col("intra"), lit(0L)).as("intra_edges"),
+        coalesce(col("cut"), lit(0L)).as("cut_edges"))
+      .crossJoin(broadcast(m))
+      // the oracle's formulas verbatim (expr strings): div, then sub,
+      // then the squared ratio as an explicit self-product — no pow,
+      // no reassociation (the q112 double doctrine)
+      .select(col("community"), col("n_nodes"), col("intra_edges"),
+        col("cut_edges"),
+        expr("2*intra_edges + cut_edges").as("vol"),
+        expr("""CAST(intra_edges AS DOUBLE) / CAST(m AS DOUBLE)
+          | - (CAST(2*intra_edges + cut_edges AS DOUBLE) / CAST(2*m AS DOUBLE))
+          |   * (CAST(2*intra_edges + cut_edges AS DOUBLE) / CAST(2*m AS DOUBLE))"""
+          .stripMargin.replace("\n", "")).as("modularity"),
+        expr("""CAST(cut_edges AS DOUBLE)
+          | / CAST(NULLIF(LEAST(2*intra_edges + cut_edges,
+          |     2*m - (2*intra_edges + cut_edges)), 0) AS DOUBLE)"""
+          .stripMargin.replace("\n", "")).as("conductance"))
+  }
 }

@@ -157,6 +157,21 @@ object Dedup {
        |    CAST(inter AS DOUBLE)/CAST(nb AS DOUBLE) AS c_ba
        |  FROM pairs)""".stripMargin
 
+  /** The LPA synchronous-round CTE chain r1/l1 … rN/lN over `e`
+    * (symmetrized edges u,v) and `l0` (seed labels node,lbl) — the
+    * q129 oracle's fixed-round unroll, shared with q219's quality
+    * report so both grade the SAME partition (count DESC, label ASC
+    * tie order: the operators.LabelPropagation contract). */
+  private def lpaRoundCtes(rounds: Int): String =
+    (1 to rounds).map { i =>
+      s"""r$i AS (SELECT e.u, l.lbl, count(*) AS c
+         |  FROM e JOIN l${i - 1} l ON e.v = l.node GROUP BY e.u, l.lbl),
+         |l$i AS (SELECT u AS node, lbl FROM (
+         |  SELECT u, lbl, row_number() OVER (PARTITION BY u
+         |    ORDER BY c DESC, lbl) AS rn FROM r$i) WHERE rn = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+
   /** doc_id + distinct word-3-gram shingles via the native
     * [[graft.plans.WordShingles]] expression (one pass, no interpreted
     * transform lambdas — WordShinglesSpec proves parity with the SQL
@@ -1491,27 +1506,81 @@ object Dedup {
     // aggregation ranked by the same total tie order (the q105
     // fixed-rounds doctrine: classic LPA's random ties and async
     // updates are un-oracle-able by construction).
-    QuerySpec.sqlBacked("q129_label_propagation", {
-      val rounds = (1 to 3).map { i =>
-        s"""r$i AS (SELECT e.u, l.lbl, count(*) AS c
-           |  FROM e JOIN l${i - 1} l ON e.v = l.node GROUP BY e.u, l.lbl),
-           |l$i AS (SELECT u AS node, lbl FROM (
-           |  SELECT u, lbl, row_number() OVER (PARTITION BY u
-           |    ORDER BY c DESC, lbl) AS rn FROM r$i) WHERE rn = 1)"""
-          .stripMargin
-      }.mkString(",\n")
+    QuerySpec.sqlBacked("q129_label_propagation",
       s"""WITH $jaccardPairsCtes,
          |e AS (SELECT a_id AS u, b_id AS v FROM jp
          |      UNION SELECT b_id, a_id FROM jp),
          |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
-         |$rounds
+         |${lpaRoundCtes(3)}
          |SELECT node AS doc_id, lbl AS community FROM l3
-         |ORDER BY doc_id""".stripMargin
-    }) { (s, dir) =>
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.LabelPropagation
         .run(jaccardPairs(s, dir).select(col("a_id"), col("b_id")), 3)
         .select(col("node").as("doc_id"), col("community"))
         .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q219: community QUALITY — grade the q129 LPA partition instead of
+    // just emitting it. Per community: modularity contribution
+    // Q_c = intra/m − (vol/(2m))² (Newman & Girvan 2004 — positive when
+    // the community holds more of its nodes' edge mass than a random
+    // graph with the same degrees would) and conductance
+    // φ_c = cut/min(vol, 2m−vol) (Kannan/Vempala/Vetta — the
+    // bottleneck ratio; low = well-separated). Together they answer the
+    // question the dedup pipeline acts on: is this near-dup cluster a
+    // real dense family (keep one canonical doc) or an artifact of a
+    // few bridge pairs (split it). All counts are exact BIGINTs
+    // (intra/cut/vol from two grouped counts over the labeled edge
+    // list); the two ratios are single fixed-shape double expressions
+    // (the q112 doctrine: identical textual formula both sides, only
+    // +,*,/ — hash-exact). Conductance is NULL for a community that
+    // owns the whole edge mass (min = 0): undefined, stated not hidden.
+    // Scale: one edge-label equi-join (labels are node-sized), two
+    // key-bounded grouped counts, a 1-row broadcast total — nothing
+    // beyond the LPA rounds themselves shuffles more than the edge
+    // list, and the report is |communities| rows.
+    QuerySpec.sqlBacked("q219_community_quality",
+      s"""WITH $jaccardPairsCtes,
+         |e AS (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION SELECT b_id, a_id FROM jp),
+         |l0 AS (SELECT DISTINCT u AS node, u AS lbl FROM e),
+         |${lpaRoundCtes(3)},
+         |lab AS (SELECT node, lbl AS community FROM l3),
+         |ed AS (SELECT a_id, b_id FROM jp),
+         |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ed),
+         |ej AS (SELECT la.community AS ca, lb.community AS cb
+         |       FROM ed JOIN lab la ON ed.a_id = la.node
+         |               JOIN lab lb ON ed.b_id = lb.node),
+         |ic AS (SELECT ca AS community, CAST(count(*) AS BIGINT) AS intra
+         |       FROM ej WHERE ca = cb GROUP BY ca),
+         |cc AS (SELECT community, CAST(count(*) AS BIGINT) AS cut FROM (
+         |         SELECT ca AS community FROM ej WHERE ca <> cb
+         |         UNION ALL SELECT cb FROM ej WHERE ca <> cb)
+         |       GROUP BY community),
+         |rep AS (SELECT nn.community, nn.n_nodes,
+         |          COALESCE(ic.intra, CAST(0 AS BIGINT)) AS intra_edges,
+         |          COALESCE(cc.cut, CAST(0 AS BIGINT)) AS cut_edges
+         |        FROM (SELECT community, CAST(count(*) AS BIGINT) AS n_nodes
+         |              FROM lab GROUP BY community) nn
+         |        LEFT JOIN ic USING (community) LEFT JOIN cc USING (community))
+         |SELECT community, n_nodes, intra_edges, cut_edges,
+         |  2*intra_edges + cut_edges AS vol,
+         |  CAST(intra_edges AS DOUBLE) / CAST(m AS DOUBLE)
+         |    - (CAST(2*intra_edges + cut_edges AS DOUBLE) / CAST(2*m AS DOUBLE))
+         |      * (CAST(2*intra_edges + cut_edges AS DOUBLE) / CAST(2*m AS DOUBLE))
+         |    AS modularity,
+         |  CAST(cut_edges AS DOUBLE)
+         |    / CAST(NULLIF(LEAST(2*intra_edges + cut_edges,
+         |        2*m - (2*intra_edges + cut_edges)), 0) AS DOUBLE)
+         |    AS conductance
+         |FROM rep, mm ORDER BY community""".stripMargin) { (s, dir) =>
+      val pr = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      withScratch(pr) {
+        graft.operators.GraphStats
+          .communityQuality(pr, graft.operators.LabelPropagation.run(pr, 3))
+          .orderBy(col("community"))
+      }
     },
 
     // ------------------------------------------------------------------

@@ -683,6 +683,64 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q220: collocation mining — rank adjacent bigrams by LIFT,
+    // c_xy·N / (c_x·c_y) (observed co-occurrence over the independence
+    // expectation; PMI without the log — ln's libm rounding is not
+    // pinned across engines, and exp is monotone so the RANKING is
+    // PMI's exactly). q106 counts bigrams; this is the step a tokenizer
+    // or phrase-vocabulary builder runs on top: a bigram that is merely
+    // frequent ("of the") scores ~1, a bigram that is GLUED (its parts
+    // rarely appear apart) scores high — those are the merge/phrase
+    // candidates. min-count 5 kills the hapax noise floor (a 1-of-1
+    // pair has lift ≈ N). The lift is ONE fixed-shape double expression
+    // (the q112 doctrine: identical textual formula, only *,/ —
+    // hash-exact); ties at the top-k boundary break on (w1, w2), a
+    // total order. Scale: unigram + bigram counts are vocab- and
+    // vocab²-bounded grouped aggregates with map-side partials, the
+    // scoring join is vocab-sized on both dims, N is a 1-row broadcast,
+    // and the top-30 is TakeOrderedAndProject — no global sort
+    // materializes.
+    QuerySpec.sqlBacked("q220_collocations",
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (SELECT unnest(ws) AS u FROM w),
+        |ug AS (SELECT u, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY u),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+        |bg AS (SELECT ws[i] AS w1, ws[i+1] AS w2,
+        |         CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM w, unnest(range(1, len(ws))) AS t(i)
+        |       WHERE len(ws) >= 2 GROUP BY w1, w2),
+        |sc AS (SELECT bg.w1, bg.w2, bg.c_xy,
+        |         CAST(bg.c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+        |           / (CAST(ux.c AS DOUBLE) * CAST(uy.c AS DOUBLE)) AS lift
+        |       FROM bg JOIN ug ux ON bg.w1 = ux.u
+        |               JOIN ug uy ON bg.w2 = uy.u, tot
+        |       WHERE bg.c_xy >= 5)
+        |SELECT w1, w2, c_xy, lift FROM sc
+        |ORDER BY lift DESC, w1, w2 LIMIT 30""".stripMargin) { (s, dir) =>
+      val w = Tables.spread(s, dir, "documents")
+        .select(split(col("text"), " ").as("ws"))
+      val uni = w.select(explode(col("ws")).as("u"))
+      val ug = uni.groupBy(col("u")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(count(lit(1)).as("n"))
+      w.filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 5)
+        .join(ug.select(col("u").as("w1"), col("c").as("cx")), "w1")
+        .join(ug.select(col("u").as("w2"), col("c").as("cy")), "w2")
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_xy"),
+          expr("""CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)
+            | / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))"""
+            .stripMargin.replace("\n", "")).as("lift"))
+        .orderBy(col("lift").desc, col("w1"), col("w2"))
+        .limit(30)
+    },
+
+    // ------------------------------------------------------------------
     // BM25 relevance (log-free variant): top-20 docs for a fixed 3-term
     // query — the retrieval scorer a RAG/curation pipeline runs to rank
     // corpus documents against a probe query. idf is the raw Robertson

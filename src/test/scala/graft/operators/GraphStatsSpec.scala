@@ -46,4 +46,59 @@ class GraphStatsSpec extends SparkSpec {
       r.getLong(2) == 26L && r.getLong(3) == 26L)
     assert(math.abs(r.getDouble(4) - 1.0) < 1e-12)
   }
+
+  // ---- communityQuality (q219's core) -------------------------------
+
+  private def quality(edges: Seq[(Long, Long)], labels: Seq[(Long, Long)]) =
+    GraphStats.communityQuality(
+      edges.toDF("u", "v"), labels.toDF("node", "community"))
+      .orderBy("community").collect()
+
+  test("two triangles + one bridge: modularity and conductance by hand") {
+    // K3 {1,2,3} + K3 {4,5,6} bridged by (3,4): m=7. Per community:
+    // intra=3, cut=1, vol=7, Q_c = 3/7 − (7/14)² = 5/28,
+    // φ_c = 1/min(7, 14−7) = 1/7.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L,
+      4L -> 20L, 5L -> 20L, 6L -> 20L)
+    val rs = quality(edges, labels)
+    assert(rs.length == 2)
+    for (r <- rs) {
+      assert(r.getLong(1) == 3L)       // n_nodes
+      assert(r.getLong(2) == 3L)       // intra_edges
+      assert(r.getLong(3) == 1L)       // cut_edges
+      assert(r.getLong(4) == 7L)       // vol = 2*3 + 1
+      assert(math.abs(r.getDouble(5) - (3.0 / 7.0 - 0.25)) < 1e-15)
+      assert(math.abs(r.getDouble(6) - 1.0 / 7.0) < 1e-15)
+    }
+  }
+
+  test("one community owning every edge: Q = 0, conductance NULL") {
+    // all of K3 in one community: intra=m=3, vol=2m → Q = 1 − 1 = 0
+    // and min(vol, 2m−vol) = 0 → conductance undefined (NULL, the
+    // DuckDB NULLIF convention the oracle states)
+    val rs = quality(Seq((1L, 2L), (1L, 3L), (2L, 3L)),
+      Seq(1L -> 9L, 2L -> 9L, 3L -> 9L))
+    assert(rs.length == 1)
+    assert(rs(0).getLong(2) == 3L && rs(0).getLong(3) == 0L &&
+      rs(0).getLong(4) == 6L)
+    assert(rs(0).getDouble(5) == 0.0)
+    assert(rs(0).isNullAt(6))
+  }
+
+  test("singleton community on a bridge endpoint: negative modularity") {
+    // path 1-2, 2-3 with {2} alone: m=2; community {2}: intra=0, cut=2,
+    // vol=2, Q = 0 − (2/4)² = −0.25, φ = 2/min(2,2) = 1
+    val rs = quality(Seq((1L, 2L), (2L, 3L)),
+      Seq(1L -> 1L, 3L -> 1L, 2L -> 2L))
+    val c2 = rs.find(_.getLong(0) == 2L).get
+    assert(c2.getLong(1) == 1L && c2.getLong(2) == 0L &&
+      c2.getLong(3) == 2L && c2.getLong(4) == 2L)
+    assert(math.abs(c2.getDouble(5) - (-0.25)) < 1e-15)
+    assert(math.abs(c2.getDouble(6) - 1.0) < 1e-15)
+    // the {1,3} community: intra=0 (1-3 is not an edge), cut=2, vol=2
+    val c1 = rs.find(_.getLong(0) == 1L).get
+    assert(c1.getLong(2) == 0L && c1.getLong(3) == 2L)
+  }
 }
