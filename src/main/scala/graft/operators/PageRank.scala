@@ -47,14 +47,44 @@ object PageRank {
     * at holds the damping floor 150,000 and keeps contributing its
     * out-flow (dropping it would leak its mass out of the system — the
     * directed-graph case the symmetric q105 edges never hit). */
-  def run(edges: DataFrame, iters: Int): DataFrame = {
+  def run(edges: DataFrame, iters: Int): DataFrame =
+    core(edges, iters, None)
+
+  /** PERSONALIZED PageRank (random walk with restart): the restart mass
+    * returns to the `seeds` set instead of spreading uniformly — the
+    * taint-propagation query of a decontamination pipeline ("how much of
+    * a flagged set's influence reaches each document", Haveliwala 2002;
+    * the weighted continuation of q134's hop-count BFS). Same
+    * exact-integer scheme as [[run]], restart vector personalized:
+    * r0 = 1,000,000 on seeds / 0 elsewhere, and each round
+    * r' = (150,000 if seed else 0) + (85 · Σ in-flow) div 100 — so total
+    * mass stays bounded by the seed mass and every value is engine-exact.
+    * `seeds` is a one-column node-id frame; ids outside the edge node
+    * set are ignored (they have no edges to walk). Same contract and
+    * scale shape as [[run]]: edges persisted pre-partitioned once, one
+    * dst-keyed shuffle per round, node-sized rank frame. */
+  def runPersonalized(edges: DataFrame, seeds: DataFrame,
+      iters: Int): DataFrame =
+    core(edges, iters, Some(seeds))
+
+  private def core(edges: DataFrame, iters: Int,
+      seeds: Option[DataFrame]): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val cols = edges.columns
     val e = edges.select(col(cols(0)).as("src"), col(cols(1)).as("dst"))
       .repartition(col("src")) // cached WITH its exchange: see scaladoc
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg0 = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // the full node set with its restart share: uniform for run(),
+    // seed-indicator for runPersonalized() (left-semi stamp, node-sized)
+    val deg = seeds.fold(deg0.select(col("src"), col("deg"),
+        lit(1L).as("is_seed"))) { sd =>
+      val sCol = sd.columns(0)
+      deg0.join(sd.select(col(sCol).as("src"), lit(1L).as("is_seed"))
+          .distinct(), Seq("src"), "left")
+        .select(col("src"), col("deg"),
+          coalesce(col("is_seed"), lit(0L)).as("is_seed"))
+    }.persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val n = deg.count() // materializes e + deg for the whole run
       require(n <= 100000000000L,
@@ -71,7 +101,8 @@ object PageRank {
         s"PageRank contract violated: $sinks destination node(s) have no " +
           "out-edge and would leak received mass - add both edge " +
           "directions (undirected) or explicit self-loops for sinks")
-      var r = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+      var r = deg.select(col("src").as("node"),
+        (col("is_seed") * lit(1000000L)).as("pr"))
       for (_ <- 1 to iters) {
         // out-flow per source: rank split evenly across its out-edges
         // (aliased: r0 derives from deg, so the first round is a
@@ -82,11 +113,12 @@ object PageRank {
           .groupBy(col("dst"))
           .agg(sum(col("c")).as("s"))
         // rebuild over the FULL node set: an in-degree-0 node gets the
-        // bare damping term (s null -> 0), not silently dropped
-        r = deg.select(col("src").as("node")).as("nd")
+        // bare damping/restart term (s null -> 0), not silently dropped
+        r = deg.select(col("src").as("node"),
+            (col("is_seed") * lit(150000L)).as("rst")).as("nd")
           .join(in.as("in"), col("nd.node") === col("in.dst"), "left")
           .select(col("nd.node").as("node"),
-            (lit(150000L) +
+            (col("rst") +
               expr("(85 * coalesce(s, 0L)) div 100")).as("pr"))
           .localCheckpoint() // node-sized; truncates per-round lineage
       }

@@ -1584,6 +1584,57 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q221: taint rank — PERSONALIZED PageRank from the flagged seed set
+    // (doc_id ≡ 0 mod 29, q134's contamination flags) over the near-dup
+    // graph: random walk with restart (Haveliwala 2002), restart mass
+    // pinned to the seeds. The weighted continuation of q134's BFS:
+    // hop count says "reachable within k", taint says HOW MUCH of the
+    // flagged set's influence lands on each doc — one seed two hops
+    // away through a hub scores differently from five seeds one hop
+    // away, which is the ordering a blast-radius triage actually wants.
+    // Exact integer micro-units end to end (the q105 scheme, restart
+    // vector personalized): r0 = 1e6 on seeds else 0, each round
+    // r' = (150000 if seed else 0) + (85·Σ pr div deg) div 100 — the
+    // oracle is the same recurrence unrolled, so even the fixpoint
+    // trajectory hash-matches. Scale: operators.PageRank's Pregel shape
+    // (edges persisted pre-partitioned ONCE, one dst-keyed shuffle per
+    // round over node-sized frames).
+    QuerySpec.sqlBacked("q221_taint_rank", {
+      val rounds = (1 to 3).map { t =>
+        s"""r$t AS (SELECT sd.node,
+           |  CAST(CASE WHEN sd.is_seed = 1 THEN 150000 ELSE 0 END AS BIGINT)
+           |    + (85 * coalesce(i.s, 0)) // 100 AS pr
+           |FROM sd LEFT JOIN (
+           |  SELECT e.dst, sum(r.pr // d.deg) AS s
+           |  FROM e JOIN r${t - 1} r ON r.node = e.src
+           |         JOIN d ON d.src = e.src
+           |  GROUP BY e.dst) i ON i.dst = sd.node)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $jaccardPairsCtes,
+         |e AS (SELECT a_id AS src, b_id AS dst FROM jp
+         |      UNION ALL SELECT b_id, a_id FROM jp),
+         |d AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+         |sd AS (SELECT src AS node,
+         |         CASE WHEN src % 29 = 0 THEN 1 ELSE 0 END AS is_seed
+         |       FROM d),
+         |r0 AS (SELECT node,
+         |    CAST(CASE WHEN is_seed = 1 THEN 1000000 ELSE 0 END AS BIGINT)
+         |      AS pr FROM sd),
+         |$rounds
+         |SELECT node AS doc_id, CAST(pr AS BIGINT) AS taint
+         |FROM r3 WHERE pr > 0 ORDER BY doc_id""".stripMargin
+    }) { (s, dir) =>
+      val jp = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      val edges = jp.union(jp.select(col("b_id"), col("a_id")))
+      val seeds = edges.select(col("a_id").as("node")).distinct()
+        .filter(col("node") % 29 === 0)
+      graft.operators.PageRank.runPersonalized(edges, seeds, iters = 3)
+        .filter(col("pr") > 0)
+        .select(col("node").as("doc_id"), col("pr").as("taint"))
+        .orderBy(col("doc_id"))
+    },
+
+    // ------------------------------------------------------------------
     // q134: contamination radius — multi-source BFS (operators.Bfs, the
     // fifth graph operator) over the q36 near-dup graph from a flagged
     // seed set (doc_id ≡ 0 mod 29 here; in production the decontamination

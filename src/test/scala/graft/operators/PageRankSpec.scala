@@ -82,4 +82,42 @@ class PageRankSpec extends SparkSpec {
     assert(ranks.forall { case (_, pr) =>
       pr >= 150000L && pr <= n * 1000000L })
   }
+
+  // ---- runPersonalized (q221's core) --------------------------------
+
+  test("personalized restart: path 1-2-3 seeded at 1, two rounds by hand") {
+    // symmetric path edges; deg(1)=1, deg(2)=2, deg(3)=1; seed {1}.
+    // r0 = (1e6, 0, 0)
+    // r1: n1 = 150000 + 0; n2 = 0 + 85*(1e6 div 1) div 100 = 850000;
+    //     n3 = 0
+    // r2: n1 = 150000 + 85*(850000 div 2) div 100 = 511250;
+    //     n2 = 0 + 85*150000 div 100 = 127500;
+    //     n3 = 0 + 85*425000 div 100 = 361250
+    val path = Seq(1L -> 2L, 2L -> 1L, 2L -> 3L, 3L -> 2L)
+    val seeds = Seq(Tuple1(1L)).toDF("node")
+    val r1 = PageRank.runPersonalized(path.toDF("src", "dst"), seeds, 1)
+      .as[(Long, Long)].collect().toMap
+    assert(r1 === Map(1L -> 150000L, 2L -> 850000L, 3L -> 0L))
+    val r2 = PageRank.runPersonalized(path.toDF("src", "dst"), seeds, 2)
+      .as[(Long, Long)].collect().toMap
+    assert(r2 === Map(1L -> 511250L, 2L -> 127500L, 3L -> 361250L))
+  }
+
+  test("personalized with ALL nodes seeded equals uniform run") {
+    val nodes = graph.map(_._1).distinct.map(Tuple1(_)).toDF("node")
+    val uni = PageRank.run(graph.toDF("src", "dst"), 3)
+      .as[(Long, Long)].collect().toSet
+    val per = PageRank.runPersonalized(graph.toDF("src", "dst"), nodes, 3)
+      .as[(Long, Long)].collect().toSet
+    assert(uni === per)
+  }
+
+  test("seed ids outside the node set are ignored") {
+    val path = Seq(1L -> 2L, 2L -> 1L)
+    val seeds = Seq(99L, 1L).map(Tuple1(_)).toDF("node")
+    val r = PageRank.runPersonalized(path.toDF("src", "dst"), seeds, 1)
+      .as[(Long, Long)].collect().toMap
+    // only node 1 restarts; 99 contributes nothing and never appears
+    assert(r === Map(1L -> 150000L, 2L -> 850000L))
+  }
 }
