@@ -741,6 +741,78 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q222: cross-source quantile NORMALIZATION of the quality score —
+    // the step before mixing heterogeneously-scored sources (q79/q99's
+    // upstream): a raw score of x from a lenient source is not the same
+    // evidence as x from a strict one, so each doc's score maps to the
+    // POOLED distribution's value at the doc's within-source percentile
+    // (classic quantile normalization, Bolstad 2003). All-integer rank
+    // arithmetic in ppm (the q105 micro-unit doctrine): within-source
+    // percentile = 1e6·srk div (n_s−1), matched pooled rank =
+    // pct·(N−1) div 1e6 — the two-step quantization keeps every product
+    // under 2^63 up to ~9e12 docs (srk·1e6, then ppm·N). Scale: BOTH
+    // rank assignments are GlobalIndex distributed sorts (the q73/q121
+    // operator — per-source ranks come from rank-in-(source,si) order
+    // minus a per-source offset, so no per-source single-task window
+    // exists); the offset/count frames are |sources| rows (the one tiny
+    // window, dimension-bounded), the pooled lookup is one integer
+    // equi-join. Every step exact → even the normalized scores
+    // hash-match.
+    QuerySpec.sqlBacked("q222_source_quantile_norm",
+      s"""WITH d AS (SELECT doc_id, source,
+         |    CAST($classifierScoreSql AS BIGINT) AS si
+         |  FROM (SELECT doc_id, source, text FROM documents)),
+         |g AS (SELECT doc_id, source, si,
+         |    CAST(row_number() OVER (ORDER BY si, doc_id) - 1 AS BIGINT)
+         |      AS grk,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY si, doc_id) - 1 AS BIGINT) AS srk,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_s,
+         |    CAST(count(*) OVER () AS BIGINT) AS n
+         |  FROM d),
+         |p AS (SELECT doc_id, source, si,
+         |    (1000000 * srk) // greatest(n_s - 1, CAST(1 AS BIGINT))
+         |      AS pct_ppm,
+         |    ((1000000 * srk) // greatest(n_s - 1, CAST(1 AS BIGINT))
+         |      * (n - 1)) // 1000000 AS tgt
+         |  FROM g)
+         |SELECT p.doc_id, p.source, p.si, p.pct_ppm, g2.si AS norm_si
+         |FROM p JOIN g g2 ON g2.grk = p.tgt
+         |ORDER BY p.doc_id""".stripMargin) { (s, dir) =>
+      val d = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), col("source"), classifierScore.as("si"))
+      Dedup.withScratch(d) {
+        val pooled = graft.operators.GlobalIndex
+          .assign(d, Seq(col("si"), col("doc_id")), "grk")
+        val bySrc = graft.operators.GlobalIndex
+          .assign(d, Seq(col("source"), col("si"), col("doc_id")), "rk2")
+        // per-source sizes + running offsets: |sources| rows — the one
+        // place a bare window is allowed (dimension-bounded by design)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("source"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val offs = d.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+          .withColumn("off", coalesce(sum(col("n_s")).over(w), lit(0L)))
+        val tot = d.agg(count(lit(1)).as("n"))
+        bySrc.join(broadcast(offs), "source")
+          .crossJoin(broadcast(tot))
+          .select(col("doc_id"), col("source"), col("si"),
+            expr("""(1000000 * (rk2 - off))
+              | div greatest(n_s - 1, CAST(1 AS BIGINT))"""
+              .stripMargin.replace("\n", "")).as("pct_ppm"),
+            col("n"))
+          .select(col("doc_id"), col("source"), col("si"), col("pct_ppm"),
+            expr("(pct_ppm * (n - 1)) div 1000000").as("tgt"))
+          .join(pooled.select(col("grk").as("tgt"), col("si").as("norm_si")),
+            "tgt")
+          .select(col("doc_id"), col("source"), col("si"), col("pct_ppm"),
+            col("norm_si"))
+          .orderBy(col("doc_id"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // BM25 relevance (log-free variant): top-20 docs for a fixed 3-term
     // query — the retrieval scorer a RAG/curation pipeline runs to rank
     // corpus documents against a probe query. idf is the raw Robertson
