@@ -827,6 +827,80 @@ object Profiling {
     },
 
     // ------------------------------------------------------------------
+    // q223: RENDEZVOUS (highest-random-weight) sharding — the
+    // consistent-hash answer to "we added a shard; what moves?".
+    // q125's cumulative-cut shards renumber almost every boundary when
+    // the shard size changes; rendezvous hashing (Thaler & Ravishankar
+    // 1998) assigns each doc to argmax over shards of
+    // md5(doc_id:shard), so going k=8 → k=9 moves ONLY the docs whose
+    // new shard 8 wins — in expectation n/9, and never shard-to-shard
+    // among the original 8. The report proves that property from the
+    // data: per shard, population under both k and arrivals under the
+    // re-shard (n_moved_in = 0 for shards 0–7 BY CONSTRUCTION — any
+    // nonzero row is a broken-hash alarm). Ties in the hex hash are
+    // broken toward the lowest shard id (max(h), then min(i)) — an
+    // md5-collision-only case, pinned anyway so both engines state the
+    // same total order. Scale: the ×k hash explode is a stateless
+    // projection (k is a constant, 9 rows per doc), the argmax is ONE
+    // map-side-combining max(struct) per (doc, k) — no window, no
+    // shuffle beyond the doc-keyed aggregate — and the report is k
+    // rows. At 100 TB this is exactly the re-shard planner you run
+    // BEFORE moving bytes: the movement set falls out as a filter.
+    QuerySpec.sqlBacked("q223_rendezvous_shards",
+      """WITH e AS (SELECT doc_id, i,
+        |    md5(CAST(doc_id AS VARCHAR) || ':' || CAST(i AS VARCHAR)) AS h
+        |  FROM documents, unnest(range(0, 9)) AS t(i)),
+        |a9 AS (SELECT doc_id, i AS s9 FROM (
+        |    SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, i) AS rn FROM e) WHERE rn = 1),
+        |a8 AS (SELECT doc_id, i AS s8 FROM (
+        |    SELECT doc_id, i, row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY h DESC, i) AS rn FROM e WHERE i < 8) WHERE rn = 1),
+        |j AS (SELECT a8.doc_id, s8, s9 FROM a8 JOIN a9 USING (doc_id)),
+        |c8 AS (SELECT s8 AS shard, CAST(count(*) AS BIGINT) AS n_k8
+        |       FROM j GROUP BY s8),
+        |c9 AS (SELECT s9 AS shard, CAST(count(*) AS BIGINT) AS n_k9,
+        |         CAST(sum(CASE WHEN s8 <> s9 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS n_moved_in
+        |       FROM j GROUP BY s9)
+        |SELECT coalesce(c9.shard, c8.shard) AS shard,
+        |       coalesce(n_k8, CAST(0 AS BIGINT)) AS n_k8,
+        |       coalesce(n_k9, CAST(0 AS BIGINT)) AS n_k9,
+        |       coalesce(n_moved_in, CAST(0 AS BIGINT)) AS n_moved_in
+        |FROM c9 FULL JOIN c8 USING (shard)
+        |ORDER BY shard""".stripMargin) { (s, dir) =>
+      val hh = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, 8), i -> struct(
+            | md5(concat(CAST(doc_id AS STRING), ':', CAST(i AS STRING))) AS h,
+            | CAST(i AS BIGINT) AS i))""".stripMargin.replace("\n", "")))
+          .as("e"))
+        .select(col("doc_id"), col("e.h").as("h"), col("e.i").as("i"))
+      // argmax by (h DESC, i ASC) via max(struct(h, -i)): max hex hash,
+      // tie toward the lowest shard id — one combining aggregate, the
+      // oracle's row_number without its window
+      def assign(in: org.apache.spark.sql.DataFrame, out: String) = in
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("h"), (-col("i")).as("ni"))).as("m"))
+        .select(col("doc_id"), (-col("m.ni")).as(out))
+      val j = assign(hh.filter(col("i") < 8), "s8")
+        .join(assign(hh, "s9"), "doc_id")
+        .localCheckpoint() // two grouped consumers (c8 + c9)
+      val c8 = j.groupBy(col("s8").as("shard"))
+        .agg(count(lit(1)).as("n_k8"))
+      val c9 = j.groupBy(col("s9").as("shard"))
+        .agg(count(lit(1)).as("n_k9"),
+          sum(when(col("s8") =!= col("s9"), 1L).otherwise(0L))
+            .as("n_moved_in"))
+      c9.join(c8, Seq("shard"), "full")
+        .select(col("shard"),
+          coalesce(col("n_k8"), lit(0L)).as("n_k8"),
+          coalesce(col("n_k9"), lit(0L)).as("n_k9"),
+          coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"))
+        .orderBy(col("shard"))
+    },
+
+    // ------------------------------------------------------------------
     // Equi-depth (decile) binning of a numeric column — feature
     // discretization with EXACT ntile semantics, without ntile's plan:
     // `ntile(b) OVER (ORDER BY ...)` with no partition (the oracle's
