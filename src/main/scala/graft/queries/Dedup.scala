@@ -1635,6 +1635,172 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q224: CLUSTER-AWARE train/val/test split — the leakage-free
+    // version of q56's hash split. Splitting by doc hash puts two
+    // near-duplicates of the same document on opposite sides of the
+    // train/test fence (the eval answers are in the training set); the
+    // group-wise rule assigns every doc the SPLIT OF ITS q65 near-dup
+    // CLUSTER (singletons group as themselves), so a cluster moves as a
+    // unit. The report proves it from the data: per split, populations
+    // under both rules plus the count of near-dup pairs that CROSS
+    // splits — 0 for the cluster rule BY CONSTRUCTION (a nonzero row is
+    // a broken-clustering alarm), nonzero for the naive rule (the
+    // leakage it would have shipped). Deterministic md5-nibble
+    // assignment (the q218 convention): nib ≤ 11 train, 12–13 val,
+    // ≥ 14 test. Scale: CC is the existing frontier-shuffle operator,
+    // assignment is a projection, the audits are two pair-sized
+    // equi-joins against a doc-sized assignment frame, and the report
+    // is 3 rows.
+    QuerySpec.sqlBacked("q224_cluster_split",
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
+         |e AS (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
+         |         FROM reach GROUP BY n),
+         |asg AS (SELECT doc_id, grp,
+         |    CASE WHEN nibg <= 11 THEN 'train'
+         |         WHEN nibg <= 13 THEN 'val' ELSE 'test' END AS split,
+         |    CASE WHEN nibd <= 11 THEN 'train'
+         |         WHEN nibd <= 13 THEN 'val' ELSE 'test' END AS naive_split
+         |  FROM (SELECT doc_id, grp,
+         |      strpos('0123456789abcdef',
+         |        substr(md5(CAST(grp AS VARCHAR)), 1, 1)) - 1 AS nibg,
+         |      strpos('0123456789abcdef',
+         |        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nibd
+         |    FROM (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS grp
+         |          FROM documents d LEFT JOIN comp c USING (doc_id)))),
+         |sp AS (SELECT unnest(['test', 'train', 'val']) AS split),
+         |cs AS (SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT grp) AS BIGINT) AS n_groups
+         |       FROM asg GROUP BY split),
+         |ns AS (SELECT naive_split AS split,
+         |         CAST(count(*) AS BIGINT) AS naive_n_docs
+         |       FROM asg GROUP BY naive_split),
+         |lp AS (SELECT least(x.split, y.split) AS split,
+         |         CAST(count(*) AS BIGINT) AS leak_out
+         |       FROM jp JOIN asg x ON jp.a_id = x.doc_id
+         |                JOIN asg y ON jp.b_id = y.doc_id
+         |       WHERE x.split <> y.split GROUP BY 1),
+         |ln AS (SELECT least(x.naive_split, y.naive_split) AS split,
+         |         CAST(count(*) AS BIGINT) AS naive_leak_out
+         |       FROM jp JOIN asg x ON jp.a_id = x.doc_id
+         |                JOIN asg y ON jp.b_id = y.doc_id
+         |       WHERE x.naive_split <> y.naive_split GROUP BY 1)
+         |SELECT sp.split,
+         |  coalesce(n_docs, CAST(0 AS BIGINT)) AS n_docs,
+         |  coalesce(n_groups, CAST(0 AS BIGINT)) AS n_groups,
+         |  coalesce(leak_out, CAST(0 AS BIGINT)) AS leak_out,
+         |  coalesce(naive_n_docs, CAST(0 AS BIGINT)) AS naive_n_docs,
+         |  coalesce(naive_leak_out, CAST(0 AS BIGINT)) AS naive_leak_out
+         |FROM sp LEFT JOIN cs USING (split) LEFT JOIN ns USING (split)
+         |        LEFT JOIN lp USING (split) LEFT JOIN ln USING (split)
+         |ORDER BY split""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val jp = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      withScratch(jp) {
+        val comp = graft.operators.ConnectedComponents.run(jp)
+          .select(col("node").as("doc_id"), col("cluster_id"))
+        def nib(c: org.apache.spark.sql.Column) =
+          instr(lit("0123456789abcdef"),
+            substring(md5(c.cast("string")), 1, 1)) - 1
+        def splitOf(n: org.apache.spark.sql.Column) =
+          when(n <= 11, "train").when(n <= 13, "val").otherwise("test")
+        val asg = Tables.spread(s, dir, "documents").select(col("doc_id"))
+          .join(comp, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("grp"))
+          .select(col("doc_id"), col("grp"),
+            splitOf(nib(col("grp"))).as("split"),
+            splitOf(nib(col("doc_id"))).as("naive_split"))
+          .localCheckpoint() // four grouped/joined consumers
+        val cs = asg.groupBy(col("split"))
+          .agg(count(lit(1)).as("n_docs"),
+            countDistinct(col("grp")).as("n_groups"))
+        val ns = asg.groupBy(col("naive_split").as("split"))
+          .agg(count(lit(1)).as("naive_n_docs"))
+        val pairSplits = jp
+          .join(asg.select(col("doc_id").as("a_id"), col("split").as("xa"),
+            col("naive_split").as("na")), "a_id")
+          .join(asg.select(col("doc_id").as("b_id"), col("split").as("xb"),
+            col("naive_split").as("nb")), "b_id")
+          .localCheckpoint() // pair-sized; feeds both leak audits
+        val lp = pairSplits.filter(col("xa") =!= col("xb"))
+          .groupBy(least(col("xa"), col("xb")).as("split"))
+          .agg(count(lit(1)).as("leak_out"))
+        val ln = pairSplits.filter(col("na") =!= col("nb"))
+          .groupBy(least(col("na"), col("nb")).as("split"))
+          .agg(count(lit(1)).as("naive_leak_out"))
+        Seq("test", "train", "val").toDF("split")
+          .join(cs, Seq("split"), "left")
+          .join(ns, Seq("split"), "left")
+          .join(lp, Seq("split"), "left")
+          .join(ln, Seq("split"), "left")
+          .select(col("split"),
+            coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+            coalesce(col("n_groups"), lit(0L)).as("n_groups"),
+            coalesce(col("leak_out"), lit(0L)).as("leak_out"),
+            coalesce(col("naive_n_docs"), lit(0L)).as("naive_n_docs"),
+            coalesce(col("naive_leak_out"), lit(0L)).as("naive_leak_out"))
+          .orderBy(col("split"))
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q225: duplicate-weighted EFFECTIVE corpus size — the mixing-table
+    // input when the dedup policy is DOWNWEIGHT, not drop: each doc
+    // weighs 1/|its q65 cluster| (a family of 4 near-identical docs
+    // contributes one doc's worth of signal), so Σ weights is the
+    // corpus's effective size and the per-source ratio effective/raw is
+    // the redundancy factor a sampling-temperature table (q99) should
+    // correct for. Exact integer ppm (1e6 div cluster_size — the
+    // truncating div both engines share); singletons weigh exactly
+    // 1,000,000. Scale: CC + one cluster-size aggregate + one doc-sized
+    // join; report is |sources| rows.
+    QuerySpec.sqlBacked("q225_dup_weighted_size",
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
+         |e AS (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
+         |         FROM reach GROUP BY n),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csz
+         |       FROM comp GROUP BY cluster_id),
+         |wd AS (SELECT d.doc_id, d.source,
+         |         CAST(1000000 AS BIGINT) // coalesce(sz.csz,
+         |           CAST(1 AS BIGINT)) AS w_ppm
+         |       FROM documents d
+         |       LEFT JOIN comp USING (doc_id)
+         |       LEFT JOIN sz ON comp.cluster_id = sz.cluster_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(w_ppm) AS BIGINT) AS eff_docs_ppm
+         |FROM wd GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val jp = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      val comp = graft.operators.ConnectedComponents.run(jp)
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      withScratch(comp) {
+        val sz = comp.groupBy(col("cluster_id")).agg(count(lit(1)).as("csz"))
+        Tables.spread(s, dir, "documents")
+          .select(col("doc_id"), col("source"))
+          .join(comp, Seq("doc_id"), "left")
+          .join(sz, Seq("cluster_id"), "left")
+          .select(col("source"),
+            expr("CAST(1000000 AS BIGINT) div coalesce(csz, 1L)").as("w_ppm"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("w_ppm")).as("eff_docs_ppm"))
+          .orderBy(col("source"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q134: contamination radius — multi-source BFS (operators.Bfs, the
     // fifth graph operator) over the q36 near-dup graph from a flagged
     // seed set (doc_id ≡ 0 mod 29 here; in production the decontamination
