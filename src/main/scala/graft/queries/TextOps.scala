@@ -813,6 +813,78 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q226: held-out LM evaluation — next-token accuracy of the q180
+    // Kneser-Ney bigram model, completing the LM family's train/eval
+    // discipline: the model trains on the TRAIN split only (the q218
+    // md5-nibble convention, nib ≤ 12) and is graded on the TEST
+    // split's bigram events (nib ≥ 14). The prediction is the argmax
+    // continuation per history word — and because KN's denominator
+    // 4·cw1·B depends only on w1, the argmax is over the exact INTEGER
+    // numerator kn_num (ties toward the smaller w2, a pinned total
+    // order): no float ever enters, so prediction, event counts and the
+    // ppm accuracy all hash-match. Prediction is over the model's
+    // OBSERVED continuations (the decoding-over-support convention —
+    // ranking unseen w2 by backoff mass alone would be a vocab×history
+    // cross product for a prediction no decoder makes). Scale: the
+    // model is the vocab²-bounded kn table, the argmax ONE
+    // map-side-combining min(struct) per w1, the grading a test-bigram
+    // join against the vocab-sized prediction table.
+    QuerySpec.sqlBacked("q226_lm_next_token",
+      s"""WITH d AS (SELECT text,
+         |    strpos('0123456789abcdef',
+         |      substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+         |  FROM documents),
+         |${knCtesSql("(SELECT text FROM d WHERE nib <= 12)")},
+         |pred AS (SELECT w1, w2 AS pred FROM (
+         |    SELECT w1, w2, row_number() OVER (PARTITION BY w1
+         |      ORDER BY kn_num DESC, w2) AS rn FROM kn) WHERE rn = 1),
+         |wt AS (SELECT string_split(text, ' ') AS ws
+         |       FROM d WHERE nib >= 14
+         |         AND len(string_split(text, ' ')) >= 2),
+         |tb AS (SELECT ws[i] AS w1, ws[i+1] AS w2,
+         |         CAST(count(*) AS BIGINT) AS c
+         |       FROM wt, unnest(range(1, len(ws))) AS t(i) GROUP BY w1, w2)
+         |SELECT w1, n_events, n_correct,
+         |  (1000000 * n_correct) // n_events AS acc_ppm
+         |FROM (
+         |  SELECT tb.w1, CAST(sum(c) AS BIGINT) AS n_events,
+         |    CAST(sum(CASE WHEN tb.w2 = pred THEN c ELSE 0 END) AS BIGINT)
+         |      AS n_correct
+         |  FROM tb JOIN pred USING (w1) GROUP BY tb.w1)
+         |ORDER BY w1""".stripMargin) { (s, dir) =>
+      val docs = Tables.spread(s, dir, "documents")
+        .select(col("text"),
+          (instr(lit("0123456789abcdef"),
+            substring(md5(col("doc_id").cast("string")), 1, 1)) - 1)
+            .as("nib"))
+      def bigrams(d: org.apache.spark.sql.DataFrame) = d
+        .select(split(col("text"), " ").as("ws"))
+        .filter(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i + 1] AS w2))"))
+          .as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("c"))
+      val trainBi = bigrams(docs.filter(col("nib") <= 12))
+      // argmax continuation by (kn_num DESC, w2 ASC) via min(struct):
+      // one combining aggregate over the vocab²-bounded model, no window
+      val pred = Dedup.withScratch(trainBi)(knFromCounts(trainBi, minC = 1L))
+        .groupBy(col("w1"))
+        .agg(min(struct((-col("kn_num")).as("nk"), col("w2").as("p")))
+          .as("m"))
+        .select(col("w1"), col("m.p").as("pred"))
+      bigrams(docs.filter(col("nib") >= 14))
+        .join(pred, "w1")
+        .groupBy(col("w1"))
+        .agg(sum(col("c")).as("n_events"),
+          sum(when(col("w2") === col("pred"), col("c")).otherwise(0L))
+            .as("n_correct"))
+        .select(col("w1"), col("n_events"), col("n_correct"),
+          expr("(1000000 * n_correct) div n_events").as("acc_ppm"))
+        .orderBy(col("w1"))
+    },
+
+    // ------------------------------------------------------------------
     // BM25 relevance (log-free variant): top-20 docs for a fixed 3-term
     // query — the retrieval scorer a RAG/curation pipeline runs to rank
     // corpus documents against a probe query. idf is the raw Robertson
@@ -1475,9 +1547,15 @@ object TextOps {
     * (discount 3/4; see the q180 comment for the algebra). ONE
     * definition consumed by both gates, so the model q183 scores with is
     * provably the model q180 publishes. */
-  private def knCtesSql =
-    """w AS (SELECT string_split(text, ' ') AS ws FROM documents
-      |           WHERE len(string_split(text, ' ')) >= 2),
+  private def knCtesSql: String = knCtesSql("documents")
+
+  /** [[knCtesSql]] over an arbitrary doc-source SQL fragment (must
+    * expose a `text` column) — q226 trains on the split's train half
+    * only; q180/q183 keep the whole-corpus default. */
+  private def knCtesSql(from: String): String =
+    s"""w AS (SELECT string_split(text, ' ') AS ws FROM $from
+      |           WHERE len(string_split(text, ' ')) >= 2),""".stripMargin +
+    """
       |bi AS (SELECT ws[i] AS w1, ws[i+1] AS w2,
       |         CAST(count(*) AS BIGINT) AS c
       |       FROM w, unnest(range(1, len(ws))) AS t(i) GROUP BY w1, w2),
