@@ -690,7 +690,61 @@ object Plans {
         "support aggregate; driver state is three longs per round. " +
         "The convergence trace is the output, so the gate stays " +
         "meaningful where the truss empties.",
-      details = Seq("REPARTITION_BY_NUM")))
+      details = Seq("REPARTITION_BY_NUM")),
+    Entry("q219_community_quality",
+      "Grading the LPA partition (GraphStats.communityQuality): ONE " +
+        "edge-label equi-join against the node-sized labeling, two " +
+        "key-bounded grouped counts (intra + the exploded cut, both " +
+        "with map-side partials), a 1-row broadcast edge total - " +
+        "nothing beyond the LPA rounds themselves shuffles more than " +
+        "the edge list, and the report is |communities| rows. " +
+        "Modularity/conductance are single fixed-shape double " +
+        "expressions over exact BIGINT counts (the q112 doctrine), so " +
+        "even the ratios hash-match. Decade probes 4.5 / 9.3 / 50.8 s " +
+        "(the shared jaccard posting-list stage dominates - the q65 " +
+        "cost class)."),
+    Entry("q221_taint_rank",
+      "Personalized PageRank from the contamination seeds " +
+        "(PageRank.runPersonalized): the restart vector is the only " +
+        "change to the q105 plan - edges persist PRE-PARTITIONED by " +
+        "src once, each of the 3 rounds shuffles only the node-sized " +
+        "rank frame keyed by dst, lineage cut per round. Exact integer " +
+        "micro-units end to end, so the oracle unrolls the identical " +
+        "recurrence. Decade probes 3.8 / 6.0 / 50.6 s (jaccard-stage-" +
+        "dominated, the q105/q219 family)."),
+    Entry("q222_source_quantile_norm",
+      "Cross-source quantile normalization with NO per-source window: " +
+        "both rank assignments are GlobalIndex distributed sorts " +
+        "(per-source ranks = source-major global ordinal minus a " +
+        "per-source offset), the offset/count frames are |sources| " +
+        "rows, the pooled lookup is ONE integer equi-join on the " +
+        "matched rank. All-integer ppm arithmetic keeps products " +
+        "under 2^63 to ~9e12 docs. Decade probes 2.5 / 3.1 / 4.4 s."),
+    Entry("q223_rendezvous_shards",
+      "Consistent re-shard planning: the x9 hash explode is a " +
+        "stateless constant-fan projection, the per-doc argmax is one " +
+        "map-side-combining max(struct) keyed by doc (the oracle's " +
+        "row_number without its window), and the report is k rows. " +
+        "The rendezvous property (k->k+1 moves only into the new " +
+        "shard) is asserted BY the output: n_moved_in is zero for the " +
+        "original shards by construction. Decade probes " +
+        "1.9 / 1.8 / 2.6 s - flat."),
+    Entry("q224_cluster_split",
+      "Leakage-free splitting: split assignment is a projection over " +
+        "CC's cluster map (group = cluster, singletons = self), and " +
+        "both leakage audits are pair-sized equi-joins against the " +
+        "doc-sized assignment frame - the 3-row report carries the " +
+        "proof (cluster-rule cross-split pairs = 0 by construction, " +
+        "the naive rule's counted leak beside it). Decade probes " +
+        "4.9 / 8.2 / 39.8 s (CC-stage-dominated)."),
+    Entry("q226_lm_next_token",
+      "Held-out LM eval with no floats: KN's denominator depends only " +
+        "on the history word, so the predicted continuation is an " +
+        "exact integer argmax over kn_num - one map-side-combining " +
+        "min(struct) per w1 over the vocab^2-bounded model, then a " +
+        "test-bigram join against the vocab-sized prediction table. " +
+        "Train/test discipline via the q218 nibble split inside the " +
+        "same plan. Decade probes 2.5 / 3.1 / 4.5 s."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
