@@ -1503,6 +1503,103 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q227: precision/recall OPERATING CURVE of the q197 classifier —
+    // the threshold-selection artifact between q212 (is the ordering
+    // right at all) and q204 (where calibration bends): at each exact
+    // score QUARTILE (the order statistic at rank q·(n−1) div 4, data-
+    // derived so the sweep tracks the distribution instead of guessing
+    // literals), gate si ≥ threshold and report confusion counts plus
+    // precision/recall/F1 in exact ppm (F1's harmonic mean is the
+    // integer (2·P·R) div (P+R) on the ppm values — no float enters
+    // anywhere). Scale: the quartile thresholds come from ONE
+    // GlobalIndex distributed sort (never a single-task window), the
+    // sweep is one ×3 broadcast fan-out (bounded by the threshold
+    // count, not the corpus) folded by map-side-combining sums, and
+    // the report is 3 rows.
+    QuerySpec.sqlBacked("q227_classifier_pr",
+      s"""WITH d AS (SELECT doc_id, ' '||text||' ' AS padded,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |    CAST($classifierScoreSql AS BIGINT) AS si
+         |  FROM documents),
+         |h AS (SELECT doc_id, si,
+         |    CASE WHEN ((length(padded)
+         |        - length(replace(padded, ' the ', ''))) // 5
+         |      + (length(padded)
+         |        - length(replace(padded, ' a ', ''))) // 3) * 10
+         |      >= n_tok THEN 1 ELSE 0 END AS heur FROM d),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(heur) AS BIGINT) AS n_pos FROM h),
+         |rk AS (SELECT si,
+         |    CAST(row_number() OVER (ORDER BY si, doc_id) - 1 AS BIGINT)
+         |      AS rk FROM h),
+         |thr AS (SELECT q, si AS thr_si
+         |        FROM rk, nn, (SELECT unnest([CAST(1 AS BIGINT),
+         |          CAST(2 AS BIGINT), CAST(3 AS BIGINT)]) AS q)
+         |        WHERE rk = (q * (n - 1)) // 4),
+         |pr AS (SELECT q, thr_si,
+         |    CAST(sum(CASE WHEN h.si >= thr_si THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_pred,
+         |    CAST(sum(CASE WHEN h.si >= thr_si AND heur = 1
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM h, thr GROUP BY q, thr_si),
+         |pr2 AS (SELECT q AS quartile, thr_si, n_pred, tp,
+         |    (1000000 * tp) // greatest(n_pred, CAST(1 AS BIGINT))
+         |      AS precision_ppm,
+         |    (1000000 * tp) // greatest(n_pos, CAST(1 AS BIGINT))
+         |      AS recall_ppm
+         |  FROM pr, nn)
+         |SELECT quartile, thr_si, n_pred, tp, precision_ppm, recall_ppm,
+         |  (2 * precision_ppm * recall_ppm)
+         |    // greatest(precision_ppm + recall_ppm, CAST(1 AS BIGINT))
+         |    AS f1_ppm
+         |FROM pr2 ORDER BY quartile""".stripMargin) { (s, dir) =>
+      def occDiv(p: String) =
+        s"(length(padded) - length(replace(padded, '$p', ''))) div ${p.length}"
+      val d = Tables.spread(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          classifierScore.as("si"),
+          expr(s"${occDiv(" the ")} + ${occDiv(" a ")}").as("n_stop"))
+        .select(col("doc_id"), col("si"),
+          when(col("n_stop") * 10 >= col("n_tok"), 1L).otherwise(0L)
+            .as("heur"))
+      Dedup.withScratch(d) {
+        val tot = d.agg(count(lit(1)).as("n"), sum(col("heur")).as("n_pos"))
+        val thr = graft.operators.GlobalIndex
+          .assign(d.select(col("si"), col("doc_id")),
+            Seq(col("si"), col("doc_id")), "rk")
+          .crossJoin(broadcast(tot))
+          .filter(col("rk") === expr("(1 * (n - 1)) div 4") ||
+            col("rk") === expr("(2 * (n - 1)) div 4") ||
+            col("rk") === expr("(3 * (n - 1)) div 4"))
+          .select(
+            when(col("rk") === expr("(1 * (n - 1)) div 4"), lit(1L))
+              .when(col("rk") === expr("(2 * (n - 1)) div 4"), lit(2L))
+              .otherwise(lit(3L)).as("q"),
+            col("si").as("thr_si"))
+        d.crossJoin(broadcast(thr)) // x3 fan-out: |thresholds|-bounded
+          .groupBy(col("q"), col("thr_si"))
+          .agg(sum(when(col("si") >= col("thr_si"), 1L).otherwise(0L))
+            .as("n_pred"),
+            sum(when(col("si") >= col("thr_si") && col("heur") === 1L, 1L)
+              .otherwise(0L)).as("tp"))
+          .crossJoin(broadcast(tot))
+          .select(col("q").as("quartile"), col("thr_si"), col("n_pred"),
+            col("tp"),
+            expr("(1000000 * tp) div greatest(n_pred, CAST(1 AS BIGINT))")
+              .as("precision_ppm"),
+            expr("(1000000 * tp) div greatest(n_pos, CAST(1 AS BIGINT))")
+              .as("recall_ppm"))
+          .withColumn("f1_ppm",
+            expr("""(2 * precision_ppm * recall_ppm)
+              | div greatest(precision_ppm + recall_ppm, CAST(1 AS BIGINT))"""
+              .stripMargin.replace("\n", "")))
+          .orderBy(col("quartile"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q213: blocklist scan — how many DISTINCT flag phrases occur in
     // each document, via the native Aho–Corasick ContainsAny expression
     // (plans/ContainsAny.scala): the filtering primitive behind
