@@ -127,4 +127,50 @@ class IncrementalSplitSpec extends SparkSpec {
       assert(splits.size == 1)
     }
   }
+
+  test("stop/restart resumes the split index from the engine checkpoint") {
+    withRocks {
+      import IncrementalSplit.Cand
+      val srcDir = java.nio.file.Files
+        .createTempDirectory("graft_split_src").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_split_ckpt").toString
+      val outDir = java.nio.file.Files
+        .createTempDirectory("graft_split_out").toString
+      def startQuery() = {
+        val ev = IncrementalSplit.evidence(spark.readStream
+          .schema("doc_id LONG, text STRING, admit BOOLEAN, split STRING")
+          .parquet(srcDir))
+        StreamEnv(spark).fromDataset(ev)
+          .keyBy(_.key)
+          .transformWithState(new IncrementalSplitProcessor,
+            TimeMode.None(), OutputMode.Update())
+          .toDataset
+          .writeStream
+          .foreachBatch { (b: org.apache.spark.sql.Dataset[Cand], _: Long) =>
+            b.write.mode(org.apache.spark.sql.SaveMode.Append)
+              .parquet(outDir)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode(OutputMode.Update)
+          .start()
+      }
+      // run 1 admits A at an explicit split; run 2 (fresh query, same
+      // checkpoint) probes an exact copy and a near-dup: lost state
+      // would emit no candidates at all
+      Seq((2L, baseText, true, "val")).toDF("doc_id", "text", "admit", "split")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q1 = startQuery(); q1.processAllAvailable(); q1.stop()
+      Seq((7L, baseText, false, ""),
+          (11L, baseText.replace("warehouse", "datacenter"), false, ""))
+        .toDF("doc_id", "text", "admit", "split")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(srcDir)
+      val q2 = startQuery(); q2.processAllAvailable(); q2.stop()
+      val cands = spark.read.parquet(outDir).as[Cand].collect().toSeq
+      assert(cands.exists(c => c.docId == 7L && c.split == "val"),
+        "exact-fp state lost across restart")
+      assert(cands.exists(c => c.docId == 11L && c.split == "val"),
+        "band state lost across restart")
+    }
+  }
 }
