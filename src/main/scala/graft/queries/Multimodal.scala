@@ -288,6 +288,81 @@ object Multimodal {
           .select(col("doc_id"), col("phash"), col("b_id").isNull.as("keep"))
           .orderBy(col("doc_id"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q228: scene-cut detection — the TEMPORAL media operator over q44's
+    // sampled frames: each frame gets a 16-bit mini-pHash (the q108
+    // construction at m=16 stripes — bit k set iff 16·s_k > Σs, integer
+    // cross-multiplication, no division), and a CUT is a consecutive-
+    // frame hamming jump >= 6/16 within the same media — the shot-
+    // boundary signal a video curation pipeline samples keyframes at
+    // (one representative frame per shot beats every-Nth-frame for
+    // training-data diversity). The per-media lag window is keyed by
+    // doc_id — frames per media are bounded (payload/32), so no
+    // partition outgrows a shot list; the decode is the q45/q108
+    // mapPartitions codec slot (deterministic stripe sums, so the hex
+    // oracle reproduces it and the query stays hash-gated).
+    QuerySpec.sqlBacked("q228_mm_scene_cut",
+      """WITH fr AS (
+        |  SELECT doc_id, 4*(j-1) AS frame_no,
+        |    substr(hx, 256*(j-1)+1, 64) AS frame
+        |  FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+        |    unnest(range(1, 1 + CAST(ceil(len(hx)/256.0) AS BIGINT))) AS t(j)),
+        |f AS (SELECT doc_id, frame_no, frame, len(frame) // 2 AS nb
+        |      FROM fr WHERE len(frame) > 0),
+        |st AS (SELECT doc_id, frame_no, list_transform(range(0, 16), k ->
+        |    CAST(coalesce(list_sum(list_transform(range(0, (nb - k + 15) // 16),
+        |      j -> CAST(('0x' || substr(frame, 2*(k + 16*j) + 1, 2)) AS INTEGER))),
+        |      0) AS BIGINT)) AS fs
+        |  FROM f),
+        |ph AS (SELECT doc_id, frame_no,
+        |    CAST(coalesce(list_sum(list_transform(range(0, 16), i ->
+        |      CASE WHEN 16 * fs[i + 1] > list_sum(fs)
+        |           THEN 1 << i ELSE 0 END)), 0) AS BIGINT) AS fph
+        |  FROM st),
+        |sc AS (SELECT doc_id, frame_no, fph,
+        |    lag(fph) OVER (PARTITION BY doc_id ORDER BY frame_no) AS prev
+        |  FROM ph)
+        |SELECT doc_id, frame_no,
+        |  CAST(bit_count(xor(fph, prev)) AS BIGINT) AS hamming
+        |FROM sc
+        |WHERE prev IS NOT NULL AND bit_count(xor(fph, prev)) >= 6
+        |ORDER BY doc_id, frame_no""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val ph = Tables(s, dir, "documents")
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"))
+        .select(col("doc_id"), expr(
+          """posexplode(transform(
+            |  sequence(1, CAST(ceil(length(hx)/256.0) AS INT)),
+            |  j -> substring(hx, 256*(j-1)+1, 64)))""".stripMargin)
+          .as(Seq("p", "frame")))
+        .filter(length(col("frame")) > 0)
+        .select(col("doc_id"), (col("p") * 4).cast("long").as("frame_no"),
+          unhex(col("frame")).as("payload"))
+        .as[(Long, Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, fno, payload) =>
+            val f = FakeDecoder.stripes(payload, 16)
+            val tot = f.sum
+            var acc = 0L
+            var i = 0
+            while (i < 16) {
+              if (16L * f(i) > tot) acc |= (1L << i)
+              i += 1
+            }
+            (id, fno, acc)
+          }
+        }
+        .toDF("doc_id", "frame_no", "fph")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+      ph.withColumn("prev", lag(col("fph"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(col("doc_id"), col("frame_no"),
+          expr("CAST(bit_count(fph ^ prev) AS BIGINT)").as("hamming"))
+        .filter(col("hamming") >= 6)
+        .orderBy(col("doc_id"), col("frame_no"))
     }
   )
 }
