@@ -61,9 +61,18 @@ object Vectors {
     * +-1, exactly representable; same left-assoc accumulation order as
     * the oracle's fold). */
   def srpBit(v: String, j: Int): Column = {
-    import org.apache.spark.sql.functions.{col, typedlit, when}
+    import org.apache.spark.sql.functions.when
+    when(srpProj(v, j) >= 0, 1).otherwise(0)
+  }
+
+  /** The raw projection <v, h_j> behind [[srpBit]] — q229's multi-probe
+    * needs the MARGIN (|proj| = distance to the hyperplane, the
+    * flip-likelihood ordering of Lv et al.'s query-directed probing),
+    * not just the sign. */
+  def srpProj(v: String, j: Int): Column = {
+    import org.apache.spark.sql.functions.{col, typedlit}
     val w = typedlit((0 until Dim).map(i => srpWeight(j, i).toFloat).toArray)
-    when(graft.plans.DotProduct(col(v), w) >= 0, 1).otherwise(0)
+    graft.plans.DotProduct(col(v), w)
   }
 
   /** +-1 Johnson–Lindenstrauss sign for projection row k, dim i: parity
@@ -80,8 +89,13 @@ object Vectors {
   }
 
   def srpBitSql(v: String, j: Int): String =
-    s"""CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
-       |  i -> CAST($v[i] AS DOUBLE) *
-       |    (2 * (strpos('0123456789abcdef', substr(md5('$j:' || (i-1)), 1, 1)) % 2) - 1)))
+    s"""CASE WHEN ${srpProjSql(v, j)}
        |  >= 0 THEN 1 ELSE 0 END""".stripMargin
+
+  /** DuckDB twin of [[srpProj]]: the raw fold [[srpBitSql]] signs. */
+  def srpProjSql(v: String, j: Int): String =
+    s"""list_sum(list_transform(range(1, ${Dim + 1}),
+       |  i -> CAST($v[i] AS DOUBLE) *
+       |    (2 * (strpos('0123456789abcdef', substr(md5('$j:' || (i-1)), 1, 1)) % 2) - 1)))"""
+      .stripMargin
 }

@@ -571,17 +571,61 @@ object Similarity {
         col("q_id") =!= col("nb_id"))).distinct()
   }
 
+  /** q229's candidate stage: [[lshCandidates]] with QUERY-DIRECTED
+    * multi-probe — each query probes its own bucket plus ONE flip
+    * neighbor per table, the bit whose hyperplane margin |proj| is
+    * smallest (lowest index on ties): the single most likely
+    * misclassified bit (Lv et al. VLDB'07). The corpus/index side is
+    * UNTOUCHED and the probe fan-out is a hard ×2 — flipping every bit
+    * instead would probe 5 of a 4-bit table's 16 buckets and degrade to
+    * a near-full corpus scan at scale (measured: 137 s vs q41's 31 s at
+    * 10×). Only the tiny broadcast query side pays the probe math. */
+  private[graft] def multiProbeCandidates(s: SparkSession,
+      dir: String): DataFrame = {
+    val tables = (0 until SrpTables).map(t =>
+      concat((SrpBits * t until SrpBits * t + SrpBits)
+        .map(j => Vectors.srpBit("embedding", j).cast("string")): _*))
+    val b = corpus(s, dir)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(array(tables: _*)).as(Seq("j", "bkt")))
+    val qBase = corpus(s, dir).filter(expr(isQuery))
+    val perTable = (0 until SrpTables).map { t =>
+      val pa = array((0 until SrpBits).map(j =>
+        abs(Vectors.srpProj("embedding", SrpBits * t + j))): _*)
+      qBase.select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"), lit(t).as("j"), tables(t).as("bkt"),
+        (array_position(pa, array_min(pa)) - 1).cast("int").as("mi"))
+    }
+    val q = broadcast(perTable.reduce(_ unionByName _)
+      .select(col("q_id"), col("qe"), col("qn"), col("j"),
+        explode(array(col("bkt"), expr(
+          """concat(substring(bkt, 1, mi),
+            | IF(substring(bkt, mi + 1, 1) = '1', '0', '1'),
+            | substring(bkt, mi + 2))"""
+            .stripMargin.replace("\n", "")))).as("pbkt")))
+    val c = b.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
+      col("nrm").as("cn"), col("j").as("cj"), col("bkt").as("cbkt"))
+    scoreTyped(q.join(c,
+      col("j") === col("cj") && col("pbkt") === col("cbkt") &&
+        col("q_id") =!= col("nb_id"))).distinct()
+  }
+
   /** DuckDB twin of [[lshCandidates]] + top-k — the oracle both q41 and
     * q114 share (the two Spark plans differ only in HOW the top-k is
     * taken: ranking window vs bounded-heap aggregate). */
   /** The [[lshCandidates]] stage as DuckDB CTE text (`n`/`b`/`e`/
     * `cand`) — shared by [[lshOracleSql]] (q41/q114) and q168, whose
     * gates must see one candidate definition. */
-  private def lshCandSql: String = {
-    val tableSql = (0 until SrpTables).map(t =>
+  /** The per-table bucket-string list (`[b0, …, b11]`) as DuckDB SQL —
+    * shared by [[lshCandSql]]'s index side and q229's probe side. */
+  private def lshTableSql: String =
+    (0 until SrpTables).map(t =>
       (SrpBits * t until SrpBits * t + SrpBits)
         .map(j => s"(${Vectors.srpBitSql("embedding", j)})::VARCHAR")
         .mkString(" || ")).mkString("[", ", ", "]")
+
+  private def lshCandSql: String = {
+    val tableSql = lshTableSql
     val unnestSql = (0 until SrpTables).mkString("[", ",", "]")
     s"""n AS ($corpusSql),
        |b AS (SELECT vec_id, embedding, nrm, $tableSql AS bks FROM n),
@@ -747,6 +791,57 @@ object Similarity {
     QuerySpec.sqlBacked("q41_knn_lsh", lshOracleSql) { (s, dir) =>
       topK(lshCandidates(s, dir))
     },
+
+    // ------------------------------------------------------------------
+    // q229: MULTI-PROBE LSH (Lv et al., VLDB'07) — q41's index queried
+    // harder instead of built bigger: each query probes its own bucket
+    // PLUS, per table, the ONE flip neighbor whose hyperplane margin
+    // |proj| is smallest — the single most likely misclassified bit,
+    // the dominant LSH miss mode. Recall rises at the SAME index
+    // build/storage cost (measured 0.84 → higher at sf0.01,
+    // AnnRecallSpec pins q229 ≥ q41 and strictly better), and the probe
+    // fan-out is a hard ×2 — flipping EVERY bit would probe 5 of a
+    // 4-bit table's 16 buckets and degrade to a near-full corpus scan
+    // at scale (measured 137 s vs 31 s at 10× — the rejected first
+    // cut). Multi-probe is a QUERY-TIME knob: the corpus side, index
+    // layout and scoring are q41's verbatim, re-tunable per workload
+    // without touching the stored index. Scale: identical exchange
+    // shape to q41 — only the broadcast query side carries the probe
+    // math (queries × tables × 2 rows), never the corpus.
+    QuerySpec.sqlBacked("q229_knn_multiprobe", {
+      val miSql = (0 until SrpTables).map { t =>
+        val pa = (0 until SrpBits)
+          .map(j => s"abs(${Vectors.srpProjSql("embedding", SrpBits * t + j)})")
+          .mkString("[", ", ", "]")
+        s"CAST(list_position($pa, list_min($pa)) - 1 AS INTEGER)"
+      }.mkString("[", ", ", "]")
+      s"""WITH $lshCandSql,
+         |qt AS (SELECT vec_id, embedding, nrm, t AS j,
+         |         bks[t+1] AS bkt, mis[t+1] AS mi
+         |       FROM (SELECT vec_id, embedding, nrm,
+         |               ${lshTableSql} AS bks, $miSql AS mis
+         |             FROM n WHERE $isQuery),
+         |         unnest(${(0 until SrpTables).mkString("[", ",", "]")})
+         |           AS tt(t)),
+         |qp AS (SELECT vec_id, embedding, nrm, j,
+         |         unnest([bkt,
+         |           substr(bkt, 1, mi) ||
+         |           (CASE WHEN substr(bkt, mi + 1, 1) = '1'
+         |                 THEN '0' ELSE '1' END) ||
+         |           substr(bkt, mi + 2)]) AS pbkt
+         |       FROM qt),
+         |mp AS (
+         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nb_id,
+         |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm)
+         |      AS cos
+         |  FROM qp q JOIN e c ON q.j = c.j AND q.pbkt = c.bkt
+         |    AND q.vec_id <> c.vec_id)
+         |SELECT q_id, nb_id, rn, cos FROM (
+         |  SELECT q_id, nb_id, cos,
+         |    row_number() OVER (PARTITION BY q_id
+         |      ORDER BY cos DESC, nb_id) AS rn FROM mp)
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
+    }) { (s, dir) => topK(multiProbeCandidates(s, dir)) },
 
     // ------------------------------------------------------------------
     // IVF: label = inverted list. Exact integer micro-unit sums

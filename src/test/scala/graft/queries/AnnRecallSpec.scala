@@ -58,6 +58,27 @@ class AnnRecallSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe dominates single-probe LSH at the same index") {
+    // q229 probes q41's index plus every one-bit-flip bucket: its
+    // candidate set is a SUPERSET of q41's by construction, so per-query
+    // recall can only rise — pinned as mean recall@k(q229) >= q41's,
+    // plus a strict global-improvement check (if flipping 48 probe bits
+    // recovered NOTHING on this corpus the knob would be dead weight)
+    val exact = topk("q40_knn_brute")
+    def mean(m: Map[Long, Set[Long]]) = {
+      val rs = exact.map { case (q, nbs) =>
+        m.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size }
+      rs.sum / rs.size
+    }
+    val single = mean(topk("q41_knn_lsh"))
+    val multi = mean(topk("q229_knn_multiprobe"))
+    info(f"recall@k single-probe $single%.3f -> multi-probe $multi%.3f")
+    assert(multi >= single,
+      f"multi-probe recall $multi%.3f fell below single-probe $single%.3f")
+    assert(multi > single,
+      "multi-probe recovered no additional true neighbors at sf0.01")
+  }
+
   test("q187 persisted-index serve returns exactly q148's result set") {
     // build+serve and index-serve share every numeric stage (the same
     // ivfPqCentroids/pqCodebooks/pqEncoded helpers feed ivfPqServe), so
