@@ -1088,6 +1088,71 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // q230: SEMANTIC decontamination — the embedding-space counterpart
+    // of the n-gram leakage checks (q63 join / q218 automaton). Verbatim
+    // 8-gram overlap misses paraphrased or re-tokenized benchmark
+    // leakage; embedding similarity catches it (the contamination-audit
+    // practice of arXiv:2311.04850's "rephrased samples" study). Split
+    // convention is q56/q63's md5-nibble of the id (train <= 12,
+    // eval >= 14 — held-out nibble 13 stays unused, same fence), and
+    // the candidate structure is q103's: adaptive-k k-means cells, then
+    // ONLY same-cell cross-split pairs are scored — |train_c| x |eval_c|
+    // per cell, bounded by the KmTarget operating curve, total LINEAR
+    // in the corpus where the naive audit is |train| x |eval|. The
+    // report row is per flagged TRAIN vector: how many eval vectors sit
+    // within the q39/q103 near-dup band (cos >= SemThr) of it and the
+    // worst offender's cosine (each pair's cos is bit-identical in both
+    // engines, so max picks the same value — engine-exact). Scale: one
+    // cluster-keyed shuffle; in production eval benchmarks are tiny so
+    // the per-cell eval side is broadcast-shaped, and a corpus-shaped
+    // eval split still rides the same bounded-cell math as q103.
+    // Recall caveat (shared with q103, documented there): a cross-split
+    // pair straddling a cell boundary is missed; the n-gram checks
+    // (q63/q218) remain the exact-overlap backstop.
+    QuerySpec.sqlBacked("q230_semantic_decon",
+      s"""WITH ${kmeansCtes(adaptiveKSql, KmIters)},
+         |n AS ($corpusSql),
+         |j AS (SELECT a.id, a.cid, n.embedding, n.nrm,
+         |        strpos('0123456789abcdef',
+         |               substr(md5(CAST(a.id AS VARCHAR)), 1, 1)) - 1 AS nib
+         |      FROM asg a JOIN n ON n.vec_id = a.id)
+         |SELECT t.id AS train_id, t.cid AS cluster,
+         |  count(*) AS n_eval_hits,
+         |  max(${Vectors.dotSql("t.embedding", "e.embedding")}/(t.nrm*e.nrm))
+         |    AS max_cos
+         |FROM j t JOIN j e ON t.cid = e.cid
+         |WHERE t.nib <= 12 AND e.nib >= 14
+         |  AND ${Vectors.dotSql("t.embedding", "e.embedding")}/(t.nrm*e.nrm)
+         |      >= $SemThr
+         |GROUP BY t.id, t.cid ORDER BY train_id""".stripMargin) { (s, dir) =>
+      val v = quantized(s, dir)
+      Dedup.withScratch(v) {
+        val j = clustered(s, dir, v)
+        // j feeds both split sides — persist once, filter twice
+        Dedup.withScratch(j) {
+          val nib = instr(lit("0123456789abcdef"),
+            substring(md5(col("id").cast("string")), 1, 1)) - 1
+          val t = j.filter(nib <= 12)
+            .select(col("id").as("train_id"), col("cluster").as("t_cid"),
+              col("embedding").as("te"), col("nrm").as("tn"))
+          val e = j.filter(nib >= 14)
+            .select(col("id").as("e_id"), col("cluster").as("e_cid"),
+              col("embedding").as("ee"), col("nrm").as("en"))
+          // equi-join on the cell id: the shuffle key IS the cluster,
+          // cross-split pairs co-locate, nothing quadratic crosses the wire
+          t.join(e, col("t_cid") === col("e_cid"))
+            .select(col("train_id"), col("t_cid").as("cluster"),
+              (graft.plans.DotProduct(col("te"), col("ee")) /
+                (col("tn") * col("en"))).as("cos"))
+            .filter(col("cos") >= SemThr)
+            .groupBy(col("train_id"), col("cluster"))
+            .agg(count(lit(1)).as("n_eval_hits"), max(col("cos")).as("max_cos"))
+            .orderBy(col("train_id"))
+        }
+      }
+    },
+
+    // ------------------------------------------------------------------
     // Per-cluster diversity sample: the m members FARTHEST from their
     // k-means centroid (exact integer distance, id tiebreak) — coreset /
     // hard-example selection, the corpus-organization step KMeans'
