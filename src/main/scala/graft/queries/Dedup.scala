@@ -596,6 +596,69 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q231: WINNOWING fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+    // — the MOSS algorithm) + the doc-pair overlap report they exist
+    // for. Instead of indexing EVERY positional 8-gram, each document
+    // keeps only the MINIMUM gram hash of every w=4 consecutive-gram
+    // window — the selected set is the distinct window-min VALUES, a
+    // convention-free definition (the min value per window is the same
+    // whatever position-tiebreak a scanner uses). Two properties make
+    // this the scale form of the gram family: (a) DENSITY — expected
+    // 2/(w+1) of positions are selected, so the inverted index (and the
+    // candidate join's traffic) is ~0.4x the full positional explode;
+    // (b) GUARANTEE — any shared token run of length >= w + k - 1 = 11
+    // is caught with certainty (some window inside the run selects the
+    // same gram on both sides), unlike MinHash's per-pair coin flip.
+    // The selection is a pure per-row projection (codegen'd HOF chain:
+    // shingle -> md5 -> sliding window-min -> distinct), so the ONLY
+    // shuffles are the df-cap aggregate and the posting-list equi-join,
+    // both on the sparsified index; the q36 MaxShingleDf cap guards the
+    // same stop-gram hot keys. Pairs sharing >= 2 selected fingerprints
+    // are reported with their overlap count.
+    QuerySpec.sqlBacked("q231_winnowing",
+      s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+         |           FROM documents),
+         |h AS (SELECT doc_id,
+         |        list_transform(range(1, len(ws)-6),
+         |          i -> md5(array_to_string(ws[i:i+7], ' '))) AS hs
+         |      FROM w WHERE len(ws) >= 11),
+         |fp AS (SELECT doc_id,
+         |         unnest(list_distinct(list_transform(range(1, len(hs)-2),
+         |           i -> list_min(hs[i:i+3])))) AS f
+         |       FROM h),
+         |keep AS (SELECT f FROM fp GROUP BY f
+         |         HAVING count(*) <= $MaxShingleDf),
+         |fk AS (SELECT doc_id, f FROM fp JOIN keep USING (f))
+         |SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         |FROM fk a JOIN fk b ON a.f = b.f AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val fp = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          graft.plans.WordShingles(col("text"), 8, distinct = false).as("g8"))
+        .filter(size(col("g8")) >= 4)
+        .select(col("doc_id"), expr("transform(g8, g -> md5(g))").as("hs"))
+        .select(col("doc_id"), explode(array_distinct(expr(
+          "transform(sequence(0, size(hs) - 4), i -> array_min(slice(hs, i + 1, 4)))")))
+          .as("f"))
+      // the sparsified index feeds the cap aggregate AND both join sides
+      withScratch(fp) {
+        val keep = fp.groupBy(col("f")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxShingleDf).select(col("f"))
+        val fk = fp.join(keep, "f")
+        withScratch(fk) {
+          fk.select(col("doc_id").as("a_id"), col("f"))
+            .join(fk.select(col("doc_id").as("b_id"), col("f")), "f")
+            .filter(col("a_id") < col("b_id"))
+            .groupBy(col("a_id"), col("b_id"))
+            .agg(count(lit(1)).as("n_shared"))
+            .filter(col("n_shared") >= 2)
+            .orderBy(col("a_id"), col("b_id"))
+        }
+      }
+    },
+
+    // ------------------------------------------------------------------
     // Decontamination end to end: EMIT the cleaned training corpus — the
     // q56 train split minus every document q63-style gram sharing marks
     // as contaminated (the step a pipeline actually ships; q63 is its
