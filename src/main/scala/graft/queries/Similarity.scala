@@ -2472,6 +2472,95 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // q232: MEAN RECIPROCAL RANK of the same three runs q215 grades —
+    // the metric that tells apart "the true neighbor is in the list"
+    // (recall@K, q215) from "the true neighbor is at the TOP of the
+    // list", which is what a RAG context window or a one-result UI
+    // actually consumes. Relevant item = the exact rank-1 neighbor per
+    // query (bruteTopK's rn=1 row); a run scores 1/rank at whatever
+    // position it surfaces that neighbor, 0 if it misses. The
+    // reciprocal is exact in integer micro-units (1000000 div rank —
+    // the q214 RRF weight arithmetic, no float), so per-run sums and
+    // the final mean hash-match. NDCG was rejected for the ledger: its
+    // 1/log2(rank+1) weights are irrational, and a cross-engine libm
+    // delta would break the differential gate (the q220 LIFT-not-PMI
+    // doctrine). Scale: the truth side is rank-1 only (|queries| rows,
+    // broadcast), each grading join is K-bounded per query, and the
+    // report is 3 rows — the runs themselves carry q41/q42's audited
+    // sub-linear cost. Like q215 this is the DELIBERATE exact-eval
+    // spend (10x probe ~85 s vs q215's 57 s, both dominated by the
+    // shared exact-truth + LSH candidate stages): an eval loop, not a
+    // production path, bounded by the isQuery sample knob.
+    QuerySpec.sqlBacked("q232_retrieval_mrr",
+      s"""WITH $lshCandSql,
+         |$labelIvfCtesSql,
+         |ex1 AS (SELECT q_id, nb_id FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
+         |                 c.vec_id) AS rn
+         |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |    WHERE q.$isQuery)
+         |  WHERE rn = 1),
+         |r1 AS (SELECT q_id, nb_id, rn FROM (
+         |    SELECT q_id, nb_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, nb_id) AS rn FROM cand)
+         |  WHERE rn <= $K),
+         |r2 AS (SELECT q_id, nb_id, rn FROM ivfr WHERE rn <= $K),
+         |ff AS (SELECT q_id, nb_id, rn FROM (
+         |    SELECT q_id, nb_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY rrf_u DESC, nb_id) AS rn FROM (
+         |      SELECT COALESCE(r1.q_id, r2.q_id) AS q_id,
+         |        COALESCE(r1.nb_id, r2.nb_id) AS nb_id,
+         |        CAST(COALESCE(1000000 // (60 + r1.rn), 0)
+         |           + COALESCE(1000000 // (60 + r2.rn), 0) AS BIGINT)
+         |          AS rrf_u
+         |      FROM r1 FULL JOIN r2
+         |        ON r1.q_id = r2.q_id AND r1.nb_id = r2.nb_id))
+         |  WHERE rn <= $K),
+         |st AS (
+         |  SELECT 'ivf' AS run,
+         |    (SELECT CAST(COALESCE(sum(1000000 // r.rn), 0) AS BIGINT)
+         |     FROM r2 r JOIN ex1 USING (q_id, nb_id)) AS sum_rr_ppm
+         |  UNION ALL SELECT 'lsh',
+         |    (SELECT CAST(COALESCE(sum(1000000 // r.rn), 0) AS BIGINT)
+         |     FROM r1 r JOIN ex1 USING (q_id, nb_id))
+         |  UNION ALL SELECT 'rrf',
+         |    (SELECT CAST(COALESCE(sum(1000000 // r.rn), 0) AS BIGINT)
+         |     FROM ff r JOIN ex1 USING (q_id, nb_id)))
+         |SELECT run, sum_rr_ppm,
+         |  CAST((SELECT count(*) FROM ex1) AS BIGINT) AS n_q,
+         |  CAST(sum_rr_ppm // (SELECT count(*) FROM ex1) AS BIGINT)
+         |    AS mrr_ppm
+         |FROM st ORDER BY run""".stripMargin) { (s, dir) =>
+      val ex1 = bruteTopK(s, dir).filter(col("rn") === 1)
+        .select(col("q_id"), col("nb_id"))
+      val r1 = topK(lshCandidates(s, dir))
+        .select(col("q_id"), col("nb_id"), col("rn"))
+      val r2 = labelIvfTopK(s, dir)
+        .select(col("q_id"), col("nb_id"), col("rn"))
+      Dedup.withScratch(ex1, r1, r2) {
+        val ff = rrfFuse(
+            r1.withColumnRenamed("rn", "ra"),
+            r2.withColumnRenamed("rn", "rb"))
+          .select(col("q_id"), col("nb_id"), col("rn"))
+        val runs = Seq("ivf" -> r2, "lsh" -> r1, "rrf" -> ff)
+        val stats = runs.map { case (name, r) =>
+          r.join(ex1, Seq("q_id", "nb_id"))
+            .agg(coalesce(sum(expr("1000000L div rn")), lit(0L))
+              .as("sum_rr_ppm"))
+            .select(lit(name).as("run"), col("sum_rr_ppm"))
+        }.reduce(_ unionByName _)
+        stats.crossJoin(broadcast(ex1.agg(count(lit(1)).as("n_q"))))
+          .select(col("run"), col("sum_rr_ppm"), col("n_q"),
+            expr("sum_rr_ppm div n_q").as("mrr_ppm"))
+          .orderBy(col("run"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q216: matryoshka truncation-recall curve — the dimension-budget
     // tuning report for nested (MRL) embeddings: brute top-K under the
     // FIRST d dims only (d = 8/16/32), graded against the full-64-dim
