@@ -1600,6 +1600,74 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q233: COHEN'S KAPPA of the q31 language-ID classifier against the
+    // labeled lang column — chance-corrected agreement, the number that
+    // separates "85% accurate" from "85% accurate on a corpus that is
+    // 80% English anyway" (q227's precision/recall can't see marginal
+    // imbalance; kappa is the standard audit for heuristic labelers and
+    // annotator agreement before their labels feed a filter). Exact
+    // formulation: with n docs, a = Σ diagonal agreements and
+    // pe_num = Σ_l row_l·col_l (the product of the two marginals),
+    // kappa = (n·a − pe_num) / (n² − pe_num) — numerator and
+    // denominator are exact BIGINTs, and kappa itself is ONE
+    // fixed-shape double division (the q212/q219 doctrine: ratios of
+    // exact integers hash-match; a ppm integer form was rejected
+    // because a negative-kappa numerator would hit `div`-vs-`//`
+    // truncation asymmetry on negatives). Degenerate case n² = pe_num
+    // (both raters constant) yields NULL identically in both engines.
+    // Scale: the prediction is q31's per-row projection; then two
+    // |langs|-bounded grouped counts (map-side combined), a
+    // |langs|-row marginal join, and two 1-row broadcasts — no
+    // corpus-sized shuffle at all. Integer headroom: n² needs
+    // n <= ~3e9 docs per audited corpus; past that widen to DECIMAL
+    // (the q88 width rule) or shard the audit by source.
+    QuerySpec.sqlBacked("q233_langid_kappa",
+      s"""WITH p AS (
+         |  SELECT lang, $predCase AS pred
+         |  FROM (SELECT lang, $scoreCols
+         |        FROM (SELECT lang, ' ' || text || ' ' AS padded
+         |              FROM documents))),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_agree FROM p),
+         |rm AS (SELECT pred AS l, CAST(count(*) AS BIGINT) AS r
+         |       FROM p GROUP BY pred),
+         |cm AS (SELECT lang AS l, CAST(count(*) AS BIGINT) AS c
+         |       FROM p GROUP BY lang),
+         |pe AS (SELECT CAST(COALESCE(sum(r * c), 0) AS BIGINT) AS pe_num
+         |       FROM rm JOIN cm USING (l))
+         |SELECT n, n_agree, pe_num,
+         |  CASE WHEN n * n = pe_num THEN NULL
+         |       ELSE CAST(n * n_agree - pe_num AS DOUBLE)
+         |            / CAST(n * n - pe_num AS DOUBLE) END AS kappa
+         |FROM m, pe""".stripMargin) { (s, dir) =>
+      val p = Tables.spread(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .select(Seq(col("lang")) ++ langScores.map { case (lang, pats) =>
+          expr(pats.map(occSql).mkString(" + ")).as(s"s_$lang")
+        }: _*)
+        .select(col("lang"), expr(predCase).as("pred"))
+      Dedup.withScratch(p) {
+        val m = p.agg(count(lit(1)).cast("long").as("n"),
+          sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+            .as("n_agree"))
+        val rm = p.groupBy(col("pred").as("l"))
+          .agg(count(lit(1)).cast("long").as("r"))
+        val cm = p.groupBy(col("lang").as("l"))
+          .agg(count(lit(1)).cast("long").as("c"))
+        val pe = rm.join(cm, "l")
+          .agg(coalesce(sum(col("r") * col("c")), lit(0L)).as("pe_num"))
+        m.crossJoin(broadcast(pe))
+          .select(col("n"), col("n_agree"), col("pe_num"),
+            when(col("n") * col("n") === col("pe_num"), lit(null))
+              .otherwise((col("n") * col("n_agree") - col("pe_num"))
+                .cast("double") /
+                (col("n") * col("n") - col("pe_num")).cast("double"))
+              .as("kappa"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q213: blocklist scan — how many DISTINCT flag phrases occur in
     // each document, via the native Aho–Corasick ContainsAny expression
     // (plans/ContainsAny.scala): the filtering primitive behind
