@@ -1668,6 +1668,78 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q234: DSIR-style targeted data selection (Xie et al. 2023,
+    // arXiv:2302.03169 "Data Selection for Language Models via
+    // Importance Resampling"): rank the RAW pool by how much each
+    // document's hashed-feature profile looks like a TARGET domain —
+    // the step that turns "we have 100 TB of crawl" into "here is the
+    // slice that looks like the domain we want more of". Target here =
+    // the lang='en' sub-population (a real distributional subgroup:
+    // its stopword profile differs from the pool); features = word
+    // unigrams hashed to 256 buckets (md5 first byte — DSIR's hashed
+    // n-gram model, bucket count bounds the model size). Importance is
+    // integer end to end (the q220 LIFT doctrine — no log-likelihood
+    // float): per bucket, p_target and p_raw in exact ppm, weight =
+    // 1e6·p_t_ppm div max(p_r_ppm, 1) (two-step ppm quantization, the
+    // q222 trick that keeps every product under 2^63 at any corpus
+    // size); per raw doc, the mean token weight (Σ div n_tok). Top-100
+    // by (importance desc, doc_id). Scale: the feature model is a
+    // 256-row broadcast built by ONE token-explode aggregate with
+    // 256×2 bounded keys; scoring re-joins that broadcast onto the
+    // token stream map-side (no shuffle), the per-doc fold is one
+    // doc-keyed combine, and the finish is TakeOrderedAndProject.
+    QuerySpec.sqlBacked("q234_dsir_select",
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+        |    CAST(('0x' || substr(md5(unnest(string_split(text, ' '))), 1, 2))
+        |      AS INTEGER) AS b
+        |  FROM documents),
+        |tot AS (SELECT CAST(sum(is_t) AS BIGINT) AS t,
+        |          CAST(sum(1 - is_t) AS BIGINT) AS r FROM toks),
+        |bc AS (SELECT b, CAST(sum(is_t) AS BIGINT) AS ct,
+        |         CAST(sum(1 - is_t) AS BIGINT) AS cr
+        |       FROM toks GROUP BY b),
+        |w AS (SELECT b,
+        |        (1000000 * ((1000000 * ct) // t)) //
+        |          greatest((1000000 * cr) // r, CAST(1 AS BIGINT))
+        |          AS w_ppm
+        |      FROM bc, tot)
+        |SELECT doc_id, n_tok, imp_ppm FROM (
+        |  SELECT tk.doc_id, count(*) AS n_tok,
+        |    CAST(sum(w.w_ppm) // count(*) AS BIGINT) AS imp_ppm
+        |  FROM toks tk JOIN w USING (b)
+        |  WHERE tk.is_t = 0
+        |  GROUP BY tk.doc_id)
+        |ORDER BY imp_ppm DESC, doc_id LIMIT 100""".stripMargin) { (s, dir) =>
+      val toks = Tables.spread(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("is_t"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("is_t"),
+          expr("CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS INT)")
+            .as("b"))
+      // toks feeds the model build AND the scoring pass
+      Dedup.withScratch(toks) {
+        val tot = toks.agg(sum(col("is_t")).as("t"),
+          sum(lit(1L) - col("is_t")).as("r"))
+        val w = toks.groupBy(col("b"))
+          .agg(sum(col("is_t")).as("ct"), sum(lit(1L) - col("is_t")).as("cr"))
+          .crossJoin(broadcast(tot))
+          .select(col("b"), expr(
+            """(1000000 * ((1000000 * ct) div t)) div
+              | greatest((1000000 * cr) div r, CAST(1 AS BIGINT))"""
+              .stripMargin.replace("\n", "")).as("w_ppm"))
+        toks.filter(col("is_t") === 0L)
+          .join(broadcast(w), "b")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_tok"),
+            expr("CAST(sum(w_ppm) div count(*) AS BIGINT)").as("imp_ppm"))
+          .orderBy(col("imp_ppm").desc, col("doc_id"))
+          .limit(100)
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q213: blocklist scan — how many DISTINCT flag phrases occur in
     // each document, via the native Aho–Corasick ContainsAny expression
     // (plans/ContainsAny.scala): the filtering primitive behind
