@@ -363,6 +363,110 @@ object Multimodal {
           expr("CAST(bit_count(fph ^ prev) AS BIGINT)").as("hamming"))
         .filter(col("hamming") >= 6)
         .orderBy(col("doc_id"), col("frame_no"))
+    },
+
+    // ------------------------------------------------------------------
+    // q235: voice-activity segmentation — the AUDIO-side temporal
+    // operator completing the media set (q44/q228 cover video frames,
+    // q108 images): an energy-threshold VAD over the q43 'audio' kind
+    // (payloads 200..399 bytes), the curation step that cuts long
+    // recordings into speech-like segments before transcription or
+    // training. Payload frames at a 16-byte PCM-ish stride; per-frame
+    // ENERGY = Σ (byte − 128)² — exact integers, computed in the
+    // q45/q228 mapPartitions codec slot (a real DSP frontend swaps in
+    // there). The threshold is ADAPTIVE per media — a frame is active
+    // iff energy · n_frames > total_energy, i.e. above the media's own
+    // mean frame energy, by integer cross-multiplication (the q108
+    // no-division trick; headroom: frame energy <= 16·128², so the
+    // product holds to ~2e13 frames ≈ 300 GB of audio per media).
+    // Consecutive active frames coalesce into segments by
+    // gaps-and-islands (run-start flag via lag, running sum = segment
+    // id) — both windows are keyed by doc_id, and frames per media are
+    // payload-bounded, so no partition outgrows one recording. Output:
+    // one row per segment with span and energy mass.
+    QuerySpec.sqlBacked("q235_mm_audio_vad",
+      """WITH b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) >= 200
+        |    AND octet_length(encode(text)) < 400),
+        |fr AS (
+        |  SELECT doc_id, CAST(j - 1 AS BIGINT) AS frame_no,
+        |    substr(hx, 32*(j-1)+1, 32) AS frame
+        |  FROM b,
+        |    unnest(range(1, 1 + CAST(ceil(len(hx)/32.0) AS BIGINT))) AS t(j)),
+        |f AS (
+        |  SELECT doc_id, frame_no,
+        |    CAST(coalesce(list_sum(list_transform(range(0, len(frame)//2),
+        |      i -> (CAST(('0x'||substr(frame, 2*i+1, 2)) AS INTEGER) - 128)
+        |         * (CAST(('0x'||substr(frame, 2*i+1, 2)) AS INTEGER) - 128))),
+        |      0) AS BIGINT) AS e
+        |  FROM fr WHERE len(frame) > 0),
+        |m AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS nf,
+        |        CAST(sum(e) AS BIGINT) AS te FROM f GROUP BY doc_id),
+        |a AS (SELECT f.doc_id, frame_no, e, (e * nf > te) AS act
+        |      FROM f JOIN m USING (doc_id)),
+        |g AS (SELECT doc_id, frame_no, e, act,
+        |        CASE WHEN act AND NOT coalesce(
+        |            lag(act) OVER (PARTITION BY doc_id ORDER BY frame_no),
+        |            FALSE)
+        |          THEN 1 ELSE 0 END AS st
+        |      FROM a),
+        |sg AS (SELECT doc_id, frame_no, e, act,
+        |        sum(st) OVER (PARTITION BY doc_id ORDER BY frame_no) AS seg
+        |      FROM g)
+        |SELECT doc_id, CAST(seg AS BIGINT) AS seg_no,
+        |  min(frame_no) AS start_frame, max(frame_no) AS end_frame,
+        |  CAST(count(*) AS BIGINT) AS n_frames,
+        |  CAST(sum(e) AS BIGINT) AS energy
+        |FROM sg WHERE act
+        |GROUP BY doc_id, seg ORDER BY doc_id, seg_no""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"), hex(col("text").cast("binary")).as("hx"),
+          octet_length(col("text").cast("binary")).as("n"))
+        .filter(col("n") >= 200 && col("n") < 400)
+        .select(col("doc_id"), expr(
+          """posexplode(transform(
+            |  sequence(1, CAST(ceil(length(hx)/32.0) AS INT)),
+            |  j -> substring(hx, 32*(j-1)+1, 32)))""".stripMargin)
+          .as(Seq("p", "frame")))
+        .filter(length(col("frame")) > 0)
+        .select(col("doc_id"), col("p").cast("long").as("frame_no"),
+          unhex(col("frame")).as("payload"))
+        .as[(Long, Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, fno, pl) =>
+            var e = 0L
+            var i = 0
+            while (i < pl.length) {
+              val d = (pl(i) & 0xff) - 128
+              e += d.toLong * d
+              i += 1
+            }
+            (id, fno, e)
+          }
+        }
+        .toDF("doc_id", "frame_no", "e")
+      val m = f.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nf"), sum(col("e")).as("te"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("frame_no"))
+      val a = f.join(m, "doc_id")
+        .withColumn("act", col("e") * col("nf") > col("te"))
+      a.withColumn("st",
+          when(col("act") && !coalesce(lag(col("act"), 1).over(w), lit(false)),
+            1L).otherwise(0L))
+        .withColumn("seg", sum(col("st")).over(w))
+        .filter(col("act"))
+        .groupBy(col("doc_id"), col("seg"))
+        .agg(min(col("frame_no")).as("start_frame"),
+          max(col("frame_no")).as("end_frame"),
+          count(lit(1)).as("n_frames"), sum(col("e")).as("energy"))
+        .select(col("doc_id"), col("seg").cast("long").as("seg_no"),
+          col("start_frame"), col("end_frame"), col("n_frames"),
+          col("energy"))
+        .orderBy(col("doc_id"), col("seg_no"))
     }
   )
 }
