@@ -53,6 +53,25 @@ object TextOps {
       "CAST(CAST(conv(substring(md5(t), 1, 4), 16, 10) AS INT) " +
       "- 32768 AS BIGINT))")
 
+  /** The q197/q227 classifier surface as ONE projection — (doc_id, si,
+    * heur): hashed-feature score plus the stopword-density heuristic
+    * label. Shared by q227's curve and the IncrementalClassifierPr
+    * streaming monitor so the two can never disagree on what is being
+    * graded (the classifierScoreSql anti-drift rule). */
+  private[graft] def scoredDocs(docs: DataFrame): DataFrame = {
+    def occDiv(p: String) =
+      s"(length(padded) - length(replace(padded, '$p', ''))) div ${p.length}"
+    docs
+      .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"),
+        classifierScore.as("si"),
+        expr(s"${occDiv(" the ")} + ${occDiv(" a ")}").as("n_stop"))
+      .select(col("doc_id"), col("si"),
+        when(col("n_stop") * 10 >= col("n_tok"), 1L).otherwise(0L)
+          .as("heur"))
+  }
+
   private val langScores = Seq(
     "en" -> Seq(" the ", " a "),
     "de" -> Seq(" der ", " die ", " und "),
@@ -1553,17 +1572,7 @@ object TextOps {
          |    // greatest(precision_ppm + recall_ppm, CAST(1 AS BIGINT))
          |    AS f1_ppm
          |FROM pr2 ORDER BY quartile""".stripMargin) { (s, dir) =>
-      def occDiv(p: String) =
-        s"(length(padded) - length(replace(padded, '$p', ''))) div ${p.length}"
-      val d = Tables.spread(s, dir, "documents")
-        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
-        .select(col("doc_id"),
-          size(split(col("text"), " ")).cast("long").as("n_tok"),
-          classifierScore.as("si"),
-          expr(s"${occDiv(" the ")} + ${occDiv(" a ")}").as("n_stop"))
-        .select(col("doc_id"), col("si"),
-          when(col("n_stop") * 10 >= col("n_tok"), 1L).otherwise(0L)
-            .as("heur"))
+      val d = scoredDocs(Tables.spread(s, dir, "documents"))
       Dedup.withScratch(d) {
         val tot = d.agg(count(lit(1)).as("n"), sum(col("heur")).as("n_pos"))
         val thr = graft.operators.GlobalIndex
