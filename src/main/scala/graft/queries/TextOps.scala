@@ -1677,6 +1677,107 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q236: per-class precision/recall/F1 + MACRO-F1 of the q31
+    // language-ID labeler — the class-level diagnostic completing the
+    // classifier-audit set (q227 sweeps thresholds on ONE binary gate,
+    // q233's kappa is one chance-corrected global number; this is the
+    // per-class table that shows WHICH language the labeler fails on,
+    // and macro-F1 weights every class equally so a rare language's
+    // collapse can't hide behind the majority class). Counts come from
+    // two |classes|-bounded grouped aggregates (by pred with an
+    // agreement sum, by lang) outer-joined over the observed class
+    // union — tp directly, fp = n_pred − tp, fn = n_lang − tp — and
+    // every ratio is q227's exact ppm integer arithmetic. The macro row
+    // is the |classes|-row average (sum div count), appended with NULL
+    // counts so the grain stays explicit. Scale: the prediction is a
+    // per-row projection; everything after the two grouped counts is
+    // |classes|-sized.
+    QuerySpec.sqlBacked("q236_langid_macro_f1",
+      s"""WITH p AS (
+         |  SELECT lang, $predCase AS pred
+         |  FROM (SELECT lang, $scoreCols
+         |        FROM (SELECT lang, ' ' || text || ' ' AS padded
+         |              FROM documents))),
+         |bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS np,
+         |         CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
+         |           AS BIGINT) AS tp
+         |       FROM p GROUP BY pred),
+         |bl AS (SELECT lang AS cls, CAST(count(*) AS BIGINT) AS nl
+         |       FROM p GROUP BY lang),
+         |cl AS (SELECT cls FROM bp UNION SELECT cls FROM bl),
+         |m AS (SELECT cl.cls,
+         |        coalesce(bp.tp, 0) AS tp,
+         |        coalesce(bp.np, 0) - coalesce(bp.tp, 0) AS fp,
+         |        coalesce(bl.nl, 0) - coalesce(bp.tp, 0) AS fn
+         |      FROM cl LEFT JOIN bp ON bp.cls = cl.cls
+         |              LEFT JOIN bl ON bl.cls = cl.cls),
+         |r AS (SELECT cls, tp, fp, fn,
+         |        (1000000 * tp) // greatest(tp + fp, CAST(1 AS BIGINT))
+         |          AS precision_ppm,
+         |        (1000000 * tp) // greatest(tp + fn, CAST(1 AS BIGINT))
+         |          AS recall_ppm
+         |      FROM m),
+         |f AS (SELECT cls, tp, fp, fn, precision_ppm, recall_ppm,
+         |        (2 * precision_ppm * recall_ppm)
+         |          // greatest(precision_ppm + recall_ppm, CAST(1 AS BIGINT))
+         |          AS f1_ppm
+         |      FROM r)
+         |SELECT cls, tp, fp, fn, precision_ppm, recall_ppm, f1_ppm FROM f
+         |UNION ALL
+         |SELECT 'macro', NULL, NULL, NULL,
+         |  CAST(sum(precision_ppm) // count(*) AS BIGINT),
+         |  CAST(sum(recall_ppm) // count(*) AS BIGINT),
+         |  CAST(sum(f1_ppm) // count(*) AS BIGINT)
+         |FROM f
+         |ORDER BY cls""".stripMargin) { (s, dir) =>
+      val p = Tables.spread(s, dir, "documents")
+        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+        .select(Seq(col("lang")) ++ langScores.map { case (lang, pats) =>
+          expr(pats.map(occSql).mkString(" + ")).as(s"s_$lang")
+        }: _*)
+        .select(col("lang"), expr(predCase).as("pred"))
+      Dedup.withScratch(p) {
+        val bp = p.groupBy(col("pred").as("cls"))
+          .agg(count(lit(1)).cast("long").as("np"),
+            sum(when(col("pred") === col("lang"), 1L).otherwise(0L)).as("tp"))
+        val bl = p.groupBy(col("lang").as("cls"))
+          .agg(count(lit(1)).cast("long").as("nl"))
+        val cl = bp.select(col("cls")).union(bl.select(col("cls"))).distinct()
+        val f = cl
+          .join(bp, Seq("cls"), "left")
+          .join(bl, Seq("cls"), "left")
+          .select(col("cls"),
+            coalesce(col("tp"), lit(0L)).as("tp"),
+            (coalesce(col("np"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+              .as("fp"),
+            (coalesce(col("nl"), lit(0L)) - coalesce(col("tp"), lit(0L)))
+              .as("fn"))
+          .withColumn("precision_ppm",
+            expr("(1000000 * tp) div greatest(tp + fp, CAST(1 AS BIGINT))"))
+          .withColumn("recall_ppm",
+            expr("(1000000 * tp) div greatest(tp + fn, CAST(1 AS BIGINT))"))
+          .withColumn("f1_ppm", expr(
+            """(2 * precision_ppm * recall_ppm)
+              | div greatest(precision_ppm + recall_ppm, CAST(1 AS BIGINT))"""
+              .stripMargin.replace("\n", "")))
+        Dedup.withScratch(f) {
+          val macroRow = f.agg(
+            expr("CAST(sum(precision_ppm) div count(*) AS BIGINT)")
+              .as("precision_ppm"),
+            expr("CAST(sum(recall_ppm) div count(*) AS BIGINT)")
+              .as("recall_ppm"),
+            expr("CAST(sum(f1_ppm) div count(*) AS BIGINT)").as("f1_ppm"))
+            .select(lit("macro").as("cls"),
+              lit(null).cast("long").as("tp"),
+              lit(null).cast("long").as("fp"),
+              lit(null).cast("long").as("fn"),
+              col("precision_ppm"), col("recall_ppm"), col("f1_ppm"))
+          f.unionByName(macroRow).orderBy(col("cls"))
+        }
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q234: DSIR-style targeted data selection (Xie et al. 2023,
     // arXiv:2302.03169 "Data Selection for Language Models via
     // Importance Resampling"): rank the RAW pool by how much each
@@ -1745,6 +1846,64 @@ object TextOps {
             expr("CAST(sum(w_ppm) div count(*) AS BIGINT)").as("imp_ppm"))
           .orderBy(col("imp_ppm").desc, col("doc_id"))
           .limit(100)
+      }
+    },
+
+    // ------------------------------------------------------------------
+    // q237: OUT-OF-VOCABULARY rate by source against the TRAIN-split
+    // vocabulary (the q56/q63 md5-nibble fence) — the tokenizer/vocab
+    // coverage audit run before adding a source to the mix: a source
+    // whose token stream is full of words the training split never saw
+    // will fragment into long subword sequences (q96's fertility cost)
+    // or <unk> mass, and this report catches that BEFORE training. Per
+    // source: total token occurrences, OOV occurrences, the rate in
+    // exact ppm, and the count of distinct unseen word TYPES (many
+    // occurrences of one novel word is a different problem than a novel
+    // vocabulary). Scale: the vocabulary is vocab-bounded (built by one
+    // distinct over the train token stream), the membership probe is a
+    // word-keyed equi-join against that bounded side, and the per-source
+    // rollup is |sources|-keyed with map-side combine — the corpus is
+    // touched exactly once.
+    QuerySpec.sqlBacked("q237_oov_rate",
+      """WITH w AS (
+        |  SELECT source,
+        |    strpos('0123456789abcdef',
+        |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib,
+        |    unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |v AS (SELECT DISTINCT tok FROM w WHERE nib <= 12),
+        |o AS (SELECT w.source, w.tok,
+        |        CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM w LEFT JOIN v ON w.tok = v.tok)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(oov) AS BIGINT) AS n_oov,
+        |  (1000000 * CAST(sum(oov) AS BIGINT))
+        |    // greatest(CAST(count(*) AS BIGINT), CAST(1 AS BIGINT))
+        |    AS oov_ppm,
+        |  CAST(count(DISTINCT CASE WHEN oov = 1 THEN tok END) AS BIGINT)
+        |    AS n_oov_types
+        |FROM o GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      val w = Tables.spread(s, dir, "documents")
+        .select(col("source"),
+          (instr(lit("0123456789abcdef"),
+            substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"),
+          explode(split(col("text"), " ")).as("tok"))
+      // the token stream feeds the vocab build AND the membership probe
+      Dedup.withScratch(w) {
+        val v = w.filter(col("nib") <= 12).select(col("tok")).distinct()
+          .withColumn("in_v", lit(1L))
+        w.join(v, Seq("tok"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_tok"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"),
+            countDistinct(when(col("in_v").isNull, col("tok")))
+              .cast("long").as("n_oov_types"))
+          .select(col("source"), col("n_tok"), col("n_oov"),
+            expr("""(1000000 * n_oov)
+              | div greatest(n_tok, CAST(1 AS BIGINT))"""
+              .stripMargin.replace("\n", "")).as("oov_ppm"),
+            col("n_oov_types"))
+          .orderBy(col("source"))
       }
     },
 
