@@ -796,6 +796,79 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q238: CHAINING audit of the transitive-closure dedup — the known
+    // failure mode of CC-based clustering (q65): A~B and B~C put A and
+    // C in one cluster even when A and C are NOT near-dups, and long
+    // chains quietly merge unrelated documents into one "duplicate"
+    // group that a keep-one policy (q66) then decimates. This report
+    // measures that artifact: per cluster SIZE, how many member pairs
+    // the clusters contain (Σ sz·(sz−1)/2 — derived ARITHMETICALLY
+    // from sizes, no pair join anywhere) vs how many are directly
+    // linked by a q36 edge, and the chained share in exact ppm. Size-2
+    // rows are a built-in sanity check (1 pair, 1 edge, chain 0);
+    // rising chain_ppm at larger sizes is the signal to tighten the
+    // Jaccard threshold or switch the policy to per-edge keep-best
+    // (q46/q66's alternatives). Scale: CC is the audited operator
+    // itself; the audit adds one node-keyed join (edge→cluster stamp)
+    // and two bounded-key aggregates — nothing quadratic.
+    QuerySpec.sqlBacked("q238_chain_audit",
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
+         |e AS (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
+         |         FROM reach GROUP BY n),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
+         |       FROM comp GROUP BY cluster_id),
+         |lk AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_linked
+         |       FROM jp JOIN comp c ON jp.a_id = c.doc_id
+         |       GROUP BY c.cluster_id),
+         |per AS (SELECT s.cluster_id, s.sz,
+         |          s.sz * (s.sz - 1) // 2 AS n_pairs,
+         |          coalesce(l.n_linked, 0) AS n_linked
+         |        FROM sz s LEFT JOIN lk l ON l.cluster_id = s.cluster_id)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(n_pairs) AS BIGINT) AS n_pairs,
+         |  CAST(sum(n_linked) AS BIGINT) AS n_linked,
+         |  (1000000 * (CAST(sum(n_pairs) AS BIGINT)
+         |              - CAST(sum(n_linked) AS BIGINT)))
+         |    // greatest(CAST(sum(n_pairs) AS BIGINT), CAST(1 AS BIGINT))
+         |    AS chain_ppm
+         |FROM per GROUP BY sz ORDER BY cluster_size""".stripMargin) {
+      (s, dir) =>
+      val jp = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      withScratch(jp) {
+        val comp = graft.operators.ConnectedComponents.run(jp)
+          .select(col("node").as("doc_id"), col("cluster_id"))
+        withScratch(comp) {
+          val sz = comp.groupBy(col("cluster_id"))
+            .agg(count(lit(1)).cast("long").as("sz"))
+          val lk = jp
+            .join(comp, jp("a_id") === comp("doc_id"))
+            .groupBy(col("cluster_id"))
+            .agg(count(lit(1)).cast("long").as("n_linked"))
+          sz.join(lk, Seq("cluster_id"), "left")
+            .select(col("sz"),
+              expr("sz * (sz - 1) div 2").as("n_pairs"),
+              coalesce(col("n_linked"), lit(0L)).as("n_linked"))
+            .groupBy(col("sz").as("cluster_size"))
+            .agg(count(lit(1)).cast("long").as("n_clusters"),
+              sum(col("n_pairs")).as("n_pairs"),
+              sum(col("n_linked")).as("n_linked"))
+            .withColumn("chain_ppm", expr(
+              """(1000000 * (n_pairs - n_linked))
+                | div greatest(n_pairs, CAST(1 AS BIGINT))"""
+                .stripMargin.replace("\n", "")))
+            .orderBy(col("cluster_size"))
+        }
+      }
+    },
+
+    // ------------------------------------------------------------------
     // Duplicate-graph centrality (operators.PageRank): exact-integer
     // PageRank over the q36 near-dup edges — which document is the
     // authority center of its duplicate neighborhood (an alternative
