@@ -869,6 +869,52 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q239: duplicate PROVENANCE mix — for each near-dup cluster (q65),
+    // how many distinct SOURCES its members span, rolled up to a
+    // (cluster_size × n_sources) contingency report. The same duplicate
+    // mass means different fixes depending on this split: n_sources = 1
+    // clusters are within-source boilerplate (fix the extractor or
+    // dedup at ingest, q80's admission gate), multi-source clusters are
+    // syndication/mirroring (fix the source list or downweight, q225's
+    // effective-size input). Scale: CC is the already-audited operator;
+    // the audit adds one node-keyed join to stamp each member's source
+    // and two bounded-key aggregates (clusters, then the tiny
+    // size×sources grid) — nothing quadratic, nothing corpus-sized
+    // past the stamp join.
+    QuerySpec.sqlBacked("q239_dup_provenance",
+      s"""WITH RECURSIVE $jaccardPairsCtes,
+         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
+         |e AS (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION ALL SELECT b_id, a_id FROM jp),
+         |reach(n, m) AS (
+         |  SELECT n, n FROM nodes
+         |  UNION
+         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
+         |         FROM reach GROUP BY n),
+         |per AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS sz,
+         |          CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
+         |        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+         |        GROUP BY c.cluster_id)
+         |SELECT sz AS cluster_size, n_sources,
+         |  CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM per GROUP BY sz, n_sources
+         |ORDER BY cluster_size, n_sources""".stripMargin) { (s, dir) =>
+      val comp = graft.operators.ConnectedComponents
+        .run(jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
+        .select(col("node").as("doc_id"), col("cluster_id"))
+      comp
+        .join(Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source")), "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).cast("long").as("sz"),
+          countDistinct(col("source")).cast("long").as("n_sources"))
+        .groupBy(col("sz").as("cluster_size"), col("n_sources"))
+        .agg(count(lit(1)).cast("long").as("n_clusters"))
+        .orderBy(col("cluster_size"), col("n_sources"))
+    },
+
+    // ------------------------------------------------------------------
     // Duplicate-graph centrality (operators.PageRank): exact-integer
     // PageRank over the q36 near-dup edges — which document is the
     // authority center of its duplicate neighborhood (an alternative

@@ -1908,6 +1908,62 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q240: vocabulary COVERAGE curve — the tokenizer-sizing artifact:
+    // how many distinct words (taken in descending frequency order)
+    // cover 50 / 90 / 99 % of all token occurrences. q74's zipf fit
+    // describes the distribution's shape; this is the number a
+    // vocabulary budget is actually set from (the gap between the 90
+    // and 99 % rows IS the long tail a subword tokenizer exists to
+    // absorb). Exact integers end to end: the cumulative is a
+    // distributed PrefixSum over the (count desc, token) total order
+    // (never a single-task window — the GlobalIndex doctrine), the
+    // percent cut is the cross-multiplication cum·100 >= pct·total (no
+    // division), vocab_size = qualifying-prefix length derived as
+    // (rows below the cut) + 1 and covered = the cutoff row's
+    // cumulative — both from ONE aggregate over the vocab-sized frame
+    // crossed with the 3-row percent table. Scale: one token-keyed
+    // count (map-side combined), one range-shuffle of the vocab-sized
+    // frame, one bounded aggregate; the corpus is scanned once.
+    QuerySpec.sqlBacked("q240_vocab_coverage",
+      """WITH tk AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |            FROM documents),
+        |c AS (SELECT tok, CAST(count(*) AS BIGINT) AS n
+        |      FROM tk GROUP BY tok),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c),
+        |r AS (SELECT tok, n,
+        |        CAST(sum(n) OVER (ORDER BY n DESC, tok) AS BIGINT) AS cum
+        |      FROM c)
+        |SELECT pct,
+        |  CAST(sum(CASE WHEN cum * 100 < pct * tot THEN 1 ELSE 0 END) + 1
+        |    AS BIGINT) AS vocab_size,
+        |  CAST(min(CASE WHEN cum * 100 >= pct * tot THEN cum END)
+        |    AS BIGINT) AS covered
+        |FROM r, t,
+        |  (SELECT unnest([CAST(50 AS BIGINT), CAST(90 AS BIGINT),
+        |                  CAST(99 AS BIGINT)]) AS pct)
+        |GROUP BY pct ORDER BY pct""".stripMargin) { (s, dir) =>
+      val c = Tables.spread(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("tok"))
+        .agg(count(lit(1)).cast("long").as("n"))
+      Dedup.withScratch(c) {
+        val tot = c.agg(sum(col("n")).as("tot"))
+        val r = graft.operators.PrefixSum.inclusive(
+          c.withColumn("negn", -col("n")),
+          Seq(col("negn"), col("tok")), "n", "cum")
+        r.crossJoin(broadcast(tot))
+          .select(col("cum"), col("tot"),
+            explode(array(lit(50L), lit(90L), lit(99L))).as("pct"))
+          .groupBy(col("pct"))
+          .agg((sum(when(col("cum") * 100 < col("pct") * col("tot"), 1L)
+              .otherwise(0L)) + 1L).as("vocab_size"),
+            min(when(col("cum") * 100 >= col("pct") * col("tot"),
+              col("cum"))).as("covered"))
+          .orderBy(col("pct"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q213: blocklist scan — how many DISTINCT flag phrases occur in
     // each document, via the native Aho–Corasick ContainsAny expression
     // (plans/ContainsAny.scala): the filtering primitive behind
