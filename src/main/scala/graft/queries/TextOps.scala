@@ -417,6 +417,73 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q241: gate ABLATION grid — the inclusion–exclusion audit of the
+    // q67 filter stack: one row per (len, wordlen, repeat) fail-bit
+    // combination with its doc count and corpus share in exact ppm.
+    // q67 ships the per-doc verdict; this is the report a pipeline
+    // owner reads before changing the stack — a rule whose failures
+    // are fully covered by the other rules' cells (its exclusive cell
+    // is ~0) can be dropped for free, and a cell that dominates the
+    // drop mass identifies which rule to re-tune first. Same gated
+    // base as q67 (docs with at least one 3-gram), same
+    // engine-exact rule arithmetic; after the per-doc projection the
+    // whole report is ONE 8-key aggregate with map-side combine plus a
+    // 1-row total broadcast.
+    QuerySpec.sqlBacked("q241_gate_ablation",
+      """WITH b AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    CAST(length(text) - (len(ws) - 1) AS DOUBLE) / len(ws) AS mean_wl,
+        |    1.0 - CAST(len(list_distinct(gs)) AS DOUBLE)/len(gs) AS dup_ratio
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS ws,
+        |          list_transform(range(1, len(string_split(text, ' '))-1),
+        |            i -> string_split(text, ' ')[i] || ' ' ||
+        |                 string_split(text, ' ')[i+1] || ' ' ||
+        |                 string_split(text, ' ')[i+2]) AS gs
+        |        FROM documents)
+        |  WHERE len(gs) > 0),
+        |f AS (SELECT doc_id,
+        |        CASE WHEN n_words BETWEEN 20 AND 1000 THEN 0 ELSE 1 END
+        |          AS fail_len,
+        |        CASE WHEN mean_wl >= 3.0 AND mean_wl <= 10.0 THEN 0 ELSE 1 END
+        |          AS fail_wl,
+        |        CASE WHEN dup_ratio <= 0.2 THEN 0 ELSE 1 END AS fail_rep
+        |      FROM b),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS tot FROM f)
+        |SELECT fail_len, fail_wl, fail_rep,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  (1000000 * CAST(count(*) AS BIGINT)) // tot AS share_ppm
+        |FROM f, t GROUP BY fail_len, fail_wl, fail_rep, tot
+        |ORDER BY fail_len, fail_wl, fail_rep""".stripMargin) { (s, dir) =>
+      val f = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"),
+          split(col("text"), " ").as("ws"),
+          graft.plans.WordShingles(col("text"), 3, distinct = false).as("gs"))
+        .filter(size(col("gs")) > 0)
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          ((length(col("text")) - (size(col("ws")) - 1)).cast("double") /
+            size(col("ws"))).as("mean_wl"),
+          (lit(1.0) - size(array_distinct(col("gs"))).cast("double") /
+            size(col("gs"))).as("dup_ratio"))
+        .select(col("doc_id"),
+          when(col("n_words").between(20, 1000), 0).otherwise(1)
+            .as("fail_len"),
+          when(col("mean_wl") >= 3.0 && col("mean_wl") <= 10.0, 0)
+            .otherwise(1).as("fail_wl"),
+          when(col("dup_ratio") <= 0.2, 0).otherwise(1).as("fail_rep"))
+      Dedup.withScratch(f) {
+        val tot = f.agg(count(lit(1)).cast("long").as("tot"))
+        f.groupBy(col("fail_len"), col("fail_wl"), col("fail_rep"))
+          .agg(count(lit(1)).cast("long").as("n_docs"))
+          .crossJoin(broadcast(tot))
+          .select(col("fail_len"), col("fail_wl"), col("fail_rep"),
+            col("n_docs"),
+            expr("(1000000 * n_docs) div tot").as("share_ppm"))
+          .orderBy(col("fail_len"), col("fail_wl"), col("fail_rep"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // Global sequence-id assignment: every document gets a contiguous
     // 0-based ordinal in (source, doc_id) order — shard naming /
     // curriculum ordering. The declarative formulation (row_number with
