@@ -421,6 +421,52 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q242: simhash BIT-BALANCE audit — the hash-quality check behind
+    // the q38/q46 fingerprint fleet: each of the 64 bit positions
+    // should split the corpus ~50/50 (the majority vote over md5 bits
+    // is balanced iff the underlying feature hash is), and a position
+    // whose share drifts far from half signals a degenerate feature
+    // distribution (e.g. one stopword dominating every document's
+    // vote), which silently collapses hamming distances and floods the
+    // q38 band join with false candidates. Per bit: ones count, share
+    // and absolute imbalance |2·ones − n| in exact ppm. Scale: one
+    // fingerprint pass (the SimHashAgg aggregate the fleet already
+    // pays), a ×64 stateless fan-out, and a 64-key map-side-combined
+    // aggregate — the report is 64 rows whatever the corpus.
+    QuerySpec.sqlBacked("q242_simhash_balance",
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+         |  FROM documents),
+         |fps AS (SELECT doc_id, $fpSql AS fp FROM toks),
+         |b AS (SELECT bit,
+         |        CASE WHEN substr(fp, bit, 1) = '1' THEN 1 ELSE 0 END AS one
+         |      FROM fps, unnest(range(1, 65)) AS t(bit))
+         |SELECT CAST(bit AS BIGINT) AS bit,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(one) AS BIGINT) AS n_ones,
+         |  (1000000 * CAST(sum(one) AS BIGINT))
+         |    // CAST(count(*) AS BIGINT) AS share_ppm,
+         |  (1000000 * abs(2 * CAST(sum(one) AS BIGINT)
+         |                 - CAST(count(*) AS BIGINT)))
+         |    // CAST(count(*) AS BIGINT) AS imbalance_ppm
+         |FROM b GROUP BY bit ORDER BY bit""".stripMargin) { (s, dir) =>
+      simhashFps(s, dir)
+        .select(col("fp"),
+          explode(sequence(lit(1), lit(64))).as("bit"))
+        .select(col("bit").cast("long").as("bit"),
+          when(expr("substring(fp, bit, 1)") === "1", 1L).otherwise(0L)
+            .as("one"))
+        .groupBy(col("bit"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("one")).as("n_ones"))
+        .select(col("bit"), col("n_docs"), col("n_ones"),
+          expr("(1000000 * n_ones) div n_docs").as("share_ppm"),
+          expr("(1000000 * abs(2 * n_ones - n_docs)) div n_docs")
+            .as("imbalance_ppm"))
+        .orderBy(col("bit"))
+    },
+
+    // ------------------------------------------------------------------
     // Embedding-cosine near-dup: exact all-pairs baseline (scale paths:
     // q41's LSH buckets and q103's SemDeDup k-means clusters, both in
     // Similarity.scala). cos >= 0.4 on this corpus marks the

@@ -2561,6 +2561,49 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // q243: query MARGIN profile — per query, the exact top-1/top-2
+    // cosine gap (margin = cos1 − cos2, one double subtraction of
+    // engine-exact pair scores, so it hash-matches). The margin is the
+    // standard nearest-neighbor difficulty measure: a near-zero margin
+    // marks queries whose true neighbor is nearly tied with the
+    // runner-up — exactly the queries every ANN run (q41/q42/q229)
+    // misses first and the ones an active-learning loop samples for
+    // labeling. Read with q215/q232: recall/MRR say HOW OFTEN the runs
+    // miss; this says WHICH queries were hard and by how little.
+    // Scale: a 2-row-per-query pivot off the same exact-truth stage
+    // q215 already budgets for (the isQuery sample knob); the pivot
+    // and report are |queries|-sized.
+    QuerySpec.sqlBacked("q243_query_margin",
+      s"""WITH n AS ($corpusSql),
+         |ex AS (SELECT q_id, nb_id, rn, cos FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+         |      ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm)
+         |        AS cos,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
+         |                 c.vec_id) AS rn
+         |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |    WHERE q.$isQuery)
+         |  WHERE rn <= 2)
+         |SELECT q_id,
+         |  max(CASE WHEN rn = 1 THEN nb_id END) AS nb1,
+         |  max(CASE WHEN rn = 1 THEN cos END) AS cos1,
+         |  max(CASE WHEN rn = 2 THEN cos END) AS cos2,
+         |  max(CASE WHEN rn = 1 THEN cos END)
+         |    - max(CASE WHEN rn = 2 THEN cos END) AS margin
+         |FROM ex GROUP BY q_id ORDER BY q_id""".stripMargin) { (s, dir) =>
+      bruteTopK(s, dir)
+        .filter(col("rn") <= 2)
+        .groupBy(col("q_id"))
+        .agg(max(when(col("rn") === 1, col("nb_id"))).as("nb1"),
+          max(when(col("rn") === 1, col("cos"))).as("cos1"),
+          max(when(col("rn") === 2, col("cos"))).as("cos2"))
+        .select(col("q_id"), col("nb1"), col("cos1"), col("cos2"),
+          (col("cos1") - col("cos2")).as("margin"))
+        .orderBy(col("q_id"))
+    },
+
+    // ------------------------------------------------------------------
     // q216: matryoshka truncation-recall curve — the dimension-budget
     // tuning report for nested (MRL) embeddings: brute top-K under the
     // FIRST d dims only (d = 8/16/32), graded against the full-64-dim
