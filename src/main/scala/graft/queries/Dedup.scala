@@ -467,6 +467,89 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q244: CONTENT-DEFINED chunking + the storage-dedup savings report
+    // (LBFS, Muthitacharoen et al. SOSP'01; FastCDC): chunk boundaries
+    // fall where the rolling 8-char-gram hash is divisible by 64 — a
+    // property of the CONTENT, so an insertion early in a document
+    // shifts bytes but re-synchronizes at the next boundary, which is
+    // what makes chunk-level dedup robust where the fixed-stride q61
+    // chunks are not (one inserted word re-keys every downstream fixed
+    // chunk). Boundaries come from the native [[graft.plans
+    // .CdcBoundaries]] expression (18th node — one codegen'd pass, the
+    // q49 RollingHash arithmetic verbatim; the SQL oracle recomputes
+    // them from q49's per-position gram-hash list). Cut after each
+    // boundary gram's last char; expected chunk ~64 chars on this
+    // corpus (production CDC additionally clamps min/max chunk sizes —
+    // a consumer policy layered on the same boundary primitive). The
+    // report is the question a storage/dedup owner asks: per source,
+    // chunk instances vs distinct chunk contents and the duplicate
+    // share in exact ppm. Scale: chunking is a pure per-row projection
+    // (no shuffle); the rollup is one |sources|-keyed aggregate with a
+    // distinct-chunk count keyed by (source, md5) — the corpus is
+    // scanned once.
+    QuerySpec.sqlBacked("q244_cdc_chunks",
+      """WITH c0 AS (
+        |  SELECT doc_id, source, text, length(text) AS n,
+        |    list_transform(string_split(text, ''),
+        |      ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+        |  FROM documents),
+        |g AS (SELECT doc_id, source, text, n,
+        |        CASE WHEN n >= 8 THEN
+        |          list_filter(range(1, n - 6), i ->
+        |            list_reduce(codes[i:i+7],
+        |              (a, b) -> (a*31 + b) % 1000000007) % 64 = 0)
+        |        ELSE CAST([] AS BIGINT[]) END AS bs
+        |      FROM c0),
+        |k AS (SELECT doc_id, source, text, n,
+        |        list_filter(list_transform(bs, b -> b + 7), c -> c < n)
+        |          AS cuts
+        |      FROM g),
+        |ch AS (SELECT source,
+        |         md5(substr(text,
+        |           CAST(([CAST(1 AS BIGINT)]
+        |                 || list_transform(cuts, c -> c + 1))[j + 1] AS INTEGER),
+        |           CAST((cuts || [n])[j + 1]
+        |             - ([CAST(1 AS BIGINT)]
+        |                || list_transform(cuts, c -> c + 1))[j + 1] + 1
+        |             AS INTEGER))) AS h,
+        |         (cuts || [n])[j + 1]
+        |           - ([CAST(1 AS BIGINT)]
+        |              || list_transform(cuts, c -> c + 1))[j + 1] + 1 AS clen
+        |       FROM k, unnest(range(0, len(cuts) + 1)) AS t(j))
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+        |  CAST(sum(clen) AS BIGINT) AS n_chars,
+        |  (1000000 * (CAST(count(*) AS BIGINT)
+        |              - CAST(count(DISTINCT h) AS BIGINT)))
+        |    // CAST(count(*) AS BIGINT) AS dup_ppm
+        |FROM ch GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("source"), col("text"),
+          length(col("text")).as("n"),
+          graft.plans.CdcBoundaries(col("text"), 64).as("bs"))
+        .withColumn("cuts",
+          expr("filter(transform(bs, b -> b + 7), c -> c < n)"))
+        .withColumn("starts",
+          expr("concat(array(1), transform(cuts, c -> c + 1))"))
+        .withColumn("ends", expr("concat(cuts, array(n))"))
+        .select(col("source"), col("text"),
+          posexplode(expr("arrays_zip(starts, ends)")).as(Seq("j", "se")))
+        .select(col("source"),
+          (col("se.ends") - col("se.starts") + 1).cast("long").as("clen"),
+          md5(expr("substring(text, se.starts, se.ends - se.starts + 1)"))
+            .as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          countDistinct(col("h")).cast("long").as("n_unique"),
+          sum(col("clen")).as("n_chars"))
+        .select(col("source"), col("n_chunks"), col("n_unique"),
+          col("n_chars"),
+          expr("(1000000 * (n_chunks - n_unique)) div n_chunks")
+            .as("dup_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
     // Embedding-cosine near-dup: exact all-pairs baseline (scale paths:
     // q41's LSH buckets and q103's SemDeDup k-means clusters, both in
     // Similarity.scala). cos >= 0.4 on this corpus marks the
