@@ -467,6 +467,59 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q245: gram DOCUMENT-FREQUENCY histogram — the tuning artifact
+    // behind MaxShingleDf (the posting-list cap every dedup join here
+    // relies on): how many distinct 8-grams live in exactly-1, 2, 3–4,
+    // 5–8, … documents, with each band's total posting mass. The two
+    // numbers a cap owner reads: how much of the INDEX the cap drops
+    // (n_grams above the cap band — cheap, those grams are stopword-
+    // like) vs how much of the JOIN's quadratic work it prevents (the
+    // posting mass up there is what becomes n² candidate pairs). A
+    // power-of-two CASE ladder keeps the bucketing integer-exact in
+    // both engines (no float log2). Scale: the gram index is the
+    // already-audited q63 projection; the histogram is one gram-keyed
+    // count (map-side combined) folded into a ≤10-key aggregate.
+    QuerySpec.sqlBacked("q245_gram_df_histogram", {
+      def ladder(v: String) =
+        s"""CASE WHEN $v = 1 THEN '01:1' WHEN $v = 2 THEN '02:2'
+           | WHEN $v <= 4 THEN '03:3-4' WHEN $v <= 8 THEN '04:5-8'
+           | WHEN $v <= 16 THEN '05:9-16' WHEN $v <= 32 THEN '06:17-32'
+           | WHEN $v <= 64 THEN '07:33-64'
+           | WHEN $v <= $MaxShingleDf THEN '08:65-$MaxShingleDf'
+           | ELSE '09:>$MaxShingleDf (capped)' END"""
+          .stripMargin.replace("\n", "")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |g AS (
+         |  SELECT doc_id,
+         |    unnest(list_distinct(list_transform(range(1, len(ws)-6),
+         |      i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+         |  FROM w WHERE len(ws) >= 8),
+         |df AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY g)
+         |SELECT ${ladder("df")} AS df_band,
+         |  CAST(count(*) AS BIGINT) AS n_grams,
+         |  CAST(sum(df) AS BIGINT) AS n_postings
+         |FROM df GROUP BY df_band ORDER BY df_band""".stripMargin
+    }) { (s, dir) =>
+      val ladder =
+        s"""CASE WHEN df = 1 THEN '01:1' WHEN df = 2 THEN '02:2'
+          | WHEN df <= 4 THEN '03:3-4' WHEN df <= 8 THEN '04:5-8'
+          | WHEN df <= 16 THEN '05:9-16' WHEN df <= 32 THEN '06:17-32'
+          | WHEN df <= 64 THEN '07:33-64'
+          | WHEN df <= $MaxShingleDf THEN '08:65-$MaxShingleDf'
+          | ELSE '09:>$MaxShingleDf (capped)' END"""
+          .stripMargin.replace("\n", "")
+      gramIndex(s, dir)
+        .groupBy(col("g"))
+        .agg(count(lit(1)).cast("long").as("df"))
+        .select(expr(ladder).as("df_band"), col("df"))
+        .groupBy(col("df_band"))
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(col("df")).as("n_postings"))
+        .orderBy(col("df_band"))
+    },
+
+    // ------------------------------------------------------------------
     // q244: CONTENT-DEFINED chunking + the storage-dedup savings report
     // (LBFS, Muthitacharoen et al. SOSP'01; FastCDC): chunk boundaries
     // fall where the rolling 8-char-gram hash is divisible by 64 — a
