@@ -744,7 +744,51 @@ object Plans {
         "min(struct) per w1 over the vocab^2-bounded model, then a " +
         "test-bigram join against the vocab-sized prediction table. " +
         "Train/test discipline via the q218 nibble split inside the " +
-        "same plan. Decade probes 2.5 / 3.1 / 4.5 s."))
+        "same plan. Decade probes 2.5 / 3.1 / 4.5 s."),
+    Entry("q230_semantic_decon",
+      "Semantic decontamination at linear cost: the md5-nibble split " +
+        "assigns train/eval INSIDE the plan, adaptive-k k-means cells " +
+        "bound the candidate set, and the cross-split pair join's " +
+        "shuffle key IS the cluster id - |train_c| x |eval_c| per " +
+        "cell under the KmTarget curve where the naive audit is " +
+        "|train| x |eval| over the corpus. Same recall caveat as " +
+        "q103 (cell-boundary pairs), with q63/q218 as the exact " +
+        "n-gram backstop. Decade probes 2.5 / 3.5 / 12.6 s."),
+    Entry("q231_winnowing",
+      "Sparsified gram index with a detection GUARANTEE: the " +
+        "window-min selection is a pure codegen'd projection (shingle " +
+        "-> md5 -> sliding min -> distinct; no shuffle until the " +
+        "index exists), the inverted index carries ~2/(w+1)=0.4 of " +
+        "the positional explode, and any shared run of >= 11 tokens " +
+        "is caught with certainty - MinHash's coin flip replaced by " +
+        "MOSS's pigeonhole. The pair join and df-cap aggregate are " +
+        "the only exchanges, both on the sparsified index. Decade " +
+        "probes 3.0 / 4.0 / 10.2 s."),
+    Entry("q234_dsir_select",
+      "Targeted selection with a bounded model: the 256-bucket " +
+        "hashed-feature model is ONE token-explode aggregate with " +
+        "256x2 keys, broadcast back onto the token stream (map-side " +
+        "join, no shuffle), per-doc fold with combine, " +
+        "TakeOrderedAndProject finish. Integer lift weights via " +
+        "two-step ppm quantization - every product under 2^63 at any " +
+        "corpus size, no log-likelihood float. Decade probes " +
+        "2.0 / 1.8 / 16.7 s."),
+    Entry("q240_vocab_coverage",
+      "Coverage curve without a single-task window: the cumulative " +
+        "over (count desc, token) is the distributed PrefixSum " +
+        "range-shuffle (one exchange over the vocab-sized frame), " +
+        "percent cuts are cross-multiplications (cum*100 >= pct*tot, " +
+        "no division), and vocab_size/covered both come from ONE " +
+        "bounded aggregate over the 3-row percent fan-out."),
+    Entry("q244_cdc_chunks",
+      "Content-defined chunking as a scan-stage projection: " +
+        "boundaries from the native CdcBoundaries expression (18th " +
+        "node, one codegen'd pass, RollingHash arithmetic verbatim), " +
+        "chunk spans derived declaratively, and the only exchange is " +
+        "the |sources|-keyed savings rollup with its distinct-chunk " +
+        "count. The insertion re-synchronization property is " +
+        "spec-pinned; expected chunk length tracks the divisor. " +
+        "Decade probes 0.9 / 1.2 / 2.6 s."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
