@@ -107,9 +107,12 @@ class IncrementalOovProcessor extends StatefulProcessor[
     }
     val v = inVocab.exists() && inVocab.get()
     // re-emit the word's whole row set: a vocabulary flip republishes
-    // every source's row with the new bit, keeping max-compaction exact
+    // every source's row with the new bit, keeping max-compaction exact.
+    // Materialized BEFORE returning (the IncrementalDrift convention):
+    // a state-store iterator consumed lazily after handleInputRows
+    // returns is not guaranteed valid on RocksDB.
     counts.iterator().map { case (src, n) =>
       WordCount(key, src, n, v)
-    }
+    }.toVector.iterator
   }
 }
