@@ -226,6 +226,69 @@ object Dedup {
       .select(col("doc_id"), col("nib"), explode(col("g8")).as("g8s"))
       .select(col("doc_id"), col("nib"), md5(col("g8s")).as("g"))
 
+  /** Content-defined chunk relation `cm(doc_id, source, nib, clen, h)`
+    * as a DuckDB WITH-clause body — ONE definition shared by q244's
+    * savings report and q246's chunk-granularity decontamination (the
+    * gramIndex anti-drift rule): boundaries are the positions whose
+    * rolling 8-char-gram hash (q49 arithmetic) is divisible by 64, cut
+    * after each boundary gram's last char, chunks md5-keyed. `nib` is
+    * the q56 split nibble. */
+  private val cdcChunkCtesSql: String =
+    """c0 AS (
+      |  SELECT doc_id, source, text, length(text) AS n,
+      |    strpos('0123456789abcdef',
+      |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib,
+      |    list_transform(string_split(text, ''),
+      |      ch -> CAST(ascii(ch) AS BIGINT)) AS codes
+      |  FROM documents),
+      |g0 AS (SELECT doc_id, source, nib, text, n,
+      |        CASE WHEN n >= 8 THEN
+      |          list_filter(range(1, n - 6), i ->
+      |            list_reduce(codes[i:i+7],
+      |              (a, b) -> (a*31 + b) % 1000000007) % 64 = 0)
+      |        ELSE CAST([] AS BIGINT[]) END AS bs
+      |      FROM c0),
+      |k0 AS (SELECT doc_id, source, nib, text, n,
+      |        list_filter(list_transform(bs, b -> b + 7), c -> c < n)
+      |          AS cuts
+      |      FROM g0),
+      |cm AS (SELECT doc_id, source, nib,
+      |         (cuts || [n])[j + 1]
+      |           - list_concat([CAST(1 AS BIGINT)],
+      |               list_transform(cuts, c -> c + 1))[j + 1] + 1 AS clen,
+      |         md5(substr(text,
+      |           CAST(list_concat([CAST(1 AS BIGINT)],
+      |               list_transform(cuts, c -> c + 1))[j + 1] AS INTEGER),
+      |           CAST((cuts || [n])[j + 1]
+      |             - list_concat([CAST(1 AS BIGINT)],
+      |                 list_transform(cuts, c -> c + 1))[j + 1] + 1
+      |             AS INTEGER))) AS h
+      |       FROM k0, unnest(range(0, len(cuts) + 1)) AS t(j))"""
+      .stripMargin
+
+  /** Spark twin of [[cdcChunkCtesSql]]: (doc_id, source, nib, clen, h),
+    * one row per content-defined chunk — boundaries from the native
+    * [[graft.plans.CdcBoundaries]] kernel, spans derived declaratively.
+    * Pure projection; no shuffle. */
+  private def cdcChunks(s: SparkSession, dir: String): DataFrame =
+    Tables.spread(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("n"),
+        (instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"),
+        graft.plans.CdcBoundaries(col("text"), 64).as("bs"))
+      .withColumn("cuts",
+        expr("filter(transform(bs, b -> b + 7), c -> c < n)"))
+      .withColumn("starts",
+        expr("concat(array(1), transform(cuts, c -> c + 1))"))
+      .withColumn("ends", expr("concat(cuts, array(n))"))
+      .select(col("doc_id"), col("source"), col("nib"), col("text"),
+        posexplode(expr("arrays_zip(starts, ends)")).as(Seq("j", "se")))
+      .select(col("doc_id"), col("source"), col("nib"),
+        (col("se.ends") - col("se.starts") + 1).cast("long").as("clen"),
+        md5(expr("substring(text, se.starts, se.ends - se.starts + 1)"))
+          .as("h"))
+
   /** Exact left-fold dot product (shared with Similarity). */
   private def dot(a: String, b: String): Column = graft.functions.Vectors.dot(a, b)
 
@@ -541,56 +604,15 @@ object Dedup {
     // distinct-chunk count keyed by (source, md5) — the corpus is
     // scanned once.
     QuerySpec.sqlBacked("q244_cdc_chunks",
-      """WITH c0 AS (
-        |  SELECT doc_id, source, text, length(text) AS n,
-        |    list_transform(string_split(text, ''),
-        |      ch -> CAST(ascii(ch) AS BIGINT)) AS codes
-        |  FROM documents),
-        |g AS (SELECT doc_id, source, text, n,
-        |        CASE WHEN n >= 8 THEN
-        |          list_filter(range(1, n - 6), i ->
-        |            list_reduce(codes[i:i+7],
-        |              (a, b) -> (a*31 + b) % 1000000007) % 64 = 0)
-        |        ELSE CAST([] AS BIGINT[]) END AS bs
-        |      FROM c0),
-        |k AS (SELECT doc_id, source, text, n,
-        |        list_filter(list_transform(bs, b -> b + 7), c -> c < n)
-        |          AS cuts
-        |      FROM g),
-        |ch AS (SELECT source,
-        |         md5(substr(text,
-        |           CAST(([CAST(1 AS BIGINT)]
-        |                 || list_transform(cuts, c -> c + 1))[j + 1] AS INTEGER),
-        |           CAST((cuts || [n])[j + 1]
-        |             - ([CAST(1 AS BIGINT)]
-        |                || list_transform(cuts, c -> c + 1))[j + 1] + 1
-        |             AS INTEGER))) AS h,
-        |         (cuts || [n])[j + 1]
-        |           - ([CAST(1 AS BIGINT)]
-        |              || list_transform(cuts, c -> c + 1))[j + 1] + 1 AS clen
-        |       FROM k, unnest(range(0, len(cuts) + 1)) AS t(j))
-        |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
-        |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
-        |  CAST(sum(clen) AS BIGINT) AS n_chars,
-        |  (1000000 * (CAST(count(*) AS BIGINT)
-        |              - CAST(count(DISTINCT h) AS BIGINT)))
-        |    // CAST(count(*) AS BIGINT) AS dup_ppm
-        |FROM ch GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
-      Tables.spread(s, dir, "documents")
-        .select(col("source"), col("text"),
-          length(col("text")).as("n"),
-          graft.plans.CdcBoundaries(col("text"), 64).as("bs"))
-        .withColumn("cuts",
-          expr("filter(transform(bs, b -> b + 7), c -> c < n)"))
-        .withColumn("starts",
-          expr("concat(array(1), transform(cuts, c -> c + 1))"))
-        .withColumn("ends", expr("concat(cuts, array(n))"))
-        .select(col("source"), col("text"),
-          posexplode(expr("arrays_zip(starts, ends)")).as(Seq("j", "se")))
-        .select(col("source"),
-          (col("se.ends") - col("se.starts") + 1).cast("long").as("clen"),
-          md5(expr("substring(text, se.starts, se.ends - se.starts + 1)"))
-            .as("h"))
+      s"""WITH $cdcChunkCtesSql
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(count(DISTINCT h) AS BIGINT) AS n_unique,
+         |  CAST(sum(clen) AS BIGINT) AS n_chars,
+         |  (1000000 * (CAST(count(*) AS BIGINT)
+         |              - CAST(count(DISTINCT h) AS BIGINT)))
+         |    // CAST(count(*) AS BIGINT) AS dup_ppm
+         |FROM cm GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      cdcChunks(s, dir)
         .groupBy(col("source"))
         .agg(count(lit(1)).cast("long").as("n_chunks"),
           countDistinct(col("h")).cast("long").as("n_unique"),
@@ -600,6 +622,41 @@ object Dedup {
           expr("(1000000 * (n_chunks - n_unique)) div n_chunks")
             .as("dup_ppm"))
         .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
+    // q246: decontamination at CHUNK granularity — the q63 leakage
+    // check run over q244's content-defined chunks instead of every
+    // positional 8-gram: a train document is flagged with the number of
+    // DISTINCT chunk contents (>= 16 chars, so trivial connective
+    // spans don't count) it shares with the eval split. Chunks are
+    // variable-length (~divisor chars expected) and boundary-stable
+    // under edits, so this catches long verbatim spans with an index a
+    // fraction of the gram explode's size — the scalable face of
+    // exact-substring decontamination (Lee et al. 2022's concern, run
+    // at chunk keys): at 100 TB the eval side's chunk set is
+    // benchmark-sized and the train side pays one projection + one
+    // equi-join on the chunk hash. The q63/q218 gram checks remain the
+    // finer sieve (an 8-token overlap needn't contain a whole chunk);
+    // this layer is the cheap long-span sweep run first.
+    QuerySpec.sqlBacked("q246_decon_cdc",
+      s"""WITH $cdcChunkCtesSql,
+         |tr AS (SELECT doc_id, h FROM cm WHERE nib <= 12 AND clen >= 16),
+         |te AS (SELECT DISTINCT h FROM cm WHERE nib >= 14 AND clen >= 16)
+         |SELECT tr.doc_id AS train_id,
+         |  CAST(count(DISTINCT tr.h) AS BIGINT) AS n_shared
+         |FROM tr JOIN te USING (h)
+         |GROUP BY tr.doc_id ORDER BY train_id""".stripMargin) { (s, dir) =>
+      val cm = cdcChunks(s, dir).filter(col("clen") >= 16)
+      withScratch(cm) {
+        val tr = cm.filter(col("nib") <= 12)
+          .select(col("doc_id").as("train_id"), col("h"))
+        val te = cm.filter(col("nib") >= 14).select(col("h")).distinct()
+        tr.join(te, "h")
+          .groupBy(col("train_id"))
+          .agg(countDistinct(col("h")).cast("long").as("n_shared"))
+          .orderBy(col("train_id"))
+      }
     },
 
     // ------------------------------------------------------------------
