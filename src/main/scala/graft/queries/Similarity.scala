@@ -2604,6 +2604,88 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // q247: LABEL-NOISE mining via centroid distances — the
+    // confident-learning-style audit run before training a classifier
+    // on weak labels: a vector whose OWN label's centroid is farther
+    // than some OTHER label's centroid is a mislabel suspect, reported
+    // with both distances and the integer gap (the suspicion strength
+    // an audit queue sorts by). All arithmetic is the k-means family's
+    // exact integer scheme — micro-unit quantization, per-label
+    // per-dim BIGINT sums, centroid = sums div n (the Lloyd update's
+    // truncating division), squared distances over BIGINTs — so the
+    // verdicts and gaps hash-match. Ties break toward the smaller
+    // label (min(struct(d, label)) ≙ the oracle's windowed argmin).
+    // Scale: the centroid table is |labels| rows built by one grouped
+    // aggregate; scoring is a broadcast fan-out (x|labels|) over the
+    // corpus scan folded by two map-side min/filter aggregates keyed
+    // by vec — no corpus-sized shuffle beyond the per-vec combine.
+    QuerySpec.sqlBacked("q247_label_noise", {
+      val qArr = (1 to Vectors.Dim).map(i =>
+        s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)")
+        .mkString("[", ", ", "]")
+      val sums = (1 to Vectors.Dim).map(i => s"sum(qv[$i]) AS s$i")
+        .mkString(", ")
+      val divs = (1 to Vectors.Dim).map(i => s"CAST(s$i AS BIGINT) // n")
+        .mkString("[", ", ", "]")
+      val dist = (1 to Vectors.Dim)
+        .map(i => s"(q.qv[$i] - c.cv[$i]) * (q.qv[$i] - c.cv[$i])")
+        .mkString("(", " + ", ")")
+      s"""WITH q AS (SELECT vec_id, label, $qArr AS qv FROM embeddings),
+         |c0 AS (SELECT label AS clabel, count(*) AS n, $sums
+         |       FROM q GROUP BY label),
+         |c AS (SELECT clabel, $divs AS cv FROM c0),
+         |d AS (SELECT q.vec_id, q.label, c.clabel, $dist AS d FROM q, c),
+         |own AS (SELECT vec_id, d AS d_own FROM d WHERE label = clabel),
+         |nr AS (SELECT vec_id, label, clabel AS near_label, d AS d_near
+         |       FROM (SELECT vec_id, label, clabel, d,
+         |               row_number() OVER (PARTITION BY vec_id
+         |                 ORDER BY d, clabel) AS rn FROM d)
+         |       WHERE rn = 1)
+         |SELECT nr.vec_id, nr.label, nr.near_label,
+         |  CAST(o.d_own AS BIGINT) AS d_own,
+         |  CAST(nr.d_near AS BIGINT) AS d_near,
+         |  CAST(o.d_own - nr.d_near AS BIGINT) AS gap
+         |FROM nr JOIN own o ON o.vec_id = nr.vec_id
+         |WHERE nr.near_label <> nr.label
+         |ORDER BY nr.vec_id""".stripMargin
+    }) { (s, dir) =>
+      val q = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("qv"))
+      Dedup.withScratch(q) {
+        val sums = (0 until Vectors.Dim).map(i =>
+          sum(expr(s"qv[$i]")).as(s"s$i"))
+        val cent = q.groupBy(col("label").as("clabel"))
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .select(col("clabel"), array((0 until Vectors.Dim).map(i =>
+            expr(s"CAST(s$i AS BIGINT) div n")): _*).as("cv"))
+        val dist = (0 until Vectors.Dim)
+          .map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])")
+          .mkString("(", " + ", ")")
+        val d = q.crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("label"), col("clabel"),
+            expr(dist).as("d"))
+        // one pass, two per-vec folds: own-label distance (filter) and
+        // the lexicographic argmin (min(struct)) — both map-side combining
+        Dedup.withScratch(d) {
+          val own = d.filter(col("label") === col("clabel"))
+            .select(col("vec_id"), col("d").as("d_own"))
+          val nr = d.groupBy(col("vec_id"), col("label"))
+            .agg(min(struct(col("d"), col("clabel"))).as("m"))
+            .select(col("vec_id"), col("label"),
+              col("m.clabel").as("near_label"), col("m.d").as("d_near"))
+          nr.join(own, "vec_id")
+            .filter(col("near_label") =!= col("label"))
+            .select(col("vec_id"), col("label"), col("near_label"),
+              col("d_own"), col("d_near"),
+              (col("d_own") - col("d_near")).as("gap"))
+            .orderBy(col("vec_id"))
+        }
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q216: matryoshka truncation-recall curve — the dimension-budget
     // tuning report for nested (MRL) embeddings: brute top-K under the
     // FIRST d dims only (d = 8/16/32), graded against the full-64-dim
