@@ -660,6 +660,79 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q248: the COMPOSED decontamination verdict — one flagged-train-
+    // docs table across the two doc-keyed leakage layers (the 8-gram
+    // sieve of q63 and the long-span CDC chunk sweep of q246), full-
+    // outer-joined so a doc caught by EITHER appears once with both
+    // evidence counts and the layer count a release gate thresholds on.
+    // This is the table a corpus release actually ships: per layer the
+    // evidence is already audited (q63/q246 stay the per-layer
+    // reports); here the join is flagged-docs-sized — the sliver, not
+    // the corpus — so composition is free at 100 TB. (The semantic
+    // layer q230 lives in the embeddings id space and composes at the
+    // doc<->vec mapping boundary a real pipeline owns; it stays a
+    // separate report here.)
+    QuerySpec.sqlBacked("q248_decon_layers",
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    strpos('0123456789abcdef',
+         |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+         |  FROM documents),
+         |g1 AS (
+         |  SELECT doc_id, nib,
+         |    unnest(list_distinct(list_transform(range(1, len(ws)-6),
+         |      i -> md5(array_to_string(ws[i:i+7], ' '))))) AS g
+         |  FROM w WHERE len(ws) >= 8),
+         |gr AS (SELECT t1.doc_id AS train_id,
+         |         CAST(count(DISTINCT t1.g) AS BIGINT) AS n_gram
+         |       FROM (SELECT doc_id, g FROM g1 WHERE nib <= 12) t1
+         |       JOIN (SELECT DISTINCT g FROM g1 WHERE nib >= 14) t2
+         |         USING (g)
+         |       GROUP BY t1.doc_id),
+         |$cdcChunkCtesSql,
+         |ck AS (SELECT t3.doc_id AS train_id,
+         |         CAST(count(DISTINCT t3.h) AS BIGINT) AS n_chunk
+         |       FROM (SELECT doc_id, h FROM cm
+         |             WHERE nib <= 12 AND clen >= 16) t3
+         |       JOIN (SELECT DISTINCT h FROM cm
+         |             WHERE nib >= 14 AND clen >= 16) t4
+         |         USING (h)
+         |       GROUP BY t3.doc_id)
+         |SELECT COALESCE(gr.train_id, ck.train_id) AS train_id,
+         |  COALESCE(gr.n_gram, 0) AS n_gram,
+         |  COALESCE(ck.n_chunk, 0) AS n_chunk,
+         |  CAST((CASE WHEN COALESCE(gr.n_gram, 0) > 0 THEN 1 ELSE 0 END)
+         |     + (CASE WHEN COALESCE(ck.n_chunk, 0) > 0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_layers
+         |FROM gr FULL JOIN ck ON gr.train_id = ck.train_id
+         |ORDER BY train_id""".stripMargin) { (s, dir) =>
+      val g = gramIndex(s, dir)
+      val gr = withScratch(g) {
+        g.filter(col("nib") <= 12)
+          .select(col("doc_id").as("train_id"), col("g"))
+          .join(g.filter(col("nib") >= 14).select(col("g")).distinct(), "g")
+          .groupBy(col("train_id"))
+          .agg(countDistinct(col("g")).cast("long").as("n_gram"))
+      }
+      val cm = cdcChunks(s, dir).filter(col("clen") >= 16)
+      val ck = withScratch(cm) {
+        cm.filter(col("nib") <= 12)
+          .select(col("doc_id").as("train_id"), col("h"))
+          .join(cm.filter(col("nib") >= 14).select(col("h")).distinct(), "h")
+          .groupBy(col("train_id"))
+          .agg(countDistinct(col("h")).cast("long").as("n_chunk"))
+      }
+      gr.join(ck, Seq("train_id"), "full_outer")
+        .select(col("train_id"),
+          coalesce(col("n_gram"), lit(0L)).as("n_gram"),
+          coalesce(col("n_chunk"), lit(0L)).as("n_chunk"))
+        .withColumn("n_layers",
+          (when(col("n_gram") > 0, 1L).otherwise(0L) +
+            when(col("n_chunk") > 0, 1L).otherwise(0L)))
+        .orderBy(col("train_id"))
+    },
+
+    // ------------------------------------------------------------------
     // Embedding-cosine near-dup: exact all-pairs baseline (scale paths:
     // q41's LSH buckets and q103's SemDeDup k-means clusters, both in
     // Similarity.scala). cos >= 0.4 on this corpus marks the
