@@ -2031,6 +2031,56 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q249: PREFIX-SHARING report — the KV-cache planning artifact for
+    // serving/eval over a corpus: at prefix depths 4 and 8 tokens, how
+    // many documents share an exact prefix with another, and how many
+    // prefix tokens a shared-prefix cache (vLLM-style automatic prefix
+    // caching, SGLang RadixAttention) would avoid recomputing
+    // (Σ (group−1)·depth over groups of >= 2). High sharing says batch
+    // by sorted prefix before inference; near-zero says the cache buys
+    // nothing and the scheduler can skip it. Exact integers end to
+    // end. Scale: per depth one prefix-keyed count with map-side
+    // combine (the prefix is a bounded projection of the scan), folded
+    // into a 1-row-per-depth report; depths are a 2-way union of the
+    // same shape, one corpus scan each.
+    QuerySpec.sqlBacked("q249_prefix_sharing", {
+      def layer(d: Int) =
+        s"""SELECT CAST($d AS BIGINT) AS depth,
+           |  CAST(count(*) AS BIGINT) AS n_prefixes,
+           |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_groups_shared,
+           |  CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+           |    AS n_docs_shared,
+           |  CAST(sum(CASE WHEN c >= 2 THEN (c - 1) * $d ELSE 0 END)
+           |    AS BIGINT) AS saved_tokens
+           |FROM (SELECT p, count(*) AS c FROM (
+           |        SELECT array_to_string(ws[1:$d], ' ') AS p
+           |        FROM (SELECT string_split(text, ' ') AS ws
+           |              FROM documents)
+           |        WHERE len(ws) >= $d) GROUP BY p)""".stripMargin
+      s"""SELECT * FROM (${layer(4)}
+         |UNION ALL ${layer(8)})
+         |ORDER BY depth""".stripMargin
+    }) { (s, dir) =>
+      val docs = Tables.spread(s, dir, "documents")
+        .select(split(col("text"), " ").as("ws"))
+      def layer(d: Int) = docs
+        .filter(size(col("ws")) >= d)
+        .select(expr(s"array_join(slice(ws, 1, $d), ' ')").as("p"))
+        .groupBy(col("p"))
+        .agg(count(lit(1)).cast("long").as("c"))
+        .agg(count(lit(1)).cast("long").as("n_prefixes"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_groups_shared"),
+          sum(when(col("c") >= 2, col("c")).otherwise(0L))
+            .as("n_docs_shared"),
+          sum(when(col("c") >= 2, (col("c") - 1) * d).otherwise(0L))
+            .as("saved_tokens"))
+        .select(lit(d.toLong).as("depth"), col("n_prefixes"),
+          col("n_groups_shared"), col("n_docs_shared"), col("saved_tokens"))
+      layer(4).unionByName(layer(8)).orderBy(col("depth"))
+    },
+
+    // ------------------------------------------------------------------
     // q213: blocklist scan — how many DISTINCT flag phrases occur in
     // each document, via the native Aho–Corasick ContainsAny expression
     // (plans/ContainsAny.scala): the filtering primitive behind
