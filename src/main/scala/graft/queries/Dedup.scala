@@ -271,7 +271,14 @@ object Dedup {
     * [[graft.plans.CdcBoundaries]] kernel, spans derived declaratively.
     * Pure projection; no shuffle. */
   private def cdcChunks(s: SparkSession, dir: String): DataFrame =
-    Tables.spread(s, dir, "documents")
+    cdcChunksOf(Tables.spread(s, dir, "documents"))
+
+  /** [[cdcChunks]] over an arbitrary documents-shaped frame (doc_id,
+    * text, source, …) — stateless, so it applies to STREAMING inputs
+    * unchanged; shared with the IncrementalCdcStore twin so the ingest
+    * gate chunks exactly like the batch report. */
+  private[graft] def cdcChunksOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"), col("text"),
         length(col("text")).as("n"),
         (instr(lit("0123456789abcdef"),
