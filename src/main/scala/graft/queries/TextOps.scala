@@ -2081,6 +2081,49 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q250: HAPAX share by source — the lexical-richness/quality signal
+    // that separates generative diversity from template spam: per
+    // source, the share of word TYPES occurring exactly once in that
+    // source (hapax legomena) and the share of token OCCURRENCES those
+    // hapaxes carry. Natural text sits near a stable hapax-type band
+    // (Zipf's tail, q74's fit); a source far BELOW it is
+    // boilerplate/templated (few novel words), far ABOVE is OCR noise
+    // or mojibake (every error a new "word") — both are triage flags
+    // before mixing. Exact ppm integers. Scale: one (source, word)
+    // count with map-side combine, one |sources|-keyed rollup; the
+    // corpus is scanned once.
+    QuerySpec.sqlBacked("q250_hapax_by_source",
+      """WITH t AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        |      FROM t GROUP BY source, tok)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  (1000000 * CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(count(*) AS BIGINT) AS hapax_type_ppm,
+        |  (1000000 * CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(sum(n) AS BIGINT) AS hapax_token_ppm
+        |FROM c GROUP BY source ORDER BY source""".stripMargin) { (s, dir) =>
+      Tables.spread(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_types"),
+          sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+          sum(col("n")).as("n_tokens"))
+        .select(col("source"), col("n_types"), col("n_hapax"),
+          col("n_tokens"),
+          expr("(1000000 * n_hapax) div n_types").as("hapax_type_ppm"),
+          expr("(1000000 * n_hapax) div n_tokens").as("hapax_token_ppm"))
+        .orderBy(col("source"))
+    },
+
+    // ------------------------------------------------------------------
     // q213: blocklist scan — how many DISTINCT flag phrases occur in
     // each document, via the native Aho–Corasick ContainsAny expression
     // (plans/ContainsAny.scala): the filtering primitive behind
