@@ -2081,6 +2081,46 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q251: BPE VOCABULARY UTILIZATION — per piece of the trained
+    // tokenizer (q130's merge table), how many distinct corpus words
+    // contain it and how many token occurrences it absorbs when the
+    // corpus is encoded, with the share in exact ppm. This is the
+    // tokenizer-health report read next to q240's coverage curve: a
+    // merged piece with near-zero occurrence share is a wasted vocab
+    // slot (trained on a frequency spike that doesn't generalize), and
+    // the head pieces' shares are what decide whether the next merge
+    // round is worth its embedding row. Occurrences come FREE from the
+    // training histogram (repr pieces weighted by the word's corpus
+    // count — no second corpus pass). Scale: everything after the
+    // histogram is vocab-bounded; the report is piece-inventory-sized.
+    QuerySpec.sqlBacked("q251_bpe_utilization",
+      s"""WITH ${bpeCtesSql(BpeRounds)},
+         |pc AS (SELECT p, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+         |         CAST(sum(n) AS BIGINT) AS n_occ
+         |       FROM (SELECT word, n,
+         |               unnest(string_split(repr, ' ')) AS p
+         |             FROM v$BpeRounds)
+         |       GROUP BY p),
+         |t AS (SELECT CAST(sum(n_occ) AS BIGINT) AS tot FROM pc)
+         |SELECT p AS piece, n_words, n_occ,
+         |  (1000000 * n_occ) // tot AS share_ppm
+         |FROM pc, t ORDER BY piece""".stripMargin) { (s, dir) =>
+      val (_, vocab) = bpeTrain(s, dir, BpeRounds)
+      val pc = vocab
+        .select(col("word"), col("n"),
+          explode(split(col("repr"), " ")).as("p"))
+        .groupBy(col("p"))
+        .agg(countDistinct(col("word")).cast("long").as("n_words"),
+          sum(col("n")).as("n_occ"))
+      Dedup.withScratch(pc) {
+        pc.crossJoin(broadcast(pc.agg(sum(col("n_occ")).as("tot"))))
+          .select(col("p").as("piece"), col("n_words"), col("n_occ"),
+            expr("(1000000 * n_occ) div tot").as("share_ppm"))
+          .orderBy(col("piece"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q250: HAPAX share by source — the lexical-richness/quality signal
     // that separates generative diversity from template spam: per
     // source, the share of word TYPES occurring exactly once in that
