@@ -2663,25 +2663,24 @@ object Similarity {
         val dist = (0 until Vectors.Dim)
           .map(i => s"(qv[$i] - cv[$i]) * (qv[$i] - cv[$i])")
           .mkString("(", " + ", ")")
-        val d = q.crossJoin(broadcast(cent))
+        // ONE per-vec fold carries both verdict pieces: the
+        // lexicographic argmin (min(struct) — the oracle's windowed
+        // argmin) and the own-label distance as a conditional agg in
+        // the SAME pass, so the whole audit is a single map-side-
+        // combining exchange keyed by vec instead of two plus a re-join
+        q.crossJoin(broadcast(cent))
           .select(col("vec_id"), col("label"), col("clabel"),
             expr(dist).as("d"))
-        // one pass, two per-vec folds: own-label distance (filter) and
-        // the lexicographic argmin (min(struct)) — both map-side combining
-        Dedup.withScratch(d) {
-          val own = d.filter(col("label") === col("clabel"))
-            .select(col("vec_id"), col("d").as("d_own"))
-          val nr = d.groupBy(col("vec_id"), col("label"))
-            .agg(min(struct(col("d"), col("clabel"))).as("m"))
-            .select(col("vec_id"), col("label"),
-              col("m.clabel").as("near_label"), col("m.d").as("d_near"))
-          nr.join(own, "vec_id")
-            .filter(col("near_label") =!= col("label"))
-            .select(col("vec_id"), col("label"), col("near_label"),
-              col("d_own"), col("d_near"),
-              (col("d_own") - col("d_near")).as("gap"))
-            .orderBy(col("vec_id"))
-        }
+          .groupBy(col("vec_id"), col("label"))
+          .agg(min(struct(col("d"), col("clabel"))).as("m"),
+            max(when(col("clabel") === col("label"), col("d")))
+              .as("d_own"))
+          .filter(col("m.clabel") =!= col("label"))
+          .select(col("vec_id"), col("label"),
+            col("m.clabel").as("near_label"), col("d_own"),
+            col("m.d").as("d_near"),
+            (col("d_own") - col("m.d")).as("gap"))
+          .orderBy(col("vec_id"))
       }
     },
 
