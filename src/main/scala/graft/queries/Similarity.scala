@@ -2685,6 +2685,102 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // q252: int8 QUANTIZATION-ERROR histogram — the acceptance audit
+    // for the q43b storage format (and the error model q163/q167's SQ
+    // serving inherits): per vector, the MAX absolute dequantization
+    // error across dims, bucketed at 1e-4 resolution into a corpus
+    // histogram plus the worst vector. The theoretical bound is
+    // scale/254 per element (documented at q43b); this report shows
+    // where the corpus actually sits against it — a histogram hugging
+    // the bound means the int8 budget is fully used, mass far below it
+    // means a 4-bit code would do. Every per-element op (scale, round,
+    // dequant, abs diff) is a single double operation in identical
+    // order, so the bucketed values are engine-exact (the q32
+    // fixed-shape-double doctrine). Scale: pure projection over the
+    // scan + one ≤~40-key aggregate; no shuffle of anything
+    // vector-sized.
+    QuerySpec.sqlBacked("q252_sq8_error", {
+      val errArr =
+        """list_transform(embedding, v ->
+          |  abs(CAST(v AS DOUBLE)
+          |      - floor(127.0 * CAST(v AS DOUBLE) / scale + 0.5)
+          |        * scale / 127.0))""".stripMargin
+      s"""WITH b AS (
+         |  SELECT vec_id,
+         |    list_max(list_transform(embedding,
+         |      v -> abs(CAST(v AS DOUBLE)))) AS scale
+         |  FROM embeddings),
+         |e AS (
+         |  SELECT n.vec_id,
+         |    list_max($errArr) AS err
+         |  FROM embeddings n JOIN b ON b.vec_id = n.vec_id
+         |  WHERE scale > 0)
+         |SELECT CAST(floor(err * 10000.0) AS BIGINT) AS bucket_1e4,
+         |  CAST(count(*) AS BIGINT) AS n_vecs,
+         |  max(err) AS max_err
+         |FROM e GROUP BY bucket_1e4 ORDER BY bucket_1e4""".stripMargin
+    }) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"), expr(
+          "array_max(transform(embedding, v -> abs(CAST(v AS DOUBLE))))")
+          .as("scale"))
+        .filter(col("scale") > 0)
+        .select(expr(
+          """array_max(transform(embedding, v ->
+            |  abs(CAST(v AS DOUBLE)
+            |      - floor(127.0 * CAST(v AS DOUBLE) / scale + 0.5)
+            |        * scale / 127.0)))""".stripMargin).as("err"))
+        .select(expr("CAST(floor(err * 10000.0) AS BIGINT)")
+          .as("bucket_1e4"), col("err"))
+        .groupBy(col("bucket_1e4"))
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          max(col("err")).as("max_err"))
+        .orderBy(col("bucket_1e4"))
+    },
+
+    // ------------------------------------------------------------------
+    // q253: DEAD-DIMENSION audit — per embedding dimension, the exact
+    // integer micro-unit mean, min, max and range over the corpus: a
+    // dimension whose range is near zero is wasted embedding capacity
+    // (a collapsed feature the pipeline still pays 4 bytes/vector to
+    // store and a multiply per distance to score), and a handful of
+    // huge-range dims dominating everything is the anisotropy smell
+    // that argues for per-dim scaling before SQ (q163). All BIGINT
+    // (micro-unit quantization, sums div n for the mean — the k-means
+    // family's arithmetic; min/max are order-free), so the report
+    // hash-matches. Scale: one map-side-combining aggregate producing
+    // 64 x 4 numbers; the explode is a stateless x64 projection.
+    QuerySpec.sqlBacked("q253_dim_range_audit",
+      s"""WITH q AS (SELECT vec_id,
+         |    list_transform(embedding, x ->
+         |      CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))
+         |      AS qv
+         |  FROM embeddings),
+         |e AS (SELECT CAST(j AS BIGINT) AS dim, qv[j + 1] AS v
+         |      FROM q, unnest(range(0, ${Vectors.Dim})) AS t(j))
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(v) // count(*) AS BIGINT) AS mean_u,
+         |  CAST(min(v) AS BIGINT) AS min_u,
+         |  CAST(max(v) AS BIGINT) AS max_u,
+         |  CAST(max(v) - min(v) AS BIGINT) AS range_u
+         |FROM e GROUP BY dim ORDER BY dim""".stripMargin) { (s, dir) =>
+      Tables(s, dir, "embeddings")
+        .select(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT))")
+          .as("qv"))
+        .select(posexplode(col("qv")).as(Seq("dim", "v")))
+        .groupBy(col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("v")).as("s"), min(col("v")).as("min_u"),
+          max(col("v")).as("max_u"))
+        .select(col("dim"), col("n"),
+          expr("CAST(s div n AS BIGINT)").as("mean_u"),
+          col("min_u"), col("max_u"),
+          (col("max_u") - col("min_u")).as("range_u"))
+        .orderBy(col("dim"))
+    },
+
+    // ------------------------------------------------------------------
     // q216: matryoshka truncation-recall curve — the dimension-budget
     // tuning report for nested (MRL) embeddings: brute top-K under the
     // FIRST d dims only (d = 8/16/32), graded against the full-64-dim
