@@ -2081,6 +2081,60 @@ object TextOps {
     },
 
     // ------------------------------------------------------------------
+    // q254: SPLIT-PARITY audit — is the md5-nibble train/eval fence
+    // actually distribution-neutral? The exact total-variation distance
+    // (q128's integer arithmetic: Σ|na·N_b − nb·N_a| over score
+    // buckets, one double division at the read) between the TRAIN and
+    // EVAL splits' classifier-score distributions. A random fence
+    // should sit near zero; a large TV means the eval set is not
+    // exchangeable with train and every eval number downstream (q226's
+    // accuracy, q215/q232's recall sample) carries that bias. This is
+    // the sanity check a split convention ships with — run once per
+    // corpus snapshot, before anything is graded against the fence.
+    // Scale: per-doc score is the scoredDocs projection; buckets are
+    // score-range-bounded; one grouped count + a 1-row report.
+    QuerySpec.sqlBacked("q254_split_parity",
+      s"""WITH sc AS (
+         |  SELECT CAST($classifierScoreSql AS BIGINT) AS si,
+         |    strpos('0123456789abcdef',
+         |           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS nib
+         |  FROM documents),
+         |g AS (SELECT si // 250000 AS bucket,
+         |    CAST(count(*) FILTER (WHERE nib <= 12) AS BIGINT) AS na,
+         |    CAST(count(*) FILTER (WHERE nib >= 14) AS BIGINT) AS nb
+         |  FROM sc WHERE nib <> 13 GROUP BY bucket),
+         |t AS (SELECT CAST(sum(na) AS BIGINT) AS n_a,
+         |        CAST(sum(nb) AS BIGINT) AS n_b FROM g)
+         |SELECT n_a, n_b,
+         |  CAST(sum(abs(na * n_b - nb * n_a)) AS BIGINT) AS tv_num,
+         |  2 * n_a * n_b AS tv_den,
+         |  CAST(CAST(sum(abs(na * n_b - nb * n_a)) AS BIGINT) AS DOUBLE)
+         |    / CAST(2 * n_a * n_b AS DOUBLE) AS tv
+         |FROM g, t GROUP BY n_a, n_b""".stripMargin) { (s, dir) =>
+      val sc = Tables.spread(s, dir, "documents")
+        .select(
+          (instr(lit("0123456789abcdef"),
+            substring(md5(col("doc_id").cast("string")), 1, 1)) - 1)
+            .as("nib"),
+          classifierScore.as("si"))
+        .filter(col("nib") =!= 13)
+      val g = sc
+        .select(expr("si div 250000").as("bucket"), col("nib"))
+        .groupBy(col("bucket"))
+        .agg(sum(when(col("nib") <= 12, 1L).otherwise(0L)).as("na"),
+          sum(when(col("nib") >= 14, 1L).otherwise(0L)).as("nb"))
+      val t = g.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+      g.crossJoin(broadcast(t))
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(sum(abs(col("na") * col("n_b") - col("nb") * col("n_a")))
+          .as("tv_num"))
+        .select(col("n_a"), col("n_b"), col("tv_num"),
+          (lit(2L) * col("n_a") * col("n_b")).as("tv_den"))
+        .withColumn("tv",
+          col("tv_num").cast("double") / col("tv_den").cast("double"))
+    },
+
+    // ------------------------------------------------------------------
     // q251: BPE VOCABULARY UTILIZATION — per piece of the trained
     // tokenizer (q130's merge table), how many distinct corpus words
     // contain it and how many token occurrences it absorbs when the
