@@ -639,6 +639,39 @@ object Similarity {
        |  WHERE q.$isQuery)""".stripMargin
   }
 
+  /** q229's probe-expansion chain (needs `n`/`e` from [[lshCandSql]] in
+    * scope), ending in `mp(q_id, nb_id, cos)` — the DISTINCT scored
+    * multi-probe candidate pairs. Shared by q229 (top-K serve) and
+    * q255 (candidate-cost measurement). */
+  private def multiProbeCtesSql: String = {
+    val miSql = (0 until SrpTables).map { t =>
+      val pa = (0 until SrpBits)
+        .map(j => s"abs(${Vectors.srpProjSql("embedding", SrpBits * t + j)})")
+        .mkString("[", ", ", "]")
+      s"CAST(list_position($pa, list_min($pa)) - 1 AS INTEGER)"
+    }.mkString("[", ", ", "]")
+    s"""qt AS (SELECT vec_id, embedding, nrm, t AS j,
+       |         bks[t+1] AS bkt, mis[t+1] AS mi
+       |       FROM (SELECT vec_id, embedding, nrm,
+       |               ${lshTableSql} AS bks, $miSql AS mis
+       |             FROM n WHERE $isQuery),
+       |         unnest(${(0 until SrpTables).mkString("[", ",", "]")})
+       |           AS tt(t)),
+       |qp AS (SELECT vec_id, embedding, nrm, j,
+       |         unnest([bkt,
+       |           substr(bkt, 1, mi) ||
+       |           (CASE WHEN substr(bkt, mi + 1, 1) = '1'
+       |                 THEN '0' ELSE '1' END) ||
+       |           substr(bkt, mi + 2)]) AS pbkt
+       |       FROM qt),
+       |mp AS (
+       |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nb_id,
+       |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm)
+       |      AS cos
+       |  FROM qp q JOIN e c ON q.j = c.j AND q.pbkt = c.bkt
+       |    AND q.vec_id <> c.vec_id)""".stripMargin
+  }
+
   private def lshOracleSql: String =
     s"""WITH $lshCandSql
        |SELECT q_id, nb_id, rn, cos FROM (
@@ -681,7 +714,12 @@ object Similarity {
   /** q42's full plan (label-list IVF probe + exact-cosine top-K) as a
     * reusable builder — q42 serves it directly and q214 fuses it with
     * the q41 LSH run. */
-  private def labelIvfTopK(s: SparkSession, dir: String): DataFrame = {
+  private def labelIvfTopK(s: SparkSession, dir: String): DataFrame =
+    topK(labelIvfCandidates(s, dir))
+
+  /** The probe-stage candidate pairs of [[labelIvfTopK]] (scored, pre
+    * top-K) — also counted by q255's cost report. */
+  private def labelIvfCandidates(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables(s, dir, "embeddings")
     val cSums = (0 until Vectors.Dim).map(i =>
       sum(expr(s"CAST(floor(CAST(embedding[$i] AS DOUBLE) * 1000000 + 0.5) AS BIGINT)"))
@@ -706,8 +744,8 @@ object Similarity {
       .select(col("q_id"), col("qe"), col("qn"), col("label").as("plabel"))
     val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
       col("nrm").as("cn"), col("label"))
-    topK(scoreTyped(broadcast(probe).join(c,
-      col("label") === col("plabel") && col("q_id") =!= col("nb_id"))))
+    scoreTyped(broadcast(probe).join(c,
+      col("label") === col("plabel") && col("q_id") =!= col("nb_id")))
   }
 
   /** q40's exact plan (broadcast query side against the corpus scan,
@@ -808,40 +846,15 @@ object Similarity {
     // without touching the stored index. Scale: identical exchange
     // shape to q41 — only the broadcast query side carries the probe
     // math (queries × tables × 2 rows), never the corpus.
-    QuerySpec.sqlBacked("q229_knn_multiprobe", {
-      val miSql = (0 until SrpTables).map { t =>
-        val pa = (0 until SrpBits)
-          .map(j => s"abs(${Vectors.srpProjSql("embedding", SrpBits * t + j)})")
-          .mkString("[", ", ", "]")
-        s"CAST(list_position($pa, list_min($pa)) - 1 AS INTEGER)"
-      }.mkString("[", ", ", "]")
+    QuerySpec.sqlBacked("q229_knn_multiprobe",
       s"""WITH $lshCandSql,
-         |qt AS (SELECT vec_id, embedding, nrm, t AS j,
-         |         bks[t+1] AS bkt, mis[t+1] AS mi
-         |       FROM (SELECT vec_id, embedding, nrm,
-         |               ${lshTableSql} AS bks, $miSql AS mis
-         |             FROM n WHERE $isQuery),
-         |         unnest(${(0 until SrpTables).mkString("[", ",", "]")})
-         |           AS tt(t)),
-         |qp AS (SELECT vec_id, embedding, nrm, j,
-         |         unnest([bkt,
-         |           substr(bkt, 1, mi) ||
-         |           (CASE WHEN substr(bkt, mi + 1, 1) = '1'
-         |                 THEN '0' ELSE '1' END) ||
-         |           substr(bkt, mi + 2)]) AS pbkt
-         |       FROM qt),
-         |mp AS (
-         |  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS nb_id,
-         |    ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm)
-         |      AS cos
-         |  FROM qp q JOIN e c ON q.j = c.j AND q.pbkt = c.bkt
-         |    AND q.vec_id <> c.vec_id)
+         |$multiProbeCtesSql
          |SELECT q_id, nb_id, rn, cos FROM (
          |  SELECT q_id, nb_id, cos,
          |    row_number() OVER (PARTITION BY q_id
          |      ORDER BY cos DESC, nb_id) AS rn FROM mp)
-         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin
-    }) { (s, dir) => topK(multiProbeCandidates(s, dir)) },
+         |WHERE rn <= $K ORDER BY q_id, rn""".stripMargin) {
+      (s, dir) => topK(multiProbeCandidates(s, dir)) },
 
     // ------------------------------------------------------------------
     // IVF: label = inverted list. Exact integer micro-unit sums
@@ -2682,6 +2695,55 @@ object Similarity {
             (col("d_own") - col("m.d")).as("gap"))
           .orderBy(col("vec_id"))
       }
+    },
+
+    // ------------------------------------------------------------------
+    // q255: ANN CANDIDATE-COST report — the measured COST side of the
+    // operating points whose RECALL side q215/q232 grade: per run
+    // (lsh / multiprobe / label-IVF), how many candidate pairs the
+    // index actually scored and what fraction of the exhaustive
+    // |queries|·(corpus−1) pair space that is, in exact ppm. These are
+    // the fractions quoted in the q41/q42 header curves (0.53 / 0.50 at
+    // sf0.1) — this entry puts them IN the hash-gated ledger so a knob
+    // change (SrpTables, LabelNProbe, the multi-probe fan) that
+    // silently degrades candidate pruning fails the differential
+    // instead of hiding in a comment. Scale: each count folds its
+    // run's candidate stage (the audited sub-linear plans) into one
+    // number; the report is 3 rows.
+    QuerySpec.sqlBacked("q255_ann_cost",
+      s"""WITH $lshCandSql,
+         |$multiProbeCtesSql,
+         |$labelIvfCtesSql,
+         |qn AS (SELECT CAST(count(*) AS BIGINT) AS n_q FROM n
+         |       WHERE $isQuery),
+         |cn AS (SELECT CAST(count(*) AS BIGINT) AS n_c FROM n),
+         |st AS (
+         |  SELECT 'ivf' AS run,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM ivfr) AS n_scored
+         |  UNION ALL SELECT 'lsh',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM cand)
+         |  UNION ALL SELECT 'multiprobe',
+         |    (SELECT CAST(count(*) AS BIGINT) FROM mp))
+         |SELECT run, n_scored, n_q, n_c,
+         |  (1000000 * n_scored) // (n_q * (n_c - 1)) AS frac_ppm
+         |FROM st, qn, cn ORDER BY run""".stripMargin) { (s, dir) =>
+      val n = corpus(s, dir)
+      val nq = n.filter(expr(isQuery)).agg(count(lit(1)).as("n_q"))
+      val nc = n.agg(count(lit(1)).as("n_c"))
+      val runs = Seq(
+        "ivf" -> labelIvfCandidates(s, dir),
+        "lsh" -> lshCandidates(s, dir),
+        "multiprobe" -> multiProbeCandidates(s, dir))
+      runs.map { case (name, r) =>
+          r.agg(count(lit(1)).as("n_scored"))
+            .select(lit(name).as("run"), col("n_scored"))
+        }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nq))
+        .crossJoin(broadcast(nc))
+        .select(col("run"), col("n_scored"), col("n_q"), col("n_c"),
+          expr("(1000000 * n_scored) div (n_q * (n_c - 1))")
+            .as("frac_ppm"))
+        .orderBy(col("run"))
     },
 
     // ------------------------------------------------------------------
