@@ -296,6 +296,24 @@ object Dedup {
         md5(expr("substring(text, se.starts, se.ends - se.starts + 1)"))
           .as("h"))
 
+  /** The q65 transitive closure over the `jp` near-dup edges as shared
+    * CTEs — `comp(doc_id, cluster_id)` is the exact SQL twin of
+    * [[graft.operators.ConnectedComponents]].run's min-label rule. ONE
+    * definition for every oracle that clusters (q65/q66/q224/q225/
+    * q238/q239): the closure convention must stay bit-equal to the
+    * operator, and six drifting copies was how it would someday not.
+    * Must follow [[jaccardPairsCtes]] inside a WITH RECURSIVE. */
+  private val ccCtesSql: String =
+    """nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
+      |e AS (SELECT a_id AS u, b_id AS v FROM jp
+      |      UNION ALL SELECT b_id, a_id FROM jp),
+      |reach(n, m) AS (
+      |  SELECT n, n FROM nodes
+      |  UNION
+      |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
+      |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
+      |         FROM reach GROUP BY n)""".stripMargin
+
   /** Exact left-fold dot product (shared with Similarity). */
   private def dot(a: String, b: String): Column = graft.functions.Vectors.dot(a, b)
 
@@ -1060,15 +1078,8 @@ object Dedup {
     // is the one that scales).
     QuerySpec.sqlBacked("q65_dup_clusters",
       s"""WITH RECURSIVE $jaccardPairsCtes,
-         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
-         |e AS (SELECT a_id AS u, b_id AS v FROM jp
-         |      UNION ALL SELECT b_id, a_id FROM jp),
-         |reach(n, m) AS (
-         |  SELECT n, n FROM nodes
-         |  UNION
-         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u)
-         |SELECT n AS doc_id, min(m) AS cluster_id
-         |FROM reach GROUP BY n ORDER BY doc_id""".stripMargin) { (s, dir) =>
+         |$ccCtesSql
+         |SELECT doc_id, cluster_id FROM comp ORDER BY doc_id""".stripMargin) { (s, dir) =>
       graft.operators.ConnectedComponents
         .run(jaccardPairs(s, dir).select(col("a_id"), col("b_id")))
         .select(col("node").as("doc_id"), col("cluster_id"))
@@ -1084,15 +1095,7 @@ object Dedup {
     // aggregate keyed by cluster.
     QuerySpec.sqlBacked("q66_canonical_keep",
       s"""WITH RECURSIVE $jaccardPairsCtes,
-         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
-         |e AS (SELECT a_id AS u, b_id AS v FROM jp
-         |      UNION ALL SELECT b_id, a_id FROM jp),
-         |reach(n, m) AS (
-         |  SELECT n, n FROM nodes
-         |  UNION
-         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
-         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
-         |         FROM reach GROUP BY n)
+         |$ccCtesSql
          |SELECT cluster_id, doc_id AS keep_id, n_members FROM (
          |  SELECT cluster_id, doc_id,
          |    row_number() OVER (PARTITION BY cluster_id
@@ -1132,15 +1135,7 @@ object Dedup {
     // and two bounded-key aggregates — nothing quadratic.
     QuerySpec.sqlBacked("q238_chain_audit",
       s"""WITH RECURSIVE $jaccardPairsCtes,
-         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
-         |e AS (SELECT a_id AS u, b_id AS v FROM jp
-         |      UNION ALL SELECT b_id, a_id FROM jp),
-         |reach(n, m) AS (
-         |  SELECT n, n FROM nodes
-         |  UNION
-         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
-         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
-         |         FROM reach GROUP BY n),
+         |$ccCtesSql,
          |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS sz
          |       FROM comp GROUP BY cluster_id),
          |lk AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS n_linked
@@ -1202,15 +1197,7 @@ object Dedup {
     // past the stamp join.
     QuerySpec.sqlBacked("q239_dup_provenance",
       s"""WITH RECURSIVE $jaccardPairsCtes,
-         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
-         |e AS (SELECT a_id AS u, b_id AS v FROM jp
-         |      UNION ALL SELECT b_id, a_id FROM jp),
-         |reach(n, m) AS (
-         |  SELECT n, n FROM nodes
-         |  UNION
-         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
-         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
-         |         FROM reach GROUP BY n),
+         |$ccCtesSql,
          |per AS (SELECT c.cluster_id, CAST(count(*) AS BIGINT) AS sz,
          |          CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources
          |        FROM comp c JOIN documents d ON d.doc_id = c.doc_id
@@ -2154,15 +2141,7 @@ object Dedup {
     // is 3 rows.
     QuerySpec.sqlBacked("q224_cluster_split",
       s"""WITH RECURSIVE $jaccardPairsCtes,
-         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
-         |e AS (SELECT a_id AS u, b_id AS v FROM jp
-         |      UNION ALL SELECT b_id, a_id FROM jp),
-         |reach(n, m) AS (
-         |  SELECT n, n FROM nodes
-         |  UNION
-         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
-         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
-         |         FROM reach GROUP BY n),
+         |$ccCtesSql,
          |asg AS (SELECT doc_id, grp,
          |    CASE WHEN nibg <= 11 THEN 'train'
          |         WHEN nibg <= 13 THEN 'val' ELSE 'test' END AS split,
@@ -2264,15 +2243,7 @@ object Dedup {
     // join; report is |sources| rows.
     QuerySpec.sqlBacked("q225_dup_weighted_size",
       s"""WITH RECURSIVE $jaccardPairsCtes,
-         |nodes AS (SELECT a_id AS n FROM jp UNION SELECT b_id FROM jp),
-         |e AS (SELECT a_id AS u, b_id AS v FROM jp
-         |      UNION ALL SELECT b_id, a_id FROM jp),
-         |reach(n, m) AS (
-         |  SELECT n, n FROM nodes
-         |  UNION
-         |  SELECT r.n, e.v FROM reach r JOIN e ON r.m = e.u),
-         |comp AS (SELECT n AS doc_id, min(m) AS cluster_id
-         |         FROM reach GROUP BY n),
+         |$ccCtesSql,
          |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csz
          |       FROM comp GROUP BY cluster_id),
          |wd AS (SELECT d.doc_id, d.source,

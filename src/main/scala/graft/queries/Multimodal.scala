@@ -448,6 +448,9 @@ object Multimodal {
           }
         }
         .toDF("doc_id", "frame_no", "e")
+      // f feeds the per-media totals AND the threshold join — persist
+      // once or the scan + hex round-trip + energy loop run twice
+      Dedup.withScratch(f) {
       val m = f.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("nf"), sum(col("e")).as("te"))
       val w = org.apache.spark.sql.expressions.Window
@@ -467,6 +470,7 @@ object Multimodal {
           col("start_frame"), col("end_frame"), col("n_frames"),
           col("energy"))
         .orderBy(col("doc_id"), col("seg_no"))
+      }
     }
   )
 }

@@ -92,26 +92,39 @@ object TextOps {
       | WHEN s_es > 0 THEN 'es'
       | ELSE 'zh' END""".stripMargin
 
+  /** The q31 labeler as ONE projection — (doc_id, lang, pred) — shared
+    * by q31 and its audits (q233 kappa, q236 macro-F1), so the graders
+    * can never desynchronize from the labeler they grade (the
+    * scoredDocs anti-drift rule). */
+  private def langPredictions(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
+      .select(Seq(col("doc_id"), col("lang")) ++ langScores.map {
+        case (lang, pats) =>
+          expr(pats.map(occSql).mkString(" + ")).as(s"s_$lang")
+      }: _*)
+      .select(col("doc_id"), col("lang"), expr(predCase).as("pred"))
+
+  /** DuckDB twin of [[langPredictions]]: a CTE ending in
+    * `p(doc_id, lang, pred)`. */
+  private val langPredCteSql: String =
+    s"""p AS (SELECT doc_id, lang, $predCase AS pred
+       |  FROM (SELECT doc_id, lang, $scoreCols
+       |        FROM (SELECT doc_id, lang, ' ' || text || ' ' AS padded
+       |              FROM documents)))""".stripMargin
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
     // Language ID via stopword-occurrence scoring (pure projection).
     QuerySpec.sqlBacked("q31_text_langid",
-      s"""SELECT doc_id, $predCase AS pred,
-         |  CASE WHEN $predCase = lang THEN 1 ELSE 0 END AS hit
-         |FROM (SELECT doc_id, lang, $scoreCols
-         |      FROM (SELECT doc_id, lang, ' ' || text || ' ' AS padded
-         |            FROM documents))
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      Tables(s, dir, "documents")
-        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
-        .select(Seq(col("doc_id"), col("lang")) ++ langScores.map {
-          case (lang, pats) =>
-            expr(pats.map(occSql).mkString(" + ")).as(s"s_$lang")
-        }: _*)
-        .withColumn("pred", expr(predCase))
-        .withColumn("hit", when(col("pred") === col("lang"), 1).otherwise(0))
-        .select(col("doc_id"), col("pred"), col("hit"))
+      s"""WITH $langPredCteSql
+         |SELECT doc_id, pred,
+         |  CASE WHEN pred = lang THEN 1 ELSE 0 END AS hit
+         |FROM p ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      langPredictions(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("pred"),
+          when(col("pred") === col("lang"), 1).otherwise(0).as("hit"))
         .orderBy(col("doc_id"))
     },
 
@@ -1698,11 +1711,7 @@ object TextOps {
     // n <= ~3e9 docs per audited corpus; past that widen to DECIMAL
     // (the q88 width rule) or shard the audit by source.
     QuerySpec.sqlBacked("q233_langid_kappa",
-      s"""WITH p AS (
-         |  SELECT lang, $predCase AS pred
-         |  FROM (SELECT lang, $scoreCols
-         |        FROM (SELECT lang, ' ' || text || ' ' AS padded
-         |              FROM documents))),
+      s"""WITH $langPredCteSql,
          |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
          |        CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
          |          AS BIGINT) AS n_agree FROM p),
@@ -1717,12 +1726,8 @@ object TextOps {
          |       ELSE CAST(n * n_agree - pe_num AS DOUBLE)
          |            / CAST(n * n - pe_num AS DOUBLE) END AS kappa
          |FROM m, pe""".stripMargin) { (s, dir) =>
-      val p = Tables.spread(s, dir, "documents")
-        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
-        .select(Seq(col("lang")) ++ langScores.map { case (lang, pats) =>
-          expr(pats.map(occSql).mkString(" + ")).as(s"s_$lang")
-        }: _*)
-        .select(col("lang"), expr(predCase).as("pred"))
+      val p = langPredictions(Tables.spread(s, dir, "documents"))
+        .select(col("lang"), col("pred"))
       Dedup.withScratch(p) {
         val m = p.agg(count(lit(1)).cast("long").as("n"),
           sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
@@ -1760,11 +1765,7 @@ object TextOps {
     // per-row projection; everything after the two grouped counts is
     // |classes|-sized.
     QuerySpec.sqlBacked("q236_langid_macro_f1",
-      s"""WITH p AS (
-         |  SELECT lang, $predCase AS pred
-         |  FROM (SELECT lang, $scoreCols
-         |        FROM (SELECT lang, ' ' || text || ' ' AS padded
-         |              FROM documents))),
+      s"""WITH $langPredCteSql,
          |bp AS (SELECT pred AS cls, CAST(count(*) AS BIGINT) AS np,
          |         CAST(sum(CASE WHEN pred = lang THEN 1 ELSE 0 END)
          |           AS BIGINT) AS tp
@@ -1797,12 +1798,8 @@ object TextOps {
          |  CAST(sum(f1_ppm) // count(*) AS BIGINT)
          |FROM f
          |ORDER BY cls""".stripMargin) { (s, dir) =>
-      val p = Tables.spread(s, dir, "documents")
-        .withColumn("padded", concat(lit(" "), col("text"), lit(" ")))
-        .select(Seq(col("lang")) ++ langScores.map { case (lang, pats) =>
-          expr(pats.map(occSql).mkString(" + ")).as(s"s_$lang")
-        }: _*)
-        .select(col("lang"), expr(predCase).as("pred"))
+      val p = langPredictions(Tables.spread(s, dir, "documents"))
+        .select(col("lang"), col("pred"))
       Dedup.withScratch(p) {
         val bp = p.groupBy(col("pred").as("cls"))
           .agg(count(lit(1)).cast("long").as("np"),
@@ -1877,8 +1874,9 @@ object TextOps {
         |         CAST(sum(1 - is_t) AS BIGINT) AS cr
         |       FROM toks GROUP BY b),
         |w AS (SELECT b,
-        |        (1000000 * ((1000000 * ct) // t)) //
-        |          greatest((1000000 * cr) // r, CAST(1 AS BIGINT))
+        |        (1000000 * ((1000000 * ct) // greatest(t, CAST(1 AS BIGINT)))) //
+        |          greatest((1000000 * cr) // greatest(r, CAST(1 AS BIGINT)),
+        |                   CAST(1 AS BIGINT))
         |          AS w_ppm
         |      FROM bc, tot)
         |SELECT doc_id, n_tok, imp_ppm FROM (
@@ -1903,8 +1901,9 @@ object TextOps {
           .agg(sum(col("is_t")).as("ct"), sum(lit(1L) - col("is_t")).as("cr"))
           .crossJoin(broadcast(tot))
           .select(col("b"), expr(
-            """(1000000 * ((1000000 * ct) div t)) div
-              | greatest((1000000 * cr) div r, CAST(1 AS BIGINT))"""
+            """(1000000 * ((1000000 * ct) div greatest(t, CAST(1 AS BIGINT)))) div
+              | greatest((1000000 * cr) div greatest(r, CAST(1 AS BIGINT)),
+              |          CAST(1 AS BIGINT))"""
               .stripMargin.replace("\n", "")).as("w_ppm"))
         toks.filter(col("is_t") === 0L)
           .join(broadcast(w), "b")
@@ -2091,8 +2090,10 @@ object TextOps {
     // accuracy, q215/q232's recall sample) carries that bias. This is
     // the sanity check a split convention ships with — run once per
     // corpus snapshot, before anything is graded against the fence.
-    // Scale: per-doc score is the scoredDocs projection; buckets are
-    // score-range-bounded; one grouped count + a 1-row report.
+    // Scale: per-doc score is the shared classifierScore projection
+    // (scored over RAW text — no stopword heuristic needed here);
+    // buckets are score-range-bounded; one grouped count + a 1-row
+    // report off a scratch-persisted bucket frame.
     QuerySpec.sqlBacked("q254_split_parity",
       s"""WITH sc AS (
          |  SELECT CAST($classifierScoreSql AS BIGINT) AS si,
@@ -2123,15 +2124,19 @@ object TextOps {
         .groupBy(col("bucket"))
         .agg(sum(when(col("nib") <= 12, 1L).otherwise(0L)).as("na"),
           sum(when(col("nib") >= 14, 1L).otherwise(0L)).as("nb"))
-      val t = g.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
-      g.crossJoin(broadcast(t))
-        .groupBy(col("n_a"), col("n_b"))
-        .agg(sum(abs(col("na") * col("n_b") - col("nb") * col("n_a")))
-          .as("tv_num"))
-        .select(col("n_a"), col("n_b"), col("tv_num"),
-          (lit(2L) * col("n_a") * col("n_b")).as("tv_den"))
-        .withColumn("tv",
-          col("tv_num").cast("double") / col("tv_den").cast("double"))
+      // g feeds the totals AND the TV fold — persist once or the
+      // per-token md5 scoring pass runs twice
+      Dedup.withScratch(g) {
+        val t = g.agg(sum(col("na")).as("n_a"), sum(col("nb")).as("n_b"))
+        g.crossJoin(broadcast(t))
+          .groupBy(col("n_a"), col("n_b"))
+          .agg(sum(abs(col("na") * col("n_b") - col("nb") * col("n_a")))
+            .as("tv_num"))
+          .select(col("n_a"), col("n_b"), col("tv_num"),
+            (lit(2L) * col("n_a") * col("n_b")).as("tv_den"))
+          .withColumn("tv",
+            col("tv_num").cast("double") / col("tv_den").cast("double"))
+      }
     },
 
     // ------------------------------------------------------------------
