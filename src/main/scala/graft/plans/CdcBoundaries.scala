@@ -58,7 +58,13 @@ case class CdcBoundaries(child: Expression, divisor: Int)
 object CdcBoundaries {
   import RollingHash.{Base, Gram, Mod}
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. The gram hash is
+    * maintained by a TRUE rolling update (drop codes(p)·B^7, shift,
+    * add the entering code — all mod M, so each residue is exactly the
+    * per-position left fold's; CdcBoundariesSpec pins the parity):
+    * O(n) multiplies instead of the recompute loop's O(8n), and the
+    * boundary buffer is a growable primitive array — no boxing on the
+    * scan stage's hot path. */
   def compute(s: UTF8String, divisor: Int): GenericArrayData = {
     val str = s.toString
     // code points, stepping over surrogate pairs (the RollingHash walk)
@@ -75,19 +81,32 @@ object CdcBoundaries {
       i += Character.charCount(cp)
       j += 1
     }
-    val out = new java.util.ArrayList[Integer]()
+    // B^(Gram-1) mod M: the drop term's multiplier
+    var bPow = 1L
+    var k = 1
+    while (k < Gram) { bPow = (bPow * Base) % Mod; k += 1 }
+    // seed: the first gram's left fold (code points < M, so the seed
+    // code needs no reduction — the RollingHash seeding convention)
+    var g = codes(0)
+    k = 1
+    while (k < Gram) { g = (g * Base + codes(k)) % Mod; k += 1 }
+    var out = new Array[Int](math.max(4, cn / math.max(divisor, 1) + 2))
+    var m = 0
     var p = 0
-    while (p <= cn - Gram) {
-      var g = codes(p)
-      var k = 1
-      while (k < Gram) { g = (g * Base + codes(p + k)) % Mod; k += 1 }
-      if (g % divisor == 0L) out.add(p + 1) // 1-based gram position
-      p += 1
+    var more = true
+    while (more) {
+      if (g % divisor == 0L) {
+        if (m == out.length) out = java.util.Arrays.copyOf(out, out.length * 2)
+        out(m) = p + 1 // 1-based gram position
+        m += 1
+      }
+      if (p < cn - Gram) {
+        g = (((g - (codes(p) * bPow) % Mod + Mod) % Mod) * Base
+          + codes(p + Gram)) % Mod
+        p += 1
+      } else more = false
     }
-    val arr = new Array[Int](out.size())
-    var q = 0
-    while (q < arr.length) { arr(q) = out.get(q); q += 1 }
-    new GenericArrayData(arr)
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
   /** Column-API entry point. */

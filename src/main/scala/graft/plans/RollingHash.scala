@@ -86,15 +86,27 @@ object RollingHash {
       var gMin = Long.MaxValue
       var gMax = Long.MinValue
       val seen = new java.util.HashSet[Long]()
+      // TRUE rolling update (drop codes(p)·B^7, shift, add — all mod M,
+      // residues exactly the per-position fold's; RollingHashSpec pins
+      // parity): O(n) multiplies instead of O(8n). Same kernel as
+      // CdcBoundaries.compute.
+      var bPow = 1L
+      var k = 1
+      while (k < Gram) { bPow = (bPow * Base) % Mod; k += 1 }
+      var g = codes(0)
+      k = 1
+      while (k < Gram) { g = (g * Base + codes(k)) % Mod; k += 1 }
       var p = 0
-      while (p <= cn - Gram) {
-        var g = codes(p)
-        var k = 1
-        while (k < Gram) { g = (g * Base + codes(p + k)) % Mod; k += 1 }
+      var more = true
+      while (more) {
         if (g < gMin) gMin = g
         if (g > gMax) gMax = g
         seen.add(g)
-        p += 1
+        if (p < cn - Gram) {
+          g = (((g - (codes(p) * bPow) % Mod + Mod) % Mod) * Base
+            + codes(p + Gram)) % Mod
+          p += 1
+        } else more = false
       }
       out.update(1, gMin)
       out.update(2, gMax)
