@@ -783,12 +783,28 @@ object Plans {
     Entry("q244_cdc_chunks",
       "Content-defined chunking as a scan-stage projection: " +
         "boundaries from the native CdcBoundaries expression (18th " +
-        "node, one codegen'd pass, RollingHash arithmetic verbatim), " +
-        "chunk spans derived declaratively, and the only exchange is " +
-        "the |sources|-keyed savings rollup with its distinct-chunk " +
-        "count. The insertion re-synchronization property is " +
-        "spec-pinned; expected chunk length tracks the divisor. " +
-        "Decade probes 0.9 / 1.2 / 2.6 s."))
+        "node, one codegen'd pass maintaining the gram hash by a TRUE " +
+        "rolling update - O(n) multiplies, residues identical to the " +
+        "per-position fold, spec-pinned), chunk spans derived " +
+        "declaratively, and the only exchange is the |sources|-keyed " +
+        "savings rollup with its distinct-chunk count. The insertion " +
+        "re-synchronization property is spec-pinned; expected chunk " +
+        "length tracks the divisor. Decade probes 0.9 / 1.2 / 2.6 s."),
+    Entry("q247_label_noise",
+      "Mislabel mining in ONE exchange: the |labels|-row centroid " +
+        "table (exact integer Lloyd-update arithmetic) broadcasts " +
+        "into a x|labels| fan-out, and a SINGLE map-side-combining " +
+        "aggregate keyed by vector carries BOTH verdict pieces - the " +
+        "lexicographic argmin (min(struct)) and the own-label " +
+        "distance as a conditional max - where the first cut paid two " +
+        "aggregates plus an n-sized re-join. 100x probe 2.4 s."),
+    Entry("q255_ann_cost",
+      "The cost side of the ANN operating points in the hash-gated " +
+        "ledger: each run's candidate stage (the audited sub-linear " +
+        "plans of q41/q229/q42) folds into one count, and the " +
+        "exhaustive-pair fraction is exact ppm - a knob change that " +
+        "silently degrades candidate pruning now fails the " +
+        "differential instead of hiding in a header comment."))
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
