@@ -2747,6 +2747,82 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // q256: RECALL BY MARGIN — q215's recall broken down by q243's
+    // difficulty measure: queries bucketed by their exact top-1/top-2
+    // cosine gap (0.01-wide buckets via floor(margin·1e6) div 10000 —
+    // the margin is one engine-exact double subtraction, floor makes
+    // the bucket an exact BIGINT), and the LSH run's recall@K reported
+    // per bucket in exact ppm. This is the diagnosis behind a recall
+    // number: if the misses concentrate in the near-zero-margin
+    // buckets, the index is fine and the queries are intrinsically
+    // ambiguous (fix: rerank or accept); if wide-margin queries miss
+    // too, the index itself is mis-tuned (fix: more tables/probes —
+    // q229's knob). Scale: both stages are the q215-budgeted exact-
+    // truth sample; the grading join is K-bounded per query and the
+    // report is |buckets|-sized.
+    QuerySpec.sqlBacked("q256_recall_by_margin",
+      s"""WITH $lshCandSql,
+         |ex AS (SELECT q_id, nb_id, rn, cos FROM (
+         |    SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
+         |      ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm)
+         |        AS cos,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm) DESC,
+         |                 c.vec_id) AS rn
+         |    FROM n q JOIN n c ON q.vec_id <> c.vec_id
+         |    WHERE q.$isQuery)
+         |  WHERE rn <= $K),
+         |mg AS (SELECT q_id,
+         |    CAST(floor((max(CASE WHEN rn = 1 THEN cos END)
+         |                - max(CASE WHEN rn = 2 THEN cos END)) * 1000000)
+         |      AS BIGINT) // 10000 AS bucket
+         |  FROM ex WHERE rn <= 2 GROUP BY q_id),
+         |r1 AS (SELECT q_id, nb_id FROM (
+         |    SELECT q_id, nb_id,
+         |      row_number() OVER (PARTITION BY q_id
+         |        ORDER BY cos DESC, nb_id) AS rn FROM cand)
+         |  WHERE rn <= $K),
+         |h AS (SELECT e.q_id,
+         |        CAST(count(*) AS BIGINT) AS n_truth,
+         |        CAST(count(r.nb_id) AS BIGINT) AS hits
+         |      FROM ex e LEFT JOIN r1 r
+         |        ON r.q_id = e.q_id AND r.nb_id = e.nb_id
+         |      GROUP BY e.q_id)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_queries,
+         |  CAST(sum(n_truth) AS BIGINT) AS n_truth,
+         |  CAST(sum(hits) AS BIGINT) AS n_hits,
+         |  (1000000 * CAST(sum(hits) AS BIGINT))
+         |    // CAST(sum(n_truth) AS BIGINT) AS recall_ppm
+         |FROM h JOIN mg USING (q_id)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin) { (s, dir) =>
+      val ex = bruteTopK(s, dir)
+      Dedup.withScratch(ex) {
+        val mg = ex.filter(col("rn") <= 2)
+          .groupBy(col("q_id"))
+          .agg(max(when(col("rn") === 1, col("cos"))).as("cos1"),
+            max(when(col("rn") === 2, col("cos"))).as("cos2"))
+          .select(col("q_id"), expr(
+            "CAST(floor((cos1 - cos2) * 1000000) AS BIGINT) div 10000")
+            .as("bucket"))
+        val r1 = topK(lshCandidates(s, dir))
+          .select(col("q_id"), col("nb_id"), lit(1L).as("hit"))
+        val h = ex.select(col("q_id"), col("nb_id"))
+          .join(r1, Seq("q_id", "nb_id"), "left")
+          .groupBy(col("q_id"))
+          .agg(count(lit(1)).cast("long").as("n_truth"),
+            sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        h.join(mg, "q_id")
+          .groupBy(col("bucket"))
+          .agg(count(lit(1)).cast("long").as("n_queries"),
+            sum(col("n_truth")).as("n_truth"), sum(col("hits")).as("n_hits"))
+          .select(col("bucket"), col("n_queries"), col("n_truth"),
+            col("n_hits"),
+            expr("(1000000 * n_hits) div n_truth").as("recall_ppm"))
+          .orderBy(col("bucket"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q252: int8 QUANTIZATION-ERROR histogram — the acceptance audit
     // for the q43b storage format (and the error model q163/q167's SQ
     // serving inherits): per vector, the MAX absolute dequantization
