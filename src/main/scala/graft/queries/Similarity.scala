@@ -2823,6 +2823,44 @@ object Similarity {
     },
 
     // ------------------------------------------------------------------
+    // q257: IVF LIST-BALANCE audit — the inverted-list size profile of
+    // the learned quantizer (q102's k-means lists): per list, its
+    // member count, corpus share, and load relative to uniform in
+    // exact ppm (1e6·n·k div total — 1e6 = perfectly balanced). ANN
+    // latency at a fixed nprobe is gated by the LARGEST probed list,
+    // and recall by how well list mass tracks query mass — a 3x-heavy
+    // list is both the latency tail and the reason the q42-style
+    // recall ceiling appears; the fix knobs are k (split hot cells —
+    // the q210 two-level path) or re-training. Scale: one
+    // |k|-key count over the audited assignment plus a 1-row total.
+    QuerySpec.sqlBacked("q257_ivf_balance",
+      s"""WITH ${kmeansCtes(KmK, KmIters)},
+         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+         |       FROM asg GROUP BY cid),
+         |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM sz)
+         |SELECT cid AS list_id, n,
+         |  (1000000 * n) // total AS share_ppm,
+         |  (1000000 * n * $KmK) // total AS load_ppm
+         |FROM sz, t ORDER BY list_id""".stripMargin) { (s, dir) =>
+      val v = quantized(s, dir)
+      Dedup.withScratch(v) {
+        val sz = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+          .groupBy(col("cluster"))
+          .agg(count(lit(1)).cast("long").as("n"))
+        // sz (k rows) feeds the total AND the report — persist so the
+        // Lloyd assignment doesn't run twice
+        Dedup.withScratch(sz) {
+          val t = sz.agg(sum(col("n")).as("total"))
+          sz.crossJoin(broadcast(t))
+            .select(col("cluster").as("list_id"), col("n"),
+              expr("(1000000 * n) div total").as("share_ppm"),
+              expr(s"(1000000 * n * $KmK) div total").as("load_ppm"))
+            .orderBy(col("list_id"))
+        }
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q252: int8 QUANTIZATION-ERROR histogram — the acceptance audit
     // for the q43b storage format (and the error model q163/q167's SQ
     // serving inherits): per vector, the MAX absolute dequantization
