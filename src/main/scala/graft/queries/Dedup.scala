@@ -2314,6 +2314,76 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q258: DIAMETER lower bound by double BFS sweep (the
+    // Magnien/Latapy/Habib heuristic): one BFS from a deterministic
+    // seed (the minimum node id) finds its farthest reachable node
+    // (eccentricity tiebreak: smallest id), a second BFS from THAT
+    // node yields an eccentricity that lower-bounds the component's
+    // diameter — in practice the standard cheap estimate of how
+    // chained a near-dup graph is, read with q238 (a diameter-2 graph
+    // can't chain; a diameter-8 one is merging strangers). Rounds are
+    // FIXED at 8 (the q105/q129 unrolled-oracle doctrine); n_reach on
+    // both sweeps shows whether the bound was truncated by the round
+    // cap or exhausted the component. Zero driver collects: seeds and
+    // the sweep metrics flow as 1-row frames between the two runs,
+    // and each per-sweep metric trio (ecc, farthest-min-id, reach) is
+    // ONE aggregate — max(struct(hops, −node)) + count.
+    QuerySpec.sqlBacked("q258_diameter_sweep", {
+      val R = 8
+      def bfsCtes(p: String, seedSql: String): String = {
+        def minus(rs: Seq[Int]) = rs.map(r =>
+          s"NOT EXISTS (SELECT 1 FROM ${p}d$r x${p}d$r WHERE x${p}d$r.node = e.u)")
+          .mkString(" AND ")
+        val chain = (1 to R).map { r =>
+          s"""${p}d$r AS MATERIALIZED (SELECT DISTINCT e.u AS node FROM e
+             |       JOIN ${p}d${r - 1} ON e.v = ${p}d${r - 1}.node
+             |       WHERE ${minus(0 until r)})""".stripMargin
+        }.mkString(",\n")
+        val unions = (0 to R).map(r =>
+          s"SELECT node, CAST($r AS BIGINT) AS hops FROM ${p}d$r")
+          .mkString(" UNION ALL ")
+        s"""${p}d0 AS MATERIALIZED (SELECT $seedSql AS node),
+           |$chain,
+           |${p}v AS MATERIALIZED ($unions)""".stripMargin
+      }
+      s"""WITH $jaccardPairsCtes,
+         |e AS MATERIALIZED (SELECT a_id AS u, b_id AS v FROM jp
+         |      UNION SELECT b_id, a_id FROM jp),
+         |${bfsCtes("a", "(SELECT min(least(a_id, b_id)) FROM jp)")},
+         |${bfsCtes("b",
+        "(SELECT min(node) FROM av WHERE hops = (SELECT max(hops) FROM av))")}
+         |SELECT
+         |  (SELECT node FROM ad0) AS seed,
+         |  (SELECT min(node) FROM av
+         |   WHERE hops = (SELECT max(hops) FROM av)) AS far1,
+         |  (SELECT max(hops) FROM av) AS ecc1,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM av) AS n_reach1,
+         |  (SELECT min(node) FROM bv
+         |   WHERE hops = (SELECT max(hops) FROM bv)) AS far2,
+         |  (SELECT max(hops) FROM bv) AS diameter_lb,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM bv) AS n_reach2"""
+        .stripMargin
+    }) { (s, dir) =>
+      val jp = jaccardPairs(s, dir).select(col("a_id"), col("b_id"))
+      withScratch(jp) {
+        val seed = jp.agg(min(least(col("a_id"), col("b_id"))).as("node"))
+        def sweep(v: DataFrame, ecc: String, far: String, rch: String) =
+          v.agg(max(struct(col("hops"), (-col("node")).as("nn"))).as("m"),
+            count(lit(1)).cast("long").as(rch))
+            .select(col("m.hops").as(ecc), (-col("m.nn")).as(far), col(rch))
+        val s1 = sweep(graft.operators.Bfs.run(jp, seed, 8),
+          "ecc1", "far1", "n_reach1")
+        val s2 = sweep(graft.operators.Bfs.run(jp, s1.select(col("far1")), 8),
+          "far2_ecc", "far2", "n_reach2")
+        seed.select(col("node").as("seed"))
+          .crossJoin(s1.select(col("far1"), col("ecc1"), col("n_reach1")))
+          .crossJoin(s2.select(col("far2"), col("far2_ecc"), col("n_reach2")))
+          .select(col("seed"), col("far1"), col("ecc1"), col("n_reach1"),
+            col("far2"), col("far2_ecc").as("diameter_lb"), col("n_reach2"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q152: maximal cross-document repeated SPANS — the ExactSubstr
     // dedup signal (Lee et al., "Deduplicating Training Data Makes
     // Language Models Better"): not "are these docs similar" (q36/q37)
