@@ -27,11 +27,11 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
-  /** pairs: two-column DataFrame of undirected edges; seeds: one-column
-    * DataFrame of start nodes (hop 0). Returns (node, hops) for every
-    * node within `rounds` hops of any seed — minimum hop distance. */
-  def run(pairs: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
-    require(rounds >= 1, "rounds must be >= 1")
+  /** Symmetrize + pre-partition + persist the edge list ONCE for one or
+    * several BFS runs over the same graph (the q258 double sweep runs
+    * two; re-preparing per run would shuffle and materialize the edge
+    * set twice). Caller owns the returned frame's unpersist. */
+  private[graft] def symmetrize(pairs: DataFrame): (DataFrame, Int) = {
     val u = pairs.columns(0)
     val v = pairs.columns(1)
     val sym0 = pairs.select(col(u).as("src"), col(v).as("dst"))
@@ -48,7 +48,24 @@ object Bfs {
     // on the edge side.
     val sym = sym0.repartition(parts, col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    (sym, parts)
+  }
+
+  /** pairs: two-column DataFrame of undirected edges; seeds: one-column
+    * DataFrame of start nodes (hop 0). Returns (node, hops) for every
+    * node within `rounds` hops of any seed — minimum hop distance. */
+  def run(pairs: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    val (sym, parts) = symmetrize(pairs)
+    try runPrepared(sym, parts, seeds, rounds)
+    finally sym.unpersist(blocking = false)
+  }
+
+  /** [[run]] over an already-[[symmetrize]]d edge frame — the multi-
+    * sweep entry point; does NOT unpersist the edges. */
+  private[graft] def runPrepared(sym: DataFrame, parts: Int,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    locally {
       var visited = seeds
         .select(col(seeds.columns(0)).as("node"), lit(0L).as("hops"))
         .distinct()
@@ -64,6 +81,6 @@ object Bfs {
         frontier = next.select(col("node"))
       }
       visited
-    } finally sym.unpersist(blocking = false)
+    }
   }
 }

@@ -34,6 +34,11 @@ object Dedup {
     * as uninformative before the candidate-pair join (skew guard). */
   private val MaxShingleDf = 100
 
+  /** q258's fixed BFS round cap, shared by the engine's two sweeps and
+    * the unrolled oracle chain (declared BEFORE `specs` — the BpeRounds
+    * lesson: the oracle string interpolates it eagerly). */
+  private val DiamRounds = 8
+
   /** q209's seeded truth-sample modulus: docs with doc_id % 4 = 0, so
     * true pairs survive at ~1/16 — the scale knob that keeps the
     * tuning curve's grading tractable at 100x while the candidates
@@ -2329,7 +2334,7 @@ object Dedup {
     // and each per-sweep metric trio (ecc, farthest-min-id, reach) is
     // ONE aggregate — max(struct(hops, −node)) + count.
     QuerySpec.sqlBacked("q258_diameter_sweep", {
-      val R = 8
+      val R = DiamRounds
       def bfsCtes(p: String, seedSql: String): String = {
         def minus(rs: Seq[Int]) = rs.map(r =>
           s"NOT EXISTS (SELECT 1 FROM ${p}d$r x${p}d$r WHERE x${p}d$r.node = e.u)")
@@ -2371,15 +2376,25 @@ object Dedup {
           v.agg(max(struct(col("hops"), (-col("node")).as("nn"))).as("m"),
             count(lit(1)).cast("long").as(rch))
             .select(col("m.hops").as(ecc), (-col("m.nn")).as(far), col(rch))
-        val s1 = sweep(graft.operators.Bfs.run(jp, seed, 8),
-          "ecc1", "far1", "n_reach1")
-        val s2 = sweep(graft.operators.Bfs.run(jp, s1.select(col("far1")), 8),
-          "far2_ecc", "far2", "n_reach2")
-        seed.select(col("node").as("seed"))
-          .crossJoin(s1.select(col("far1"), col("ecc1"), col("n_reach1")))
-          .crossJoin(s2.select(col("far2"), col("far2_ecc"), col("n_reach2")))
-          .select(col("seed"), col("far1"), col("ecc1"), col("n_reach1"),
-            col("far2"), col("far2_ecc").as("diameter_lb"), col("n_reach2"))
+        // symmetrize/persist the edge list ONCE for both sweeps
+        val (sym, parts) = graft.operators.Bfs.symmetrize(jp)
+        try {
+          val s1 = sweep(
+            graft.operators.Bfs.runPrepared(sym, parts, seed, DiamRounds),
+            "ecc1", "far1", "n_reach1")
+          val s2 = sweep(
+            graft.operators.Bfs.runPrepared(sym, parts,
+              s1.select(col("far1")), DiamRounds),
+            "far2_ecc", "far2", "n_reach2")
+          seed.select(col("node").as("seed"))
+            .crossJoin(s1.select(col("far1"), col("ecc1"), col("n_reach1")))
+            .crossJoin(s2.select(col("far2"), col("far2_ecc"),
+              col("n_reach2")))
+            .select(col("seed"), col("far1"), col("ecc1"), col("n_reach1"),
+              col("far2"), col("far2_ecc").as("diameter_lb"),
+              col("n_reach2"))
+            .localCheckpoint() // consume the sweeps before unpersisting
+        } finally sym.unpersist(blocking = false)
       }
     },
 

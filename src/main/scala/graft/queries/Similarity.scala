@@ -2762,7 +2762,7 @@ object Similarity {
     // report is |buckets|-sized.
     QuerySpec.sqlBacked("q256_recall_by_margin",
       s"""WITH $lshCandSql,
-         |ex AS (SELECT q_id, nb_id, rn, cos FROM (
+         |ex AS MATERIALIZED (SELECT q_id, nb_id, rn, cos FROM (
          |    SELECT q.vec_id AS q_id, c.vec_id AS nb_id,
          |      ${Vectors.dotSql("q.embedding", "c.embedding")}/(q.nrm*c.nrm)
          |        AS cos,
@@ -2835,7 +2835,7 @@ object Similarity {
     // |k|-key count over the audited assignment plus a 1-row total.
     QuerySpec.sqlBacked("q257_ivf_balance",
       s"""WITH ${kmeansCtes(KmK, KmIters)},
-         |sz AS (SELECT cid, CAST(count(*) AS BIGINT) AS n
+         |sz AS MATERIALIZED (SELECT cid, CAST(count(*) AS BIGINT) AS n
          |       FROM asg GROUP BY cid),
          |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM sz)
          |SELECT cid AS list_id, n,
