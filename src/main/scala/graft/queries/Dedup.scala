@@ -613,6 +613,111 @@ object Dedup {
     },
 
     // ------------------------------------------------------------------
+    // q259: SOURCE SCORECARD — the one per-source table a corpus owner
+    // reads before setting mixing weights, composing four audited
+    // triage signals in exact ppm: exact-duplicate share (q97's
+    // fp-dedup rule), OOV rate vs the train vocabulary (q237), hapax
+    // type share (q250's richness band), and CDC chunk duplication
+    // (q244's boilerplate signal). Each signal keeps its standalone
+    // query as the per-signal report; here the composition joins four
+    // |sources|-row frames — free — while the scans underneath are
+    // exactly the standalone queries' own shapes (the q111 funnel
+    // doctrine, applied to source triage instead of stage survival).
+    // The token stream is built once for the OOV and hapax signals
+    // (materialized — it feeds the vocab, the membership probe and the
+    // type counts).
+    QuerySpec.sqlBacked("q259_source_scorecard",
+      s"""WITH f AS (SELECT source, doc_id,
+         |         md5(lower(trim(text))) AS fp FROM documents),
+         |k2 AS (SELECT fp, min(doc_id) AS kid FROM f GROUP BY fp),
+         |dd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(CASE WHEN doc_id <> kid THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_dups
+         |       FROM f JOIN k2 USING (fp) GROUP BY source),
+         |w2 AS MATERIALIZED (
+         |  SELECT source, nib, unnest(string_split(text, ' ')) AS tok
+         |  FROM (SELECT source, text,
+         |          strpos('0123456789abcdef',
+         |                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+         |            AS nib
+         |        FROM documents)),
+         |v2 AS MATERIALIZED (SELECT DISTINCT tok FROM w2 WHERE nib <= 12),
+         |ov AS (SELECT w2.source, CAST(count(*) AS BIGINT) AS n_tok,
+         |        CAST(sum(CASE WHEN v2.tok IS NULL THEN 1 ELSE 0 END)
+         |          AS BIGINT) AS n_oov
+         |       FROM w2 LEFT JOIN v2 ON w2.tok = v2.tok
+         |       GROUP BY w2.source),
+         |hc AS (SELECT source, tok, count(*) AS n
+         |       FROM w2 GROUP BY source, tok),
+         |hp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+         |        CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |          AS n_hapax
+         |       FROM hc GROUP BY source),
+         |$cdcChunkCtesSql,
+         |cd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_chunks,
+         |        CAST(count(DISTINCT h) AS BIGINT) AS n_unique
+         |       FROM cm GROUP BY source)
+         |SELECT dd.source, dd.n_docs,
+         |  (1000000 * n_dups) // greatest(n_docs, CAST(1 AS BIGINT))
+         |    AS dup_ppm,
+         |  (1000000 * n_oov) // greatest(n_tok, CAST(1 AS BIGINT))
+         |    AS oov_ppm,
+         |  (1000000 * n_hapax) // greatest(n_types, CAST(1 AS BIGINT))
+         |    AS hapax_type_ppm,
+         |  (1000000 * (n_chunks - n_unique))
+         |    // greatest(n_chunks, CAST(1 AS BIGINT)) AS chunk_dup_ppm
+         |FROM dd JOIN ov ON ov.source = dd.source
+         |        JOIN hp ON hp.source = dd.source
+         |        JOIN cd ON cd.source = dd.source
+         |ORDER BY dd.source""".stripMargin) { (s, dir) =>
+      val docs = Tables.spread(s, dir, "documents")
+      val f = docs.select(col("source"), col("doc_id"),
+        md5(lower(trim(col("text")))).as("fp"))
+      val w2 = docs.select(col("source"),
+        (instr(lit("0123456789abcdef"),
+          substring(md5(col("doc_id").cast("string")), 1, 1)) - 1).as("nib"),
+        explode(split(col("text"), " ")).as("tok"))
+      // f feeds the fp index and the dup count; w2 feeds the vocab, the
+      // membership probe and the type counts — one scratch scope each
+      withScratch(f, w2) {
+        val dd = f
+          .join(f.groupBy(col("fp")).agg(min(col("doc_id")).as("kid")), "fp")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_docs"),
+            sum(when(col("doc_id") =!= col("kid"), 1L).otherwise(0L))
+              .as("n_dups"))
+        val v2 = w2.filter(col("nib") <= 12).select(col("tok")).distinct()
+          .withColumn("in_v", lit(1L))
+        val ov = w2.join(v2, Seq("tok"), "left")
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_tok"),
+            sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+        val hp = w2.groupBy(col("source"), col("tok"))
+          .agg(count(lit(1)).cast("long").as("n"))
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_types"),
+            sum(when(col("n") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        val cd = cdcChunks(s, dir)
+          .groupBy(col("source"))
+          .agg(count(lit(1)).cast("long").as("n_chunks"),
+            countDistinct(col("h")).cast("long").as("n_unique"))
+        dd.join(ov, "source").join(hp, "source").join(cd, "source")
+          .select(col("source"), col("n_docs"),
+          expr("(1000000 * n_dups) div greatest(n_docs, CAST(1 AS BIGINT))")
+            .as("dup_ppm"),
+          expr("(1000000 * n_oov) div greatest(n_tok, CAST(1 AS BIGINT))")
+            .as("oov_ppm"),
+          expr("""(1000000 * n_hapax)
+            | div greatest(n_types, CAST(1 AS BIGINT))"""
+            .stripMargin.replace("\n", "")).as("hapax_type_ppm"),
+          expr("""(1000000 * (n_chunks - n_unique))
+            | div greatest(n_chunks, CAST(1 AS BIGINT))"""
+            .stripMargin.replace("\n", "")).as("chunk_dup_ppm"))
+          .orderBy(col("source"))
+      }
+    },
+
+    // ------------------------------------------------------------------
     // q244: CONTENT-DEFINED chunking + the storage-dedup savings report
     // (LBFS, Muthitacharoen et al. SOSP'01; FastCDC): chunk boundaries
     // fall where the rolling 8-char-gram hash is divisible by 64 — a
