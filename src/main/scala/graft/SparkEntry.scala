@@ -33,14 +33,16 @@ object SparkEntry {
 
   /** DuckDB resource caps prepended to every oracle statement. DuckDB's
     * default memory_limit is 80% of host RAM (~100 GB here), so over a
-    * 218-query pass its buffer manager never evicts and the oracle
-    * process's RSS ratchets up — on a contended driver host that ended
-    * in malloc failures on the five allocation-heaviest oracles
+    * full-inventory pass (259 queries at the frozen surface) its buffer
+    * manager never evicts and the oracle process's RSS ratchets up — on
+    * a contended driver host that ended in malloc failures on the five
+    * allocation-heaviest oracles
     * (CORRECTNESS_r10 q36–q39/q41, `bad allocation` at ~256 KiB). Every
     * one of those queries runs in <64 MB when DuckDB is actually asked
     * to stay small (measured at sf0.01), so the fix is a hard cap:
-    * bounded footprint, spill instead of death. 4 GB clears the FULL
-    * 218-query pass with headroom (the two oracles that needed 8 GB /
+    * bounded footprint, spill instead of death. 4 GB has cleared every
+    * full pass since (218 entries in r11, 259 in r12) with headroom
+    * (the two oracles that needed 8 GB /
     * 4 GB — q186/q208 — were chained-recurrence CTEs that DuckDB's
     * default inlining re-expanded ~3^k / ~9^r times; AS MATERIALIZED at
     * their declaration sites runs both in <512 MB / <0.3 s) while

@@ -66,6 +66,9 @@ object CdcBoundaries {
     * boundary buffer is a growable primitive array — no boxing on the
     * scan stage's hot path. */
   def compute(s: UTF8String, divisor: Int): GenericArrayData = {
+    // public entry (codegen calls it with the constructor-checked value,
+    // but plain Scala can reach it directly) — fail loud, never mask
+    require(divisor > 0, "divisor must be positive")
     val str = s.toString
     // code points, stepping over surrogate pairs (the RollingHash walk)
     var cn = 0
@@ -90,7 +93,7 @@ object CdcBoundaries {
     var g = codes(0)
     k = 1
     while (k < Gram) { g = (g * Base + codes(k)) % Mod; k += 1 }
-    var out = new Array[Int](math.max(4, cn / math.max(divisor, 1) + 2))
+    var out = new Array[Int](math.max(4, cn / divisor + 2))
     var m = 0
     var p = 0
     var more = true

@@ -1700,9 +1700,11 @@ object TextOps {
     // kappa = (n·a − pe_num) / (n² − pe_num) — numerator and
     // denominator are exact BIGINTs, and kappa itself is ONE
     // fixed-shape double division (the q212/q219 doctrine: ratios of
-    // exact integers hash-match; a ppm integer form was rejected
-    // because a negative-kappa numerator would hit `div`-vs-`//`
-    // truncation asymmetry on negatives). Degenerate case n² = pe_num
+    // exact integers hash-match; a ppm integer form was rejected only
+    // to keep the doctrine's one-division shape — Spark's `div` and
+    // DuckDB's `//` both truncate toward zero on negatives, so a
+    // signed ppm form would also have matched; the real integer-div
+    // hazard is zero divisors, not signs). Degenerate case n² = pe_num
     // (both raters constant) yields NULL identically in both engines.
     // Scale: the prediction is q31's per-row projection; then two
     // |langs|-bounded grouped counts (map-side combined), a

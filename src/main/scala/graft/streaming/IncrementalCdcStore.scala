@@ -43,7 +43,15 @@ object IncrementalCdcStore {
     val spark = docs.sparkSession
     import spark.implicits._
     graft.queries.Dedup.cdcChunksOf(docs)
-      .select(col("source"), col("h"), col("clen"))
+      // the keyed state below joins source and hash with '|' — a source
+      // containing the separator would silently mis-attribute chunks in
+      // the report, so it must fail loud at the observation grain
+      .select(
+        when(col("source").contains("|"),
+          raise_error(concat(lit("'|' in source name: "), col("source")))
+            .cast("string"))
+          .otherwise(col("source")).as("source"),
+        col("h"), col("clen"))
       .as[Chunk]
   }
 
@@ -81,17 +89,16 @@ class IncrementalCdcStoreProcessor extends StatefulProcessor[
   override def handleInputRows(key: String, rows: Iterator[Chunk],
       timerValues: TimerValues): Iterator[ChunkCount] = {
     var (n, clen) = if (st.exists()) st.get() else (0L, 0L)
-    var src: String = null
     rows.foreach { c =>
       n = Math.addExact(n, 1L)
       clen = c.clen
-      src = c.source
     }
     st.update((n, clen))
-    // key = source + "|" + md5 hex (no '|' in either); src is non-null
-    // here because handleInputRows only fires with >= 1 row, but derive
-    // from the key for the re-emission-after-restart safety margin
+    // key = source + "|" + md5 hex; observations() asserts sources are
+    // '|'-free before keying, so the first bar IS the separator — but a
+    // malformed key must fail loud, not mis-attribute the chunk
     val bar = key.indexOf('|')
+    require(bar >= 0, s"malformed chunk key (no '|' separator): $key")
     Iterator.single(ChunkCount(key.substring(0, bar),
       key.substring(bar + 1), n, clen))
   }
