@@ -250,16 +250,6 @@ object Plans {
         "no pinned broadcast (the sliver grows with the corpus; AQE " +
         "broadcasts it only while it is actually small) - only the " +
         "query-count-bounded embedding frame is hinted."),
-    Entry("q148_ivfpq_search",
-      "IVFADC's double reduction, visible as join keys: the ADC join " +
-        "condition is the COARSE LIST ID (pcid = cluster), so unprobed " +
-        "lists' members are pruned by the hash join itself - 3/8 of the " +
-        "corpus never gets scored - and what flows per member is the " +
-        "8-code struct, not the embedding. Residuals come from ONE " +
-        "projection against the broadcast 8-row centroid table; the " +
-        "per-(query, list) LUT frame is 50 rows broadcast. The only " +
-        "corpus-keyed exchanges are the coarse k-means training " +
-        "shuffles shared with q102."),
     Entry("q150_doc_repetition",
       "The native-expression economy at its purest: the whole Gopher " +
         "repetition profile is ONE codegen'd projection over the scan " +
@@ -388,8 +378,11 @@ object Plans {
         "and ADC-joins codes to the broadcast per-(query, list) LUTs " +
         "keyed on the COARSE LIST ID, so unprobed lists never get " +
         "scored. The k-means and codebook TRAINING shuffles that " +
-        "dominate q148's plan appear nowhere - they ran once at index " +
-        "build; raw embeddings are read only for the rerank sliver.",
+        "dominated the inline build's plan (the retired q148 ledger " +
+        "entry, kept as Similarity.ivfPqInlineSearch and cross-pinned " +
+        "row-for-row by AnnRecallSpec) appear nowhere - they ran once " +
+        "at index build; raw embeddings are read only for the rerank " +
+        "sliver.",
       details = Seq("ReadSchema")),
     Entry("q189_bpe_encode_serve",
       "Tokenizer split train/encode: the serve plan scans the PERSISTED " +

