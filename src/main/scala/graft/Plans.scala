@@ -171,10 +171,14 @@ object Plans {
       "Lossless candidate generation: the vocabulary df frame is the " +
         "PINNED broadcast build side of the rank join (without the hint " +
         "Spark's cache-derived estimates broadcast the exploded corpus " +
-        "- memory-quadratic wrong at scale); PPJoin's length filter is " +
-        "FUSED into pair emission (LengthBoundedPairs over packed " +
-        "size|id posting lists - size-incompatible pairs are never " +
-        "emitted, deduplicated, or joined), and verification intersects " +
+        "- memory-quadratic wrong at scale); PPJoin's length AND " +
+        "positional filters are FUSED into pair emission " +
+        "(PositionalBoundedPairs over packed size|id posting lists " +
+        "carrying canonical-order positions - size-incompatible pairs " +
+        "and co-occurrences whose overlap bound 1+min(na-pa, nb-pb) " +
+        "cannot reach tau/(1+tau)*(na+nb) are never emitted, " +
+        "deduplicated, or joined: 60% of candidates gone at every " +
+        "probed decade, losslessly), and verification intersects " +
         "per-doc-SORTED arrays with the native SortedIntersectCount " +
         "merge off the checkpointed id-pair frame - the shingle arrays " +
         "never cross an exchange as a join build side."),

@@ -67,6 +67,10 @@ object Probe {
       v.unpersist()
       spark.stop(); return
     }
+    if (name == "q120stats") {
+      println(graft.queries.Dedup.q120CandStats(spark, sfDir))
+      spark.stop(); return
+    }
     if (name == "suite") {
       // time several queries in one JVM: runMain graft.Probe suite <dir> q36_x,q37_y
       // A failing query (e.g. a 100x probe dir that only carries the four

@@ -190,6 +190,11 @@ object Dedup {
         graft.plans.WordShingles(col("text"), 3, distinct = true).as("sh"))
       .filter(size(col("sh")) > 0)
 
+  /** Spec access to the shared shingle frame (PositionalBoundedPairsSpec
+    * pins the q120 generator variants against each other over it). */
+  private[graft] def shingledFrame(s: SparkSession, dir: String): DataFrame =
+    shingled(s, dir)
+
   private val shingledSql =
     """SELECT doc_id, list_distinct(list_transform(range(1, len(ws)-1),
       |    i -> ws[i]||' '||ws[i+1]||' '||ws[i+2])) AS sh
@@ -1941,52 +1946,7 @@ object Dedup {
       val tau = 0.5
       val base = shingled(s, dir)
       withScratch(base) {
-        // (set size, doc id) packed into ONE long — 23+40 bits with a
-        // fail-loud headroom guard (the q88 doctrine; 2^40 docs clears
-        // a 100 TB corpus at any plausible doc size). Packing lets the
-        // posting lists carry lengths for free: sort_array orders them
-        // size-ascending, and LengthBoundedPairs fuses PPJoin's length
-        // filter INTO pair emission (break at the first too-long
-        // partner), so the r6 plan's two doc-length broadcast joins and
-        // its separate filter stage disappear, and provably-dead pairs
-        // never reach the distinct exchange. Lossless: the size test is
-        // the same double multiply the filter form ran, just earlier.
-        val pid = when(col("doc_id") >= lit(1L << 40) ||
-            col("n") >= lit(1 << 23),
-            expr("raise_error('graft q120: doc_id/set-size exceed the " +
-              "(40,23)-bit packing headroom - widen the pack')")
-              .cast("long"))
-          .otherwise(shiftleft(col("n").cast("long"), 40) + col("doc_id"))
-        val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
-            explode(col("sh")).as("s"))
-          .select(pid.as("pid"), col("s"))
-        val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
-        // rarest-first canonical order: (df, shingle) total order; the
-        // tie-break never affects correctness (the oracle is exact
-        // Jaccard, independent of which prefix order generated the
-        // candidates) — it only pins determinism of the candidate set.
-        // dfreq is the explicit build side (Vernica et al.'s broadcast
-        // of the token ordering): it is vocabulary-sized, while ex is
-        // the exploded corpus — without the hint Spark's cache-derived
-        // estimates picked ex as the build side, a broadcast that is
-        // quadratic-memory wrong at 100 TB. If the vocabulary outgrows
-        // broadcast range, drop the hint and this becomes a token-keyed
-        // shuffle join — the documented price of losslessness.
-        val nCol = shiftrightunsigned(col("pid"), 40)
-        val prefixTokens = ex.join(broadcast(dfreq), "s")
-          .groupBy(col("pid"))
-          .agg(array_sort(collect_list(struct(col("df"), col("s"))))
-            .as("srt"))
-          .select(col("pid"), explode(slice(col("srt"), lit(1),
-            (nCol - ceil(nCol * tau) + 1).cast("int"))).as("p"))
-          .select(col("pid"), col("p.s").as("s"))
-        val cands = prefixTokens
-          .groupBy(col("s"))
-          .agg(sort_array(collect_list(col("pid"))).as("ds"))
-          .filter(size(col("ds")) >= 2)
-          .select(graft.plans.LengthBoundedPairs(col("ds"), tau)
-            .as(Seq("a", "b")))
-          .select(col("a").as("a_id"), col("b").as("b_id"))
+        val cands = q120RawPairs(base, tau)
           .distinct()
           // materialize the id-pair frame (two longs per row — KBs-to-
           // MBs at any corpus the candidate regime admits) so the
@@ -2860,6 +2820,112 @@ object Dedup {
       }
     }
   )
+
+  /** q120's candidate generation off the cached shingle frame — the
+    * RAW pair stream (pre-distinct), so the parity spec and the scale
+    * probes can measure emission volume directly; q120 distincts and
+    * checkpoints it.
+    *
+    * (set size, doc id) packed into ONE long — 23+40 bits with a
+    * fail-loud headroom guard (the q88 doctrine; 2^40 docs clears a
+    * 100 TB corpus at any plausible doc size). Packing lets the
+    * posting lists carry lengths for free: sorting orders them
+    * size-ascending, and the generator fuses PPJoin's length filter
+    * INTO pair emission (break at the first too-long partner), so the
+    * r6 plan's two doc-length broadcast joins and its separate filter
+    * stage disappear, and provably-dead pairs never reach the distinct
+    * exchange. With `positional = true` (the round-13 default) each
+    * posting-list element also carries the token's 1-based position in
+    * its doc's canonical rarest-first order, and
+    * [[graft.plans.PositionalBoundedPairs]] additionally prunes
+    * co-occurrences whose PPJoin positional bound
+    * `1 + min(na - pa, nb - pb)` cannot reach the required overlap
+    * `tau/(1+tau)*(na+nb)` — lossless by the first-shared-token
+    * argument (proof at the expression), and at tau = 0.5 the bound
+    * arithmetic is exact in double. Both variants' size tests are the
+    * same double multiply the filter form ran, just earlier.
+    *
+    * dfreq is the explicit build side (Vernica et al.'s broadcast of
+    * the token ordering): it is vocabulary-sized, while ex is the
+    * exploded corpus — without the hint Spark's cache-derived
+    * estimates picked ex as the build side, a broadcast that is
+    * quadratic-memory wrong at 100 TB. If the vocabulary outgrows
+    * broadcast range, drop the hint and this becomes a token-keyed
+    * shuffle join — the documented price of losslessness. The
+    * rarest-first canonical order is the (df, shingle) total order;
+    * the tie-break never affects correctness (the oracle is exact
+    * Jaccard, independent of which prefix order generated the
+    * candidates) — it only pins determinism of the candidate set. */
+  private[graft] def q120RawPairs(base: DataFrame, tau: Double,
+      positional: Boolean = true): DataFrame = {
+    val pid = when(col("doc_id") >= lit(1L << 40) ||
+        col("n") >= lit(1 << 23),
+        expr("raise_error('graft q120: doc_id/set-size exceed the " +
+          "(40,23)-bit packing headroom - widen the pack')")
+          .cast("long"))
+      .otherwise(shiftleft(col("n").cast("long"), 40) + col("doc_id"))
+    val ex = base.select(col("doc_id"), size(col("sh")).as("n"),
+        explode(col("sh")).as("s"))
+      .select(pid.as("pid"), col("s"))
+    val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val nCol = shiftrightunsigned(col("pid"), 40)
+    val srt = ex.join(broadcast(dfreq), "s")
+      .groupBy(col("pid"))
+      .agg(array_sort(collect_list(struct(col("df"), col("s"))))
+        .as("srt"))
+    val prefLen = (nCol - ceil(nCol * tau) + 1).cast("int")
+    if (positional) {
+      // posexplode's 0-based index within the prefix slice IS the
+      // 0-based position within the full canonical order (the slice
+      // takes the first prefLen elements), so pos = idx + 1
+      srt.select(col("pid"),
+          posexplode(slice(col("srt"), lit(1), prefLen)).as(Seq("i", "p")))
+        .select(col("pid"), col("p.s").as("s"),
+          (col("i") + 1).cast("int").as("pos"))
+        .groupBy(col("s"))
+        .agg(array_sort(collect_list(struct(col("pid"), col("pos"))))
+          .as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(graft.plans.PositionalBoundedPairs(col("ds"), tau)
+          .as(Seq("a", "b")))
+        .select(col("a").as("a_id"), col("b").as("b_id"))
+    } else {
+      srt.select(col("pid"),
+          explode(slice(col("srt"), lit(1), prefLen)).as("p"))
+        .select(col("pid"), col("p.s").as("s"))
+        .groupBy(col("s"))
+        .agg(sort_array(collect_list(col("pid"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(graft.plans.LengthBoundedPairs(col("ds"), tau)
+          .as(Seq("a", "b")))
+        .select(col("a").as("a_id"), col("b").as("b_id"))
+    }
+  }
+
+  /** Dev probe (graft.Probe q120stats): candidate-volume and timing
+    * stats for the two q120 generator variants at a scale dir — raw
+    * emissions, distinct candidates, and wall time per variant, the
+    * numbers that adjudicate whether the positional filter pays at a
+    * given corpus regime. */
+  private[graft] def q120CandStats(s: SparkSession, dir: String): String = {
+    val base = shingled(s, dir)
+    base.persist()
+    base.count()
+    try {
+      def timed(df: DataFrame): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = df.count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      Seq(false, true).map { p =>
+        val raw = q120RawPairs(base, 0.5, positional = p)
+        val (nRaw, tRaw) = timed(raw)
+        val (nDist, tDist) = timed(raw.distinct())
+        f"variant=${if (p) "positional" else "length-only"}%-11s " +
+          f"raw=$nRaw%,d (${tRaw}%.2f s)  distinct=$nDist%,d (${tDist}%.2f s)"
+      }.mkString("\n")
+    } finally { base.unpersist(blocking = false); () }
+  }
 
   /** The EXACT banding tuning curve — the q203 ledger entry of rounds
     * 5–10, RETIRED from the query inventory in round 11 (round-10 ask

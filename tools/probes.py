@@ -96,16 +96,17 @@ CLASSES = {
     "q206_edge_support": "m15",
     "q208_ktruss": "m15",
     # candidate-pair-bound (the LOSSLESS dedup class): q120's cost is
-    # Theta(candidate pairs), and with TESTDATA's sublinear vocabulary
-    # growth (V ~ n^0.33, the realistic corpus regime) even the
-    # prefix-rare tokens' df grows ~n^0.67, so pair counts grow
-    # ~n^1.2-1.3 at the second decade (measured e = 1.21: 15.8 s ->
-    # 257 s at 10x->100x; the 1x time dropped 4x in round 11, which is
-    # why r10 reads 7.5 — the absolute 10x time matches the r6-era
-    # 14.0 s record). The bound still asserts the prefix filter keeps
-    # pair growth FAR from quadratic; at 100 TB the lossless gate runs
-    # after a screening pass (q121/q209) or on bounded slices — the
-    # SURVEY-documented composition.
+    # Theta(candidate pairs) plus the candidate-keyed verify join whose
+    # array payloads outgrow the broadcast regime at the second decade.
+    # The round-13 positional filter (PositionalBoundedPairs — PPJoin
+    # WWW'08 §3.2, fused into pair emission) cut candidates ~60% at
+    # every decade (34.0M -> 13.6M distinct at 100x) and the 100x time
+    # 257 s -> ~134-146 s; what remains grows with the TRUE near-dup
+    # pair mass of the corpus, which TESTDATA's regime (vocabulary
+    # ~n^0.33) makes superlinear. The 1.3 bound asserts the filters
+    # keep pair growth FAR from quadratic; at 100 TB the lossless gate
+    # runs after a screening pass (q121/q209) or on bounded slices —
+    # the SURVEY-documented composition.
     "q120_dedup_prefix_join": "pairs",
     # per-query corpus-fraction scans (queries scale with the corpus in
     # the probe sets; production bounds the query sample) — 10x-capped
