@@ -159,14 +159,17 @@ def run_suite(sf_dir, names):
            f'runMain graft.Probe suite {sf_dir} {",".join(names)}']
     out = subprocess.run(cmd, cwd=ROOT, capture_output=True, text=True)
     times = {}
-    for m in re.finditer(r"PROBE (\S+): ([0-9.]+) s", out.stdout):
+    rows = {}
+    for m in re.finditer(r"PROBE (\S+): ([0-9.]+) s \((\d+) rows\)",
+                         out.stdout):
         times[m.group(1)] = float(m.group(2))
+        rows[m.group(1)] = int(m.group(3))
     for m in re.finditer(r"PROBE (\S+): FAIL \((.*)\)", out.stdout):
         times[m.group(1)] = None
     if not times:
         sys.exit(f"probe suite on {sf_dir} produced no timings "
                  f"(sbt rc={out.returncode}):\n{out.stdout[-2000:]}")
-    return times
+    return times, rows
 
 
 def grade(entry):
@@ -228,9 +231,14 @@ def main(argv):
         if not todo:
             continue
         print(f"probing {len(todo)} queries at {key} ({sf_dir}) ...")
-        times = run_suite(sf_dir, todo)
+        times, rows = run_suite(sf_dir, todo)
         for n in todo:
             results.setdefault(n, {})["t" + key[2:]] = times.get(n)
+            # result cardinality per scale: a query that silently went
+            # EMPTY at a bigger corpus would otherwise read as a great
+            # scaling number — rows make that visible in the diff
+            if n in rows:
+                results[n]["rows" + key[2:]] = rows[n]
         for n in names:
             if key == "sf100" and n in CAP10:
                 results.setdefault(n, {})["t100"] = None
