@@ -18,9 +18,12 @@ import org.apache.spark.sql.types._
   * doc-length broadcast joins AND shrinks the pair-distinct exchange.
   * Emits unpacked (a, b) with a < b (the downstream/oracle pair order).
   *
-  * The size comparison is the same double multiply the filter form
-  * used (`least >= greatest * tau`), so fusing cannot change the
-  * candidate set — only where it is pruned. Packing headroom is the
+  * The size comparison is EXACT integer arithmetic on tau's rational
+  * decomposition p/q (`size_i * q < size_j * p` via a 128-bit product
+  * compare — every finite double is dyadic, so the decomposition loses
+  * nothing): a boundary pair sitting exactly at the bound is never
+  * FP-pruned at ANY tau, not only at values like 0.5 whose double
+  * products happen to stay exact (ADVICE r13). Packing headroom is the
   * caller's contract (PackBits): doc_id < 2^40 (1.1e12 docs — above
   * a 100 TB corpus at any plausible doc size) and set size < 2^23,
   * guarded fail-loud at pack time, never silently truncated here.
@@ -44,12 +47,16 @@ case class LengthBoundedPairs(child: Expression, tau: Double)
     StructField("a", LongType, nullable = false),
     StructField("b", LongType, nullable = false)))
 
+  // tau = tauP / tauQ exactly (dyadic decomposition of the double)
+  private lazy val tauPQ: (Long, Long) = LengthBoundedPairs.rational(tau)
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return Iterator.empty
     val n = arr.numElements()
     if (n < 2) return Iterator.empty
     val packed = arr.toLongArray()
+    val (tp, tq) = tauPQ
     new Iterator[InternalRow] {
       private var i = 0
       private var j = 1
@@ -57,10 +64,13 @@ case class LengthBoundedPairs(child: Expression, tau: Double)
       private def sz(p: Long): Long = p >>> LengthBoundedPairs.IdBits
       private def id(p: Long): Long = p & LengthBoundedPairs.IdMask
       // position (i, j) at the next surviving pair, breaking the inner
-      // scan at the first too-long partner (sizes ascend along the list)
+      // scan at the first too-long partner (sizes ascend along the
+      // list); size_i < size_j * tau compared exactly as
+      // size_i * q < size_j * p
       private def advance(): Unit = {
         while (i < n - 1 &&
-            (j >= n || sz(packed(i)).toDouble < sz(packed(j)) * tau)) {
+            (j >= n || !LengthBoundedPairs.geProd(
+              sz(packed(i)), tq, sz(packed(j)), tp))) {
           i += 1; j = i + 1
         }
       }
@@ -88,4 +98,32 @@ object LengthBoundedPairs {
   def apply(c: Column, tau: Double): Column =
     org.apache.spark.sql.graft.bridge.column(LengthBoundedPairs(
       org.apache.spark.sql.graft.bridge.expression(c), tau))
+
+  /** tau as the EXACT rational p/q of its double value. Every finite
+    * double is dyadic (mantissa * 2^e), so the decomposition is
+    * lossless and the pair-generator prunes can run in integer
+    * arithmetic: a boundary pair is never FP-pruned at ANY tau, not
+    * only at taus whose double products stay exact (ADVICE r13).
+    * tau must sit in [2^-10, 1] so the reduced denominator fits a
+    * Long — far below any useful similarity threshold. */
+  def rational(tau: Double): (Long, Long) = {
+    require(tau >= 1.0 / 1024 && tau <= 1.0,
+      s"graft pair generators: tau must be in [2^-10, 1], got $tau")
+    if (tau == 1.0) return (1L, 1L)
+    val bits = java.lang.Double.doubleToLongBits(tau)
+    val mant = (bits & ((1L << 52) - 1)) | (1L << 52)
+    val e = ((bits >>> 52) & 0x7ff).toInt - 1075 // tau = mant * 2^e, e < 0
+    val shift = math.min(java.lang.Long.numberOfTrailingZeros(mant), -e)
+    (mant >>> shift, 1L << (-e - shift))
+  }
+
+  /** Exact `a*b >= c*d` on nonnegative longs: 128-bit product compare
+    * (multiplyHigh is a JIT intrinsic; operands < 2^63, so the signed
+    * high word equals the unsigned one and only the low word needs the
+    * unsigned comparison). */
+  def geProd(a: Long, b: Long, c: Long, d: Long): Boolean = {
+    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) hi1 > hi2
+    else java.lang.Long.compareUnsigned(a * b, c * d) >= 0
+  }
 }

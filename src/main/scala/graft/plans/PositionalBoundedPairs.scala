@@ -26,14 +26,16 @@ import org.apache.spark.sql.types._
   * prefix property guarantees the first shared token IS in both
   * prefixes, so the surviving co-occurrence is in the index.
   *
-  * The prune compares `(1 + min(na-pa, nb-pb)) * (1+tau)` against
-  * `tau * (na+nb)`: one double multiply per side, the
-  * [[LengthBoundedPairs]] doctrine — and at the shipped tau = 0.5 both
-  * sides are EXACT in double (x*1.5 and 0.5*x on 24-bit ints), so the
+  * The prune compares `ub * (p+q) >= p * (na+nb)` in EXACT integer
+  * arithmetic on tau's dyadic decomposition p/q (the overlap
+  * requirement `ub*(1+tau) >= tau*(na+nb)` cleared of denominators;
+  * 128-bit product compare, [[LengthBoundedPairs.geProd]]), so the
   * boundary pair (overlap exactly at the requirement) is never
-  * FP-pruned. The length filter stays fused: elements sort by the
-  * packed long, sizes ascend, the inner scan breaks at the first
-  * too-long partner. Emits (a, b) with a < b.
+  * FP-pruned at ANY tau — not only at 0.5, whose double products
+  * happened to stay exact (ADVICE r13). The length filter stays
+  * fused and equally exact: elements sort by the packed long, sizes
+  * ascend, the inner scan breaks at the first too-long partner.
+  * Emits (a, b) with a < b.
   */
 case class PositionalBoundedPairs(child: Expression, tau: Double)
     extends Generator with CodegenFallback {
@@ -61,11 +63,15 @@ case class PositionalBoundedPairs(child: Expression, tau: Double)
     StructField("a", LongType, nullable = false),
     StructField("b", LongType, nullable = false)))
 
+  // tau = tauP / tauQ exactly (dyadic decomposition of the double)
+  private lazy val tauPQ: (Long, Long) = LengthBoundedPairs.rational(tau)
+
   override def eval(input: InternalRow): IterableOnce[InternalRow] = {
     val arr = child.eval(input).asInstanceOf[ArrayData]
     if (arr == null) return Iterator.empty
     val n = arr.numElements()
     if (n < 2) return Iterator.empty
+    val (tp, tq) = tauPQ
     // unpack once into primitive arrays: the generator may emit O(n^2)
     // pairs off this list, so per-pair struct access would dominate
     val packed = new Array[Long](n)
@@ -90,12 +96,17 @@ case class PositionalBoundedPairs(child: Expression, tau: Double)
       // not monotone along the list, later partners may pass)
       private def advance(): Unit = {
         while (i < n - 1) {
-          if (j >= n || sz(packed(i)).toDouble < sz(packed(j)) * tau) {
+          // length filter, exact: size_i < size_j * tau as size_i*q < size_j*p
+          if (j >= n || !LengthBoundedPairs.geProd(
+              sz(packed(i)), tq, sz(packed(j)), tp)) {
             i += 1; j = i + 1
           } else {
             val na = sz(packed(i)); val nb = sz(packed(j))
             val ub = 1L + math.min(na - pos(i), nb - pos(j))
-            if (ub * (1.0 + tau) >= tau * (na + nb)) return
+            // positional bound, exact: ub*(1+tau) >= tau*(na+nb) as
+            // ub*(p+q) >= p*(na+nb); p < q <= 2^62 and ub <= 2^23, so
+            // the 128-bit compare never overflows
+            if (LengthBoundedPairs.geProd(ub, tp + tq, tp, na + nb)) return
             j += 1
           }
         }

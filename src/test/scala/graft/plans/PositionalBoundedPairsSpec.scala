@@ -98,6 +98,134 @@ class PositionalBoundedPairsSpec extends SparkSpec {
     }
   }
 
+  test("rational decomposition is exact; geProd matches BigInt") {
+    // every finite double is dyadic, so p/q must reproduce the double's
+    // exact value — including non-"round" taus like 0.7 whose reduced
+    // numerator carries the full 52-bit mantissa (ADVICE r13)
+    for (tau <- Seq(0.5, 0.25, 0.75, 0.6875, 0.7, 0.8, 0.123456789, 1.0)) {
+      val (p, q) = LengthBoundedPairs.rational(tau)
+      // q is a power of two, so the division terminates and java's
+      // BigDecimal.divide is exact (scala's / would round at 34 digits)
+      assert(new java.math.BigDecimal(p).divide(new java.math.BigDecimal(q))
+        .compareTo(new java.math.BigDecimal(tau)) == 0,
+        s"tau=$tau decomposed to $p/$q")
+    }
+    intercept[IllegalArgumentException](LengthBoundedPairs.rational(1.0 / 4096))
+    intercept[IllegalArgumentException](LengthBoundedPairs.rational(1.5))
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 5000) {
+      // operand regimes the prunes actually hit: sizes/overlaps up to
+      // 2^23 against rational parts up to 2^62
+      val a = rnd.nextLong(1L << 23); val c = rnd.nextLong(1L << 23)
+      val b = rnd.nextLong(1L << 62); val d = rnd.nextLong(1L << 62)
+      assert(LengthBoundedPairs.geProd(a, b, c, d) ==
+        (BigInt(a) * BigInt(b) >= BigInt(c) * BigInt(d)),
+        s"geProd($a,$b,$c,$d)")
+    }
+  }
+
+  test("non-dyadic tau = 0.7: generator matches a BigInt reference, boundary kept") {
+    val tau = 0.7
+    val (p, q) = LengthBoundedPairs.rational(tau)
+    def refPairs(lst: Seq[(Long, Int)]): Set[(Long, Long)] = {
+      // the generator's iteration semantics re-derived in BigInt: sizes
+      // ascend, inner scan breaks at the first too-long partner, then
+      // the positional bound decides
+      val out = scala.collection.mutable.Set[(Long, Long)]()
+      for (i <- lst.indices; j <- i + 1 until lst.size) {
+        val (na, pa) = (lst(i)._1 >>> IdBits, lst(i)._2.toLong)
+        val (nb, pb) = (lst(j)._1 >>> IdBits, lst(j)._2.toLong)
+        if (BigInt(na) * q >= BigInt(nb) * p) { // not length-dead
+          val ub = 1L + math.min(na - pa, nb - pb)
+          if (BigInt(ub) * (BigInt(p) + BigInt(q)) >=
+              BigInt(p) * BigInt(na + nb)) {
+            val a = lst(i)._1 & ((1L << IdBits) - 1)
+            val b = lst(j)._1 & ((1L << IdBits) - 1)
+            out += ((math.min(a, b), math.max(a, b)))
+          }
+        }
+      }
+      out.toSet
+    }
+    val rnd = new scala.util.Random(29)
+    val rows = (1 to 60).map { i =>
+      val n = rnd.nextInt(12)
+      val entries = (0 until n).map { _ =>
+        val sz = rnd.nextInt(30).toLong + 1
+        (sz, rnd.nextInt(100000).toLong, rnd.nextInt(sz.toInt) + 1)
+      }.distinctBy(_._2)
+      (i, entries.map { case (sz, id, pp) => (pack(sz, id), pp) }
+        .sortBy(_._1))
+    }
+    val got = rows.toDF("g", "ds").filter(size(col("ds")) >= 2)
+      .select(col("g"),
+        PositionalBoundedPairs(col("ds"), tau).as(Seq("a", "b")))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    for ((g, lst) <- rows if lst.size >= 2) {
+      assert(got.getOrElse(g, Set.empty) == refPairs(lst),
+        s"list $g diverges from the BigInt reference at tau=$tau")
+    }
+    // the FP-hazard case the exact compare exists for: sizes (7, 10) at
+    // tau = 0.7 make the length test 7*q vs 10*p with 10*0.7 NOT exact
+    // in double (0.7 rounds up, 10*0.7 = 7.000000000000001 > 7 in FP,
+    // which would kill the pair); exactly, 10p/q > 7 too — so the pair
+    // IS length-dead, and both arithmetics agree here. The true
+    // boundary: sizes (7, 10) need overlap ceil(0.7/1.7*17) = 7 with
+    // ub = 1 + min(7-1, 10-4) = 7 — kept, exactly at the requirement.
+    val kept = Seq((1, Seq((pack(10, 100), 4), (pack(14, 200), 2))))
+      .toDF("g", "ds")
+      .select(PositionalBoundedPairs(col("ds"), tau).as(Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sizes (10, 14): length test 10*q >= 14*p (10/14 ≈ 0.714 >= 0.7 ✓);
+    // requirement ub*(p+q) >= p*24; ub = 1 + min(10-4, 14-2) = 7;
+    // BigInt: 7*(p+q) vs p*24 — with p/q = 0.7: 7*1.7 = 11.9 >= 16.8?
+    // no — dead. Positions (1,1): ub = 1 + min(9,13) = 10;
+    // 10*1.7 = 17 >= 16.8 ✓ kept.
+    assert(kept.isEmpty)
+    val kept2 = Seq((1, Seq((pack(10, 100), 1), (pack(14, 200), 1))))
+      .toDF("g", "ds")
+      .select(PositionalBoundedPairs(col("ds"), tau).as(Seq("a", "b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(kept2 == Set((100L, 200L)))
+  }
+
+  test("non-dyadic tau = 0.7: q120RawPairs stays lossless (brute-force truth)") {
+    // tiny synthetic corpus with enough near-dups to cross the 0.7 bar;
+    // losslessness = every true pair (J >= tau) appears among the
+    // generator's candidates — the property the exact prefix/prune
+    // arithmetic protects at non-dyadic taus
+    val tau = 0.7
+    val rnd = new scala.util.Random(41)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val originals = (0L until 60L).map { id =>
+      val toks = (0 until (6 + rnd.nextInt(10)))
+        .map(_ => vocab(rnd.nextInt(vocab.size))).distinct
+      (id, toks)
+    }
+    val nearDups = (60L until 80L).map { id =>
+      // near-dup of an earlier doc: drop at most one token
+      val src = originals((id - 60).toInt)._2
+      (id, if (src.size > 1 && rnd.nextBoolean()) src.tail else src)
+    }
+    val docs = originals ++ nearDups
+    val base = docs.toDF("doc_id", "sh")
+    val cands = graft.queries.Dedup.q120RawPairs(base, tau)
+      .distinct().as[(Long, Long)].collect().toSet
+    val byId = docs.toMap
+    val truth = (for {
+      a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+      sa = byId(a).toSet; sb = byId(b).toSet
+      inter = sa.intersect(sb).size
+      if sa.nonEmpty && sb.nonEmpty &&
+        inter.toDouble / (sa.size + sb.size - inter) >= tau
+    } yield (a, b)).toSet
+    assert(truth.subsetOf(cands),
+      s"lossless violated at tau=$tau: ${truth.diff(cands).size} true " +
+        "pairs missing from the candidate set")
+    info(s"tau=$tau: ${cands.size} candidates cover ${truth.size} true pairs")
+  }
+
   test("corpus-level: positional ⊆ length-only candidates, identical verified pairs") {
     for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
       val base = graft.queries.Dedup.shingledFrame(spark, dir)
