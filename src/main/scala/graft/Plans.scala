@@ -182,6 +182,17 @@ object Plans {
         "per-doc-SORTED arrays with the native SortedIntersectCount " +
         "merge off the checkpointed id-pair frame - the shingle arrays " +
         "never cross an exchange as a join build side."),
+    Entry("q260_screened_dedup",
+      "The screen-then-lossless COMPOSITION (the q120 CLASSES note's " +
+        "100 TB doctrine, measured instead of prose - r13 ask #2): " +
+        "q121's sorted-neighborhood machinery at a loosened hamming " +
+        "<= 8 marks suspect docs in O(n*w) window pairs off ONE range " +
+        "exchange, a leftsemi slice join (AQE-sized, no broadcast pin " +
+        "- suspects are dup-mass-proportional, not dimension-bounded) " +
+        "restricts the shingle frame, and q120's full PPJoin + " +
+        "SortedIntersectCount verify runs on the slice only - so the " +
+        "corpus-proportional cost is the nlogn screen while the " +
+        "superlinear pair mass is confined to the suspect slice."),
     Entry("q123_pps_sample",
       "Weighted sampling without the single-task window: the " +
         "cumulative-weight axis comes from operators.PrefixSum - ONE " +

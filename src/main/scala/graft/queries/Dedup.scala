@@ -353,6 +353,49 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(graft.plans.SimHashAgg(col("tok")).as("fp"))
 
+  /** Sorted-neighborhood window pairs at hamming <= maxHam — q121's
+    * machinery (Hernandez & Stolfo SIGMOD'95; the w=8 window over the
+    * GlobalIndex rank of the SimHash order) parameterized on the
+    * hamming cut so q121 (the strict <= 2 dedup) and q260 (the <= 8
+    * SCREEN in front of the lossless gate) share one implementation.
+    * Returns (a_id, b_id, hamming), unordered. Cost is O(n·w) pairs by
+    * construction whatever the corpus — the hard bound that makes this
+    * the screening pass of the 100 TB composition. */
+  private[queries] def snmHammingPairs(s: SparkSession, dir: String,
+      maxHam: Int): DataFrame = {
+    val w = 8
+    // fingerprint pass dominates; materialized once, feeds the sort
+    // and both verify joins (the q38 pattern)
+    val fps = simhashFps(s, dir).localCheckpoint()
+    val ranked = graft.operators.GlobalIndex
+      .assign(fps, Seq(col("fp"), col("doc_id")), "rk")
+    // every pair within w of the sorted order shares one of the two
+    // rank-blocks floor(rk/w), floor(rk/w)+1; blocks hold <= 2w ranks
+    val cands = ranked
+      .select(col("rk"), explode(array(expr(s"rk div $w"),
+        expr(s"rk div $w + 1"))).as("blk"))
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_list(col("rk"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(graft.plans.PostingPairs(col("ds")).as(Seq("ra", "rb")))
+      .filter(col("rb") - col("ra") <= w - 1)
+      .distinct()
+    // hamming via the q38 bit-pack: two bit_count(xor) ops per pair
+    val packed = ranked.select(col("rk"), col("doc_id"),
+      expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)").as("h1"),
+      expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)").as("h2"))
+    cands
+      .join(packed.select(col("rk").as("ra"), col("doc_id").as("da"),
+        col("h1").as("a1"), col("h2").as("a2")), "ra")
+      .join(packed.select(col("rk").as("rb"), col("doc_id").as("db"),
+        col("h1").as("b1"), col("h2").as("b2")), "rb")
+      .select(least(col("da"), col("db")).as("a_id"),
+        greatest(col("da"), col("db")).as("b_id"),
+        expr("CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS BIGINT)")
+          .as("hamming"))
+      .filter(col("hamming") <= maxHam)
+  }
+
   val specs: Seq[QuerySpec] = Seq(
 
     // ------------------------------------------------------------------
@@ -1943,40 +1986,8 @@ object Dedup {
          |FROM pairs
          |WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5
          |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val tau = 0.5
       val base = shingled(s, dir)
-      withScratch(base) {
-        val cands = q120RawPairs(base, tau)
-          .distinct()
-          // materialize the id-pair frame (two longs per row — KBs-to-
-          // MBs at any corpus the candidate regime admits) so the
-          // verify joins plan against its REAL size: in one lazy plan
-          // the static optimizer broadcast the whole candidate pipeline
-          // AND the shingle-array frame (measured 15 s vs 5 s at
-          // sf0.1); with the checkpoint the planner broadcasts the
-          // small pair side and the arrays never cross an exchange.
-          .localCheckpoint()
-        // sorted view of the shingle sets — pure projection off the
-        // base cache (no join, no regroup): sort once per DOC so the
-        // native SortedIntersectCount merge (exact, allocation-free)
-        // replaces array_intersect's per-PAIR hash-set build, the
-        // dominant verify cost at millions of candidates.
-        val sets = base.select(col("doc_id"), array_sort(col("sh")).as("st"))
-        cands
-          .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
-          .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")
-          // intersect once per pair: it is the dominant verify cost and
-          // appears in both numerator and union-size denominator
-          .select(col("a_id"), col("b_id"),
-            graft.plans.SortedIntersectCount(col("sa"), col("sb"))
-              .as("inter"),
-            size(col("sa")).as("na"), size(col("sb")).as("nb"))
-          .select(col("a_id"), col("b_id"),
-            (col("inter").cast("double") /
-              (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
-          .filter(col("jac") >= tau)
-          .orderBy(col("a_id"), col("b_id"))
-      }
+      withScratch(base) { ppjoinVerified(base, 0.5) }
     },
 
     // ------------------------------------------------------------------
@@ -2018,38 +2029,73 @@ object Dedup {
          |    AS BIGINT) AS hamming
          |  FROM cand)
          |WHERE hamming <= 2 ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
-      val w = 8
-      // fingerprint pass dominates; materialized once, feeds the sort
-      // and both verify joins (the q38 pattern)
-      val fps = simhashFps(s, dir).localCheckpoint()
-      val ranked = graft.operators.GlobalIndex
-        .assign(fps, Seq(col("fp"), col("doc_id")), "rk")
-      // every pair within w of the sorted order shares one of the two
-      // rank-blocks floor(rk/w), floor(rk/w)+1; blocks hold <= 2w ranks
-      val cands = ranked
-        .select(col("rk"), explode(array(expr(s"rk div $w"),
-          expr(s"rk div $w + 1"))).as("blk"))
-        .groupBy(col("blk"))
-        .agg(sort_array(collect_list(col("rk"))).as("ds"))
-        .filter(size(col("ds")) >= 2)
-        .select(graft.plans.PostingPairs(col("ds")).as(Seq("ra", "rb")))
-        .filter(col("rb") - col("ra") <= w - 1)
+      snmHammingPairs(s, dir, 2).orderBy(col("a_id"), col("b_id"))
+    },
+
+    // ------------------------------------------------------------------
+    // q260: the SCREEN-THEN-LOSSLESS composition — q121's O(n·w)
+    // sorted-neighborhood pass (loosened to hamming <= 8: a screen
+    // wants the near-miss neighborhood, not q121's strict dedup cut)
+    // marks suspect docs, and q120's lossless PPJoin + exact-Jaccard
+    // verify runs on THAT SLICE only. This is the shape SURVEY and the
+    // q120 CLASSES note have documented in prose since the census
+    // round as the true 100 TB deployment of the lossless gate: the
+    // corpus-proportional cost is the screen (one range shuffle +
+    // window pairs, hard-bounded at O(n·w)), while the
+    // candidate-pair-bound PPJoin — whose pair mass is what grows
+    // superlinearly on a whole corpus — sees only the screened slice.
+    // Within the slice the gate keeps q120's exactness: every
+    // surviving pair is verified at true Jaccard >= tau, and no pair
+    // OF THE SLICE is missed (the prefix-filter losslessness
+    // argument); recall against the full corpus is the screen's,
+    // measured where q121 documents it. The oracle replays the whole
+    // composition — screen, slice, UNCAPPED exact Jaccard self-join —
+    // so the gate proves both stages end-to-end. Probed in PROBES.json
+    // (q260_screened_dedup, class nlogn) next to q120's standalone
+    // `pairs` row: the composed 100x cost is screening-bounded, the
+    // number that retires the last prose-only scale claim (r13 ask #2).
+    QuerySpec.sqlBacked("q260_screened_dedup",
+      s"""WITH toks AS (SELECT doc_id,
+         |    list_transform(string_split(text, ' '), t -> md5(t)) AS hs
+         |  FROM documents),
+         |fps AS (SELECT doc_id, $fpSql AS fp FROM toks),
+         |rk AS (SELECT doc_id, fp,
+         |    CAST(row_number() OVER (ORDER BY fp, doc_id) - 1 AS BIGINT)
+         |      AS rk FROM fps),
+         |scr AS (SELECT least(a.doc_id, b.doc_id) AS a_id,
+         |          greatest(a.doc_id, b.doc_id) AS b_id,
+         |          a.fp AS fa, b.fp AS fb
+         |        FROM rk a JOIN rk b
+         |          ON b.rk > a.rk AND b.rk - a.rk <= 7),
+         |hp AS (SELECT a_id, b_id FROM (
+         |         SELECT a_id, b_id, CAST(list_sum(list_transform(range(1, 65),
+         |           i -> CASE WHEN substr(fa,i,1) = substr(fb,i,1)
+         |                THEN 0 ELSE 1 END)) AS BIGINT) AS hamming
+         |         FROM scr)
+         |       WHERE hamming <= 8),
+         |sus AS (SELECT a_id AS doc_id FROM hp UNION SELECT b_id FROM hp),
+         |base AS (SELECT sh0.* FROM ($shingledSql) sh0
+         |         JOIN sus USING (doc_id)),
+         |ex AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM base),
+         |pairs AS (
+         |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS inter,
+         |         max(a.n) AS na, max(b.n) AS nb
+         |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id)
+         |SELECT a_id, b_id,
+         |  CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) AS jac
+         |FROM pairs
+         |WHERE CAST(inter AS DOUBLE)/CAST(na+nb-inter AS DOUBLE) >= 0.5
+         |ORDER BY a_id, b_id""".stripMargin) { (s, dir) =>
+      val suspects = snmHammingPairs(s, dir, 8)
+        .select(explode(array(col("a_id"), col("b_id"))).as("doc_id"))
         .distinct()
-      // hamming via the q38 bit-pack: two bit_count(xor) ops per pair
-      val packed = ranked.select(col("rk"), col("doc_id"),
-        expr("CAST(conv(substring(fp, 1, 32), 2, 10) AS BIGINT)").as("h1"),
-        expr("CAST(conv(substring(fp, 33, 32), 2, 10) AS BIGINT)").as("h2"))
-      cands
-        .join(packed.select(col("rk").as("ra"), col("doc_id").as("da"),
-          col("h1").as("a1"), col("h2").as("a2")), "ra")
-        .join(packed.select(col("rk").as("rb"), col("doc_id").as("db"),
-          col("h1").as("b1"), col("h2").as("b2")), "rb")
-        .select(least(col("da"), col("db")).as("a_id"),
-          greatest(col("da"), col("db")).as("b_id"),
-          expr("CAST(bit_count(a1 ^ b1) + bit_count(a2 ^ b2) AS BIGINT)")
-            .as("hamming"))
-        .filter(col("hamming") <= 2)
-        .orderBy(col("a_id"), col("b_id"))
+      // the slice filter is a semi-join on the suspect set; suspects
+      // grow with the corpus's dup mass (window-pair-bounded, but NOT
+      // dimension-bounded), so no broadcast pin — AQE promotes it
+      // while it fits and key-shuffles past that, both correct
+      val base = shingled(s, dir).join(suspects, Seq("doc_id"), "leftsemi")
+      withScratch(base) { ppjoinVerified(base, 0.5) }
     },
 
     // ------------------------------------------------------------------
@@ -2821,6 +2867,45 @@ object Dedup {
     }
   )
 
+  /** q120's full lossless pipeline over an arbitrary shingled frame:
+    * [[q120RawPairs]] candidate generation, then exact-Jaccard
+    * verification — shared by q120 (the whole corpus) and q260 (the
+    * SCREENED slice, the SURVEY-documented 100 TB composition). The
+    * caller owns base's scratch scope (both consumers re-scan it for
+    * candidates and for the sorted verify arrays). */
+  private def ppjoinVerified(base: DataFrame, tau: Double): DataFrame = {
+    val cands = q120RawPairs(base, tau)
+      .distinct()
+      // materialize the id-pair frame (two longs per row — KBs-to-
+      // MBs at any corpus the candidate regime admits) so the
+      // verify joins plan against its REAL size: in one lazy plan
+      // the static optimizer broadcast the whole candidate pipeline
+      // AND the shingle-array frame (measured 15 s vs 5 s at
+      // sf0.1); with the checkpoint the planner broadcasts the
+      // small pair side and the arrays never cross an exchange.
+      .localCheckpoint()
+    // sorted view of the shingle sets — pure projection off the
+    // base cache (no join, no regroup): sort once per DOC so the
+    // native SortedIntersectCount merge (exact, allocation-free)
+    // replaces array_intersect's per-PAIR hash-set build, the
+    // dominant verify cost at millions of candidates.
+    val sets = base.select(col("doc_id"), array_sort(col("sh")).as("st"))
+    cands
+      .join(sets.select(col("doc_id").as("a_id"), col("st").as("sa")), "a_id")
+      .join(sets.select(col("doc_id").as("b_id"), col("st").as("sb")), "b_id")
+      // intersect once per pair: it is the dominant verify cost and
+      // appears in both numerator and union-size denominator
+      .select(col("a_id"), col("b_id"),
+        graft.plans.SortedIntersectCount(col("sa"), col("sb"))
+          .as("inter"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("a_id"), col("b_id"),
+        (col("inter").cast("double") /
+          (col("na") + col("nb") - col("inter")).cast("double")).as("jac"))
+      .filter(col("jac") >= tau)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
   /** q120's candidate generation off the cached shingle frame — the
     * RAW pair stream (pre-distinct), so the parity spec and the scale
     * probes can measure emission volume directly; q120 distincts and
@@ -2841,9 +2926,10 @@ object Dedup {
     * co-occurrences whose PPJoin positional bound
     * `1 + min(na - pa, nb - pb)` cannot reach the required overlap
     * `tau/(1+tau)*(na+nb)` — lossless by the first-shared-token
-    * argument (proof at the expression), and at tau = 0.5 the bound
-    * arithmetic is exact in double. Both variants' size tests are the
-    * same double multiply the filter form ran, just earlier.
+    * argument (proof at the expression). Both variants' size and bound
+    * tests run in EXACT integer arithmetic on tau's dyadic
+    * decomposition p/q (128-bit product compares), so no boundary pair
+    * is FP-pruned at any tau (ADVICE r13).
     *
     * dfreq is the explicit build side (Vernica et al.'s broadcast of
     * the token ordering): it is vocabulary-sized, while ex is the
@@ -2873,7 +2959,19 @@ object Dedup {
       .groupBy(col("pid"))
       .agg(array_sort(collect_list(struct(col("df"), col("s"))))
         .as("srt"))
-    val prefLen = (nCol - ceil(nCol * tau) + 1).cast("int")
+    // prefix length n - ceil(n*tau) + 1 with ceil computed EXACTLY on
+    // tau's rational decomposition p/q when n*p fits a Long (p < 2^38
+    // covers every dyadic tau with <= 38-bit precision, incl. the
+    // shipped 0.5 where this reduces to the old ceil(n*0.5) value); a
+    // full-mantissa reduced numerator (e.g. tau = 0.7) falls back to
+    // floor-in-double, which is <= the true ceil — a LONGER prefix,
+    // still lossless by construction (extra prefix tokens only add
+    // candidates; the generator prunes stay exact either way)
+    val (tp, tq) = graft.plans.LengthBoundedPairs.rational(tau)
+    val prefLen = (if (tp < (1L << 38))
+        nCol - expr(s"(shiftrightunsigned(pid, 40) * ${tp}L + " +
+          s"${tq - 1}L) div ${tq}L") + lit(1)
+      else nCol - floor(nCol * lit(tau)) + lit(1)).cast("int")
     if (positional) {
       // posexplode's 0-based index within the prefix slice IS the
       // 0-based position within the full canonical order (the slice
