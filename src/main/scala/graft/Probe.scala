@@ -76,12 +76,24 @@ object Probe {
       // A failing query (e.g. a 100x probe dir that only carries the four
       // big tables) reports FAIL and the suite continues — tools/probes.py
       // records it as n/a instead of losing the whole batch.
+      // Optional trailing `queryCap=N` pins the ANN family's query set
+      // to its first N query ids (the fixed-query serve probes — r13
+      // verdict ask #1); set BEFORE any SparkEntry access so even
+      // SQL frozen at query-registry init sees the cap.
+      args.drop(3).foreach { a =>
+        if (a.startsWith("queryCap="))
+          sys.props("graft.probe.queryCap") = a.stripPrefix("queryCap=")
+      }
       args(2).split(",").toSeq.foreach { qn =>
         try {
           val (dt, n) = timed(spark)(SparkEntry.queries(qn)(spark, sfDir))
           println(f"PROBE $qn: $dt%.2f s ($n rows)")
         } catch {
-          case e: Throwable =>
+          // NonFatal only: after an OutOfMemoryError/LinkageError the
+          // shared JVM's remaining timings are garbage — let the fatal
+          // error abort the batch (tools/probes.py fail-louds on a
+          // batch with no timings) instead of recording them (ADVICE r13)
+          case scala.util.control.NonFatal(e) =>
             Sessions.releaseAll(spark)
             val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
               .linesIterator.take(1).mkString
