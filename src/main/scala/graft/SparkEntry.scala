@@ -33,7 +33,7 @@ object SparkEntry {
 
   /** DuckDB resource caps prepended to every oracle statement. DuckDB's
     * default memory_limit is 80% of host RAM (~100 GB here), so over a
-    * full-inventory pass (259 queries at the frozen surface) its buffer
+    * full-inventory pass (the full `allSpecs` registry) its buffer
     * manager never evicts and the oracle process's RSS ratchets up — on
     * a contended driver host that ended in malloc failures on the five
     * allocation-heaviest oracles

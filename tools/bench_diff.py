@@ -140,13 +140,15 @@ def main(argv):
         # resolve the tracked file against the repo root, not the cwd —
         # same trap as touched_by (ADVICE r11)
         root = repo_root()
-        cur = load(os.path.join(root, "BENCH_LAST.json") if root
-                   else "BENCH_LAST.json")
+        cur_path = (os.path.join(root, "BENCH_LAST.json") if root
+                    else "BENCH_LAST.json")
+        cur = load(cur_path)
         src = f"git:{gref} vs BENCH_LAST.json"
         ref = ref or gref
     elif len(argv) == 2:
         prev = load(argv[0])
-        cur = load(argv[1])
+        cur_path = argv[1]
+        cur = load(cur_path)
         src = f"{argv[0]} vs {argv[1]}"
     else:
         sys.exit(__doc__)
@@ -244,7 +246,35 @@ def main(argv):
                                    if solo.get(k) is not None else None)
                 row["verdict"] = verdicts.get(k)
             table.append(row)
+        # stamp the run regime of the `cur` side (r13 verdict ask #4):
+        # total_cur_sec is computed from whatever BENCH_LAST.json snapshot
+        # this diff read — usually a LOCAL tool run, which the driver's
+        # per-round sweep (BENCH_r{N}.json) later re-runs under different
+        # host contention; the two totals legitimately disagree, and the
+        # artifact should say which regime it diffed.
+        import datetime
+        run_regime = {
+            "cur_file": cur_path,
+            "cur_bench_total_sec": None,
+            "cur_file_mtime_utc": None,
+            "note": "total_cur_sec sums best(t,retry) over the shared-"
+                    "valid set from the snapshot named in cur_file (a "
+                    "local bench run at diff time); the driver's "
+                    "BENCH_r{N}.json sweep is a separate run under "
+                    "different contention and need not match this total",
+        }
+        try:
+            with open(cur_path) as fh:
+                raw = json.load(fh)
+            run_regime["cur_bench_total_sec"] = round(
+                float(raw.get("value", -1)), 1)
+            run_regime["cur_file_mtime_utc"] = datetime.datetime.fromtimestamp(
+                os.path.getmtime(cur_path),
+                datetime.timezone.utc).isoformat(timespec="seconds")
+        except (OSError, ValueError):
+            pass
         doc = {"tool": "tools/bench_diff.py --json", "base": src,
+               "run_regime": run_regime,
                "flag_rule": f"best(cur) > {FLAG_RATIO} * best(prev) and "
                             f"delta > {FLOOR_SEC}s",
                "shared": len(both),
