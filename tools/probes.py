@@ -143,23 +143,36 @@ CLASSES = {
     "q215_retrieval_recall": "qscan",
     "q216_matryoshka_recall": "qscan",
     "q255_ann_cost": "qscan",
-    # fixed-query-set SERVE probes (r13 verdict ask #1): the same four
-    # persisted-index serve queries, run with graft.probe.queryCap
-    # pinning the query set to the first FIXED_QUERIES ids while the
-    # corpus scales — this grades the PRODUCTION claim (per-query serve
-    # cost bounded by the probed lists, independent of the query-set
-    # growth that makes the plain qscan entries 10x-capped). Probed at
+    # fixed-query-set SERVE probes (r13 verdict ask #1): the whole
+    # qscan family re-probed with graft.probe.queryCap pinning the
+    # query set to the first FIXED_QUERIES ids while the corpus scales
+    # — this grades the PRODUCTION claim (per-query cost bounded by the
+    # probed lists / scanned codes, independent of the query-set growth
+    # that makes the plain qscan entries 10x-capped). Probed at
     # sf10/sf100 only: sf1's corpus (2k vectors) has fewer than
     # FIXED_QUERIES natural query ids, so the first decade could not
     # hold the query set fixed; the second decade — the one the CAP10
     # blind spot left ungraded — is exactly what these measure. Bound:
-    # linear (the coarse-centroid argmin and the probed-list mass both
-    # grow at most linearly in the corpus for a fixed query count; the
-    # measured ratios should come in well under).
+    # linear — the honest worst case for the flat/ADC scans (q147/q163/
+    # q186/q202/q215/q216: per-query corpus-fraction scan BY DESIGN)
+    # and for frozen-band LSH (q41/q114: bucket occupancy ~ n/2^b);
+    # the index-served paths (q187/q188/q211, q158 since its adaptive
+    # banding) should come in far under.
     "q187_ivfpq_serve_fixedq": "qserve",
     "q188_ivf_sq_serve_fixedq": "qserve",
     "q158_lsh_index_serve_fixedq": "qserve",
     "q211_ivf_two_level_fixedq": "qserve",
+    "q41_knn_lsh_fixedq": "qserve",
+    "q102_ivf_learned_fixedq": "qserve",
+    "q114_knn_batch_topk_fixedq": "qserve",
+    "q147_pq_adc_search_fixedq": "qserve",
+    "q163_sq8_search_fixedq": "qserve",
+    "q186_mmr_rerank_fixedq": "qserve",
+    "q202_maxsim_rerank_fixedq": "qserve",
+    "q214_rrf_fusion_fixedq": "qserve",
+    "q215_retrieval_recall_fixedq": "qserve",
+    "q216_matryoshka_recall_fixedq": "qserve",
+    "q255_ann_cost_fixedq": "qserve",
 }
 MAX_EXP = {"linear": 1.0, "nlogn": 1.15, "pairs": 1.3, "m15": 1.5,
            "qscan": 2.0, "qserve": 1.0}
