@@ -302,10 +302,16 @@ object Plans {
     Entry("q158_lsh_index_serve",
       "ANN serving economics: candidates come from a scan of the " +
         "PERSISTED band index - (table_no, bucket, nb_id) ints, no " +
-        "embedding payload - joined to the broadcast banded queries; " +
-        "full vectors are read only to rerank the candidate sliver. " +
-        "The index scan appears in the plan (pinned by the in-query " +
-        "require); the q41 inline-build band explode does not.",
+        "embedding payload, built once per JVM per corpus dir - joined " +
+        "to the broadcast banded queries; full vectors are read only " +
+        "to rerank the candidate sliver. Band width is ADAPTIVE (one " +
+        "bit per corpus doubling past the gate regime, integer-exact " +
+        "in both engines), so bucket occupancy and the per-query " +
+        "candidate mass stay ~125 at any corpus - the r14 fixed-query " +
+        "probe reads scale-FLAT (r100 = 1.13) where frozen bands read " +
+        "linear (11.1). The index scan appears in the plan (pinned by " +
+        "the in-query require); the q41 inline-build band explode " +
+        "does not.",
       details = Seq("ReadSchema")),
     Entry("q160_interval_overlap",
       "Interval-overlap candidates: both exploded interval sides meet " +
