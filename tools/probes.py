@@ -55,6 +55,13 @@ Usage:
                                           # tracked PROBES.json (exit 1
                                           # on any FLAG) — the cheap gate
 
+Budget note: the qserve (fixed-query) family's sf100 pass runs the
+per-query-linear flat scans (q41/q114/q147/q202/q214/q215/q255) at a
+200-query workload over the 100x corpus — ~1 h wall for the 15-entry
+family refresh (measured r14). Refresh it when a family plan changes,
+not on every round close; the index-served entries alone
+(q158/q187/q188/q211) re-probe in minutes.
+
 Exit code 1 when any entry FLAGs, so a round close can gate on it.
 """
 import json
