@@ -71,6 +71,17 @@ object Probe {
       println(graft.queries.Dedup.q120CandStats(spark, sfDir))
       spark.stop(); return
     }
+    if (name == "annrecall") {
+      // recall@K of an ANN query vs brute truth at this dir's scale;
+      // queryCap bounds the brute side at the big dirs
+      args.drop(3).foreach { a =>
+        if (a.startsWith("queryCap="))
+          sys.props("graft.probe.queryCap") = a.stripPrefix("queryCap=")
+      }
+      println("PROBE annrecall: " +
+        graft.queries.Similarity.serveRecall(spark, sfDir, args(2)))
+      spark.stop(); return
+    }
     if (name == "suite") {
       // time several queries in one JVM: runMain graft.Probe suite <dir> q36_x,q37_y
       // A failing query (e.g. a 100x probe dir that only carries the four

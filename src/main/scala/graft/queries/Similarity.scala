@@ -70,10 +70,16 @@ object Similarity {
     * inline hash doctrine survives). Extension bits live in a FRESH
     * hyperplane index space ([[srpBitIndex]]), so a table's first
     * SrpBits bits are exactly its frozen-band key. Recall at fixed L
-    * decays ~p^b per table as bands lengthen; holding recall flat
-    * instead costs L ~ n^rho more tables (Indyk–Motwani, rho < 1) —
-    * the orthogonal, sublinear production knob documented here rather
-    * than silently spent. */
+    * decays ~p^b per table as bands lengthen — MEASURED (r14
+    * annrecall, 200 fixed queries): recall@5 0.850 at b=4, 0.307 at
+    * b=8 (10x), 0.133 at b=11 (100x), against scale-flat cost
+    * (fixedq r100 = 1.13). Holding recall flat instead costs
+    * L ~ n^rho more tables and an n^(1+rho) index (Indyk–Motwani,
+    * rho < 1) — LSH's textbook fixed-recall price, the documented knob
+    * rather than a silent spend. The IVF serve paths (q187/q188) hold
+    * ~0.87 recall at every probed scale by probing a fixed corpus
+    * FRACTION at fraction-linear cost — the recommended at-scale
+    * default when recall matters more than flat cost. */
   private[queries] val SrpBandTarget = 125L
   private[queries] val SrpBitsMax = 16
   private[queries] def adaptiveSrpBits(n: Long): Int =
@@ -508,6 +514,76 @@ object Similarity {
   /** q158's band-index path per corpus dir (the ivfPqIndex keying). */
   private val lshIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** q158's full serve pipeline (adaptive bands, memoized index) — the
+    * spec body, extracted so [[lshServeRecall]] can drive the same
+    * plan against brute truth at the probe scales. */
+  private def lshIndexServe(s: SparkSession, dir: String): DataFrame = {
+    val b = adaptiveSrpBits(Tables(s, dir, "embeddings").count())
+    val tables = (0 until SrpTables).map(t =>
+      concat((0 until b)
+        .map(k => Vectors.srpBit("embedding", srpBitIndex(t, k))
+          .cast("string")): _*))
+    // BUILD once per JVM per corpus dir (the ivfPqIndex keying): the
+    // payload-free band index is the amortized artifact — rebuilding
+    // it inside every serve run would charge the serve path O(L·b·n)
+    // projection work per batch, which the r14 fixedq probe showed
+    // DOMINATING the adaptive-band serve (13.3 s at 10x where the
+    // candidate work is ~L·target rows)
+    val idxPath = lshIdxCache.computeIfAbsent(dir, _ => {
+      val p = tempIndexDir("graft_lsh_index") + "/bands.parquet"
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id").as("nb_id"),
+          posexplode(array(tables: _*)).as(Seq("j", "bkt")))
+        .select(col("j"), col("bkt"), col("nb_id"))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    // SERVE: query bands by projection, candidates from the index scan
+    val n = corpus(s, dir)
+    val qb = n.filter(expr(isQuery))
+      .select(col("vec_id").as("q_id"),
+        posexplode(array(tables: _*)).as(Seq("qj", "qbkt")))
+    val idx = s.read.parquet(idxPath)
+    val cand = idx.join(broadcast(qb),
+        col("qj") === col("j") && col("qbkt") === col("bkt") &&
+          col("q_id") =!= col("nb_id"))
+      .select(col("q_id"), col("nb_id")).distinct()
+    val qv = n.filter(expr(isQuery))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("nrm").as("qn"))
+    val cv = n.select(col("vec_id").as("nb_id"),
+      col("embedding").as("ce"), col("nrm").as("cn"))
+    val served = topK(scoreTyped(
+      cand.join(broadcast(qv), "q_id").join(cv, "nb_id")))
+    val scans = graft.plans.SummaryRewrite.scannedPaths(served)
+    require(scans.exists(_.endsWith("bands.parquet")),
+      s"q158: serve path does not read the persisted index (scans: $scans)")
+    served
+  }
+
+  /** Dev probe (graft.Probe annrecall <dir> <query> [queryCap=N]):
+    * recall@K of ANY (q_id, nb_id, …)-shaped ANN query against the
+    * exact brute-force top-K over the SAME query set — the measurement
+    * behind the at-scale recall notes. The gate SFs pin recall floors
+    * (AnnRecallSpec) where b/k sit at their gate values; this measures
+    * the probe scales, where q158's bands lengthen
+    * ([[adaptiveSrpBits]]: per-table collision probability decays ~p^b
+    * and OR-amplification over the fixed L tables is what holds recall
+    * up) and the IVF family's adaptive lists shrink relative to the
+    * corpus — numbers instead of theory for both. */
+  private[graft] def serveRecall(s: SparkSession, dir: String,
+      name: String): String = {
+    val spec = specs.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"annrecall: no Similarity query named $name"))
+    val truth = bruteTopK(s, dir).select(col("q_id"), col("nb_id"))
+      .localCheckpoint()
+    val served = spec.run(s, dir).select(col("q_id"), col("nb_id"))
+    val total = truth.count()
+    val hit = truth.join(served, Seq("q_id", "nb_id"), "leftsemi").count()
+    f"$name recall@$K = ${hit.toDouble / total}%.3f (hits $hit of $total)"
+  }
 
   private val ivfPqIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
@@ -1854,49 +1930,8 @@ object Similarity {
     // same integer b selection). At 100 TB the index is O(L·n) ints
     // amortized over every future query batch, and the serve path
     // touches full vectors only for candidates.
-    QuerySpec.sqlBacked("q158_lsh_index_serve", adaptiveLshOracleSql) { (s, dir) =>
-      val b = adaptiveSrpBits(Tables(s, dir, "embeddings").count())
-      val tables = (0 until SrpTables).map(t =>
-        concat((0 until b)
-          .map(k => Vectors.srpBit("embedding", srpBitIndex(t, k))
-            .cast("string")): _*))
-      // BUILD once per JVM per corpus dir (the ivfPqIndex keying): the
-      // payload-free band index is the amortized artifact — rebuilding
-      // it inside every serve run would charge the serve path O(L·b·n)
-      // projection work per batch, which the r14 fixedq probe showed
-      // DOMINATING the adaptive-band serve (13.3 s at 10x where the
-      // candidate work is ~L·target rows)
-      val idxPath = lshIdxCache.computeIfAbsent(dir, _ => {
-        val p = tempIndexDir("graft_lsh_index") + "/bands.parquet"
-        Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("nb_id"),
-            posexplode(array(tables: _*)).as(Seq("j", "bkt")))
-          .select(col("j"), col("bkt"), col("nb_id"))
-          .write.mode("overwrite").parquet(p)
-        p
-      })
-      // SERVE: query bands by projection, candidates from the index scan
-      val n = corpus(s, dir)
-      val qb = n.filter(expr(isQuery))
-        .select(col("vec_id").as("q_id"),
-          posexplode(array(tables: _*)).as(Seq("qj", "qbkt")))
-      val idx = s.read.parquet(idxPath)
-      val cand = idx.join(broadcast(qb),
-          col("qj") === col("j") && col("qbkt") === col("bkt") &&
-            col("q_id") =!= col("nb_id"))
-        .select(col("q_id"), col("nb_id")).distinct()
-      val qv = n.filter(expr(isQuery))
-        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-          col("nrm").as("qn"))
-      val cv = n.select(col("vec_id").as("nb_id"),
-        col("embedding").as("ce"), col("nrm").as("cn"))
-      val served = topK(scoreTyped(
-        cand.join(broadcast(qv), "q_id").join(cv, "nb_id")))
-      val scans = graft.plans.SummaryRewrite.scannedPaths(served)
-      require(scans.exists(_.endsWith("bands.parquet")),
-        s"q158: serve path does not read the persisted index (scans: $scans)")
-      served
-    },
+    QuerySpec.sqlBacked("q158_lsh_index_serve", adaptiveLshOracleSql)(
+      lshIndexServe),
 
     // ------------------------------------------------------------------
     // q163: SQ8 flat search — SCALAR quantization, the remaining point
@@ -2406,6 +2441,15 @@ object Similarity {
     // its broadcast. List centroids are per-list integer means (the
     // q42/q102 convention), probed lists are distinct (g, fine) pairs
     // so no candidate dedup pass is needed.
+    // Measured operating point (r14 annrecall, 200 fixed queries): the
+    // FIXED probe count buys scale-FLAT cost (fixedq r100 = 1.41) at
+    // the price of recall decay — recall@5 0.26 at 10x, 0.12 at 100x —
+    // because probed lists become a shrinking fraction of the adaptive
+    // k1·k2 total. That is the flat-cost end of the serve family's
+    // cost-recall frontier; q187/q188 hold recall (~0.87 at every
+    // probed scale) by probing a fixed corpus FRACTION at fraction-
+    // linear cost. HkProbeCoarse/HkProbeFine are the knobs that move a
+    // deployment along the frontier; there is no free point on it.
     QuerySpec.sqlBacked("q211_ivf_two_level", {
       val cSums = (1 to Vectors.Dim)
         .map(i => s"CAST(sum(qv[$i]) AS BIGINT) // count(*)")
