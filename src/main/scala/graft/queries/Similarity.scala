@@ -981,17 +981,39 @@ object Similarity {
       col("label") === col("plabel") && col("q_id") =!= col("nb_id")))
   }
 
+  /** Exact-truth artifact path per (corpus dir × query-set regime) —
+    * the ivfPqIndex keying extended to the EVAL family. The key
+    * carries the [[isQuery]] atom because the fixed-query probes flip
+    * `graft.probe.queryCap` between runs over the SAME dir. */
+  private val bruteTruthCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** q40's exact plan (broadcast query side against the corpus scan,
     * window top-K) — the ground truth q40 serves directly and the
-    * recall report (q215) grades the approximate runs against. */
+    * eval family (q215 recall, q232 MRR, q243 margins, q256
+    * recall-by-margin, the annrecall probe) grades the approximate
+    * runs against. Computed ONCE per JVM per (dir, query set) and
+    * persisted ([[bruteTruthCache]]): an eval harness pays the
+    * query×corpus exact scoring pass once and grades every run
+    * against the identical frame — re-scoring it per grading query
+    * charged the sweep the family's one deliberately-linear pass
+    * five times over. The persisted frame is K rows per query
+    * (eval-bounded, never corpus-sized). */
   private def bruteTopK(s: SparkSession, dir: String): DataFrame = {
-    val n = corpus(s, dir)
-    val q = broadcast(n.filter(expr(isQuery))
-      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
-        col("nrm").as("qn")))
-    val c = n.select(col("vec_id").as("nb_id"), col("embedding").as("ce"),
-      col("nrm").as("cn"))
-    topK(scoreTyped(q.join(c, col("q_id") =!= col("nb_id"))))
+    val path = bruteTruthCache.computeIfAbsent(s"$dir|$isQuery", _ => {
+      val p = tempIndexDir("graft_brute_truth") + "/topk.parquet"
+      val n = corpus(s, dir)
+      val q = broadcast(n.filter(expr(isQuery))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("nrm").as("qn")))
+      val c = n.select(col("vec_id").as("nb_id"),
+        col("embedding").as("ce"), col("nrm").as("cn"))
+      topK(scoreTyped(q.join(c, col("q_id") =!= col("nb_id"))))
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    // re-assert topK's ordering contract past the parquet roundtrip
+    s.read.parquet(path).orderBy(col("q_id"), col("rn"))
   }
 
   /** The RRF merge of two K-bounded rank lists (q_id, nb_id, rn-like
@@ -2598,7 +2620,9 @@ object Similarity {
     // BUYS over either single run (the q214 rationale, now measured
     // in-ledger rather than asserted). Scale: the truth side is the
     // deliberate exact-eval cost on a SAMPLED query set (isQuery keeps
-    // it corpus/50); every grading join is K-bounded per query.
+    // it corpus/50) — paid ONCE per JVM per (dir, query set) and read
+    // back as the persisted K-per-query frame (bruteTopK's
+    // bruteTruthCache); every grading join is K-bounded per query.
     QuerySpec.sqlBacked("q215_retrieval_recall",
       s"""WITH $lshCandSql,
          |$labelIvfCtesSql,
@@ -2682,7 +2706,8 @@ object Similarity {
     // sub-linear cost. Like q215 this is the DELIBERATE exact-eval
     // spend (10x probe ~85 s vs q215's 57 s, both dominated by the
     // shared exact-truth + LSH candidate stages): an eval loop, not a
-    // production path, bounded by the isQuery sample knob.
+    // production path, bounded by the isQuery sample knob — and the
+    // truth leg is now amortized across the family (bruteTruthCache).
     QuerySpec.sqlBacked("q232_retrieval_mrr",
       s"""WITH $lshCandSql,
          |$labelIvfCtesSql,
