@@ -3341,7 +3341,15 @@ object Similarity {
   /** (g, id, qv): every vector tagged with its coarse cell — the fine
     * level's grouped-training input. `v` persisted by the caller; the
     * coarse assignment reads the per-JVM build artifact ([[flatAsg]]),
-    * so only the FINE level trains live in q210/q211. */
+    * so only the FINE level trains live in q210/q211. A/B'd both ways
+    * at the 100× fixed-query probe after q102's regression raised the
+    * same suspicion here: live {30.2, 21.7 s} vs memoized {17.6,
+    * 25.7 s} — overlapping distributions (the grouped fine train
+    * dominates and is noisy at this SF), with the memo ahead at the
+    * bench SF where the coarse re-train was pure overhead. Unlike
+    * q102, the asg⋈v tag join here feeds GROUPED training keyed by g,
+    * not a centroid-derive aggregate, so the artifact's layout shift
+    * has nothing downstream to hurt. */
   private def hierMembers(s: SparkSession, dir: String,
       v: DataFrame): DataFrame =
     flatAsg(s, dir)
