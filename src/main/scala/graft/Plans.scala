@@ -102,8 +102,9 @@ object Plans {
         "the node set, so ONE global run over the edge union suffices " +
         "and the per-cluster report is a join back on the a-corner. " +
         "With adaptive k (q103's curve) the edge stage is linear too: " +
-        "10x probe 23.3 s (round-9 naive) -> 8.6 s; 100x 24.4 s " +
-        "(6.8M triangles). The oracle is unchanged - orientation " +
+        "10x probe 23.3 s (round-9 naive) -> 3.4 s; 100x 24.4 s -> " +
+        "16.2 s (6.8M triangles) after the build-once assignment " +
+        "artifact (round 14). The oracle is unchanged - orientation " +
         "changes the plan, not the triangle set.",
       details = Seq("REPARTITION_BY_NUM")),
     Entry("q104_skew_salted_join",
