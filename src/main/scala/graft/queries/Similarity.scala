@@ -515,11 +515,19 @@ object Similarity {
   private val lshIdxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** The adaptive band width per corpus dir: a pure function of the
+    * corpus COUNT, so memoized with the index (re-running the count
+    * job on every serve invocation charged a whole scan to the very
+    * serve timings the fixedq probe grades). */
+  private val lshBitsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
   /** q158's full serve pipeline (adaptive bands, memoized index) — the
     * spec body, extracted so [[lshServeRecall]] can drive the same
     * plan against brute truth at the probe scales. */
   private def lshIndexServe(s: SparkSession, dir: String): DataFrame = {
-    val b = adaptiveSrpBits(Tables(s, dir, "embeddings").count())
+    val b: Int = lshBitsCache.computeIfAbsent(dir,
+      _ => adaptiveSrpBits(Tables(s, dir, "embeddings").count()))
     val tables = (0 until SrpTables).map(t =>
       concat((0 until b)
         .map(k => Vectors.srpBit("embedding", srpBitIndex(t, k))
@@ -581,6 +589,12 @@ object Similarity {
       .localCheckpoint()
     val served = spec.run(s, dir).select(col("q_id"), col("nb_id"))
     val total = truth.count()
+    // fail loud, not 'recall = NaN': an empty truth means the dir has
+    // no query-set members (no vec_id multiples of 50, or a queryCap
+    // naming absent ids) - a harness misconfiguration, not a recall
+    require(total > 0,
+      s"annrecall: empty exact-truth set for $name over $dir - " +
+        "the query-set predicate selects no rows")
     val hit = truth.join(served, Seq("q_id", "nb_id"), "leftsemi").count()
     f"$name recall@$K = ${hit.toDouble / total}%.3f (hits $hit of $total)"
   }
@@ -724,7 +738,29 @@ object Similarity {
       finally v.unpersist(blocking = true)
       p
     })
-    s.read.parquet(path)
+    spreadRead(s, path)
+  }
+
+  /** Read a whole-artifact memo and SPREAD a degenerate scan across
+    * the pool (the [[quantized]] guard applied to artifact
+    * read-backs): a few-MB assignment parquet packs into one or two
+    * read tasks on a local filesystem, and a compute-heavy consumer
+    * downstream can inherit that width wherever a join or window lets
+    * narrow partitioning through (AQE sizes reducers by input BYTES
+    * while the per-row work expands — the wedge-exchange trap, here
+    * on the build artifact). The probe-SF A/Bs read the guard as
+    * neutral (host-window noise explained the one regression first
+    * blamed on it), so this is hazard-proofing, not a measured cure:
+    * it pins the safe width for corpora where the artifact outgrows a
+    * couple of splits, and is a no-op on a real cluster. NOT applied
+    * to served INDEX reads (the LSH band index, the IVF codes):
+    * those serve by pruning a bucket/list subset, and a blanket
+    * repartition would force the full-artifact shuffle the serve path
+    * exists to avoid. */
+  private def spreadRead(s: SparkSession, path: String): DataFrame = {
+    val df = s.read.parquet(path)
+    val p = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 <= p) df.repartition(p) else df
   }
 
   /** K-means assignment joined back to the float corpus — (id, cluster,
@@ -764,8 +800,14 @@ object Similarity {
       // not as a silent Θ(cell²) blow-up downstream. The cap is generous
       // (64× target = ~4096× the budgeted per-cell pair work) so honest
       // skew never trips it.
-      val maxCell = asg.groupBy(col("cluster")).count()
-        .agg(max(col("count"))).head.getLong(0)
+      val maxRow = asg.groupBy(col("cluster")).count()
+        .agg(max(col("count"))).head
+      // max(...) is NULL on an empty assignment: fail with the real
+      // diagnosis, not an NPE out of getLong
+      require(!maxRow.isNullAt(0),
+        s"graft clustered: the k-means assignment over $dir is EMPTY - " +
+          "the embeddings table has no rows")
+      val maxCell = maxRow.getLong(0)
       require(maxCell <= KmCellCap * KmTarget,
         s"graft clustered: largest k-means cell has $maxCell rows, past the " +
           s"${KmCellCap}x-target cap (${KmCellCap * KmTarget}) the " +
@@ -774,7 +816,7 @@ object Similarity {
       asg.select(col("id"), col("cluster")).write.mode("overwrite").parquet(p)
       p
     })
-    s.read.parquet(path)
+    spreadRead(s, path)
       .join(corpus(s, dir), col("id") === col("vec_id"))
       .select(col("id"), col("cluster"), col("embedding"), col("nrm"))
   }

@@ -137,6 +137,11 @@ CLASSES = {
     # the probe sets; production bounds the query sample) — 10x-capped
     "q41_knn_lsh": "qscan",
     "q102_ivf_learned": "qscan",
+    # q167 composes q102's routing with q163's SQ codes: same
+    # query-set-scales-with-corpus probe shape (out of the Plans audit
+    # set; added to the ledger in r14 when its memoized-assignment
+    # consumer was probed)
+    "q167_ivf_sq_search": "qscan",
     "q114_knn_batch_topk": "qscan",
     "q147_pq_adc_search": "qscan",
     "q158_lsh_index_serve": "qscan",
@@ -233,6 +238,16 @@ def run_suite(sf_dir, names, query_cap=None):
     if not times:
         sys.exit(f"probe suite on {sf_dir} produced no timings "
                  f"(sbt rc={out.returncode}):\n{out.stdout[-2000:]}")
+    if out.returncode != 0:
+        # a fatal JVM error (OOM/LinkageError aborts the suite since the
+        # NonFatal-only rescue) can leave a PARTIAL batch: the queries
+        # already printed parsed fine, but recording the truncated tail
+        # as missing decades would let grade() fall back to an earlier
+        # decade and read 'ok' - fail the whole batch instead
+        done = ", ".join(sorted(times)) or "(none)"
+        sys.exit(f"probe suite on {sf_dir} aborted mid-batch "
+                 f"(sbt rc={out.returncode}; completed: {done}):\n"
+                 f"{out.stdout[-2000:]}")
     return times, rows
 
 
