@@ -37,7 +37,9 @@ object Bfs {
     val sym0 = pairs.select(col(u).as("src"), col(v).as("dst"))
       .union(pairs.select(col(v).as("src"), col(u).as("dst")))
       .distinct()
-      .localCheckpoint()
+      // lazy: the sizing count right below is the materializing action,
+      // so prepare runs one job, not checkpoint-then-count
+      .localCheckpoint(eager = false)
     val n = sym0.count()
     val parts = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
@@ -71,14 +73,30 @@ object Bfs {
         .distinct()
         .coalesce(parts).localCheckpoint()
       var frontier = visited.select(col("node"))
-      for (r <- 1 to rounds) {
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        // lazy checkpoint + count (the ConnectedComponents move): the
+        // count is the materializing action, so each round runs ONE job
+        // instead of eager-checkpoint-then-checkpoint — and its result
+        // is the early-exit signal for free. `visited` stays a lazy
+        // union of per-round checkpointed frames (≤ rounds children,
+        // each lineage-truncated), so the plan never deepens past the
+        // round budget while the union itself costs no extra job.
         val next = sym.join(frontier, sym("dst") === frontier("node"))
           .select(col("src").as("node")).distinct()
           .join(visited.select(col("node")), Seq("node"), "left_anti")
           .select(col("node"), lit(r.toLong).as("hops"))
-          .coalesce(parts).localCheckpoint()
-        visited = visited.union(next).coalesce(parts).localCheckpoint()
+          .coalesce(parts).localCheckpoint(eager = false)
+        val n = next.count()
+        visited = visited.union(next)
         frontier = next.select(col("node"))
+        // an empty frontier is the fixpoint: every later round would
+        // produce zero rows, so the hop map is already complete and the
+        // remaining rounds would only burn one no-op job each — the
+        // RESULT is identical (min-hop levels are a well-defined map)
+        exhausted = n == 0
+        r += 1
       }
       visited
     }

@@ -34,7 +34,9 @@ object ConnectedComponents {
     val sym0 = edges.select(col(u).as("src"), col(v).as("dst"))
       .union(edges.select(col(v).as("src"), col(u).as("dst")))
       .distinct()
-      .localCheckpoint()
+      // lazy: the sizing count right below is the materializing action,
+      // so symmetrize runs one job, not checkpoint-then-count
+      .localCheckpoint(eager = false)
     // Size the loop's parallelism to the graph, not the session default:
     // iterating a 1k-edge candidate graph through 32-way shuffles spends
     // more on task scheduling than on work, while a billion-edge graph

@@ -41,20 +41,33 @@ object KCore {
     val sym0 = pairs.select(col(u).as("src"), col(v).as("dst"))
       .union(pairs.select(col(v).as("src"), col(u).as("dst")))
       .distinct()
-      .localCheckpoint()
+      // lazy: the sizing count right below is the materializing action
+      .localCheckpoint(eager = false)
     val n = sym0.count()
     val parts = math.max(1, math.min(
       pairs.sparkSession.sparkContext.defaultParallelism,
       (n / 1000000L).toInt + 1))
     var e = sym0.repartition(parts, col("src")).localCheckpoint()
-    for (_ <- 1 to rounds) {
+    var m = n
+    var r = 1
+    var fixed = false
+    while (r <= rounds && !fixed) {
       val keep = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(col("src").as("node"))
+      // lazy checkpoint + count (the CC move): one job per round, and
+      // the surviving-edge count is the fixpoint signal for free — a
+      // round that drops NO edge leaves the induced subgraph identical,
+      // so every later round is a no-op and the peel can stop early
+      // with the same result.
       e = e
         .join(keep.select(col("node").as("src")), Seq("src"), "left_semi")
         .join(keep.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .repartition(parts, col("src")).localCheckpoint()
+        .repartition(parts, col("src")).localCheckpoint(eager = false)
+      val mNext = e.count()
+      fixed = mNext == m
+      m = mNext
+      r += 1
     }
     e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))

@@ -86,6 +86,13 @@ object PageRank {
           coalesce(col("is_seed"), lit(0L)).as("is_seed"))
     }.persist(StorageLevel.MEMORY_AND_DISK)
     try {
+      // Two separate check jobs ON PURPOSE: deg.count() materializes the
+      // e/deg persists first, so the sinks anti-join below PLANS against
+      // accurate InMemoryRelation stats (broadcast anti-join). An r15
+      // attempt to fold both counts into one crossJoin job planned the
+      // anti-join against the raw 8-EB LogicalRDD estimate instead and
+      // regressed q221 3.2 -> 11.5 s (measured twice) — the cache-stats
+      // ordering is worth more than the saved job.
       val n = deg.count() // materializes e + deg for the whole run
       require(n <= 100000000000L,
         s"PageRank integer headroom exceeded: 85 * n * 1e6 must stay " +

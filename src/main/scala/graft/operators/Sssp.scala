@@ -44,7 +44,8 @@ object Sssp {
       .union(edges.select(col(v).as("src"), col(u).as("dst"),
         col(w).cast("long").as("w")))
       .distinct()
-      .localCheckpoint()
+      // lazy: the sizing count right below is the materializing action
+      .localCheckpoint(eager = false)
     val n = sym0.count()
     val parts = math.max(1, math.min(
       edges.sparkSession.sparkContext.defaultParallelism,
@@ -60,12 +61,19 @@ object Sssp {
         .distinct()
         .coalesce(parts).localCheckpoint()
       var frontier = dist
-      for (_ <- 1 to rounds) {
+      var r = 1
+      var settled = false
+      while (r <= rounds && !settled) {
         // relax every edge leaving a node whose distance just improved
         val cand = sym
           .join(frontier, sym("src") === frontier("node"))
           .select(col("dst").as("node"), (col("dist") + col("w")).as("nd"))
           .groupBy(col("node")).agg(min(col("nd")).as("nd"))
+        // lazy checkpoint + count (the CC move): the improved-count is
+        // the materializing action, one job per round — and when NO
+        // distance improved the map is at its fixpoint, so the
+        // remaining rounds would relax an empty frontier to the
+        // identical result; skip them.
         val merged = dist.join(cand, Seq("node"), "full_outer")
           .select(col("node"),
             when(col("dist").isNull || (col("nd").isNotNull &&
@@ -73,10 +81,13 @@ object Sssp {
               .otherwise(col("dist")).as("dist"),
             (col("dist").isNull || (col("nd").isNotNull &&
               col("nd") < col("dist"))).as("improved"))
-          .coalesce(parts).localCheckpoint()
+          .coalesce(parts).localCheckpoint(eager = false)
+        val nImproved = merged.filter(col("improved")).count()
         dist = merged.select(col("node"), col("dist"))
         frontier = merged.filter(col("improved"))
           .select(col("node"), col("dist"))
+        settled = nImproved == 0
+        r += 1
       }
       dist
     } finally sym.unpersist(blocking = false)

@@ -93,24 +93,31 @@ object Triangles {
       : Seq[(Int, Long, Long, Long)] = {
     require(k >= 3 && rounds >= 1,
       s"graft Triangles.trussPeel: need k >= 3 and rounds >= 1, got k=$k rounds=$rounds")
-    var cur = edges.toDF("u1", "u2").localCheckpoint()
+    var cur = edges.toDF("u1", "u2").localCheckpoint(eager = false)
+    // round r's edges_in IS round r-1's edges_kept: count the input
+    // once, then carry the kept count forward — two jobs per round
+    // (support aggregate, kept count) instead of five (the lazy-
+    // checkpoint-materialized-by-the-count move throughout).
+    var edgesIn = cur.count()
     val stats = (1 to rounds).map { r =>
       val sup = edgeSupport(cur.select(col("u1"), col("u2")))
         .select(col("u").as("u1"), col("v").as("u2"), col("support").as("sup"))
-        .localCheckpoint()
-      val edgesIn = cur.count()
-      // every triangle contributed support to exactly its 3 edges
+        .localCheckpoint(eager = false)
+      // every triangle contributed support to exactly its 3 edges;
+      // this aggregate is the action that materializes sup's checkpoint
       val nTri = {
         val row = sup.agg(sum(col("sup"))).head()
         (if (row.isNullAt(0)) 0L else row.getLong(0)) / 3
       }
       val kept = sup.filter(col("sup") >= k - 2)
-        .select(col("u1"), col("u2")).localCheckpoint()
+        .select(col("u1"), col("u2")).localCheckpoint(eager = false)
       val edgesKept = kept.count()
       cur.unpersist(blocking = false)
       sup.unpersist(blocking = false)
       cur = kept
-      (r, edgesIn, nTri, edgesKept)
+      val row = (r, edgesIn, nTri, edgesKept)
+      edgesIn = edgesKept
+      row
     }
     cur.unpersist(blocking = false)
     stats

@@ -2834,35 +2834,60 @@ object Dedup {
       val sjp = jaccardPairs(s, dir, Some(TruthSampleMod))
         .select(col("a_id"), col("b_id"))
       withScratch(sigp, sjp) {
+        import s.implicits._
         val nTrue = sjp.agg(count(lit(1)).as("n_true_sampled"))
-        val stats = Seq(2 -> 8, 4 -> 4, 8 -> 2).map { case (b, r) =>
-          val bandArr = (0 until b).map(j =>
-            md5(concat((r * j until r * j + r)
-              .map(i => col("sig").getItem(i)): _*)))
-          val cand = sigp
-            .select(col("doc_id"),
-              posexplode(array(bandArr: _*)).as(Seq("j", "bh")))
-            .groupBy(col("j"), col("bh"))
-            .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-            .filter(size(col("ds")) >= 2)
-            .select(graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
-            .select(col("a").as("a_id"), col("b").as("b_id"))
-            .distinct()
-          Dedup.withScratch(cand) {
-            cand.agg(count(lit(1)).as("n_cand"))
-              .crossJoin(cand.join(sjp, Seq("a_id", "b_id"))
-                .agg(count(lit(1)).as("n_hit_sampled")))
-              .select(lit(b).as("bands"), lit(r).as("rows_per_band"),
-                col("n_cand"), col("n_hit_sampled"))
+        // ONE tagged pass over the signature frame for the whole grid
+        // (was one explode+groupBy+distinct pipeline — and scratch
+        // checkpoint — per grid point, i.e. 3 posting shuffles + 3 pair
+        // shuffles + 3 jobs): every config's bands explode together as
+        // (cfg, j, bh) cells, so the posting aggregate, the pair
+        // generation, the distinct and the truth join each run once,
+        // keyed by cfg. Per-config pair SETS are identical — the cfg
+        // tag rides the grouping key everywhere a config was its own
+        // pipeline before.
+        val grid = Seq(2 -> 8, 4 -> 4, 8 -> 2)
+        val bandCols = grid.flatMap { case (b, r) =>
+          (0 until b).map { j =>
+            struct(lit(b).as("cfg"), lit(j).as("j"),
+              md5(concat((r * j until r * j + r)
+                .map(i => col("sig").getItem(i)): _*)).as("bh"))
           }
         }
-        stats.reduce(_ unionByName _)
-          .crossJoin(broadcast(nTrue))
-          .select(col("bands"), col("rows_per_band"), col("n_cand"),
-            col("n_true_sampled"), col("n_hit_sampled"),
-            expr("1000000L * n_hit_sampled div greatest(n_true_sampled, 1L)")
-              .as("recall_ppm_est"))
-          .orderBy(col("bands"))
+        val cand = sigp
+          .select(col("doc_id"), explode(array(bandCols: _*)).as("e"))
+          .select(col("doc_id"), col("e.cfg").as("cfg"), col("e.j").as("j"),
+            col("e.bh").as("bh"))
+          .groupBy(col("cfg"), col("j"), col("bh"))
+          .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+          .filter(size(col("ds")) >= 2)
+          .select(col("cfg"),
+            graft.plans.PostingPairs(col("ds")).as(Seq("a", "b")))
+          .select(col("cfg"), col("a").as("a_id"), col("b").as("b_id"))
+          .distinct()
+        Dedup.withScratch(cand) {
+          val counts = cand.groupBy(col("cfg"))
+            .agg(count(lit(1)).as("n_cand"))
+          val hits = cand.join(sjp, Seq("a_id", "b_id"))
+            .groupBy(col("cfg")).agg(count(lit(1)).as("n_hit_sampled"))
+          // a config whose candidate set is EMPTY at a tiny SF must
+          // still report its zero row — drive the report from the
+          // literal grid, not from the (possibly key-dropping) groupBys
+          grid.toDF("bands", "rows_per_band")
+            .join(counts.withColumnRenamed("cfg", "bands"),
+              Seq("bands"), "left")
+            .join(hits.withColumnRenamed("cfg", "bands"),
+              Seq("bands"), "left")
+            .crossJoin(broadcast(nTrue))
+            .select(col("bands"), col("rows_per_band"),
+              coalesce(col("n_cand"), lit(0L)).as("n_cand"),
+              col("n_true_sampled"),
+              coalesce(col("n_hit_sampled"), lit(0L)).as("n_hit_sampled"))
+            .select(col("bands"), col("rows_per_band"), col("n_cand"),
+              col("n_true_sampled"), col("n_hit_sampled"),
+              expr("1000000L * n_hit_sampled div greatest(n_true_sampled, 1L)")
+                .as("recall_ppm_est"))
+            .orderBy(col("bands"))
+        }
       }
     }
   )

@@ -704,9 +704,29 @@ object Similarity {
     // once when the scan is degenerate — on a real cluster the parquet
     // splits already exceed the pool and this is a no-op (order-free
     // integer arithmetic downstream: results are partitioning-blind).
-    val p = s.sparkContext.defaultParallelism
-    if (base.rdd.getNumPartitions * 2 <= p) base.repartition(p) else base
+    // The width decision is memoized per corpus dir: the scan split
+    // count is a function of the (immutable) input files, and deriving
+    // it per call forced a fresh physical plan just to ask the
+    // partition count (~20 ms of driver planning on every one of the
+    // family's ~20 call sites per query — ADVICE r14).
+    if (needsSpread(dir, base))
+      base.repartition(s.sparkContext.defaultParallelism)
+    else base
   }
+
+  /** Memoized "does this scan arrive narrower than the pool" decision,
+    * keyed by an identity string (corpus dir or artifact path). Computed
+    * once per JVM from the physical scan's partition count — toRdd, not
+    * .rdd, so no external-row conversion plan is built. */
+  private val spreadDecision =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def needsSpread(key: String, df: DataFrame): Boolean =
+    spreadDecision.computeIfAbsent(key, _ => {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      java.lang.Boolean.valueOf(
+        df.queryExecution.toRdd.getNumPartitions * 2 <= p)
+    })
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -728,14 +748,27 @@ object Similarity {
   private val flatAsgCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def flatAsg(s: SparkSession, dir: String): DataFrame = {
+  private def flatAsg(s: SparkSession, dir: String,
+      pre: Option[DataFrame] = None): DataFrame = {
     val path = flatAsgCache.computeIfAbsent(dir, _ => {
       val p = tempIndexDir("graft_kmeans_asg") + "/asg.parquet"
-      val v = quantized(s, dir)
-      v.persist() // the assign loop consumes v iters+1 times
-      try graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
-        .write.mode("overwrite").parquet(p)
-      finally v.unpersist(blocking = true)
+      // When the caller already scratch-persisted the quantized frame,
+      // train off THAT handle: persisting our own copy of the same plan
+      // and force-unpersisting it (blocking) here would ALSO drop the
+      // caller's cache entry — Spark's CacheManager uncaches by plan
+      // equality — leaving the caller's downstream passes to rescan the
+      // corpus uncached (ADVICE r14: q167/q210/q211 through withScratch).
+      pre match {
+        case Some(v) =>
+          graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+            .write.mode("overwrite").parquet(p)
+        case None =>
+          val v = quantized(s, dir)
+          v.persist() // the assign loop consumes v iters+1 times
+          try graft.operators.KMeans.assign(v, KmK, KmIters, Vectors.Dim)
+            .write.mode("overwrite").parquet(p)
+          finally v.unpersist(blocking = true)
+      }
       p
     })
     spreadRead(s, path)
@@ -759,8 +792,13 @@ object Similarity {
     * exists to avoid. */
   private def spreadRead(s: SparkSession, path: String): DataFrame = {
     val df = s.read.parquet(path)
-    val p = s.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 <= p) df.repartition(p) else df
+    // width decision memoized per artifact path (the file set is
+    // immutable once written): df.rdd.getNumPartitions on every
+    // read-back forced a separate external-row physical plan per call
+    // (ADVICE r14); needsSpread uses toRdd and computes once per JVM.
+    if (needsSpread(path, df))
+      df.repartition(s.sparkContext.defaultParallelism)
+    else df
   }
 
   /** K-means assignment joined back to the float corpus — (id, cluster,
@@ -2107,8 +2145,10 @@ object Similarity {
         // per-JVM persisted coarse assignment (flatAsg) — unlike q102,
         // the A/B measured the artifact read as a WIN here (10x probe
         // 5.6 s vs 6.6 s live): q167's cost centre is the SQ decode +
-        // rerank, not the centroid-derive join that regressed q102
-        val asg = flatAsg(s, dir)
+        // rerank, not the centroid-derive join that regressed q102.
+        // Pass the scratch-persisted v so a first-touch build trains
+        // off THIS cache instead of unpersisting it by plan equality.
+        val asg = flatAsg(s, dir, Some(v))
         Dedup.withScratch(asg) {
           val probe = ivfProbe(v, asg)
           val dec = sqDecoded(v)
@@ -3394,7 +3434,7 @@ object Similarity {
     * has nothing downstream to hurt. */
   private def hierMembers(s: SparkSession, dir: String,
       v: DataFrame): DataFrame =
-    flatAsg(s, dir)
+    flatAsg(s, dir, Some(v)) // train off the caller's persisted v (ADVICE r14)
       .select(col("id"), col("cluster").as("g"))
       .join(v, col("id") === col("vec_id"))
       .select(col("g"), col("id"), col("qv"))

@@ -1294,7 +1294,11 @@ object Temporal {
       // operator AND dg; pnt feeds the report AND the total) is an
       // IDENTICAL subplan, so Spark's ReusedExchange serves each from
       // one shuffle write — measured faster than materialization
-      // barriers here (9.9 s checkpointed -> 5.8 s reused, sf0.1)
+      // barriers here (9.9 s checkpointed -> 5.8 s reused, sf0.1).
+      // RE-A/B'd in r15 (the 306-Exchange static plan raised the
+      // plan-size suspicion again): withScratch(pe) measured 11-13 s
+      // vs 4.5-6 s for reuse at sf0.1 — the cache barrier serializes
+      // what AQE stage-reuse overlaps, so reuse stays.
       val pe = interactEdges(s, dir)
       val pnt = graft.operators.Triangles.run(pe)
         .select(explode(array(col("a"), col("b"), col("c"))).as("n"))
@@ -1336,6 +1340,9 @@ object Temporal {
          |SELECT u, v, CAST(count(*) AS BIGINT) AS support
          |FROM es GROUP BY u, v
          |ORDER BY support DESC, u, v LIMIT 20""".stripMargin) { (s, dir) =>
+      // exchange-reuse, not scratch persists, serves the operator's
+      // repeated pe references (the q196 A/B, re-confirmed r15:
+      // persisting pe measured 4.6-15 s vs 3.9-4.2 s for reuse)
       graft.operators.Triangles.edgeSupport(interactEdges(s, dir))
         .orderBy(col("support").desc, col("u"), col("v")).limit(20)
     },
