@@ -77,11 +77,15 @@ object KMeans {
       col(vecs.columns(1)).as("qv"))
 
     // init: the k lowest ids' vectors, cid = rank within that k-row set
-    // (the window runs over k rows post-limit, never the corpus)
+    // (the window runs over k rows post-limit, never the corpus).
+    // Checkpoints in this loop are LAZY: every round's assignUnder
+    // begins by collect()ing the previous centroid frame into a plan
+    // literal, and that collect IS the materializing action — an eager
+    // checkpoint ran a second k-row job per round for nothing.
     var cent = v.orderBy(col("id")).limit(k)
       .select((row_number().over(Window.orderBy(col("id"))) - 1).as("cid"),
         col("qv").as("cv"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
 
     val sumCols = (0 until dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
     val divCols = (0 until dim).map(i => expr(s"s$i div n"))
@@ -93,7 +97,9 @@ object KMeans {
         .select(col("cid"),
           when(col("n").isNull, col("cv"))
             .otherwise(array(divCols: _*)).as("cv"))
-        .localCheckpoint() // k rows; truncates per-round lineage
+        // k rows; truncates per-round lineage — lazy, the next round's
+        // collect (or the final assignUnder's) materializes it
+        .localCheckpoint(eager = false)
     }
     cent
   }
@@ -195,7 +201,11 @@ object KMeans {
     var cent = v
       .withColumn("rn", row_number().over(wg)).filter(col("rn") <= k)
       .select(col("g"), (col("rn") - 1).as("cid"), col("qv").as("cv"))
-      .localCheckpoint()
+      // lazy (the centroids-loop rationale): each round's broadcast
+      // build materializes the previous round's checkpoint; the caller's
+      // action materializes the last — one eager k·|groups|-row job per
+      // round bought nothing
+      .localCheckpoint(eager = false)
 
     val sumCols = (0 until dim).map(i => sum(expr(s"qv[$i]")).as(s"s$i"))
     val divCols = (0 until dim).map(i => expr(s"s$i div n"))
@@ -214,7 +224,7 @@ object KMeans {
         .select(col("g"), col("cid"),
           when(col("n").isNull, col("cv"))
             .otherwise(array(divCols: _*)).as("cv"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     }
     cent
   }

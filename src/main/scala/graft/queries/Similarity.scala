@@ -2387,8 +2387,14 @@ object Similarity {
         // per-iteration localCheckpoint (the ConnectedComponents rule):
         // `selected` is referenced three times per step, so an
         // unmaterialized fold grows the plan ~3x per iteration; the
-        // frame itself is |queries| x step rows
-        val all = (2 to MmrK).foldLeft(first.localCheckpoint()) {
+        // frame itself is |queries| x step rows. LAZY (r15): the whole
+        // body runs under withScratch's eager final checkpoint, so the
+        // per-step eager jobs were pure overhead — each step's lazy
+        // checkpoint still truncates the plan, and the one closing job
+        // materializes the chain (cached per step, so the three
+        // references per step compute once).
+        val all = (2 to MmrK).foldLeft(
+            first.localCheckpoint(eager = false)) {
           (selected, i) =>
           val ms = sims.join(
               selected.select(col("q_id").as("sq"), col("cid").as("sa")),
@@ -2406,7 +2412,7 @@ object Similarity {
               .orderBy((col("rel") - col("ms")).desc, col("cid"))))
             .filter(col("rn") === 1)
             .select(col("q_id"), lit(i).as("step"), col("cid"), col("rel"))
-          selected.unionByName(next).localCheckpoint()
+          selected.unionByName(next).localCheckpoint(eager = false)
         }
         all.orderBy(col("q_id"), col("step"))
       }
