@@ -41,13 +41,25 @@ object Triangles {
     // explicit width: AQE sizes reducers by INPUT bytes, but a wedge
     // join's output is quadratic in each pivot's out-degree — on a
     // dense graph a byte-coalesced single task would serialize the
-    // whole O(m^1.5) expansion (the q120/q185 explosive-join lesson)
+    // whole O(m^1.5) expansion (the q120/q185 explosive-join lesson).
+    // The width itself is sized by the WORK bound, not the session
+    // default (the CC/Bfs graph-sized-parallelism rule): orientation
+    // caps the wedge output at m^1.5 rows, so aim for ~1M expanded
+    // rows per task, clamped to the pool — a test-scale graph stops
+    // paying 32-task scheduling per stage for a few thousand edges,
+    // while any graph big enough to need the pool still gets all of
+    // it. Costs one count job over the (lazily checkpointed) oriented
+    // frame, which the downstream wedge+close joins re-read anyway.
     val p = edges.sparkSession.sparkContext.defaultParallelism
-    val oriented = stamped.select(
+    val oriented0 = stamped.select(
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"),
       when(fwd, col("dv")).otherwise(col("du")).as("ddst"))
-      .repartition(p, col("src"))
+      .localCheckpoint(eager = false)
+    val m = oriented0.count().toDouble
+    val parts = math.max(1, math.min(p,
+      (math.pow(m, 1.5) / 1e6).toInt + 1))
+    val oriented = oriented0.repartition(parts, col("src"))
     // wedges (pivot, x, y) with (deg(x), x) < (deg(y), y): the closing
     // edge, if present, is oriented x -> y by the same comparator
     val w = oriented.as("e1").join(oriented.as("e2"),
