@@ -527,7 +527,7 @@ object Similarity {
     * plan against brute truth at the probe scales. */
   private def lshIndexServe(s: SparkSession, dir: String): DataFrame = {
     val b: Int = lshBitsCache.computeIfAbsent(dir,
-      _ => adaptiveSrpBits(Tables(s, dir, "embeddings").count()))
+      _ => adaptiveSrpBits(corpusN(s, dir)))
     val tables = (0 until SrpTables).map(t =>
       concat((0 until b)
         .map(k => Vectors.srpBit("embedding", srpBitIndex(t, k))
@@ -663,7 +663,7 @@ object Similarity {
           val codes = pqEncoded(res, one, keep = Seq("cluster"))
             .select(col("vec_id").as("nb_id") +: col("cluster") +:
               (0 until PqM).map(m => col(s"b$m.cid").as(s"c$m")): _*)
-          ivfPqServe(s, dir, v, cent, one, codes, v.count())
+          ivfPqServe(s, dir, v, cent, one, codes, corpusN(s, dir))
         }
       }
     }
@@ -714,6 +714,19 @@ object Similarity {
     else base
   }
 
+  /** Memoized corpus cardinality per dir — a SIZING SCALAR (rerank
+    * budgets, adaptive k/band selectors), not a result: half a dozen
+    * serve/search queries each ran their own one-column count job per
+    * invocation to derive the same number from the same immutable
+    * corpus. First touch pays the count; every later consumer reads the
+    * long. */
+  private val corpusCount =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private def corpusN(s: SparkSession, dir: String): Long =
+    corpusCount.computeIfAbsent(dir, _ =>
+      java.lang.Long.valueOf(Tables(s, dir, "embeddings").count()))
+
   /** Memoized "does this scan arrive narrower than the pool" decision,
     * keyed by an identity string (corpus dir or artifact path). Computed
     * once per JVM from the physical scan's partition count — toRdd, not
@@ -721,12 +734,14 @@ object Similarity {
   private val spreadDecision =
     new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
 
-  private def needsSpread(key: String, df: DataFrame): Boolean =
-    spreadDecision.computeIfAbsent(key, _ => {
-      val p = df.sparkSession.sparkContext.defaultParallelism
+  private def needsSpread(key: String, df: DataFrame): Boolean = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    // parallelism is part of the key: tests run sessions of different
+    // core counts in one JVM and the decision depends on both sides
+    spreadDecision.computeIfAbsent(s"$key@$p", _ =>
       java.lang.Boolean.valueOf(
-        df.queryExecution.toRdd.getNumPartitions * 2 <= p)
-    })
+        df.queryExecution.toRdd.getNumPartitions * 2 <= p))
+  }
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "embeddings")
@@ -827,7 +842,7 @@ object Similarity {
       // coarse×fine path takes over AUTOMATICALLY, so this curve no longer
       // ends at the broadcast bound (round-10 ask #2). The selector is
       // KMeans.FlatKCeilingKey; KMeansSpec pins both sides of it.
-      val asg = graft.operators.KMeans.assignAuto(v, adaptiveK(v.count()),
+      val asg = graft.operators.KMeans.assignAuto(v, adaptiveK(corpusN(s, dir)),
         KmIters, Vectors.Dim)
       // every consumer of this frame (q103/q110/q230) is within-cluster
       // QUADRATIC and safe only because adaptive k keeps cells ~KmTarget;
@@ -1910,7 +1925,7 @@ object Similarity {
         // rerank budget = a fixed CORPUS FRACTION (like nprobe, the
         // recall/cost knob): one count action sizes it — a scalar, not
         // a collect of data
-        val budget = math.max(2L * K, v.count() / AdcFrac)
+        val budget = math.max(2L * K, corpusN(s, dir) / AdcFrac)
         val wC = Window.partitionBy(col("q_id"))
           .orderBy(col("adc"), col("nb_id"))
         val cand = adc.withColumn("crn", row_number().over(wC))
@@ -1980,7 +1995,7 @@ object Similarity {
       val one = s.read.parquet(s"$idx/codebooks.parquet")
       val codes = s.read.parquet(s"$idx/codes.parquet")
       val served = ivfPqServe(s, dir, quantized(s, dir), cent, one,
-        codes, codes.count())
+        codes, corpusN(s, dir))
       val scans = graft.plans.SummaryRewrite.scannedPaths(served)
       require(scans.exists(_.endsWith("codes.parquet")),
         s"q187: serve path does not read the persisted index (scans: $scans)")
@@ -2578,7 +2593,7 @@ object Similarity {
          |FROM gasg ORDER BY vec_id""".stripMargin) { (s, dir) =>
       val v = quantized(s, dir)
       Dedup.withScratch(v) {
-        val k2 = hkFine(v.count())
+        val k2 = hkFine(corpusN(s, dir))
         val gq = hierMembers(s, dir, v)
         Dedup.withScratch(gq) {
           hierAssign(gq, k2)
@@ -2652,7 +2667,7 @@ object Similarity {
     }) { (s, dir) =>
       val v = quantized(s, dir)
       Dedup.withScratch(v) {
-        val k2 = hkFine(v.count())
+        val k2 = hkFine(corpusN(s, dir))
         val gq = hierMembers(s, dir, v)
         Dedup.withScratch(gq) {
           val gasg = hierAssign(gq, k2)
@@ -3505,7 +3520,9 @@ object Similarity {
     * query-count-bounded qe frame. */
   private def sqTail(s: SparkSession, dir: String, v: DataFrame,
       ap: DataFrame): DataFrame = {
-    val budget = math.max(2L * K, v.count() / AdcFrac)
+    // corpusN: v is corpus-cardinality by contract in every caller
+    // (quantized for q163/q167; the 1-row-per-vector codes for q188)
+    val budget = math.max(2L * K, corpusN(s, dir) / AdcFrac)
     val wC = Window.partitionBy(col("q_id"))
       .orderBy((col("adot").cast("double") / col("dn")).desc, col("nb_id"))
     val cand = ap.withColumn("crn", row_number().over(wC))

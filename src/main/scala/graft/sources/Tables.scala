@@ -15,7 +15,32 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  // Resolved-DataFrame memo per (session, dir, table): every
+  // spark.read.parquet call re-lists the path and re-reads a parquet
+  // footer for schema inference — pure driver time, paid by every
+  // Tables() reference of every query (a bench sweep makes thousands).
+  // A DataFrame is an immutable logical plan, so handing the same one
+  // out is plan memoization, not result caching: execution still scans
+  // the files each run. Weak session keys let stopped test sessions be
+  // collected (the registerAll pattern below).
+  private val dfCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = dfCache.synchronized {
+      var m = dfCache.get(spark)
+      if (m == null) {
+        m = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        dfCache.put(spark, m)
+      }
+      m
+    }
+    perSession.computeIfAbsent(s"$dir/$name", _ => load(spark, dir, name))
+  }
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts has been written two ways across driver rounds:
     //  - TIMESTAMP(NANOS), which Spark has no native type for: read it as
     //    raw nanos (the legacy conf) and floor-divide to µs — the generated
@@ -59,9 +84,23 @@ object Tables {
     if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p) else df
   }
 
+  // Scan-width memo for the (dir, table) call shape: the split count is
+  // a function of the immutable input files, and deriving it per call
+  // builds a fresh physical plan each time (the Similarity spreadRead
+  // rationale, ADVICE r14).
+  private val spreadNeeded =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
   /** [[spread]] applied to a table scan — the common call shape. */
-  def spread(spark: SparkSession, dir: String, name: String): DataFrame =
-    spread(apply(spark, dir, name))
+  def spread(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val p = spark.sparkContext.defaultParallelism
+    // parallelism is part of the key: tests run sessions of different
+    // core counts in one JVM and the decision depends on both sides
+    val needs = spreadNeeded.computeIfAbsent(s"$dir/$name@$p", _ =>
+      java.lang.Boolean.valueOf(df.queryExecution.toRdd.getNumPartitions < p))
+    if (needs) df.repartition(p) else df
+  }
 
   // Last dir registered per session. registerAll is called by every
   // SQL-mode query builder (q53-q55), so without memoization a bench or
